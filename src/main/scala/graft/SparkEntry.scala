@@ -1,13 +1,130 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.sources.Sources
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * Every entry pairs a Spark implementation (`queries`) with a DuckDB
+ * oracle (`oracleSql`) over the same parquet tables. Column aliases
+ * match exactly on both sides; both sides carry a deterministic ORDER
+ * BY; double arithmetic is written with identical association so
+ * results are bit-identical (IEEE-754 is deterministic for identical
+ * expression trees).
+ *
+ * q1–q10 are the reference-derived query set (SURVEY §2.4) over the
+ * `events` table; the reference's operand semantics (missing→0.0,
+ * case-insensitive match, constant truncation, left-fold order,
+ * div-by-zero→±Inf, cast_to_int truncation) are all exercised.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+
+  /** Apply a MathOp to events and project (event_id, out) sorted. */
+  private def mathQ(op: MathOp)(s: SparkSession, dir: String): DataFrame =
+    MathCompiler(events(s, dir), op)
+      .select(col("event_id"), col(op.outputField))
+      .orderBy("event_id")
+
+  // Reference operand resolution, spelled identically in DuckDB SQL:
+  private def o(f: String) = s"COALESCE(CAST($f AS DOUBLE), 0.0)"
+  // IEEE x/0.0 without relying on DuckDB's ieee_floating_point_ops
+  // (NULL under duckdb 1.0 defaults): x>0→Inf, x<0→-Inf, x=0→NaN.
+  private def divByZeroSql(x: String) =
+    s"""CASE WHEN $x > 0 THEN 'Infinity'::DOUBLE
+       |     WHEN $x < 0 THEN '-Infinity'::DOUBLE
+       |     ELSE 'NaN'::DOUBLE END""".stripMargin
+
+  /** Flagship: the test.sh 4-pipeline fanout on sf0.001 (rows > 0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q10Fanout(spark, "/root/testdata/sf0.001")
+
+  private def q10Fanout(s: SparkSession, dir: String): DataFrame = {
+    val branches = Seq("sum", "sub", "mul", "div").map { opName =>
+      opName -> MathOp(
+        "Operation" -> opName,
+        "Field" -> "value", "Field" -> "user_id",
+        "Output_field" -> "out")
+    }
+    Pipelines
+      .fanout(events(s, dir), branches, Seq("tag", "event_id", "out"))
+      .orderBy("tag", "event_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1 sum over two field operands (SURVEY §2.4 q1)
+    "q1_sum_fields" -> mathQ(MathOp(
+      "Operation" -> "sum", "Field" -> "value", "Field" -> "user_id",
+      "Output_field" -> "out")),
+    // O2 sub, operand order reversed — non-commutativity (q2)
+    "q2_sub_order" -> mathQ(MathOp(
+      "Operation" -> "sub", "Field" -> "user_id", "Field" -> "value",
+      "Output_field" -> "out")),
+    // O3 mul with constant "2.7" → int-truncated to 2 (q3)
+    "q3_mul_constant" -> mathQ(MathOp(
+      "Operation" -> "mul", "Field" -> "value", "Constant" -> "2.7",
+      "Output_field" -> "out")),
+    // O4 div by a MISSING field → operand 0.0 → ±Inf/NaN (q4)
+    "q4_div_missing" -> mathQ(MathOp(
+      "Operation" -> "div", "Field" -> "value", "Field" -> "no_such_field",
+      "Output_field" -> "out")),
+    // O6 ≥3 operands, mixed fields+constants, config order (q5)
+    "q5_fold_mixed" -> mathQ(MathOp(
+      "Operation" -> "sub", "Field" -> "value", "Constant" -> "3",
+      "Field" -> "user_id", "Constant" -> "2", "Output_field" -> "out")),
+    // O8 cast_to_int: truncation toward zero, negatives included (q6)
+    "q6_cast_int" -> mathQ(MathOp(
+      "Operation" -> "sub", "Field" -> "value", "Field" -> "user_id",
+      "Output_field" -> "out", "cast_to_int" -> "true")),
+    // O5 missing field as FIRST operand seeds accumulator with 0 (q7)
+    "q7_missing_first" -> mathQ(MathOp(
+      "Operation" -> "sub", "Field" -> "no_such_field", "Field" -> "value",
+      "Output_field" -> "out")),
+    // O5 case-insensitive field resolution (q8)
+    "q8_case_insensitive" -> mathQ(MathOp(
+      "Operation" -> "sum", "Field" -> "VALUE", "Field" -> "USER_ID",
+      "Output_field" -> "out")),
+    // O10 operation-name 3-char prefix matching: "SUMMARY" ≡ sum (q9)
+    "q9_op_prefix" -> mathQ(MathOp(
+      "Operation" -> "SUMMARY", "Field" -> "value", "Field" -> "user_id",
+      "Output_field" -> "out")),
+    // H2-H5 tag-routed 4-op fanout into one unioned sink (q10)
+    "q10_tag_fanout" -> (q10Fanout _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_sum_fields" ->
+      s"SELECT event_id, ${o("value")} + ${o("user_id")} AS out FROM events ORDER BY event_id",
+    "q2_sub_order" ->
+      s"SELECT event_id, ${o("user_id")} - ${o("value")} AS out FROM events ORDER BY event_id",
+    "q3_mul_constant" ->
+      s"SELECT event_id, ${o("value")} * 2.0 AS out FROM events ORDER BY event_id",
+    "q4_div_missing" ->
+      s"SELECT event_id, ${divByZeroSql(o("value"))} AS out FROM events ORDER BY event_id",
+    "q5_fold_mixed" ->
+      s"SELECT event_id, ${o("value")} - 3.0 - ${o("user_id")} - 2.0 AS out FROM events ORDER BY event_id",
+    "q6_cast_int" ->
+      s"SELECT event_id, CAST(trunc(${o("value")} - ${o("user_id")}) AS BIGINT) AS out FROM events ORDER BY event_id",
+    "q7_missing_first" ->
+      s"SELECT event_id, 0.0 - ${o("value")} AS out FROM events ORDER BY event_id",
+    "q8_case_insensitive" ->
+      s"SELECT event_id, ${o("value")} + ${o("user_id")} AS out FROM events ORDER BY event_id",
+    "q9_op_prefix" ->
+      s"SELECT event_id, ${o("value")} + ${o("user_id")} AS out FROM events ORDER BY event_id",
+    "q10_tag_fanout" -> {
+      val v = o("value"); val u = o("user_id")
+      s"""SELECT * FROM (
+         |  SELECT 'sum' AS tag, event_id, $v + $u AS out FROM events
+         |  UNION ALL SELECT 'sub', event_id, $v - $u FROM events
+         |  UNION ALL SELECT 'mul', event_id, $v * $u FROM events
+         |  UNION ALL SELECT 'div', event_id,
+         |    CASE WHEN $u = 0 THEN ${divByZeroSql(v)} ELSE $v / $u END FROM events
+         |) ORDER BY tag, event_id""".stripMargin
+    },
+  )
 }

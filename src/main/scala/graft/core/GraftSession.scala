@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine session config so Verify/Bench/tests agree.
+ *
+ *  - `nanosAsLong`: driver testdata carries TIMESTAMP(NANOS) parquet
+ *    columns, which Spark's vectorized reader rejects by default. The
+ *    reference treats the event timestamp as opaque (repacked verbatim,
+ *    filter_math/math.c:239), so reading it as a raw nanosecond long is
+ *    semantically faithful.
+ *  - UTC session TZ: deterministic timestamp rendering vs the oracle.
+ *  - shuffle.partitions sized to local core count (the 200 default
+ *    would fragment tiny local shuffles; on a real cluster this is
+ *    superseded by AQE coalescing, which stays enabled).
+ */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4 defaults ANSI on, which raises DIVIDE_BY_ZERO even for
+      // doubles. The reference divides with no zero guard — IEEE-754
+      // ±Inf/NaN propagate (math.c:212-215) — and C-style truncating
+      // casts; non-ANSI is the faithful mode for the whole surface.
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(s"local[$cores]", cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

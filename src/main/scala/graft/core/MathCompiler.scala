@@ -1,0 +1,120 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Compiles a [[MathOp]] logical config into a Catalyst `Column` tree.
+ *
+ * This is the Spark-native replacement for the reference's hot loop
+ * (filter_math/math.c:290-366): instead of interpreting msgpack records
+ * one at a time, the whole operator becomes a declarative expression —
+ * `Coalesce(Cast(col, Double), 0.0)` operands folded left with
+ * `Add/Subtract/Multiply/Divide` — that Catalyst constant-folds, prunes
+ * and whole-stage-codegens. A projection is a narrow transformation:
+ * no shuffle at any scale, embarrassingly parallel across executors.
+ *
+ * Operand resolution parity (math.c:146-165, find_operand_val):
+ *  - case-insensitive exact key match (strncasecmp with exact length);
+ *  - only numeric values count (msgpack POSITIVE/NEGATIVE_INTEGER,
+ *    FLOAT32/64 → C double). A matching key holding a non-numeric value
+ *    is skipped and the scan CONTINUES (a later duplicate key may win);
+ *  - no match (or only non-numeric matches) → operand value 0.0;
+ *  - dotted names like `Mem.used` are LITERAL flat keys (no path
+ *    traversal anywhere in the reference) → backtick-quoted columns.
+ *
+ * Two payload modes share the semantics:
+ *  - struct mode: typed columns (schema known — parquet path). Key scan
+ *    resolves at COMPILE time against the schema: strictly better than
+ *    the reference's per-record O(operands × map-size) scan
+ *    (math.c:149-150) while observationally identical.
+ *  - map mode: `MapType(String, Double)` payload column for schemaless
+ *    ingestion (msgpack/JSON-like). The entry scan happens per record
+ *    with codegen'd higher-order functions; non-numeric values arrive
+ *    as null entries and are skipped, like the reference's type check.
+ */
+object MathCompiler {
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Struct-mode field resolution (math.c:146-165). The first
+   *  case-insensitive name match with a numeric type wins; a NULL cell
+   *  in a numeric column models a missing msgpack key → 0.0. */
+  def resolveField(name: String, schema: StructType): Column = {
+    schema.fields.find(f =>
+        f.name.equalsIgnoreCase(name) && isNumeric(f.dataType)) match {
+      case Some(f) => coalesce(col(s"`${f.name}`").cast(DoubleType), lit(0.0))
+      case None    => lit(0.0) // missing or non-numeric field (math.c:164)
+    }
+  }
+
+  /** Map-mode resolution: first entry whose key matches
+   *  case-insensitively AND holds a (non-null ⇒ numeric) value; entry
+   *  order is map order, matching the reference's forward scan. */
+  def resolveInMap(mapCol: Column, name: String): Column = {
+    val matches = filter(
+      map_entries(mapCol),
+      e => lower(e.getField("key")) === lit(name.toLowerCase) &&
+        e.getField("value").isNotNull)
+    coalesce(get(matches, lit(0)).getField("value"), lit(0.0))
+  }
+
+  /** IEEE-754 double division. The reference divides with NO zero guard
+   *  (math.c:212-215) → ±Inf/NaN propagate; Spark's `Divide` instead
+   *  returns NULL on a zero divisor (both ANSI and legacy modes), so we
+   *  restore IEEE semantics with built-ins only: `pow(±0.0, -1)` is
+   *  ±Infinity per IEEE (sign of zero honored), and `a * ±Inf` then
+   *  yields ±Inf for a≠0 and NaN for a=0 — exactly `a / ±0.0`. Both
+   *  branches whole-stage-codegen. */
+  def ieeeDiv(a: Column, b: Column): Column =
+    when(b === lit(0.0), a * pow(b, lit(-1.0))).otherwise(a / b)
+
+  /** Left-fold in config order (math.c:167-195; first operand seeds the
+   *  accumulator). `cast_to_int` truncates toward zero; C packs a
+   *  32-bit int (math.c:258-260, UB on overflow) — we widen to
+   *  LongType (SURVEY §2.1 O8, documented divergence). */
+  def expression(op: MathOp, resolve: Operand => Column): Column = {
+    val folded = op.operands.map(resolve).reduceLeft[Column] {
+      (acc, v) => op.operation match {
+        case Operation.Sum => acc + v
+        case Operation.Sub => acc - v
+        case Operation.Mul => acc * v
+        case Operation.Div => ieeeDiv(acc, v)
+      }
+    }
+    if (op.castToInt) folded.cast(LongType) else folded
+  }
+
+  /** Struct-mode compile against a known schema. */
+  def column(op: MathOp, schema: StructType): Column =
+    expression(op, {
+      case Const(c)    => lit(c.toDouble)
+      case FieldRef(f) => resolveField(f, schema)
+    })
+
+  /** Map-mode compile against a `MapType(String, Double)` payload. */
+  def columnForMap(op: MathOp, mapCol: Column): Column =
+    expression(op, {
+      case Const(c)    => lit(c.toDouble)
+      case FieldRef(f) => resolveInMap(mapCol, f)
+    })
+
+  /**
+   * Apply the operator to a DataFrame — the `cb_math_filter` equivalent
+   * (math.c:290-366), one `withColumn` projection. NOTE (SURVEY §2.1
+   * O7): the reference APPENDS the output key even when present
+   * (duplicate map keys); Spark `withColumn` REPLACES — intentional,
+   * tested divergence.
+   */
+  def apply(df: DataFrame, op: MathOp): DataFrame =
+    df.withColumn(op.outputField, column(op, df.schema))
+
+  /** Map-payload variant of [[apply]]. */
+  def applyToMap(df: DataFrame, op: MathOp, payloadCol: String): DataFrame =
+    df.withColumn(op.outputField, columnForMap(op, col(payloadCol)))
+}

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Ingestion surface. The reference consumes whatever fluent-bit inputs
+ * emit (msgpack event stream, SURVEY §2.2 H1); the engine's batch path
+ * reads the driver-provided parquet star schema, and the schemaless
+ * path parses JSON-ish payloads into `MapType(String, Double)` —
+ * reproducing the reference's dynamic typing (math.c:149-163): a key
+ * whose value is non-numeric parses to a null map entry, which the
+ * resolver skips exactly like the msgpack type check does.
+ *
+ * Scale posture: parquet scans are vectorized and column-pruned;
+ * filters and required-column projections push into the scan (verify
+ * with `.explain("formatted")` → PushedFilters / ReadSchema).
+ */
+object Sources {
+
+  /** One driver testdata table: `spark.read.parquet(dir/name.parquet)`. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  val payloadType: MapType = MapType(StringType, DoubleType)
+
+  /** Schemaless ingestion: a column of JSON objects → `payload`
+   *  map<string,double>. Non-numeric values become null entries
+   *  (kept — key presence matters for duplicate-key scans); malformed
+   *  documents become null maps (reference passes unparseable records
+   *  through untouched, math.c:349-352). */
+  def jsonPayload(df: DataFrame, jsonCol: String, payloadCol: String = "payload"): DataFrame =
+    df.withColumn(payloadCol, from_json(col(jsonCol), payloadType))
+}
