@@ -43,15 +43,25 @@ object MathCompiler {
   }
 
   /** Struct-mode field resolution (math.c:146-165). The first
-   *  case-insensitive name match with a numeric type wins; a NULL cell
-   *  in a numeric column models a missing msgpack key → 0.0. */
-  def resolveField(name: String, schema: StructType): Column = {
-    schema.fields.find(f =>
-        f.name.equalsIgnoreCase(name) && isNumeric(f.dataType)) match {
-      case Some(f) => coalesce(col(s"`${f.name}`").cast(DoubleType), lit(0.0))
+   *  case-insensitive name match with a numeric type wins — by ORDINAL,
+   *  so duplicate case-insensitive names (legal in a DataFrame, like
+   *  duplicate msgpack keys) resolve like the reference's forward scan
+   *  instead of throwing AMBIGUOUS_REFERENCE. */
+  def resolveFieldIndex(name: String, schema: StructType): Option[Int] =
+    schema.fields.indexWhere(f =>
+      f.name.equalsIgnoreCase(name) && isNumeric(f.dataType)) match {
+      case -1 => None
+      case i  => Some(i)
+    }
+
+  /** Name-based resolution for callers composing over unambiguous
+   *  frames; a NULL cell in a numeric column models a missing msgpack
+   *  key → 0.0 (math.c:164). */
+  def resolveField(name: String, schema: StructType): Column =
+    resolveFieldIndex(name, schema) match {
+      case Some(i) => coalesce(col(s"`${schema.fields(i).name}`").cast(DoubleType), lit(0.0))
       case None    => lit(0.0) // missing or non-numeric field (math.c:164)
     }
-  }
 
   /** Map-mode resolution: first entry whose key matches
    *  case-insensitively AND holds a (non-null ⇒ numeric) value; entry
@@ -106,13 +116,35 @@ object MathCompiler {
 
   /**
    * Apply the operator to a DataFrame — the `cb_math_filter` equivalent
-   * (math.c:290-366), one `withColumn` projection. NOTE (SURVEY §2.1
+   * (math.c:290-366), one narrow projection. Operands are bound by
+   * ORDINAL through a positional rename (`toDF`), so duplicate or
+   * exotically-named columns never hit name-resolution ambiguity; the
+   * two extra projections collapse in the optimizer. NOTE (SURVEY §2.1
    * O7): the reference APPENDS the output key even when present
-   * (duplicate map keys); Spark `withColumn` REPLACES — intentional,
-   * tested divergence.
+   * (duplicate map keys); we REPLACE in place — intentional, tested
+   * divergence.
    */
-  def apply(df: DataFrame, op: MathOp): DataFrame =
-    df.withColumn(op.outputField, column(op, df.schema))
+  def apply(df: DataFrame, op: MathOp): DataFrame = {
+    val names = df.columns
+    val tmp = names.indices.map(i => s"__graft_c$i")
+    val renamed = df.toDF(tmp: _*)
+    val result = expression(op, {
+      case Const(c) => lit(c.toDouble)
+      case FieldRef(f) => resolveFieldIndex(f, df.schema) match {
+        case Some(i) => coalesce(col(tmp(i)).cast(DoubleType), lit(0.0))
+        case None    => lit(0.0)
+      }
+    })
+    val outIdx = names.indexWhere(_.equalsIgnoreCase(op.outputField))
+    val outCols =
+      if (outIdx >= 0)
+        tmp.indices.map(i =>
+          if (i == outIdx) result.as(op.outputField)
+          else col(tmp(i)).as(names(i)))
+      else
+        tmp.indices.map(i => col(tmp(i)).as(names(i))) :+ result.as(op.outputField)
+    renamed.select(outCols: _*)
+  }
 
   /** Map-payload variant of [[apply]]. */
   def applyToMap(df: DataFrame, op: MathOp, payloadCol: String): DataFrame =

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.core.{MathOp, MathCompiler, Pipelines}
+
+/**
+ * Structured Streaming surface (SURVEY §2.2 H1–H5, §3.2).
+ *
+ * The reference is a stateless per-record transform inside fluent-bit's
+ * stream engine (filter_math/math.c:290-366): chunks arrive, the filter
+ * maps over them, modified chunks flow to tag-matched sinks. The exact
+ * Spark-native analog is a streaming DataFrame flowing through the SAME
+ * narrow projections used on the batch path — [[MathCompiler]] and
+ * [[Pipelines]] take a `DataFrame` and are oblivious to whether it is
+ * bounded; Catalyst guarantees batch/streaming parity for stateless
+ * operators (no watermarks or state needed anywhere in the reference
+ * surface).
+ *
+ * fluent-bit's `exit` output ("terminate after first flush",
+ * test.sh:43) maps to `Trigger.AvailableNow`: process everything
+ * available, then stop.
+ */
+object Streams {
+
+  /** File-based streaming source over a parquet directory — the
+   *  batch-compatible stand-in for a fluent-bit input plugin.
+   *  FileStreamSource requires a directory; a single-file path (the
+   *  testdata layout) is symlinked into a temp dir first. */
+  def parquetStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val dir =
+      if (!f.isFile) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(f.getName), f.toPath.toAbsolutePath)
+        d.toString
+      }
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Apply one math filter to a (streaming or batch) frame. */
+  def mathFilter(df: DataFrame, op: MathOp): DataFrame = MathCompiler(df, op)
+
+  /** test.sh topology on a stream: tag → filter per branch → union. */
+  def fanout(df: DataFrame, branches: Seq[(String, MathOp)], cols: Seq[String]): DataFrame =
+    Pipelines.fanout(df, branches, cols)
+
+  /** `exit`-style run: drain everything currently available into an
+   *  in-memory table and stop — used by tests to prove streaming ≡
+   *  batch row-for-row (SURVEY §5.1(5)). */
+  def drainToMemory(df: DataFrame, table: String): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
