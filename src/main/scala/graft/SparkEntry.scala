@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
+import graft.functions.TextFunctions
+import graft.operators.Dedup
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,6 +26,9 @@ object SparkEntry {
 
   private def events(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "events")
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
 
   /** Apply a MathOp to events and project (event_id, out) sorted. */
   private def mathQ(op: MathOp)(s: SparkSession, dir: String): DataFrame =
@@ -95,6 +100,47 @@ object SparkEntry {
       "Output_field" -> "out")),
     // H2-H5 tag-routed 4-op fanout into one unioned sink (q10)
     "q10_tag_fanout" -> (q10Fanout _),
+
+    // ---- LLM-pipeline extensions: text analysis over `documents` ----
+    // token counting: whitespace + BPE-ish regex (narrow projection)
+    "q11_token_count" -> ((s, dir) => documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.tokenCountWs(col("text")).as("tok_ws"),
+      TextFunctions.tokenCountRegex(col("text")).as("tok_re"))
+      .orderBy("doc_id")),
+    // quality scoring: length/punct/stopword ratios
+    "q12_quality_score" -> ((s, dir) => documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")),
+    // language-ID n-gram/stopword heuristic
+    "q13_lang_id" -> ((s, dir) => documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")),
+    // document fingerprinting: rolling polynomial hash
+    "q14_fingerprint" -> ((s, dir) => documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.fingerprint("text").as("fp"))
+      .orderBy("doc_id")),
+
+    // ---- LLM-pipeline extensions: deduplication over `documents` ----
+    // exact dedup: hash-groupBy on content hash
+    "q15_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(documents(s, dir), "text", "doc_id")
+        .orderBy("keep_id")),
+    // blocked word-3-shingle Jaccard near-dup pairs
+    "q16_jaccard_dup" -> ((s, dir) =>
+      Dedup.jaccardPairs(documents(s, dir), "text", "doc_id", "lang", 3, 0.5)
+        .orderBy("id_a", "id_b")),
+    // MinHash+LSH near-dup pairs (16 perms, 4 bands × 4 rows)
+    "q17_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id", 3, 16, 4, 0.8)
+        .orderBy("id_a", "id_b")),
+    // SimHash near-dup pairs (hamming ≤ 2, lang-blocked)
+    "q18_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(documents(s, dir), "text", "doc_id", "lang", 2)
+        .orderBy("id_a", "id_b")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -126,5 +172,23 @@ object SparkEntry {
          |    CASE WHEN $u = 0 THEN ${divByZeroSql(v)} ELSE $v / $u END FROM events
          |) ORDER BY tag, event_id""".stripMargin
     },
+    "q11_token_count" ->
+      s"""SELECT doc_id, ${TextFunctions.tokenCountWsSql("text")} AS tok_ws,
+         |  ${TextFunctions.tokenCountRegexSql("text")} AS tok_re
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q12_quality_score" ->
+      s"SELECT doc_id, ${TextFunctions.qualityScoreSql("text")} AS quality FROM documents ORDER BY doc_id",
+    "q13_lang_id" ->
+      s"SELECT doc_id, ${TextFunctions.langIdSql("text")} AS lang_pred FROM documents ORDER BY doc_id",
+    "q14_fingerprint" ->
+      s"SELECT doc_id, ${TextFunctions.fingerprintSql("text")} AS fp FROM documents ORDER BY doc_id",
+    "q15_dedup_exact" ->
+      s"${Dedup.exactGroupsSql("documents", "text", "doc_id")} ORDER BY keep_id",
+    "q16_jaccard_dup" ->
+      s"${Dedup.jaccardPairsSql("documents", "text", "doc_id", "lang", 3, 0.5)} ORDER BY id_a, id_b",
+    "q17_minhash_lsh" ->
+      s"${Dedup.minhashLshPairsSql("documents", "text", "doc_id", 3, 16, 4, 0.8)} ORDER BY id_a, id_b",
+    "q18_simhash" ->
+      s"${Dedup.simhashPairsSql("documents", "text", "doc_id", "lang", 2)} ORDER BY id_a, id_b",
   )
 }

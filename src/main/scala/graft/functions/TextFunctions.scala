@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for the LLM-data-pipeline surface (engine
+ * extension beyond the reference, SURVEY §0/§7.2(5)): token counting,
+ * quality scoring, language-ID heuristic, document fingerprinting.
+ *
+ * Everything is a pure `Column` expression (whole-stage codegen, no
+ * UDFs, embarrassingly parallel — a narrow projection at any scale).
+ * Each builder has a sibling `*Sql` producing the EXACT DuckDB
+ * equivalent used as the correctness oracle; keeping both in one file
+ * keeps the two dialects in lock-step. Double arithmetic is written
+ * with identical association on both sides so results are
+ * bit-identical.
+ */
+object TextFunctions {
+
+  /** English stopword sample for quality scoring. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+
+  /** Tiny per-language stopword profiles for the lang-ID heuristic.
+   *  Order matters: ties break toward the EARLIER entry. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "fr" -> Seq("le", "les", "et", "des", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "我"))
+
+  /** ASCII-safe "BPE-ish" token pattern: alnum runs or single
+   *  non-alnum-non-space symbols (identical Java/RE2 semantics). */
+  val tokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  // ---------------------------------------------------------------- tokens
+
+  /** Whitespace tokens of trimmed text. Empty text yields [""] (size
+   *  1) in both Spark and DuckDB — counted as-is for parity. */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCountWs(c: Column): Column = size(wsTokens(c))
+
+  def tokenCountRegex(c: Column): Column =
+    size(regexp_extract_all(c, lit(tokenPattern), lit(0)))
+
+  def wsTokensSql(c: String) = s"regexp_split_to_array(trim($c), '\\s+')"
+  def tokenCountWsSql(c: String) = s"length(${wsTokensSql(c)})"
+  def tokenCountRegexSql(c: String) =
+    s"length(regexp_extract_all($c, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))"
+
+  // --------------------------------------------------------------- quality
+
+  /** Quality score in [0,1]: alpha ratio, 1−punct ratio, stopword
+   *  ratio, capped average word length — equal-weighted. A standard
+   *  cheap pretraining-quality heuristic (length/punct/stopword
+   *  ratios). */
+  def qualityScore(c: Column): Column = {
+    val n = greatest(length(c).cast("double"), lit(1.0))
+    val alphaRatio = length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") / n
+    val punctRatio = length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double") / n
+    val toks = wsTokens(lower(c))
+    val nTok = greatest(size(toks).cast("double"), lit(1.0))
+    val stopArr = array(stopwords.map(lit): _*)
+    val stopRatio = size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok
+    val avgWordLen = length(regexp_replace(c, "\\s", "")).cast("double") / nTok
+    lit(0.25) * alphaRatio + lit(0.25) * (lit(1.0) - punctRatio) +
+      lit(0.25) * stopRatio + lit(0.25) * least(avgWordLen / lit(8.0), lit(1.0))
+  }
+
+  def qualityScoreSql(c: String): String = {
+    val n = s"greatest(CAST(length($c) AS DOUBLE), 1.0)"
+    val alpha = s"CAST(length(regexp_replace($c, '[^A-Za-z]', '', 'g')) AS DOUBLE) / $n"
+    val punct = s"CAST(length(regexp_replace($c, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / $n"
+    val toks = wsTokensSql(s"lower($c)")
+    val nTok = s"greatest(CAST(length($toks) AS DOUBLE), 1.0)"
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val stop = s"CAST(length(list_filter($toks, t -> list_contains($stopList, t))) AS DOUBLE) / $nTok"
+    val awl = s"CAST(length(regexp_replace($c, '\\s', '', 'g')) AS DOUBLE) / $nTok"
+    s"0.25 * ($alpha) + 0.25 * (1.0 - ($punct)) + 0.25 * ($stop) + 0.25 * least(($awl) / 8.0, 1.0)"
+  }
+
+  // --------------------------------------------------------------- lang-ID
+
+  /** Stopword-profile hit count for one language. */
+  private def langScore(toks: Column, profile: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(profile.map(lit): _*), t)))
+
+  /** n-gram/stopword language-ID heuristic: argmax of profile hits,
+   *  ties → earlier profile. Word-salad testdata mostly lands "en";
+   *  the point is the deterministic, scale-free operator shape. */
+  def langId(c: Column): Column = {
+    val toks = wsTokens(lower(c))
+    val scores = langProfiles.map { case (lang, prof) => lang -> langScore(toks, prof) }
+    // argmax, first-wins: lang_i is the answer iff score_i >= score_j for all j>i
+    // and score_i > score_j for all j<i … equivalently a left fold keeping max.
+    scores.tail.foldLeft((lit(langProfiles.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  def langIdSql(c: String): String = {
+    val toks = wsTokensSql(s"lower($c)")
+    val scores = langProfiles.map { case (lang, prof) =>
+      val l = prof.map(s => s"'$s'").mkString("[", ", ", "]")
+      lang -> s"length(list_filter($toks, t -> list_contains($l, t)))"
+    }
+    // identical left fold, expressed as nested CASE
+    scores.tail.foldLeft((s"'${langProfiles.head._1}'", scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (s"(CASE WHEN ($score) > ($bestScore) THEN '$lang' ELSE $bestLang END)",
+          s"(CASE WHEN ($score) > ($bestScore) THEN ($score) ELSE $bestScore END)")
+    }._1
+  }
+
+  // --------------------------------------------------------- fingerprinting
+
+  /** Rolling polynomial hash over character codepoints:
+   *  fold (acc*31 + code) mod (2^31−1), seed 0 — a deterministic
+   *  64-bit-safe document fingerprint (no overflow: acc < 2^31,
+   *  acc*31+code < 2^36). Takes a column NAME (the lambda body is a
+   *  SQL fragment). */
+  def fingerprint(name: String): Column =
+    when(length(col(name)) === 0, lit(0L)).otherwise(expr(
+      s"aggregate(transform(sequence(1, length(`$name`)), i -> " +
+        s"ascii(substring(`$name`, i, 1))), 0L, " +
+        "(acc, x) -> (acc * 31 + x) % 2147483647)"))
+
+  def fingerprintSql(c: String): String =
+    s"CASE WHEN length($c) = 0 THEN 0 ELSE " +
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length($c) + 1), " +
+      s"i -> unicode(substr($c, i::INT, 1))::BIGINT)), " +
+      "(acc, x) -> (acc * 31 + x) % 2147483647) END"
+
+  // --------------------------------------------------------------- shingles
+
+  /** Character k-shingles of lowered text (near-dup building block).
+   *  Texts shorter than k yield a single short shingle (the whole
+   *  text) so no document drops out of dedup silently. Takes a column
+   *  NAME (the lambda body is a SQL fragment). */
+  def shingles(name: String, k: Int): Column =
+    expr(s"transform(sequence(1, greatest(length(lower(`$name`)) - ${k - 1}, 1)), " +
+      s"i -> substring(lower(`$name`), i, $k))")
+
+  def shinglesSql(c: String, k: Int): String =
+    s"list_transform(range(1, greatest(length(lower($c)) - ${k - 1}, 1) + 1), " +
+      s"i -> substr(lower($c), i::INT, $k))"
+
+  /** Distinct word k-shingles from a TOKEN-ARRAY column (join tokens
+   *  with single spaces). Far more selective than char shingles on
+   *  natural text; the near-dup operators build on this. Takes a
+   *  column NAME holding array<string>. */
+  def wordShingles(toksName: String, k: Int): Column =
+    expr(s"array_distinct(transform(sequence(1, greatest(size(`$toksName`) - ${k - 1}, 1)), " +
+      s"i -> array_join(slice(`$toksName`, i, $k), ' ')))")
+
+  def wordShinglesSql(toksExpr: String, k: Int): String =
+    s"list_distinct(list_transform(range(1, greatest(length($toksExpr) - ${k - 1}, 1) + 1), " +
+      s"i -> array_to_string(array_slice($toksExpr, i, i + ${k - 1}), ' ')))"
+
+  /** Lowercased whitespace tokens — the shared tokenizer for
+   *  shingling/SimHash (column name variant for expr composition). */
+  def lowerTokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+  def lowerTokensSql(c: String): String =
+    s"regexp_split_to_array(trim(lower($c)), '\\s+')"
+}

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, TextFunctions}
+
+/**
+ * Deduplication operators for the LLM-data-pipeline surface: exact,
+ * blocked n-gram Jaccard, MinHash+LSH, SimHash. All are built from
+ * codegen'd built-in expressions plus the joins/aggregations Catalyst
+ * already knows how to distribute; the only state is shuffles on
+ * content-derived keys.
+ *
+ * Scale posture (100 TB):
+ *  - `exactGroups` is one hash-partitioned aggregation with map-side
+ *    partial aggregation; the grouping key is a 128-bit content hash,
+ *    so key cardinality ≈ row count and AQE handles skew.
+ *  - `jaccardPairs` joins within explicit blocks — O(Σ block²); use
+ *    only with strong blocking. The LSH variant replaces blocking.
+ *  - `minhashLshPairs` is the scale path: per-doc signature (narrow),
+ *    explode to (band, bucket) — rows × bands, shuffle on the bucket
+ *    hash, join within buckets only, then verify candidates with the
+ *    true Jaccard. Nothing is ever quadratic in corpus size, only in
+ *    bucket occupancy.
+ *  - `simhashPairs` reduces each doc to one 32-bit integer, so the
+ *    candidate join ships 8 bytes/doc; at real scale the hamming
+ *    search would pivot to multi-index (4×8-bit tables) — kept
+ *    block-joined here, noted for the cluster path.
+ *
+ * Every operator has a `*Sql` mirror producing the exact DuckDB
+ * equivalent (same md5-derived hashes via [[Hashing.h60]]) used as the
+ * correctness oracle.
+ */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact dedup groups: one row per distinct content, with the id to
+   *  keep (min) and the copy count. Downstream: semi-join keep_ids to
+   *  materialize the deduped corpus. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  def exactGroupsSql(table: String, textCol: String, idCol: String): String =
+    s"SELECT md5($textCol) AS content_hash, min($idCol) AS keep_id, " +
+      s"count(*) AS n_copies FROM $table GROUP BY md5($textCol)"
+
+  // ---------------------------------------------------- shingle support
+
+  /** (id, block, sh) projection: distinct word k-shingles per doc. */
+  private def shingled(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        TextFunctions.lowerTokens(col(textCol)).as("toks"))
+      .select(col("id"), col("blk"), TextFunctions.wordShingles("toks", k).as("sh"))
+
+  private def shingledSql(table: String, textCol: String, idCol: String,
+      blockCol: String, k: Int): String = {
+    val sh = TextFunctions.wordShinglesSql(TextFunctions.lowerTokensSql(textCol), k)
+    s"SELECT $idCol AS id, $blockCol AS blk, $sh AS sh FROM $table"
+  }
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  private def jaccardSqlExpr(a: String, b: String): String =
+    s"CAST(length(list_intersect($a, $b)) AS DOUBLE) / " +
+      s"CAST(length(list_distinct(list_concat($a, $b))) AS DOUBLE)"
+
+  // ----------------------------------------------------------- jaccard
+
+  /** Blocked brute-force near-dup pairs: all same-block pairs with
+   *  word-k-shingle Jaccard ≥ tau. Output (id_a, id_b, jac). */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, k: Int, tau: Double): DataFrame = {
+    val s = shingled(df, textCol, idCol, blockCol, k)
+    val a = s.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = s.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= tau)
+  }
+
+  def jaccardPairsSql(table: String, textCol: String, idCol: String,
+      blockCol: String, k: Int, tau: Double): String =
+    s"""WITH s AS (${shingledSql(table, textCol, idCol, blockCol, k)})
+       |SELECT * FROM (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         ${jaccardSqlExpr("a.sh", "b.sh")} AS jac
+       |  FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+       |) WHERE jac >= $tau""".stripMargin
+
+  // ------------------------------------------------------- minhash+LSH
+
+  /** Spark-side SQL fragment for h60 inside lambda bodies. */
+  private val h60Lambda = "cast(conv(substring(md5(s), 1, 15), 16, 10) as long)"
+
+  /** MinHash+LSH near-dup pairs — the no-blocking scale path.
+   *  shingles → 60-bit hashes mod P → `perms` permuted minima →
+   *  `bands` band-hashes → explode → bucket self-join → distinct
+   *  candidates → verify true Jaccard ≥ tau. */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int, perms: Int, bands: Int, tau: Double): DataFrame = {
+    require(perms % bands == 0); val rows = perms / bands
+    val s = shingled(df, textCol, idCol, idCol, k).drop("blk")
+    val hs = s.select(col("id"), col("sh"),
+      expr(s"transform(sh, s -> $h60Lambda % ${Hashing.P})").as("hs"))
+    val sig = hs.select(col("id"), col("sh"), array(
+      (0 until perms).map(i => array_min(expr(
+        s"transform(hs, h -> (${Hashing.permA(i)} * h + ${Hashing.permB(i)}) % ${Hashing.P})"))): _*
+    ).as("sig"))
+    val banded = sig.select(col("id"), col("sh"), posexplode(array(
+      (0 until bands).map(j => Hashing.h60(array_join(
+        expr(s"transform(slice(sig, ${j * rows + 1}, $rows), x -> cast(x as string))"),
+        ","))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .distinct()
+      .filter(col("jac") >= tau)
+  }
+
+  def minhashLshPairsSql(table: String, textCol: String, idCol: String,
+      k: Int, perms: Int, bands: Int, tau: Double): String = {
+    require(perms % bands == 0); val rows = perms / bands
+    val sh = TextFunctions.wordShinglesSql(TextFunctions.lowerTokensSql(textCol), k)
+    val sigExprs = (0 until perms).map(i =>
+      s"list_aggregate(list_transform(hs, h -> (${Hashing.permA(i)} * h + ${Hashing.permB(i)}) % ${Hashing.P}), 'min')")
+      .mkString("[", ", ", "]")
+    val bandHash = Hashing.h60Sql(s"array_to_string(array_slice(sig, j * $rows + 1, j * $rows + $rows), ',')")
+    s"""WITH s AS (SELECT $idCol AS id, $sh AS sh FROM $table),
+       |hs AS (SELECT id, sh, list_transform(sh, s -> ${Hashing.h60Sql("s")} % ${Hashing.P}) AS hs FROM s),
+       |sig AS (SELECT id, sh, $sigExprs AS sig FROM hs),
+       |banded AS (SELECT id, sh, j AS band, $bandHash AS bh
+       |           FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS j)),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |                ${jaccardSqlExpr("a.sh", "b.sh")} AS jac
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
+       |SELECT id_a, id_b, jac FROM cand WHERE jac >= $tau""".stripMargin
+  }
+
+  // ----------------------------------------------------------- simhash
+
+  /** 32-bit SimHash of a token-array column: bit b is set iff the
+   *  ±1-majority of token-hash bit b is positive. One narrow
+   *  projection per doc. */
+  def simhash32(toksName: String): Column = {
+    val h = "cast(conv(substring(md5(t), 1, 15), 16, 10) as long)"
+    expr(s"aggregate(transform(sequence(0, 31), b -> " +
+      s"IF(aggregate(transform(`$toksName`, t -> (shiftright($h, b) % 2) * 2 - 1), 0L, (acc, x) -> acc + x) > 0, " +
+      s"shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)")
+  }
+
+  def simhash32Sql(toksExpr: String): String = {
+    val h = Hashing.h60Sql("t")
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), b -> " +
+      s"CASE WHEN list_sum(list_transform($toksExpr, t -> ((($h >> b) & 1) * 2 - 1))) > 0 " +
+      s"THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (acc, x) -> acc + x)"
+  }
+
+  /** Blocked SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤
+   *  maxHamming within a block. Output (id_a, id_b, hamming). */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, maxHamming: Int): DataFrame = {
+    val s = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        TextFunctions.lowerTokens(col(textCol)).as("toks"))
+      .select(col("id"), col("blk"), simhash32("toks").as("sh32"))
+    val a = s.select(col("blk"), col("id").as("id_a"), col("sh32").as("sh_a"))
+    val b = s.select(col("blk"), col("id").as("id_b"), col("sh32").as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def simhashPairsSql(table: String, textCol: String, idCol: String,
+      blockCol: String, maxHamming: Int): String = {
+    val sh = simhash32Sql(TextFunctions.lowerTokensSql(textCol))
+    s"""WITH s AS (SELECT $idCol AS id, $blockCol AS blk, $sh AS sh32 FROM $table)
+       |SELECT * FROM (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         CAST(bit_count(xor(a.sh32, b.sh32)) AS BIGINT) AS hamming
+       |  FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+       |) WHERE hamming <= $maxHamming""".stripMargin
+  }
+}
