@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core._
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -141,6 +141,20 @@ object SparkEntry {
     "q18_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), "text", "doc_id", "lang", 2)
         .orderBy("id_a", "id_b")),
+
+    // ---- LLM-pipeline extensions: similarity over `embeddings` ----
+    // exact cosine top-5 for query vectors (broadcast queries)
+    "q19_knn_brute" -> ((s, dir) =>
+      Similarity.knnBrute(Sources.table(s, dir, "embeddings"), 5, 5)
+        .orderBy("q_id", "rank")),
+    // random-hyperplane LSH bucketed top-1 neighbor
+    "q20_ann_lsh" -> ((s, dir) =>
+      Similarity.annLsh(Sources.table(s, dir, "embeddings"), 6, 64)
+        .orderBy("vec_id")),
+    // embedding-cosine near-dup: closest pair per label block
+    "q21_embed_dup" -> ((s, dir) =>
+      Similarity.labelNearestPair(Sources.table(s, dir, "embeddings"))
+        .orderBy("label")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -190,5 +204,11 @@ object SparkEntry {
       s"${Dedup.minhashLshPairsSql("documents", "text", "doc_id", 3, 16, 4, 0.8)} ORDER BY id_a, id_b",
     "q18_simhash" ->
       s"${Dedup.simhashPairsSql("documents", "text", "doc_id", "lang", 2)} ORDER BY id_a, id_b",
+    "q19_knn_brute" ->
+      s"${Similarity.knnBruteSql("embeddings", 5, 5)} ORDER BY q_id, rank",
+    "q20_ann_lsh" ->
+      s"${Similarity.annLshSql("embeddings", 6, 64)} ORDER BY vec_id",
+    "q21_embed_dup" ->
+      s"${Similarity.labelNearestPairSql("embeddings")} ORDER BY label",
   )
 }

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`), for the
+ * LLM-data-pipeline surface: brute-force cosine top-k as the exact
+ * baseline, random-hyperplane LSH bucketing as the scale path, and a
+ * per-label nearest-pair dedup view.
+ *
+ * Implementation: higher-order functions only (`zip_with` +
+ * `aggregate` sequential folds) — fully codegen'd, no UDFs. Floats are
+ * cast to double BEFORE any arithmetic, and every fold/product/
+ * division associates identically in the DuckDB `*Sql` mirrors, so
+ * scores are bit-identical across engines.
+ *
+ * Scale posture (100 TB):
+ *  - `knnBrute` broadcasts the QUERY side (small by construction) and
+ *    streams the corpus — one narrow pass, no corpus shuffle; the
+ *    top-k window partitions by query id (shuffle of scored rows ≈
+ *    |corpus|×|queries| — keep |queries| bounded; for large query
+ *    sets, switch to the LSH path).
+ *  - `annLsh` reduces each vector to an integer bucket (narrow), then
+ *    joins within buckets only; plane count tunes the bucket
+ *    occupancy/recall trade-off. Planes are md5-derived constants —
+ *    identical on every executor, no RNG, no driver state.
+ */
+object Similarity {
+
+  /** Deterministic ±1 hyperplane weight for (plane p, dim d):
+   *  the low bit of md5("pl<p>:<d>") — reproducible in any engine. */
+  def planeWeight(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pl$p:$d".getBytes("UTF-8"))
+    val h = java.lang.Long.parseLong(
+      md.map("%02x".format(_)).mkString.take(15), 16)
+    if ((h & 1L) == 1L) 1.0 else -1.0
+  }
+
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(p => (0 until dim).map(d => planeWeight(p, d)))
+
+  // --------------------------------------------------------- primitives
+
+  /** Sequential-fold dot product of two array<double> columns (by
+   *  NAME — lambda bodies are SQL fragments). */
+  private def dotExpr(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  private def normExpr(a: String): Column =
+    sqrt(expr(s"aggregate(transform($a, x -> x * x), 0D, (acc, x) -> acc + x)"))
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, length($a) + 1), " +
+      s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  private def normSql(a: String): String =
+    s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, length($a) + 1), " +
+      s"i -> $a[i] * $a[i])), (acc, x) -> acc + x))"
+
+  private val toDoubleSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  /** (vec_id, label, v, nrm) projection with doubles + precomputed norm. */
+  private def prepared(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", normExpr("v"))
+
+  private def preparedSql(table: String): String =
+    s"SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM " +
+      s"(SELECT vec_id, label, $toDoubleSql AS v FROM $table)"
+
+  // -------------------------------------------------------- brute top-k
+
+  /** Exact cosine top-k: for each query vector (`vec_id < nQueries`),
+   *  the k nearest corpus vectors. Queries are BROADCAST — the corpus
+   *  is read once with no shuffle before the per-query top-k. */
+  def knnBrute(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = prepared(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dotExpr("qv", "v") / (col("qn") * col("nrm"))).as("sim"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  def knnBruteSql(table: String, nQueries: Int, k: Int): String =
+    s"""WITH e AS (${preparedSql(table)}),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nQueries),
+       |scored AS (SELECT q_id, e.vec_id AS n_id,
+       |                  ${dotSql("qv", "v")} / (qn * nrm) AS sim
+       |           FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+       |SELECT * FROM (
+       |  SELECT q_id, n_id, sim, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k""".stripMargin
+
+  // ----------------------------------------------------------- ANN LSH
+
+  /** Random-hyperplane LSH bucket id: bit p set iff dot(v, plane_p)>0.
+   *  A pure projection — the whole corpus bucketizes in one narrow
+   *  pass. */
+  def lshBucket(vName: String, nPlanes: Int, dim: Int): Column =
+    planes(nPlanes, dim).zipWithIndex.map { case (w, p) =>
+      val planeArr = w.mkString("array(", ", ", ")")
+      when(expr(s"aggregate(zip_with($vName, $planeArr, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def lshBucketSql(vName: String, nPlanes: Int, dim: Int): String =
+    planes(nPlanes, dim).zipWithIndex.map { case (w, p) =>
+      val planeArr = w.mkString("[", ", ", "]")
+      s"(CASE WHEN (${dotSql(vName, planeArr)}) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** ANN: top-1 neighbor within the query's LSH bucket (exact cosine
+   *  re-rank inside the bucket). Vectors in singleton buckets produce
+   *  no row — the recall/occupancy knob is `nPlanes`. */
+  def annLsh(emb: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+    val e = prepared(emb).withColumn("bucket", lshBucket("v", nPlanes, dim))
+    val a = e.select(col("bucket"), col("vec_id"), col("v"), col("nrm"))
+    val b = e.select(col("bucket"), col("vec_id").as("n_id"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("n_id"))
+      .select(col("vec_id"), col("n_id"),
+        (dotExpr("v", "nv") / (col("nrm") * col("nn"))).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("sim"), asc("n_id"))))
+      .filter(col("rank") === 1)
+      .drop("rank")
+  }
+
+  def annLshSql(table: String, nPlanes: Int, dim: Int): String =
+    s"""WITH e AS (SELECT *, ${lshBucketSql("v", nPlanes, dim)} AS bucket
+       |           FROM (${preparedSql(table)})),
+       |scored AS (SELECT a.vec_id, b.vec_id AS n_id,
+       |                  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+       |           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, n_id, sim FROM (
+       |  SELECT vec_id, n_id, sim, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rank
+       |  FROM scored
+       |) WHERE rank = 1""".stripMargin
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-dup view: the single closest pair within
+   *  each label block (labels act as the blocking key). */
+  def labelNearestPair(emb: DataFrame): DataFrame = {
+    val e = prepared(emb)
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        (dotExpr("va", "vb") / (col("na") * col("nb"))).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("label").orderBy(desc("sim"), asc("id_a"), asc("id_b"))))
+      .filter(col("rank") === 1)
+      .drop("rank")
+  }
+
+  def labelNearestPairSql(table: String): String =
+    s"""WITH e AS (${preparedSql(table)}),
+       |scored AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |                  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+       |           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT label, id_a, id_b, sim FROM (
+       |  SELECT label, id_a, id_b, sim, row_number() OVER
+       |    (PARTITION BY label ORDER BY sim DESC, id_a, id_b) AS rank
+       |  FROM scored
+       |) WHERE rank = 1""".stripMargin
+}
