@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core._
 import graft.functions.TextFunctions
+import graft.multimodal.Media
 import graft.operators.{Dedup, Similarity}
 import graft.sources.Sources
 
@@ -155,6 +156,78 @@ object SparkEntry {
     "q21_embed_dup" -> ((s, dir) =>
       Similarity.labelNearestPair(Sources.table(s, dir, "embeddings"))
         .orderBy("label")),
+
+    // ---- multimodal: binary payloads + batched decode plumbing ----
+    "q22_media_features" -> ((s, dir) =>
+      Media.extractFeatures(Media.fromDocuments(documents(s, dir)))
+        .toDF().orderBy("doc_id")),
+
+    // ---- relational breadth over the TPC-H-ish star schema ----
+    // partial-agg groupBy with decimal sums + filter pushdown to scan
+    "q23_group_agg" -> ((s, dir) =>
+      Sources.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    // 3-way join with broadcast dims, per-nation revenue
+    "q24_join_agg" -> ((s, dir) => {
+      val orders = Sources.table(s, dir, "orders")
+      val customer = Sources.table(s, dir, "customer")
+      val nation = Sources.table(s, dir, "nation")
+      orders
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        .orderBy("n_name")
+    }),
+    // ranking window: top-3 orders per market segment
+    "q25_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Sources.table(s, dir, "orders")
+        .join(broadcast(Sources.table(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("c_mktsegment")
+            .orderBy(desc("o_totalprice"), asc("o_orderkey"))).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("c_mktsegment", "rn")
+    }),
+    // global top-k via sort+limit (TakeOrderedAndProject, no full sort)
+    "q26_top10_global" -> ((s, dir) =>
+      Sources.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+        .limit(10)),
+    // exact distinct aggregation
+    "q27_distinct_agg" -> ((s, dir) =>
+      Sources.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy("l_returnflag")),
+    // anti join: customers with no high-value order
+    "q28_anti_join" -> ((s, dir) => {
+      val hi = Sources.table(s, dir, "orders").filter(col("o_totalprice") > 280000)
+      Sources.table(s, dir, "customer")
+        .join(hi, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+    // schemaless map-payload math (reference map mode over events.props)
+    "q29_map_payload" -> ((s, dir) => {
+      val payload = Sources.jsonPayload(events(s, dir), "props")
+      MathCompiler.applyToMap(payload,
+        MathOp("Operation" -> "sum", "Field" -> "k", "Constant" -> "5",
+          "Output_field" -> "out"), "payload")
+        .select(col("event_id"), col("out"))
+        .orderBy("event_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -210,5 +283,43 @@ object SparkEntry {
       s"${Similarity.annLshSql("embeddings", 6, 64)} ORDER BY vec_id",
     "q21_embed_dup" ->
       s"${Similarity.labelNearestPairSql("embeddings")} ORDER BY label",
+    "q22_media_features" ->
+      s"SELECT * FROM (${Media.decodeSql("documents")}) ORDER BY doc_id",
+    "q23_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q24_join_agg" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q25_window_topk" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q26_top10_global" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "q27_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q28_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 280000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q29_map_payload" ->
+      """SELECT event_id,
+        |  COALESCE(CAST(json_extract(props, '$.k') AS DOUBLE), 0.0) + 5.0 AS out
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

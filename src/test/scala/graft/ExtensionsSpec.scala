@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.multimodal.Media
+import graft.operators.{Dedup, Similarity}
+
+/** Regression spec for the LLM-pipeline extension operators. Deep
+ *  correctness is covered by the DuckDB oracle (local_verify.py);
+ *  these pin structural invariants that survive without an oracle. */
+class ExtensionsSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("exact dedup groups partition the corpus") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+    assert(g.agg(sum("n_copies")).collect()(0).getLong(0) == docs.count())
+  }
+
+  test("jaccard pairs are symmetric-free and within threshold") {
+    val p = Dedup.jaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5).collect()
+    assert(p.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(p.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("minhash LSH candidates superset the blocked-jaccard pairs at equal tau") {
+    val brute = Dedup.jaccardPairs(docs, "text", "doc_id", "lang", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 16, 4, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16 perms / 4 bands has ≈1.0 catch probability at j≥0.8 on this data
+    assert(brute.subsetOf(lsh), s"missed: ${brute -- lsh}")
+  }
+
+  test("simhash is deterministic and pairs respect hamming bound") {
+    val p = Dedup.simhashPairs(docs, "text", "doc_id", "lang", 3).collect()
+    assert(p.forall(_.getLong(2) <= 3))
+  }
+
+  test("knn: cosine in [-1,1], k rows per query, self excluded") {
+    val r = Similarity.knnBrute(emb, 3, 4).collect()
+    assert(r.length == 3 * 4)
+    assert(r.forall(x => math.abs(x.getDouble(2)) <= 1.0 + 1e-12))
+    assert(r.forall(x => x.getLong(0) != x.getLong(1)))
+  }
+
+  test("ann lsh buckets: every reported neighbor shares the query bucket") {
+    val e = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("bucket", Similarity.lshBucket("v", 6, 64))
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nn = Similarity.annLsh(emb, 6, 64).collect()
+    assert(nn.nonEmpty)
+    assert(nn.forall(r => e(r.getLong(0)) == e(r.getLong(1))))
+  }
+
+  test("media: decode is deterministic, features survive mapPartitions round-trip") {
+    val feats = Media.extractFeatures(Media.fromDocuments(docs), parallelism = 7)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(f => f.width >= 1 && f.width <= 640))
+    assert(rows.forall(f => f.n_bytes > 0))
+    val again = Media.extractFeatures(Media.fromDocuments(docs)).collect()
+    assert(rows.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
+  }
+
+  test("fingerprint/langid/quality are non-degenerate on real docs") {
+    val r = docs.select(
+      TextFunctions.fingerprint("text").as("fp"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.qualityScore(col("text")).as("q"))
+    assert(r.select("fp").distinct().count() > docs.count() / 2)
+    assert(r.filter(col("q") < 0 || col("q") > 1).count() == 0)
+  }
+}
