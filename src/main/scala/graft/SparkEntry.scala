@@ -114,11 +114,10 @@ object SparkEntry {
       col("doc_id"),
       TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")),
-    // language-ID n-gram/stopword heuristic
-    "q13_lang_id" -> ((s, dir) => documents(s, dir).select(
-      col("doc_id"),
-      TextFunctions.langId(col("text")).as("lang_pred"))
-      .orderBy("doc_id")),
+    // language-ID n-gram/stopword heuristic (explode+agg formulation)
+    "q13_lang_id" -> ((s, dir) =>
+      TextFunctions.langIdByExplode(documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
     // document fingerprinting: rolling polynomial hash
     "q14_fingerprint" -> ((s, dir) => documents(s, dir).select(
       col("doc_id"),

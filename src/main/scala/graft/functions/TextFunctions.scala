@@ -103,6 +103,31 @@ object TextFunctions {
     }._1
   }
 
+  /** DataFrame-level lang-ID via EXPLODE + hash aggregation: one
+   *  conditional-count per language over exploded tokens (map-side
+   *  partial agg, fully codegen'd), argmax in a final projection.
+   *  Same counts as [[langId]] — Spark's higher-order `filter` is
+   *  CodegenFallback and interprets per row, which made the
+   *  Column-only form the bench hotspot. Output: (idCol, lang_pred). */
+  def langIdByExplode(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(lowerTokens(col(textCol))).as("t"))
+    val scoreCols = langProfiles.map { case (lang, prof) =>
+      val inList = prof.map(s => s"'$s'").mkString("(", ", ", ")")
+      sum(expr(s"IF(t IN $inList, 1, 0)")).as(s"score_$lang")
+    }
+    val scored = tok.groupBy(col(idCol)).agg(scoreCols.head, scoreCols.tail: _*)
+    val best = langProfiles.tail.foldLeft(
+      (lit(langProfiles.head._1), col(s"score_${langProfiles.head._1}"))) {
+      case ((bestLang, bestScore), (lang, _)) =>
+        val s = col(s"score_$lang")
+        (when(s > bestScore, lit(lang)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }._1
+    scored.select(col(idCol), best.as("lang_pred"))
+  }
+
   def langIdSql(c: String): String = {
     val toks = wsTokensSql(s"lower($c)")
     val scores = langProfiles.map { case (lang, prof) =>

