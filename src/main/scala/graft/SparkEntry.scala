@@ -227,6 +227,16 @@ object SparkEntry {
         .select(col("event_id"), col("out"))
         .orderBy("event_id")
     }),
+    // tumbling-window time aggregation (streaming-shaped, batch-verified;
+    // ts arrives as raw nanos under nanosAsLong — truncate to micros)
+    "q30_time_window" -> ((s, dir) => events(s, dir)
+      .select(
+        date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("hour"),
+        col("event_type"), col("value"))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .orderBy("hour", "event_type")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -320,5 +330,9 @@ object SparkEntry {
       """SELECT event_id,
         |  COALESCE(CAST(json_extract(props, '$.k') AS DOUBLE), 0.0) + 5.0 AS out
         |FROM events ORDER BY event_id""".stripMargin,
+    "q30_time_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

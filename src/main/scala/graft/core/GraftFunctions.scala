@@ -1,0 +1,74 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+
+/**
+ * SQL function surface — the engine analog of the reference's plugin
+ * registration (`struct flb_filter_plugin`, math.c:377-384; SURVEY
+ * §2.3): the math operators exposed as SQL functions so `spark.sql`
+ * users get the same semantics as the Column DSL.
+ *
+ * Registered as catalyst EXPRESSION BUILDERS, not UDFs — the planner
+ * sees the same `Coalesce/Cast/Add/…` trees `MathCompiler` emits, so
+ * whole-stage codegen, constant folding and pushdown all still apply.
+ * Two entry points:
+ *  - [[GraftFunctions.register]]: imperative, on a live session;
+ *  - [[GraftSparkExtensions]]: `spark.sql.extensions=graft.core.GraftSparkExtensions`
+ *    for config-driven injection at session build (cluster-friendly).
+ *
+ * Semantics per SURVEY §2.1: every operand is
+ * `coalesce(cast(x as double), 0.0)` (missing/null → 0.0, O5), folds
+ * are left-associative in argument order (O6), and `graft_div` is
+ * IEEE-754 — ±Inf/NaN on zero divisors (O4), unlike Spark's `/`.
+ */
+object GraftFunctions {
+
+  private def operand(e: Expression): Expression =
+    Coalesce(Seq(Cast(e, org.apache.spark.sql.types.DoubleType), Literal(0.0)))
+
+  /** IEEE division expression: see MathCompiler.ieeeDiv. */
+  private def ieeeDiv(a: Expression, b: Expression): Expression =
+    If(EqualTo(b, Literal(0.0)),
+      Multiply(a, Pow(b, Literal(-1.0))),
+      Divide(a, b))
+
+  private def fold(op: (Expression, Expression) => Expression)
+      (args: Seq[Expression]): Expression = {
+    require(args.size >= 2,
+      "Any operation requires at least 2 operands ('field' or 'constant')")
+    args.map(operand).reduceLeft(op)
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_sum" -> fold(Add(_, _)) _,
+    "graft_sub" -> fold(Subtract(_, _)) _,
+    "graft_mul" -> fold(Multiply(_, _)) _,
+    "graft_div" -> fold(ieeeDiv) _)
+
+  private def info(name: String) = new ExpressionInfo(
+    GraftFunctions.getClass.getCanonicalName, null, name,
+    s"$name(expr, expr, ...) - left-fold with reference operand semantics " +
+      "(null/non-numeric -> 0.0; graft_div is IEEE, /0 -> +-Inf/NaN)",
+    "")
+
+  /** Imperative registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name), b)
+    }
+}
+
+/** Config-driven injection: `--conf spark.sql.extensions=graft.core.GraftSparkExtensions`. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftSparkExtensions].getCanonicalName, null, name,
+          s"$name(expr, expr, ...) - reference math fold", ""),
+        b))
+    }
+}

@@ -52,12 +52,14 @@ object Streams {
 
   /** `exit`-style run: drain everything currently available into an
    *  in-memory table and stop — used by tests to prove streaming ≡
-   *  batch row-for-row (SURVEY §5.1(5)). */
-  def drainToMemory(df: DataFrame, table: String): Unit = {
+   *  batch row-for-row (SURVEY §5.1(5)). `complete` mode for
+   *  aggregations (append would withhold windows not yet past the
+   *  watermark at end-of-stream). */
+  def drainToMemory(df: DataFrame, table: String, mode: String = "append"): Unit = {
     val q = df.writeStream
       .format("memory")
       .queryName(table)
-      .outputMode("append")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
