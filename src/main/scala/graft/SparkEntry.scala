@@ -227,6 +227,10 @@ object SparkEntry {
         .select(col("event_id"), col("out"))
         .orderBy("event_id")
     }),
+    // IVF ANN: broadcast centroid assign, search within cell only
+    "q31_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(Sources.table(s, dir, "embeddings"), 16, 8, 3)
+        .orderBy("q_id", "rank")),
     // tumbling-window time aggregation (streaming-shaped, batch-verified;
     // ts arrives as raw nanos under nanosAsLong — truncate to micros)
     "q30_time_window" -> ((s, dir) => events(s, dir)
@@ -334,5 +338,7 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q31_ivf_topk" ->
+      s"${Similarity.ivfTopKSql("embeddings", 16, 8, 3)} ORDER BY q_id, rank",
   )
 }

@@ -85,8 +85,13 @@ object Dedup {
       blockCol: String, k: Int, tau: Double): DataFrame = {
     val s = shingled(df, textCol, idCol, blockCol, k)
       .withColumn("sz", size(col("sh")))
+    // join key = h60(shingle): an 8-byte shuffle key instead of a
+    // ~20-char string. The oracle uses the same hash, so any h60
+    // collision affects both engines identically.
     val posts = s.select(col("blk"), col("id"), col("sz"),
-      explode(col("sh")).as("shingle"))
+        explode(col("sh")).as("sh_str"))
+      .select(col("blk"), col("id"), col("sz"),
+        Hashing.h60(col("sh_str")).as("shingle"))
     val a = posts.select(col("blk"), col("shingle"),
       col("id").as("id_a"), col("sz").as("sz_a"))
     val b = posts.select(col("blk"), col("shingle"),
@@ -103,11 +108,18 @@ object Dedup {
 
   def jaccardPairsSql(table: String, textCol: String, idCol: String,
       blockCol: String, k: Int, tau: Double): String =
-    s"""WITH s AS (${shingledSql(table, textCol, idCol, blockCol, k)})
+    s"""WITH s AS (SELECT *, length(sh) AS sz FROM
+       |  (${shingledSql(table, textCol, idCol, blockCol, k)})),
+       |posts AS (SELECT blk, id, sz, ${Hashing.h60Sql("s2")} AS shingle FROM
+       |  (SELECT blk, id, sz, unnest(sh) AS s2 FROM s)),
+       |inter AS (SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+       |                 count(*) AS i
+       |          FROM posts a JOIN posts b
+       |            ON a.blk = b.blk AND a.shingle = b.shingle AND a.id < b.id
+       |          GROUP BY 1, 2, 3, 4)
        |SELECT * FROM (
-       |  SELECT a.id AS id_a, b.id AS id_b,
-       |         ${jaccardSqlExpr("a.sh", "b.sh")} AS jac
-       |  FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+       |  SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE) AS jac
+       |  FROM inter
        |) WHERE jac >= $tau""".stripMargin
 
   // ------------------------------------------------------- minhash+LSH

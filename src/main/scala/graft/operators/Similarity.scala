@@ -151,6 +151,61 @@ object Similarity {
        |  FROM scored
        |) WHERE rank = 1""".stripMargin
 
+  // ----------------------------------------------------------- IVF ANN
+
+  /** IVF-style ANN: partition the corpus into `nCells` inverted-file
+   *  cells by nearest "centroid", search only within the query's cell.
+   *
+   *  Centroid set = the vectors with `vec_id < nCells` — a
+   *  deterministic stand-in for a k-means codebook (real deployments
+   *  train centroids offline; the ASSIGN/SEARCH dataflow, which is
+   *  what scales, is identical). Assignment is one broadcast pass over
+   *  the corpus — no shuffle until the per-cell search join; search
+   *  cost is corpus²/nCells instead of corpus². Output: top-`k`
+   *  neighbors per query among `nQueries` probe vectors. */
+  def ivfTopK(emb: DataFrame, nCells: Int, nQueries: Int, k: Int): DataFrame = {
+    val e = prepared(emb)
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+        (dotExpr("v", "cv") / (col("nrm") * col("cn"))).as("csim"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("csim"), asc("c_id"))))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("cell"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    assigned.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dotExpr("qv", "v") / (col("qn") * col("nrm"))).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  def ivfTopKSql(table: String, nCells: Int, nQueries: Int, k: Int): String =
+    s"""WITH e AS (${preparedSql(table)}),
+       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e WHERE vec_id < $nCells),
+       |assigned AS (SELECT vec_id, v, nrm, cell FROM (
+       |  SELECT e.vec_id, e.v, e.nrm, c_id AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${dotSql("v", "cv")} / (nrm * cn) DESC, c_id) AS crank
+       |  FROM e CROSS JOIN cents
+       |) WHERE crank = 1),
+       |q AS (SELECT cell, vec_id AS q_id, v AS qv, nrm AS qn
+       |      FROM assigned WHERE vec_id < $nQueries),
+       |scored AS (SELECT q_id, a.vec_id AS n_id,
+       |                  ${dotSql("qv", "a.v")} / (qn * a.nrm) AS sim
+       |           FROM assigned a JOIN q USING (cell)
+       |           WHERE a.vec_id <> q.q_id)
+       |SELECT * FROM (
+       |  SELECT q_id, n_id, sim, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k""".stripMargin
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup view: the single closest pair within
