@@ -72,34 +72,43 @@ object Dedup {
 
   // ----------------------------------------------------------- jaccard
 
-  /** Blocked near-dup pairs with word-k-shingle Jaccard ≥ tau, via an
-   *  EXPLODED INVERTED INDEX rather than a pairwise array join: post
-   *  (id, shingle), self-join on (block, shingle), count shared
-   *  shingles per pair (= |A∩B|), then |A∪B| = |A|+|B|−|A∩B|. Only
-   *  docs that actually share a shingle are ever paired, and the
-   *  intersection is a hash aggregation — no quadratic per-pair array
-   *  scans (41× faster than the array-join formulation at sf0.1).
-   *  At extreme scale add prefix filtering (PPJoin-style) to cap
-   *  postings of ultra-frequent shingles. Output (id_a, id_b, jac). */
+  /** Blocked near-dup pairs with word-k-shingle Jaccard ≥ tau, via
+   *  PREFIX-FILTERED candidate generation (AllPairs/PPJoin family):
+   *
+   *  1. per doc: distinct shingles → sorted h60 array `hs` (8-byte
+   *     keys; canonical global order);
+   *  2. post only the PREFIX — the first `sz − ⌈tau·sz⌉ + 1` hashes.
+   *     Any pair with Jaccard ≥ tau provably shares a prefix element
+   *     (|A∩B| ≥ tau·|A| forces an overlap inside the prefix), so
+   *     filtering is LOSSLESS for the threshold — and the DuckDB
+   *     oracle runs the unfiltered formulation, so a filtering bug
+   *     cannot pass verification;
+   *  3. candidate pairs = distinct prefix-postings join within block;
+   *  4. exact verify: |A∩B| via array_intersect on the full sorted
+   *     hash sets, |A∪B| by inclusion-exclusion.
+   *
+   *  Candidate cost scales with prefix postings (≈(1−tau)·shingles),
+   *  never with corpus²; per-pair array work happens only on
+   *  candidates. Output (id_a, id_b, jac). */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, k: Int, tau: Double): DataFrame = {
     val s = shingled(df, textCol, idCol, blockCol, k)
       .withColumn("sz", size(col("sh")))
-    // join key = h60(shingle): an 8-byte shuffle key instead of a
-    // ~20-char string. The oracle uses the same hash, so any h60
-    // collision affects both engines identically.
-    val posts = s.select(col("blk"), col("id"), col("sz"),
-        explode(col("sh")).as("sh_str"))
-      .select(col("blk"), col("id"), col("sz"),
-        Hashing.h60(col("sh_str")).as("shingle"))
-    val a = posts.select(col("blk"), col("shingle"),
-      col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = posts.select(col("blk"), col("shingle"),
-      col("id").as("id_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("blk", "shingle"))
+      .withColumn("hs", sort_array(expr(s"transform(sh, s -> $h60Lambda)")))
+      .withColumn("pfx",
+        (col("sz") - ceil(col("sz") * lit(tau)).cast("int") + lit(1)))
+      .select(col("blk"), col("id"), col("sz"), col("hs"), col("pfx"))
+    val posts = s.select(col("blk"), col("id"),
+        explode(slice(col("hs"), lit(1), col("pfx"))).as("h"))
+    val cand = posts.select(col("blk"), col("h"), col("id").as("id_a"))
+      .join(posts.select(col("blk"), col("h"), col("id").as("id_b")),
+        Seq("blk", "h"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("i"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val la = s.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
+    val lb = s.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
+    cand.join(la, "id_a").join(lb, "id_b")
+      .withColumn("i", size(array_intersect(col("hs_a"), col("hs_b"))))
       .select(col("id_a"), col("id_b"),
         (col("i").cast("double") /
           (col("sz_a") + col("sz_b") - col("i")).cast("double")).as("jac"))
