@@ -12,7 +12,12 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try exhaust(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try exhaust(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          // visible + sentinel-timed: a swallowed failure must not
+          // masquerade as a fast query
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -44,13 +44,16 @@ object Similarity {
 
   // --------------------------------------------------------- primitives
 
-  /** Sequential-fold dot product of two array<double> columns (by
-   *  NAME — lambda bodies are SQL fragments). */
+  /** Dot product — custom codegen'd expression (see
+   *  [[graft.functions.VectorExpressions]]): ascending-index
+   *  accumulation, bit-identical to the previous HOF fold and to the
+   *  oracle's list_reduce, but inside whole-stage codegen instead of
+   *  interpreted CodegenFallback. */
   private def dotExpr(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    graft.functions.VectorExpressions.dot(col(a), col(b))
 
   private def normExpr(a: String): Column =
-    sqrt(expr(s"aggregate(transform($a, x -> x * x), 0D, (acc, x) -> acc + x)"))
+    sqrt(graft.functions.VectorExpressions.dot(col(a), col(a)))
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, length($a) + 1), " +
@@ -110,8 +113,8 @@ object Similarity {
    *  pass. */
   def lshBucket(vName: String, nPlanes: Int, dim: Int): Column =
     planes(nPlanes, dim).zipWithIndex.map { case (w, p) =>
-      val planeArr = w.mkString("array(", ", ", ")")
-      when(expr(s"aggregate(zip_with($vName, $planeArr, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0,
+      val planeArr = array(w.map(x => lit(x)): _*)
+      when(graft.functions.VectorExpressions.dot(col(vName), planeArr) > 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
