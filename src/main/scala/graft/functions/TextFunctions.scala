@@ -147,13 +147,10 @@ object TextFunctions {
   /** Rolling polynomial hash over character codepoints:
    *  fold (acc*31 + code) mod (2^31−1), seed 0 — a deterministic
    *  64-bit-safe document fingerprint (no overflow: acc < 2^31,
-   *  acc*31+code < 2^36). Takes a column NAME (the lambda body is a
-   *  SQL fragment). */
+   *  acc*31+code < 2^36). Codegen'd custom expression
+   *  ([[graft.functions.RollingHash]]); empty text folds to 0. */
   def fingerprint(name: String): Column =
-    when(length(col(name)) === 0, lit(0L)).otherwise(expr(
-      s"aggregate(transform(sequence(1, length(`$name`)), i -> " +
-        s"ascii(substring(`$name`, i, 1))), 0L, " +
-        "(acc, x) -> (acc * 31 + x) % 2147483647)"))
+    TextExpressions.rollingHash(col(name))
 
   def fingerprintSql(c: String): String =
     s"CASE WHEN length($c) = 0 THEN 0 ELSE " +

@@ -79,3 +79,66 @@ object VectorExpressions {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/**
+ * `RollingHash(string) → long` — codegen'd rolling polynomial
+ * fingerprint: fold (acc·31 + codepoint) mod (2³¹−1) over the
+ * string's Unicode codepoints, seed 0 (empty string → 0).
+ *
+ * Replaces the interpreted per-character HOF pipeline
+ * (`aggregate(transform(sequence(...), i -> ascii(substring(...))))`),
+ * which allocated a position array and a substring per character per
+ * row. Iterating codepoints matches the DuckDB oracle's
+ * `unicode(substr(...))` exactly, including outside the BMP.
+ */
+case class RollingHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rolling_hash expects string, got ${dt.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |${ev.value} = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  ${ev.value} = (${ev.value} * 31L + $cp) % 2147483647L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  def rollingHash(c: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+}

@@ -137,9 +137,17 @@ object Dedup {
   private val h60Lambda = "cast(conv(substring(md5(s), 1, 15), 16, 10) as long)"
 
   /** MinHash+LSH near-dup pairs — the no-blocking scale path.
-   *  shingles → 60-bit hashes mod P → `perms` permuted minima →
-   *  `bands` band-hashes → explode → bucket self-join → distinct
-   *  candidates → verify true Jaccard ≥ tau. */
+   *  shingles → 60-bit hashes mod P (md5 once per shingle) → `perms`
+   *  permuted minima → `bands` band-hashes → explode → bucket
+   *  self-join → distinct candidates → verify true Jaccard ≥ tau.
+   *
+   *  The signature stage deliberately stays a NARROW per-row
+   *  computation (interpreted HOF lambdas) rather than explode +
+   *  min() aggregation: the explode formulation was tried and benched
+   *  2× SLOWER — its two extra shuffles (groupBy(id) + sig⋈shingles)
+   *  cost more than codegen saves, and at cluster scale shuffle is
+   *  the scarcer resource than CPU. Affine-permutation lambdas are
+   *  cheap; only the md5 matters, and it is computed once into `hs`. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int, perms: Int, bands: Int, tau: Double): DataFrame = {
     require(perms % bands == 0); val rows = perms / bands
