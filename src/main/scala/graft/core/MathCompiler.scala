@@ -149,4 +149,23 @@ object MathCompiler {
   /** Map-payload variant of [[apply]]. */
   def applyToMap(df: DataFrame, op: MathOp, payloadCol: String): DataFrame =
     df.withColumn(op.outputField, columnForMap(op, col(payloadCol)))
+
+  /** VARIANT-payload resolution (Spark 4): exact-key access via
+   *  `try_variant_get` — missing key, non-numeric value, or NULL
+   *  payload all resolve to 0.0 like the reference's scan. NOTE:
+   *  Variant paths are case-SENSITIVE (documented divergence; the
+   *  map path keeps the faithful case-insensitive scan). Bracket
+   *  syntax so dotted flat keys like `Mem.used` stay literal. */
+  def resolveInVariant(vCol: Column, name: String): Column =
+    coalesce(try_variant_get(vCol, s"$$['$name']", "double"), lit(0.0))
+
+  /** Variant-payload compile + apply. */
+  def columnForVariant(op: MathOp, vCol: Column): Column =
+    expression(op, {
+      case Const(c)    => lit(c.toDouble)
+      case FieldRef(f) => resolveInVariant(vCol, f)
+    })
+
+  def applyToVariant(df: DataFrame, op: MathOp, payloadCol: String): DataFrame =
+    df.withColumn(op.outputField, columnForVariant(op, col(payloadCol)))
 }

@@ -98,12 +98,17 @@ object Dedup {
       .withColumn("pfx",
         (col("sz") - ceil(col("sz") * lit(tau)).cast("int") + lit(1)))
       .select(col("blk"), col("id"), col("sz"), col("hs"), col("pfx"))
-    val posts = s.select(col("blk"), col("id"),
+    val posts = s.select(col("blk"), col("id"), col("sz"),
         explode(slice(col("hs"), lit(1), col("pfx"))).as("h"))
-    val cand = posts.select(col("blk"), col("h"), col("id").as("id_a"))
-      .join(posts.select(col("blk"), col("h"), col("id").as("id_b")),
+    // length filter (also lossless): j ≥ tau forces
+    // tau·|A| ≤ |B| ≤ |A|/tau — prunes size-mismatched pairs before
+    // the distinct.
+    val cand = posts.select(col("blk"), col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(posts.select(col("blk"), col("h"), col("id").as("id_b"), col("sz").as("sz_b")),
         Seq("blk", "h"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_b") >= col("sz_a") * lit(tau) &&
+        col("sz_a") >= col("sz_b") * lit(tau))
       .select(col("id_a"), col("id_b")).distinct()
     val la = s.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
     val lb = s.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))

@@ -32,4 +32,15 @@ object Sources {
    *  through untouched, math.c:349-352). */
   def jsonPayload(df: DataFrame, jsonCol: String, payloadCol: String = "payload"): DataFrame =
     df.withColumn(payloadCol, from_json(col(jsonCol), payloadType))
+
+  /** Spark-4-native schemaless ingestion: JSON → VARIANT. Unlike the
+   *  map path this keeps heterogeneous value types (and shreds
+   *  efficiently in storage); key access is exact-match (Variant
+   *  paths are case-sensitive — the reference-faithful
+   *  case-insensitive scan stays on the map path). `try_parse_json`
+   *  keeps malformed documents as NULL payloads, matching the
+   *  reference's pass-through of undecodable records
+   *  (math.c:349-352). */
+  def variantPayload(df: DataFrame, jsonCol: String, payloadCol: String = "payload"): DataFrame =
+    df.withColumn(payloadCol, try_parse_json(col(jsonCol)))
 }

@@ -128,6 +128,21 @@ class MathCompilerSpec extends SparkTestBase {
     assert(r == Seq(576.0, 110.0, 100.0, 100.0))
   }
 
+  test("variant-payload mode: exact key, dotted keys literal, malformed→0, missing→0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, """{"Mem.used": 476, "Mem.total": 4050908}"""),
+      (2L, """{"Mem.used": "junk"}"""),
+      (3L, """not json at all""")
+    ).toDF("id", "json")
+    val payload = Sources.variantPayload(d, "json")
+    val op = MathOp("Operation" -> "sum", "Field" -> "Mem.used",
+      "Constant" -> "100", "Output_field" -> "o")
+    val r = MathCompiler.applyToVariant(payload, op, "payload")
+      .orderBy("id").select("o").collect().map(_.getDouble(0)).toSeq
+    assert(r == Seq(576.0, 100.0, 100.0))
+  }
+
   test("randomized model test: engine ≡ referenceEval (math.c:167-195)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
