@@ -231,6 +231,42 @@ object SparkEntry {
     "q31_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Sources.table(s, dir, "embeddings"), 16, 8, 3)
         .orderBy("q_id", "rank")),
+    // dedup APPLIED: corpus minus the higher id of each LSH pair
+    "q32_dedup_apply" -> ((s, dir) =>
+      Dedup.applyKeepFirst(documents(s, dir), "doc_id",
+          Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id", 3, 16, 4, 0.8))
+        .select(col("doc_id")).orderBy("doc_id")),
+    // composite corpus-curation pipeline: quality gate → lang gate →
+    // per-source stats (the end-to-end training-data shape)
+    "q33_corpus_pipeline" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val scored = docs.select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.tokenCountWs(col("text")).as("toks"))
+      val langs = TextFunctions.langIdByExplode(docs, "text", "doc_id")
+      scored.join(langs, "doc_id")
+        .filter(col("q") >= 0.5 && col("lang_pred") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks").cast("long")).as("n_tokens"))
+        .orderBy("source")
+    }),
+    // SQL-expressible sessionization (lag/cumsum windows) — the
+    // batch twin of streaming/Sessionize.scala, oracle-verified
+    "q34_session_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 30L * 60 * 1000 * 1000
+      val w = Window.partitionBy("user_id").orderBy("t")
+      events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("t"))
+        .withColumn("new_sess",
+          when(lag(col("t"), 1).over(w).isNull ||
+            col("t") - lag(col("t"), 1).over(w) > gapUs, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
     // tumbling-window time aggregation (streaming-shaped, batch-verified;
     // ts arrives as raw nanos under nanosAsLong — truncate to micros)
     "q30_time_window" -> ((s, dir) => events(s, dir)
@@ -340,5 +376,30 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q31_ivf_topk" ->
       s"${Similarity.ivfTopKSql("embeddings", 16, 8, 3)} ORDER BY q_id, rank",
+    "q32_dedup_apply" ->
+      s"""SELECT doc_id FROM documents WHERE doc_id NOT IN (
+         |  SELECT DISTINCT id_b FROM (
+         |    ${Dedup.minhashLshPairsSql("documents", "text", "doc_id", 3, 16, 4, 0.8)}))
+         |ORDER BY doc_id""".stripMargin,
+    "q33_corpus_pipeline" -> {
+      val q = TextFunctions.qualityScoreSql("text")
+      val lang = TextFunctions.langIdSql("text")
+      val toks = TextFunctions.tokenCountWsSql("text")
+      s"""SELECT source, count(*) AS n_docs,
+         |  sum(CAST($toks AS BIGINT)) AS n_tokens
+         |FROM documents
+         |WHERE ($q) >= 0.5 AND ($lang) = 'en'
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q34_session_stats" ->
+      """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(t, 1) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |           OR t - lag(t, 1) OVER (PARTITION BY user_id ORDER BY t)
+        |              > 30 * 60 * 1000 * 1000
+        |         THEN 1::BIGINT ELSE 0::BIGINT END AS new_sess
+        |  FROM (SELECT user_id, epoch_us(ts) AS t FROM events)
+        |) GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -46,7 +46,15 @@ object GraftFunctions {
     "graft_sum" -> fold(Add(_, _)) _,
     "graft_sub" -> fold(Subtract(_, _)) _,
     "graft_mul" -> fold(Multiply(_, _)) _,
-    "graft_div" -> fold(ieeeDiv) _)
+    "graft_div" -> fold(ieeeDiv) _,
+    "graft_dot" -> { args: Seq[Expression] =>
+      require(args.size == 2, "graft_dot(array<double>, array<double>)")
+      graft.functions.DotProduct(args(0), args(1))
+    },
+    "graft_fingerprint" -> { args: Seq[Expression] =>
+      require(args.size == 1, "graft_fingerprint(string)")
+      graft.functions.RollingHash(args(0))
+    })
 
   private def info(name: String) = new ExpressionInfo(
     GraftFunctions.getClass.getCanonicalName, null, name,

@@ -198,6 +198,17 @@ object Dedup {
        |SELECT id_a, id_b, jac FROM cand WHERE jac >= $tau""".stripMargin
   }
 
+  // ------------------------------------------------------ apply dedup
+
+  /** Materialize the deduplicated corpus from a verified pair list
+   *  with the keep-first policy: drop the HIGHER id of every near-dup
+   *  pair. (Full transitive clustering needs connected components —
+   *  iterative; keep-first is the standard single-pass policy and is
+   *  what large pipelines run per batch.) One broadcast-able anti
+   *  join. */
+  def applyKeepFirst(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   // ----------------------------------------------------------- simhash
 
   /** Token-hash array: h60 of each token, computed ONCE per doc (the
