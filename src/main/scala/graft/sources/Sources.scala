@@ -43,4 +43,26 @@ object Sources {
    *  (math.c:349-352). */
   def variantPayload(df: DataFrame, jsonCol: String, payloadCol: String = "payload"): DataFrame =
     df.withColumn(payloadCol, try_parse_json(col(jsonCol)))
+
+  /** Permissive delimited/JSON file ingestion with the reference's
+   *  malformed-record tolerance (math.c:349-352: undecodable records
+   *  pass through, never abort the stream): PERMISSIVE mode keeps bad
+   *  rows with their raw text in `_corrupt` instead of failing the
+   *  job — at 100 TB a single bad file must not kill a pipeline. */
+  def permissiveCsv(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("header", "true")
+      .csv(path)
+
+  def permissiveJson(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
 }
