@@ -50,6 +50,19 @@ object Streams {
   def fanout(df: DataFrame, branches: Seq[(String, MathOp)], cols: Seq[String]): DataFrame =
     Pipelines.fanout(df, branches, cols)
 
+  /** Live periodic synthetic-metrics source — the stand-in for the
+   *  reference's `mem` input plugin (test.sh:15: one record per
+   *  second of memory gauges). Built on the `rate` source; columns
+   *  mimic fluent-bit's mem input flat keys. */
+  def memMetrics(spark: SparkSession, rowsPerSecond: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .select(col("timestamp").as("ts"),
+        (lit(4050908L) - (col("value") % 1000000L)).as("Mem.total"),
+        (col("value") % 476000L).as("Mem.used"))
+  }
+
   /** `exit`-style run: drain everything currently available into an
    *  in-memory table and stop — used by tests to prove streaming ≡
    *  batch row-for-row (SURVEY §5.1(5)). `complete` mode for
