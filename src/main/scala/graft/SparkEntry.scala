@@ -109,10 +109,11 @@ object SparkEntry {
       TextFunctions.tokenCountWs(col("text")).as("tok_ws"),
       TextFunctions.tokenCountRegex(col("text")).as("tok_re"))
       .orderBy("doc_id")),
-    // quality scoring: length/punct/stopword ratios
+    // quality scoring: length/punct/stopword ratios (fused one-scan
+    // TextStats expression; oracle runs the regex formulation)
     "q12_quality_score" -> ((s, dir) => documents(s, dir).select(
       col("doc_id"),
-      TextFunctions.qualityScore(col("text")).as("quality"))
+      TextFunctions.qualityScoreFast(col("text")).as("quality"))
       .orderBy("doc_id")),
     // language-ID n-gram/stopword heuristic (explode+agg formulation)
     "q13_lang_id" -> ((s, dir) =>
@@ -241,7 +242,7 @@ object SparkEntry {
     "q33_corpus_pipeline" -> ((s, dir) => {
       val docs = documents(s, dir)
       val scored = docs.select(col("doc_id"), col("source"),
-        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.qualityScoreFast(col("text")).as("q"),
         TextFunctions.tokenCountWs(col("text")).as("toks"))
       val langs = TextFunctions.langIdByExplode(docs, "text", "doc_id")
       scored.join(langs, "doc_id")

@@ -70,6 +70,22 @@ object TextFunctions {
       lit(0.25) * stopRatio + lit(0.25) * least(avgWordLen / lit(8.0), lit(1.0))
   }
 
+  /** Fused single-scan quality score — identical values to
+   *  [[qualityScore]] (spec-asserted per-row on real data), computed
+   *  from one [[TextStats]] pass instead of three regex passes + an
+   *  interpreted stopword filter. The oracle keeps the regex form. */
+  def qualityScoreFast(c: Column): Column = {
+    val s = TextStats(c)
+    val n = greatest(s.getField("n_chars").cast("double"), lit(1.0))
+    val alphaRatio = s.getField("n_alpha").cast("double") / n
+    val punctRatio = s.getField("n_punct").cast("double") / n
+    val nTok = greatest(s.getField("n_tok").cast("double"), lit(1.0))
+    val stopRatio = s.getField("n_stop").cast("double") / nTok
+    val avgWordLen = s.getField("n_nonws").cast("double") / nTok
+    lit(0.25) * alphaRatio + lit(0.25) * (lit(1.0) - punctRatio) +
+      lit(0.25) * stopRatio + lit(0.25) * least(avgWordLen / lit(8.0), lit(1.0))
+  }
+
   def qualityScoreSql(c: String): String = {
     val n = s"greatest(CAST(length($c) AS DOUBLE), 1.0)"
     val alpha = s"CAST(length(regexp_replace($c, '[^A-Za-z]', '', 'g')) AS DOUBLE) / $n"

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Single-scan text statistics, shared by quality scoring and token
+ *  counting. One pass over the string computes what previously took
+ *  three regexp_replace passes + a split + an interpreted
+ *  higher-order stopword filter per row.
+ *
+ *  Field semantics replicate the regex formulation EXACTLY (a spec
+ *  asserts equality against it on real data, and the DuckDB oracle
+ *  still runs the regex form):
+ *   - n_chars: codepoint count;
+ *   - n_alpha: [A-Za-z] count;
+ *   - n_punct: chars neither [A-Za-z0-9] nor Java-regex `\s`
+ *     (= space \t \n \x0B \f \r);
+ *   - n_nonws: chars not `\s`;
+ *   - n_tok: `split(trim(lower(s)), "\\s+")` length — including
+ *     Java split's empty first token when the space-trimmed text
+ *     starts with non-space whitespace, and the [""] result for
+ *     empty input;
+ *   - n_stop: tokens that are English stopwords
+ *     (TextFunctions.stopwords). */
+object TextStatsUtil {
+  private val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TextFunctions.stopwords.foreach(s.add)
+    s
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def compute(u: org.apache.spark.unsafe.types.UTF8String): InternalRow = {
+    val s = u.toString
+    var nChars = 0L; var nAlpha = 0L; var nPunct = 0L; var nNonWs = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      val alpha = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+      val digit = cp >= '0' && cp <= '9'
+      val ws = cp < 128 && isWs(cp.toChar)
+      if (alpha) nAlpha += 1
+      if (!alpha && !digit && !ws) nPunct += 1
+      if (!ws) nNonWs += 1
+      i += Character.charCount(cp)
+    }
+    // tokens of split(trim(lower(s)), "\s+") — trim strips 0x20 only
+    val lower = s.toLowerCase
+    var b = 0; var e = lower.length
+    while (b < e && lower.charAt(b) == ' ') b += 1
+    while (e > b && lower.charAt(e - 1) == ' ') e -= 1
+    var nTok = 0L; var nStop = 0L
+    if (b == e) nTok = 1 // split("") = [""]
+    else {
+      var j = b
+      if (isWs(lower.charAt(b))) nTok += 1 // Java split: leading empty token
+      while (j < e) {
+        while (j < e && isWs(lower.charAt(j))) j += 1
+        if (j < e) {
+          val st = j
+          while (j < e && !isWs(lower.charAt(j))) j += 1
+          nTok += 1
+          if (stopSet.contains(lower.substring(st, j))) nStop += 1
+        }
+      }
+      if (isWs(lower.charAt(e - 1))) nTok += 1 // trailing empty token
+    }
+    new GenericInternalRow(Array[Any](nChars, nAlpha, nPunct, nNonWs, nTok, nStop))
+  }
+}
+
+case class TextStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TextStats.schema
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"text_stats expects string, got ${dt.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextStatsUtil.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextStatsUtil.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+object TextStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_nonws", LongType, nullable = false),
+    StructField("n_tok", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+
+  def apply(c: Column): Column =
+    ColumnBridge.column(TextStats(ColumnBridge.expression(c)))
+}

@@ -41,6 +41,29 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("TextStats fused quality score == regex formulation, per row, on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val both = docs.select(
+      graft.functions.TextFunctions.qualityScoreFast(col("text")).as("fast"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("regex"))
+      .collect()
+    assert(both.length == 500)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("TextStats token/stop counts match split semantics on edge cases") {
+    import spark.implicits._
+    val cases = Seq("", "  ", "a", " a b ", "\ta b\t", "the a of", "x\n\ny the")
+    val df = cases.toDF("t")
+    val got = df.select(
+      graft.functions.TextStats(col("t")).getField("n_tok").as("fused"),
+      size(split(trim(lower(col("t"))), "\\s+")).cast("long").as("split"))
+      .collect()
+    got.zip(cases).foreach { case (r, c) =>
+      assert(r.getLong(0) == r.getLong(1), s"case '$c': ${r.getLong(0)} vs ${r.getLong(1)}")
+    }
+  }
+
   test("type mismatch is an analysis error") {
     import spark.implicits._
     val d = Seq((Seq("x"), Seq(1.0))).toDF("a", "b")
