@@ -252,6 +252,18 @@ object SparkEntry {
           sum(col("toks").cast("long")).as("n_tokens"))
         .orderBy("source")
     }),
+    // rollup subtotals (grouping-sets family)
+    "q35_rollup" -> ((s, dir) =>
+      Sources.table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+    // set operation: nations present on BOTH customer and supplier sides
+    "q36_intersect" -> ((s, dir) =>
+      Sources.table(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(Sources.table(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
     // SQL-expressible sessionization (lag/cumsum windows) — the
     // batch twin of streaming/Sessionize.scala, oracle-verified
     "q34_session_stats" -> ((s, dir) => {
@@ -392,6 +404,14 @@ object SparkEntry {
          |WHERE ($q) >= 0.5 AND ($lang) = 'en'
          |GROUP BY source ORDER BY source""".stripMargin
     },
+    "q35_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q36_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
     "q34_session_stats" ->
       """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
         |FROM (

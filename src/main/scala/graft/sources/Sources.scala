@@ -44,6 +44,20 @@ object Sources {
   def variantPayload(df: DataFrame, jsonCol: String, payloadCol: String = "payload"): DataFrame =
     df.withColumn(payloadCol, try_parse_json(col(jsonCol)))
 
+  /** msgpack event ingestion — the reference's ACTUAL wire format:
+   *  each element of `chunks` is a fluent-bit chunk of concatenated
+   *  `[ts, {k=>v}]` msgpack events. Decoding happens per-partition
+   *  ([[Msgpack]] codec); output is (ts nanos, payload
+   *  map<string,double>) feeding the engine's map-payload math mode.
+   *  Narrow transformation — chunk parallelism is source
+   *  partitioning, exactly like fluent-bit's per-chunk filter calls. */
+  def msgpackEvents(chunks: org.apache.spark.sql.Dataset[Array[Byte]]): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.flatMap(Msgpack.decodeEvents(_))
+      .select(col("ts"), map_from_entries(col("payload")).as("payload"))
+  }
+
   /** Permissive delimited/JSON file ingestion with the reference's
    *  malformed-record tolerance (math.c:349-352: undecodable records
    *  pass through, never abort the stream): PERMISSIVE mode keeps bad
