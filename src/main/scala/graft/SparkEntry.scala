@@ -252,6 +252,13 @@ object SparkEntry {
           sum(col("toks").cast("long")).as("n_tokens"))
         .orderBy("source")
     }),
+    // exact interpolated percentiles per group
+    "q37_percentile" -> ((s, dir) =>
+      Sources.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"))
+        .orderBy("l_returnflag")),
     // rollup subtotals (grouping-sets family)
     "q35_rollup" -> ((s, dir) =>
       Sources.table(s, dir, "lineitem")
@@ -404,6 +411,10 @@ object SparkEntry {
          |WHERE ($q) >= 0.5 AND ($lang) = 'en'
          |GROUP BY source ORDER BY source""".stripMargin
     },
+    "q37_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q35_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
