@@ -58,7 +58,7 @@ object SparkEntry {
         "Output_field" -> "out")
     }
     Pipelines
-      .fanout(events(s, dir), branches, Seq("tag", "event_id", "out"))
+      .fanoutFused(events(s, dir), branches, Seq("tag", "event_id", "out"))
       .orderBy("tag", "event_id")
   }
 

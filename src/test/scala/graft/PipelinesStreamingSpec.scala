@@ -26,6 +26,20 @@ class PipelinesStreamingSpec extends SparkTestBase {
       .toSeq == Seq("div", "mul", "sub", "sum"))
   }
 
+  test("fanoutFused ≡ fanout (same sorted rows, one scan)") {
+    val src = spark.read.parquet(s"$dir/events.parquet")
+    val cols = Seq("tag", "event_id", "out")
+    val plain = Pipelines.fanout(src, branches, cols)
+      .orderBy("tag", "event_id").collect()
+    val fused = Pipelines.fanoutFused(src, branches, cols)
+      .orderBy("tag", "event_id").collect()
+    assert(fused.sameElements(plain))
+    // exactly one parquet scan in the fused plan
+    val plan = Pipelines.fanoutFused(src, branches, cols)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(300))
+  }
+
   test("route selects exactly the matching tag") {
     val src = Pipelines.tagged(spark.read.parquet(s"$dir/events.parquet"), "sum")
     assert(Pipelines.route(src, "sum").count() == src.count())
