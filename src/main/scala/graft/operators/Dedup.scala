@@ -89,7 +89,14 @@ object Dedup {
    *
    *  Candidate cost scales with prefix postings (≈(1−tau)·shingles),
    *  never with corpus²; per-pair array work happens only on
-   *  candidates. Output (id_a, id_b, jac). */
+   *  candidates. Output (id_a, id_b, jac).
+   *
+   *  NOTE (measured): the shingle+hash+sort projection appears in
+   *  four plan arms (both posting sides, both verify sides) and
+   *  Spark recomputes it per arm — the operator stays pure (no hidden
+   *  persist). In a production run, materialize `shingled` once
+   *  (persist or a temp table) before calling; that is the dominant
+   *  remaining cost at bench scale. */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, k: Int, tau: Double): DataFrame = {
     val s = shingled(df, textCol, idCol, blockCol, k)
