@@ -130,9 +130,11 @@ object SparkEntry {
     "q15_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(documents(s, dir), "text", "doc_id")
         .orderBy("keep_id")),
-    // blocked word-3-shingle Jaccard near-dup pairs
+    // blocked word-3-shingle Jaccard near-dup pairs (the shingle
+    // projection is persisted — it feeds four plan arms)
     "q16_jaccard_dup" -> ((s, dir) =>
-      Dedup.jaccardPairs(documents(s, dir), "text", "doc_id", "lang", 3, 0.5)
+      Dedup.jaccardPairs(documents(s, dir), "text", "doc_id", "lang", 3, 0.5,
+          persistIntermediate = true)
         .orderBy("id_a", "id_b")),
     // MinHash+LSH near-dup pairs (16 perms, 4 bands × 4 rows)
     "q17_minhash_lsh" -> ((s, dir) =>

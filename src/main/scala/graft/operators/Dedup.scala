@@ -92,19 +92,23 @@ object Dedup {
    *  candidates. Output (id_a, id_b, jac).
    *
    *  NOTE (measured): the shingle+hash+sort projection appears in
-   *  four plan arms (both posting sides, both verify sides) and
-   *  Spark recomputes it per arm — the operator stays pure (no hidden
-   *  persist). In a production run, materialize `shingled` once
-   *  (persist or a temp table) before calling; that is the dominant
-   *  remaining cost at bench scale. */
+   *  four plan arms (both posting sides, both verify sides) and Spark
+   *  recomputes it per arm. `persistIntermediate=true` materializes
+   *  it once (MEMORY_AND_DISK) — the caller owns the cache lifecycle
+   *  (`spark.catalog.clearCache()` when done); size ≈ a few hundred
+   *  bytes/doc, spill-safe. */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      blockCol: String, k: Int, tau: Double): DataFrame = {
-    val s = shingled(df, textCol, idCol, blockCol, k)
+      blockCol: String, k: Int, tau: Double,
+      persistIntermediate: Boolean = false): DataFrame = {
+    val s0 = shingled(df, textCol, idCol, blockCol, k)
       .withColumn("sz", size(col("sh")))
       .withColumn("hs", sort_array(expr(s"transform(sh, s -> $h60Lambda)")))
       .withColumn("pfx",
         (col("sz") - ceil(col("sz") * lit(tau)).cast("int") + lit(1)))
       .select(col("blk"), col("id"), col("sz"), col("hs"), col("pfx"))
+    val s = if (persistIntermediate)
+      s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else s0
     val posts = s.select(col("blk"), col("id"), col("sz"),
         explode(slice(col("hs"), lit(1), col("pfx"))).as("h"))
     // length filter (also lossless): j ≥ tau forces
