@@ -60,7 +60,7 @@ object GraftFunctions {
     GraftFunctions.getClass.getCanonicalName, null, name,
     s"$name(expr, expr, ...) - left-fold with reference operand semantics " +
       "(null/non-numeric -> 0.0; graft_div is IEEE, /0 -> +-Inf/NaN)",
-    "")
+    "", "", "", "math_funcs", "", "", "built-in")
 
   /** Imperative registration on a live session. */
   def register(spark: SparkSession): Unit =
@@ -76,7 +76,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftSparkExtensions].getCanonicalName, null, name,
-          s"$name(expr, expr, ...) - reference math fold", ""),
+          s"$name(expr, expr, ...) - reference math fold",
+          "", "", "", "math_funcs", "", "", "built-in"),
         b))
     }
 }
