@@ -106,8 +106,8 @@ object SparkEntry {
     // token counting: whitespace + BPE-ish regex (narrow projection)
     "q11_token_count" -> ((s, dir) => documents(s, dir).select(
       col("doc_id"),
-      TextFunctions.tokenCountWs(col("text")).as("tok_ws"),
-      TextFunctions.tokenCountRegex(col("text")).as("tok_re"))
+      TextFunctions.tokenCountWs(col("text")).cast("long").as("tok_ws"),
+      TextFunctions.tokenCountRegex(col("text")).cast("long").as("tok_re"))
       .orderBy("doc_id")),
     // quality scoring: length/punct/stopword ratios (fused one-scan
     // TextStats expression; oracle runs the regex formulation)
@@ -165,14 +165,18 @@ object SparkEntry {
         .toDF().orderBy("doc_id")),
 
     // ---- relational breadth over the TPC-H-ish star schema ----
-    // partial-agg groupBy with decimal sums + filter pushdown to scan
+    // partial-agg groupBy with decimal sums + filter pushdown to scan.
+    // Aggregation stays exact decimal; the FINAL value is cast to
+    // DOUBLE on both engines because they widen sums differently
+    // (Spark DECIMAL(28,2) vs DuckDB DECIMAL(38,2)) and the driver's
+    // hash distinguishes those representations (round-1 mismatch).
     "q23_group_agg" -> ((s, dir) =>
       Sources.table(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
     // 3-way join with broadcast dims, per-nation revenue
@@ -185,7 +189,7 @@ object SparkEntry {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
         .orderBy("n_name")
     }),
     // ranking window: top-3 orders per market segment
@@ -251,6 +255,9 @@ object SparkEntry {
         .filter(col("q") >= 0.5 && col("lang_pred") === "en")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
+          // long sum on both engines: DuckDB sum(BIGINT) widens to
+          // HUGEINT, which the driver hashes differently — oracle
+          // casts back to BIGINT (round-1 mismatch).
           sum(col("toks").cast("long")).as("n_tokens"))
         .orderBy("source")
     }),
@@ -266,7 +273,7 @@ object SparkEntry {
       Sources.table(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
     // set operation: nations present on BOTH customer and supplier sides
     "q36_intersect" -> ((s, dir) =>
@@ -285,19 +292,25 @@ object SparkEntry {
           when(lag(col("t"), 1).over(w).isNull ||
             col("t") - lag(col("t"), 1).over(w) > gapUs, 1L).otherwise(0L))
         .groupBy(col("user_id"))
+        // oracle casts its HUGEINT sum back to BIGINT to match
         .agg(sum(col("new_sess")).as("n_sessions"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
     }),
     // tumbling-window time aggregation (streaming-shaped, batch-verified;
-    // ts arrives as raw nanos under nanosAsLong — truncate to micros)
+    // ts arrives as raw nanos under nanosAsLong — truncate to micros).
+    // The window start is emitted as a formatted UTC string: Spark
+    // writes timestamps as MICROS, the oracle's parquet reader yields
+    // NANOS, and the driver's hash distinguishes the two physical
+    // representations (round-1 mismatch); a string is canonical.
     "q30_time_window" -> ((s, dir) => events(s, dir)
       .select(
-        date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("hour"),
+        date_format(date_trunc("hour", timestamp_micros(expr("ts div 1000"))),
+          "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("value"))
       .groupBy(col("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("hour", "event_type")),
   )
 
@@ -358,15 +371,15 @@ object SparkEntry {
       s"SELECT * FROM (${Media.decodeSql("documents")}) ORDER BY doc_id",
     "q23_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  count(*) AS n
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q24_join_agg" ->
       """SELECT n_name, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
@@ -393,8 +406,9 @@ object SparkEntry {
         |  COALESCE(CAST(json_extract(props, '$.k') AS DOUBLE), 0.0) + 5.0 AS out
         |FROM events ORDER BY event_id""".stripMargin,
     "q30_time_window" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q31_ivf_topk" ->
       s"${Similarity.ivfTopKSql("embeddings", 16, 8, 3)} ORDER BY q_id, rank",
@@ -408,7 +422,7 @@ object SparkEntry {
       val lang = TextFunctions.langIdSql("text")
       val toks = TextFunctions.tokenCountWsSql("text")
       s"""SELECT source, count(*) AS n_docs,
-         |  sum(CAST($toks AS BIGINT)) AS n_tokens
+         |  CAST(sum(CAST($toks AS BIGINT)) AS BIGINT) AS n_tokens
          |FROM documents
          |WHERE ($q) >= 0.5 AND ($lang) = 'en'
          |GROUP BY source ORDER BY source""".stripMargin
@@ -419,14 +433,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q35_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q36_intersect" ->
       """SELECT c_nationkey AS nk FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
     "q34_session_stats" ->
-      """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM (
         |  SELECT user_id,
         |    CASE WHEN lag(t, 1) OVER (PARTITION BY user_id ORDER BY t) IS NULL

@@ -80,14 +80,57 @@ final case class MathConfigError(message: String) extends Exception(message)
 object MathOp {
 
   /** strtod + C `double → int` truncation (math.c:99, math.h:61):
-   *  parses the longest leading numeric prefix ("2.7abc" → 2.7, "abc"
-   *  → 0.0), then truncates toward zero into a 32-bit int. */
+   *  parses the longest leading prefix accepted by C strtod — decimal
+   *  ("2.7abc" → 2.7, "abc" → 0.0), hexadecimal with optional binary
+   *  exponent ("0x1A" → 26, "0x1p4" → 16; C99 7.20.1.3 makes the
+   *  exponent optional for strtod), and case-insensitive
+   *  "inf"/"infinity"/"nan" — then truncates toward zero into a 32-bit
+   *  int. Out-of-range / inf / nan double→int is UB in C; we pick the
+   *  JVM's saturating semantics (±inf → Int.Max/MinValue and is
+   *  accepted, nan → 0 and is rejected as a zero constant) —
+   *  documented divergence. */
   def parseConstant(value: String): Int = {
-    val Prefix = """\s*[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?""".r
-    val d = Prefix.findPrefixOf(value).map(_.trim.toDouble).getOrElse(0.0)
-    // C double→int conversion truncates toward zero; out-of-range is UB
-    // in C — we pick JVM saturating semantics (documented divergence).
-    d.toInt
+    val t = value.dropWhile(_.isWhitespace) // strtod skips leading isspace
+    val (sign, rest) =
+      if (t.startsWith("-")) (-1.0, t.drop(1))
+      else if (t.startsWith("+")) (1.0, t.drop(1))
+      else (1.0, t)
+    val lower = rest.toLowerCase
+    val d: Double =
+      if (lower.startsWith("inf")) Double.PositiveInfinity
+      else if (lower.startsWith("nan")) Double.NaN
+      else if (lower.startsWith("0x") && {
+        val b = rest.drop(2)
+        b.headOption.exists(isHexDigit) ||
+          (b.startsWith(".") && b.drop(1).headOption.exists(isHexDigit))
+      }) parseHexPrefix(rest.drop(2))
+      else {
+        val Prefix = """(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?""".r
+        Prefix.findPrefixOf(rest).map(_.toDouble).getOrElse(0.0)
+      }
+    (sign * d).toInt
+  }
+
+  private def isHexDigit(c: Char): Boolean = Character.digit(c, 16) >= 0
+
+  /** Longest hex-float prefix AFTER the "0x": hexdigits[.hexdigits]
+   *  [p±digits]. A trailing 'p' without digits backs off, like strtod. */
+  private def parseHexPrefix(s: String): Double = {
+    var i = 0
+    var m = 0.0
+    while (i < s.length && isHexDigit(s(i))) { m = m * 16 + Character.digit(s(i), 16); i += 1 }
+    if (i < s.length && s(i) == '.') {
+      i += 1
+      var scale = 1.0 / 16
+      while (i < s.length && isHexDigit(s(i))) {
+        m += Character.digit(s(i), 16) * scale; scale /= 16; i += 1
+      }
+    }
+    if (i < s.length && (s(i) == 'p' || s(i) == 'P')) {
+      val Exp = """[+-]?\d+""".r
+      Exp.findPrefixOf(s.substring(i + 1)).foreach(e => m *= math.pow(2, e.toDouble))
+    }
+    m
   }
 
   private def boolProperty(value: String): Boolean =
@@ -126,8 +169,9 @@ object MathOp {
           return Left(MathConfigError(
             "Constant should be an integer value (different than 0)"))
         operands += Const(c); nOperands += 1
-      case other =>
-        return Left(MathConfigError(s"Invalid configuration key '$other'"))
+      case _ =>
+        // the reference prints the key VERBATIM, not lowercased
+        return Left(MathConfigError(s"Invalid configuration key '$key'"))
     }
 
     // Sanity checks, in the reference's order (math.c:114-129)

@@ -87,6 +87,17 @@ object Msgpack {
         (0 until (x & 0x0f)).foreach { _ => value(c); value(c) }; None
       }
       case 0xde => { val n = c.u16(); (0 until n).foreach { _ => value(c); value(c) }; None }
+      case 0xdd => { val n = c.u32().toInt; (0 until n).foreach(_ => value(c)); None } // array32
+      case 0xdf => { val n = c.u32().toInt; (0 until n).foreach { _ => value(c); value(c) }; None } // map32
+      // ext family: the reference passes these through untouched — skip
+      case 0xc7 => { val n = c.u8(); c.skip(1 + n); None } // ext8
+      case 0xc8 => { val n = c.u16(); c.skip(1 + n); None } // ext16
+      case 0xc9 => { val n = c.u32().toInt; c.skip(1 + n); None } // ext32
+      case 0xd4 => { c.skip(2); None } // fixext1
+      case 0xd5 => { c.skip(3); None } // fixext2
+      case 0xd6 => { c.skip(5); None } // fixext4
+      case 0xd7 => { c.skip(9); None } // fixext8
+      case 0xd8 => { c.skip(17); None } // fixext16
       case _ => throw Malformed(c.p - 1)
     }
   }

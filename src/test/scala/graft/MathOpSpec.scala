@@ -43,8 +43,9 @@ class MathOpSpec extends AnyFunSuite {
   test("property keys are case-insensitive; unknown keys are a hard error (math.c:108-111)") {
     assert(ok("OPERATION" -> "sum", "FIELD" -> "a", "field" -> "b",
       "OUTPUT_FIELD" -> "o").outputField == "o")
+    // the offending key is echoed VERBATIM, not lowercased
     assert(err("Operation" -> "sum", "Field" -> "a", "Field" -> "b",
-      "Output_field" -> "o", "Bogus" -> "x").contains("bogus"))
+      "Output_field" -> "o", "Bogus" -> "x").contains("'Bogus'"))
   }
 
   test("constants truncate toward zero at parse time (math.h:61)") {
@@ -54,6 +55,26 @@ class MathOpSpec extends AnyFunSuite {
     assert(MathOp.parseConstant("3e2") == 300)
     assert(MathOp.parseConstant("2.7abc") == 2) // strtod prefix parse
     assert(MathOp.parseConstant("abc") == 0)
+  }
+
+  test("strtod also accepts hex and inf/nan forms (C99 7.20.1.3)") {
+    assert(MathOp.parseConstant("0x1A") == 26)
+    assert(MathOp.parseConstant("-0X1a") == -26)
+    assert(MathOp.parseConstant("0x1p4") == 16) // binary exponent
+    assert(MathOp.parseConstant("0x1.8p1") == 3) // hex fraction: 1.5 * 2
+    assert(MathOp.parseConstant("0x1pz") == 1) // trailing 'p' backs off
+    assert(MathOp.parseConstant("0x") == 0) // bare prefix → "0"
+    assert(MathOp.parseConstant("0xZZ") == 0)
+    // inf saturates (C UB; documented JVM-saturation divergence)
+    assert(MathOp.parseConstant("inf") == Int.MaxValue)
+    assert(MathOp.parseConstant("-Infinity") == Int.MinValue)
+    // nan truncates to 0 → rejected downstream as a zero constant
+    assert(MathOp.parseConstant("nan") == 0)
+  }
+
+  test("hex constant is accepted as non-zero where decimal-only parsing rejected it") {
+    assert(ok("Operation" -> "sum", "Field" -> "a", "Constant" -> "0x1A",
+      "Output_field" -> "o").operands.contains(Const(26)))
   }
 
   test("constant truncating to zero is rejected (math.c:100-104)") {

@@ -23,6 +23,45 @@ class MsgpackSpec extends SparkTestBase {
     assert(events(1).payload == Seq("k" -> Some(7.0), "flag" -> None))
   }
 
+  test("ext/array32/map32 values are skipped, not treated as malformed") {
+    // hand-encode [1, {"e": fixext4, "k": 7, "big": array32[], "m": map32{}}]
+    // — the reference passes unknown value types through and keeps
+    // scanning (math.c:161); these must not truncate the chunk.
+    val o = new java.io.ByteArrayOutputStream()
+    def w(xs: Int*): Unit = xs.foreach(o.write)
+    w(0x92, 0x01, 0x84) // [1, 4-entry map]
+    w(0xa1, 'e'); w(0xd6, 0x7f, 1, 2, 3, 4) // fixext4, type 127
+    w(0xa1, 'k', 0x07)
+    w(0xa3, 'b', 'i', 'g'); w(0xdd, 0, 0, 0, 0) // array32, 0 elems
+    w(0xa1, 'm'); w(0xdf, 0, 0, 0, 0) // map32, 0 pairs
+    val tail = Msgpack.encodeEvent(2L * 1000000000L, Seq("x" -> 1))
+    val events = Msgpack.decodeEvents(o.toByteArray ++ tail)
+    assert(events.length == 2)
+    assert(events(0).payload == Seq(
+      "e" -> None, "k" -> Some(7.0), "big" -> None, "m" -> None))
+    assert(events(1).payload == Seq("x" -> Some(1.0)))
+  }
+
+  test("ext8/16/32 and all fixext widths skip their exact payload size") {
+    def one(hdr: Seq[Int], key: Char = 'e'): Seq[(String, Option[Double])] = {
+      val o = new java.io.ByteArrayOutputStream()
+      (Seq(0x92, 0x01, 0x82, 0xa1, key.toInt) ++ hdr).foreach(o.write)
+      Seq(0xa1, 'k'.toInt, 0x05).foreach(o.write)
+      val ev = Msgpack.decodeEvents(o.toByteArray)
+      assert(ev.length == 1); ev(0).payload
+    }
+    val p = Map(
+      "fixext1" -> Seq(0xd4, 1, 9),
+      "fixext2" -> Seq(0xd5, 1, 9, 9),
+      "fixext8" -> (Seq(0xd7, 1) ++ Seq.fill(8)(9)),
+      "fixext16" -> (Seq(0xd8, 1) ++ Seq.fill(16)(9)),
+      "ext8" -> Seq(0xc7, 2, 1, 9, 9),
+      "ext16" -> Seq(0xc8, 0, 3, 1, 9, 9, 9),
+      "ext32" -> Seq(0xc9, 0, 0, 0, 1, 1, 9))
+    for ((name, hdr) <- p)
+      assert(one(hdr) == Seq("e" -> None, "k" -> Some(5.0)), name)
+  }
+
   test("malformed tail keeps the parsed prefix") {
     val good = Msgpack.encodeEvent(1L, Seq("a" -> 1))
     val events = Msgpack.decodeEvents(good ++ Array[Byte](0xc1.toByte, 0x00))
