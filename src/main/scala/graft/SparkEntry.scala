@@ -115,10 +115,10 @@ object SparkEntry {
       col("doc_id"),
       TextFunctions.qualityScoreFast(col("text")).as("quality"))
       .orderBy("doc_id")),
-    // language-ID n-gram/stopword heuristic (explode+agg formulation)
-    "q13_lang_id" -> ((s, dir) =>
-      TextFunctions.langIdByExplode(documents(s, dir), "text", "doc_id")
-        .orderBy("doc_id")),
+    // language-ID n-gram/stopword heuristic (fused one-pass kernel)
+    "q13_lang_id" -> ((s, dir) => documents(s, dir).select(
+      col("doc_id"), TextFunctions.langIdFast(col("text")).as("lang_pred"))
+      .orderBy("doc_id")),
     // document fingerprinting: rolling polynomial hash
     "q14_fingerprint" -> ((s, dir) => documents(s, dir).select(
       col("doc_id"),
@@ -138,7 +138,8 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     // MinHash+LSH near-dup pairs (16 perms, 4 bands × 4 rows)
     "q17_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id", 3, 16, 4, 0.8)
+      Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id", 3, 16, 4, 0.8,
+          persistIntermediate = true)
         .orderBy("id_a", "id_b")),
     // SimHash near-dup pairs (hamming ≤ 2, lang-blocked)
     "q18_simhash" -> ((s, dir) =>
@@ -241,17 +242,20 @@ object SparkEntry {
     // dedup APPLIED: corpus minus the higher id of each LSH pair
     "q32_dedup_apply" -> ((s, dir) =>
       Dedup.applyKeepFirst(documents(s, dir), "doc_id",
-          Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id", 3, 16, 4, 0.8))
+          Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id", 3, 16, 4, 0.8,
+            persistIntermediate = true))
         .select(col("doc_id")).orderBy("doc_id")),
     // composite corpus-curation pipeline: quality gate → lang gate →
     // per-source stats (the end-to-end training-data shape)
+    // quality, token count AND lang-ID are all narrow one-pass kernels
+    // now, so the whole gate is a single scan — no join, no shuffle
+    // before the final per-source aggregation.
     "q33_corpus_pipeline" -> ((s, dir) => {
       val docs = documents(s, dir)
-      val scored = docs.select(col("doc_id"), col("source"),
-        TextFunctions.qualityScoreFast(col("text")).as("q"),
-        TextFunctions.tokenCountWs(col("text")).as("toks"))
-      val langs = TextFunctions.langIdByExplode(docs, "text", "doc_id")
-      scored.join(langs, "doc_id")
+      docs.select(col("doc_id"), col("source"),
+          TextFunctions.qualityScoreFast(col("text")).as("q"),
+          TextFunctions.tokenCountWs(col("text")).as("toks"),
+          TextFunctions.langIdFast(col("text")).as("lang_pred"))
         .filter(col("q") >= 0.5 && col("lang_pred") === "en")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -261,13 +265,42 @@ object SparkEntry {
           sum(col("toks").cast("long")).as("n_tokens"))
         .orderBy("source")
     }),
-    // exact interpolated percentiles per group
-    "q37_percentile" -> ((s, dir) =>
+    // exact interpolated percentiles per group, as a sort-window plan:
+    // rank each row in its group, keep only the <=4 boundary rows per
+    // group, interpolate with the shared formula
+    //   v_lo*(ceil-rn) + v_hi*(rn-floor),  rn = p*(n-1)
+    // (identical in Spark's percentile and DuckDB's quantile_cont, so
+    // results stay bit-exact). Spark's percentile() aggregate buffers
+    // every value in per-partition hash maps and serializes them
+    // through the shuffle — 3x slower at sf0.1 and unbounded memory
+    // per group at scale; the window plan shuffles each row once.
+    "q37_percentile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byFlag = Window.partitionBy("l_returnflag")
+      def rnOf(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
+      def boundVal(p: Double, edge: Column => Column): Column =
+        max(when(col("rn0") === edge(rnOf(p)), col("v")))
+      def interp(p: Double, lo: Column, hi: Column): Column = {
+        val rn = lit(p) * (col("n") - 1).cast("double")
+        when(floor(rn) === ceil(rn), lo)
+          .otherwise(lo * (ceil(rn).cast("double") - rn) +
+            hi * (rn - floor(rn).cast("double")))
+      }
       Sources.table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .withColumn("rn0", row_number().over(byFlag.orderBy("v")).cast("long") - 1)
+        .withColumn("n", count(lit(1)).over(byFlag))
+        .filter(col("rn0") === floor(rnOf(0.5)) || col("rn0") === ceil(rnOf(0.5)) ||
+          col("rn0") === floor(rnOf(0.95)) || col("rn0") === ceil(rnOf(0.95)))
         .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95"))
-        .orderBy("l_returnflag")),
+        .agg(max(col("n")).as("n"),
+          boundVal(0.5, floor).as("v50lo"), boundVal(0.5, ceil).as("v50hi"),
+          boundVal(0.95, floor).as("v95lo"), boundVal(0.95, ceil).as("v95hi"))
+        .select(col("l_returnflag"),
+          interp(0.5, col("v50lo"), col("v50hi")).as("p50"),
+          interp(0.95, col("v95lo"), col("v95hi")).as("p95"))
+        .orderBy("l_returnflag")
+    }),
     // rollup subtotals (grouping-sets family)
     "q35_rollup" -> ((s, dir) =>
       Sources.table(s, dir, "lineitem")

@@ -119,6 +119,13 @@ object TextFunctions {
     }._1
   }
 
+  /** Single-pass lang-ID via the fused [[LangIdOf]] codegen kernel —
+   *  same counts and first-wins argmax as [[langId]], as ONE narrow
+   *  projection with no explode shuffle. This is the engine's
+   *  production path (and the 100 TB shape: embarrassingly
+   *  parallel). */
+  def langIdFast(c: Column): Column = HashExpressions.langIdOf(wsTokens(lower(c)))
+
   /** DataFrame-level lang-ID via EXPLODE + hash aggregation: one
    *  conditional-count per language over exploded tokens (map-side
    *  partial agg, fully codegen'd), argmax in a final projection.

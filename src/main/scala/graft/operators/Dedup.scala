@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Hashing, TextFunctions}
+import graft.functions.{HashExpressions, Hashing, TextFunctions}
 
 /**
  * Deduplication operators for the LLM-data-pipeline surface: exact,
@@ -49,12 +49,19 @@ object Dedup {
 
   // ---------------------------------------------------- shingle support
 
-  /** (id, block, sh) projection: distinct word k-shingles per doc. */
+  /** (id, blk, hs, sz): each doc's distinct word k-shingles as SORTED
+   *  h60 hashes plus their count — ONE fused codegen pass
+   *  ([[graft.functions.ShingleHashes]]). The interpreted HOF pipeline
+   *  it replaced (transform+slice+array_join+array_distinct, then a
+   *  second md5 transform, then sort_array) was the measured dominant
+   *  cost of every near-dup operator (4.3 s of q16's 5.7 s at sf0.1). */
   private def shingled(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, k: Int): DataFrame =
     df.select(col(idCol).as("id"), col(blockCol).as("blk"),
         TextFunctions.lowerTokens(col(textCol)).as("toks"))
-      .select(col("id"), col("blk"), TextFunctions.wordShingles("toks", k).as("sh"))
+      .select(col("id"), col("blk"),
+        HashExpressions.shingleHashes(col("toks"), k).as("hs"))
+      .withColumn("sz", size(col("hs")))
 
   private def shingledSql(table: String, textCol: String, idCol: String,
       blockCol: String, k: Int): String = {
@@ -62,9 +69,15 @@ object Dedup {
     s"SELECT $idCol AS id, $blockCol AS blk, $sh AS sh FROM $table"
   }
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Exact Jaccard from two sorted-distinct hash sets + sizes:
+   *  |A∩B| by allocation-free merge-walk
+   *  ([[graft.functions.SortedIntersectCount]]), union by
+   *  inclusion-exclusion (never materializes the union array). */
+  private def jaccardFromHashes(hsA: Column, hsB: Column,
+      szA: Column, szB: Column): Column = {
+    val i = HashExpressions.sortedIntersectCount(hsA, hsB)
+    i.cast("double") / (szA + szB - i).cast("double")
+  }
 
   private def jaccardSqlExpr(a: String, b: String): String =
     s"CAST(length(list_intersect($a, $b)) AS DOUBLE) / " +
@@ -101,8 +114,6 @@ object Dedup {
       blockCol: String, k: Int, tau: Double,
       persistIntermediate: Boolean = false): DataFrame = {
     val s0 = shingled(df, textCol, idCol, blockCol, k)
-      .withColumn("sz", size(col("sh")))
-      .withColumn("hs", sort_array(expr(s"transform(sh, s -> $h60Lambda)")))
       .withColumn("pfx",
         (col("sz") - ceil(col("sz") * lit(tau)).cast("int") + lit(1)))
       .select(col("blk"), col("id"), col("sz"), col("hs"), col("pfx"))
@@ -124,10 +135,9 @@ object Dedup {
     val la = s.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
     val lb = s.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
     cand.join(la, "id_a").join(lb, "id_b")
-      .withColumn("i", size(array_intersect(col("hs_a"), col("hs_b"))))
       .select(col("id_a"), col("id_b"),
-        (col("i").cast("double") /
-          (col("sz_a") + col("sz_b") - col("i")).cast("double")).as("jac"))
+        jaccardFromHashes(col("hs_a"), col("hs_b"),
+          col("sz_a"), col("sz_b")).as("jac"))
       .filter(col("jac") >= tau)
   }
 
@@ -149,43 +159,53 @@ object Dedup {
 
   // ------------------------------------------------------- minhash+LSH
 
-  /** Spark-side SQL fragment for h60 inside lambda bodies. */
-  private val h60Lambda = "cast(conv(substring(md5(s), 1, 15), 16, 10) as long)"
-
   /** MinHash+LSH near-dup pairs — the no-blocking scale path.
-   *  shingles → 60-bit hashes mod P (md5 once per shingle) → `perms`
-   *  permuted minima → `bands` band-hashes → explode → bucket
-   *  self-join → distinct candidates → verify true Jaccard ≥ tau.
+   *  fused shingle-hash kernel ([[graft.functions.ShingleHashes]]) →
+   *  fused signature kernel ([[graft.functions.MinHashSig]]: `perms`
+   *  affine minima in a single codegen'd pass, no md5 re-work) →
+   *  `bands` band-hashes → explode → bucket self-join on
+   *  (band, bucket-hash) ONLY (8-byte rows — shingle arrays never
+   *  enter the bucket shuffle) → DISTINCT candidate pairs → verify
+   *  true Jaccard ≥ tau on the distinct pairs alone.
    *
-   *  The signature stage deliberately stays a NARROW per-row
-   *  computation (interpreted HOF lambdas) rather than explode +
-   *  min() aggregation: the explode formulation was tried and benched
-   *  2× SLOWER — its two extra shuffles (groupBy(id) + sig⋈shingles)
-   *  cost more than codegen saves, and at cluster scale shuffle is
-   *  the scarcer resource than CPU. Affine-permutation lambdas are
-   *  cheap; only the md5 matters, and it is computed once into `hs`. */
+   *  Two measured lessons encoded here:
+   *   - round 1: explode + min() aggregation for signatures benched
+   *     2× slower than any narrow per-row form — its two extra
+   *     shuffles cost more than codegen saved. The fused expression
+   *     keeps the narrow shape AND the codegen.
+   *   - round 2: verifying before dedup re-computed the Jaccard for
+   *     every band collision of the same pair and shipped both
+   *     shingle arrays through every bucket; distinct-first verifies
+   *     each candidate pair exactly once.
+   *
+   *  `persistIntermediate` materializes the shingle projection (it
+   *  feeds the signature arm and both verify arms); caller owns the
+   *  cache lifecycle, as with [[jaccardPairs]]. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-      k: Int, perms: Int, bands: Int, tau: Double): DataFrame = {
+      k: Int, perms: Int, bands: Int, tau: Double,
+      persistIntermediate: Boolean = false): DataFrame = {
     require(perms % bands == 0); val rows = perms / bands
-    val s = shingled(df, textCol, idCol, idCol, k).drop("blk")
-    val hs = s.select(col("id"), col("sh"),
-      expr(s"transform(sh, s -> $h60Lambda % ${Hashing.P})").as("hs"))
-    val sig = hs.select(col("id"), col("sh"), array(
-      (0 until perms).map(i => array_min(expr(
-        s"transform(hs, h -> (${Hashing.permA(i)} * h + ${Hashing.permB(i)}) % ${Hashing.P})"))): _*
-    ).as("sig"))
-    val banded = sig.select(col("id"), col("sh"), posexplode(array(
+    val s0 = shingled(df, textCol, idCol, idCol, k).drop("blk")
+    val s = if (persistIntermediate)
+      s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else s0
+    val sig = s.select(col("id"),
+      HashExpressions.minhashSig(col("hs"), perms).as("sig"))
+    val banded = sig.select(col("id"), posexplode(array(
       (0 until bands).map(j => Hashing.h60(array_join(
         expr(s"transform(slice(sig, ${j * rows + 1}, $rows), x -> cast(x as string))"),
         ","))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bh"))
+    val cand = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(s.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jac"))
-      .distinct()
+        jaccardFromHashes(col("hs_a"), col("hs_b"), col("sz_a"), col("sz_b")).as("jac"))
       .filter(col("jac") >= tau)
   }
 
@@ -222,20 +242,6 @@ object Dedup {
 
   // ----------------------------------------------------------- simhash
 
-  /** Token-hash array: h60 of each token, computed ONCE per doc (the
-   *  bit loop below reuses it — hashing inside the bit loop would cost
-   *  32× the md5 work). */
-  def tokenHashes(toksName: String): Column =
-    expr(s"transform(`$toksName`, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as long))")
-
-  /** 32-bit SimHash over a PRECOMPUTED token-hash array column: bit b
-   *  is set iff the ±1-majority of token-hash bit b is positive. One
-   *  narrow projection per doc. */
-  def simhash32(hashesName: String): Column =
-    expr(s"aggregate(transform(sequence(0, 31), b -> " +
-      s"IF(aggregate(`$hashesName`, 0L, (acc, h) -> acc + ((shiftright(h, b) % 2) * 2 - 1)) > 0, " +
-      s"shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)")
-
   def simhash32Sql(toksExpr: String): String = {
     val h = Hashing.h60Sql("t")
     s"list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), b -> " +
@@ -243,26 +249,17 @@ object Dedup {
       s"THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (acc, x) -> acc + x)"
   }
 
-  /** (id, blk, sh32) via EXPLODE + hash aggregation: one md5 per
-   *  token (codegen'd), 32 integer bit-majority sums with map-side
-   *  partial aggregation, simhash assembled in a final projection.
-   *  Avoids the interpreted nested-HOF path entirely — Spark's
-   *  higher-order functions are CodegenFallback, and evaluating them
-   *  per joined row is what made the array formulation 20× slower. */
+  /** (id, blk, sh32) as ONE narrow projection: the fused
+   *  [[graft.functions.SimHash32]] kernel hashes every token and
+   *  accumulates all 32 bit-majority counters in a single codegen'd
+   *  pass per row. (History: a nested-HOF form was 20× slower
+   *  [interpreted]; the round-1 explode + 32-conditional-sums
+   *  aggregation fixed the CPU but paid an explode shuffle of every
+   *  token — the fused kernel needs neither.) */
   private def simhashed(df: DataFrame, textCol: String, idCol: String,
-      blockCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        explode(TextFunctions.lowerTokens(col(textCol))).as("t"))
-      .withColumn("h", Hashing.h60(col("t")))
-    val sums = tok.groupBy(col("id"), col("blk")).agg(
-      sum(expr("(shiftright(h, 0) % 2) * 2 - 1")).as("s0"),
-      (1 until 32).map(b =>
-        sum(expr(s"(shiftright(h, $b) % 2) * 2 - 1")).as(s"s$b")): _*)
-    sums.select(col("id"), col("blk"),
-      (0 until 32).map(b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _).as("sh32"))
-  }
+      blockCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      HashExpressions.simhash32(TextFunctions.lowerTokens(col(textCol))).as("sh32"))
 
   /** Blocked SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤
    *  maxHamming within a block. Output (id_a, id_b, hamming). */

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashExpressions, Hashing, TextFunctions}
+
+/** The fused codegen kernels (H60Array / MinHashSig / SimHash32 /
+ *  LangIdOf) must be bit-identical to the interpreted HOF
+ *  formulations they replaced — asserted per-row on real testdata. */
+class HashExpressionsSpec extends SparkTestBase {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private val h60Lambda = "cast(conv(substring(md5(s), 1, 15), 16, 10) as long)"
+
+  test("H60Array ≡ transform(md5-conv) HOF, with and without mod") {
+    val toks = TextFunctions.lowerTokens(col("text"))
+    val rows = docs.select(
+      HashExpressions.h60Array(toks).as("fused"),
+      expr(s"transform(${"split(trim(lower(text)), '\\\\s+')"}, s -> $h60Lambda)").as("hof"),
+      HashExpressions.h60Array(toks, Hashing.P).as("fused_mod"),
+      expr(s"transform(split(trim(lower(text)), '\\\\s+'), s -> $h60Lambda % ${Hashing.P})").as("hof_mod"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+  }
+
+  test("ShingleHashes ≡ sort_array(h60(distinct word-shingle strings))") {
+    val toks = TextFunctions.lowerTokens(col("text"))
+    val cmp = docs.select(toks.as("toks"))
+      .select(
+        HashExpressions.shingleHashes(col("toks"), 3).as("fused"),
+        sort_array(HashExpressions.h60Array(
+          TextFunctions.wordShingles("toks", 3))).as("hof"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("MinHashSig ≡ per-perm array_min over affine-permuted hashes") {
+    val perms = 16
+    val toks = TextFunctions.lowerTokens(col("text"))
+    val cmp = docs.select(toks.as("toks"))
+      .select(TextFunctions.wordShingles("toks", 3).as("sh"))
+      .withColumn("hs", expr(s"transform(sh, s -> $h60Lambda % ${Hashing.P})"))
+      .select(
+        HashExpressions.minhashSig(
+          HashExpressions.shingleHashes(col("sh"), 1), perms).as("fused_via_kernel"),
+        HashExpressions.minhashSig(
+          HashExpressions.h60Array(col("sh")), perms).as("fused"),
+        array((0 until perms).map(i => array_min(expr(
+          s"transform(hs, h -> (${Hashing.permA(i)} * h + ${Hashing.permB(i)}) % ${Hashing.P})"))): _*).as("hof"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2))
+      assert(r.getSeq[Long](0) == r.getSeq[Long](2))
+    }
+  }
+
+  test("MinHashSig on an empty array yields all-null elements (array_min parity)") {
+    val r = spark.sql("SELECT array() ").toDF("e")
+      .select(HashExpressions.minhashSig(col("e").cast("array<bigint>"), 4))
+      .collect()(0).getSeq[Any](0)
+    assert(r == Seq(null, null, null, null))
+  }
+
+  test("SimHash32 ≡ nested-HOF bit-majority formulation") {
+    val toks = TextFunctions.lowerTokens(col("text"))
+    val hofSim =
+      expr("aggregate(transform(sequence(0, 31), b -> " +
+        "IF(aggregate(transform(split(trim(lower(text)), '\\\\s+'), " +
+        s"t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as long)), 0L, " +
+        "(acc, h) -> acc + ((shiftright(h, b) % 2) * 2 - 1)) > 0, " +
+        "shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)")
+    val rows = docs.limit(100).select(
+      HashExpressions.simhash32(toks).as("fused"), hofSim.as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("SortedIntersectCount ≡ size(array_intersect) on sorted distinct arrays") {
+    val toks = TextFunctions.lowerTokens(col("text"))
+    val withHs = docs.select(HashExpressions.shingleHashes(toks, 3).as("hs"),
+      monotonically_increasing_id().as("i"))
+    val a = withHs.select(col("hs").as("hs_a"), col("i"))
+    val b = withHs.select(col("hs").as("hs_b"), (col("i") + 1).as("i"))
+    val rows = a.join(b, "i").select(
+      HashExpressions.sortedIntersectCount(col("hs_a"), col("hs_b")).as("fused"),
+      size(array_intersect(col("hs_a"), col("hs_b"))).as("builtin"),
+      HashExpressions.sortedIntersectCount(col("hs_a"), col("hs_a")).as("self"),
+      size(col("hs_a")).as("sz")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1))
+      assert(r.getInt(2) == r.getInt(3))
+    }
+  }
+
+  test("langIdFast ≡ the HOF langId fold (first-wins argmax)") {
+    val rows = docs.select(
+      TextFunctions.langIdFast(col("text")).as("fused"),
+      TextFunctions.langId(col("text")).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("kernels run inside whole-stage codegen (no CodegenFallback in the plan)") {
+    val exec = docs.select(
+      HashExpressions.simhash32(TextFunctions.lowerTokens(col("text"))),
+      TextFunctions.langIdFast(col("text")))
+      .queryExecution.executedPlan
+    val hasWscg = exec.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasWscg, s"expected a WholeStageCodegen stage in:\n$exec")
+  }
+}
