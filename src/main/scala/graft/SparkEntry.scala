@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.TextFunctions
 import graft.multimodal.Media
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{AsOf, Dedup, Sampling, Similarity}
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -345,6 +345,31 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("hour", "event_type")),
+    // as-of join: every event gets the user's most recent purchase
+    // value at-or-before its timestamp (point-in-time correctness)
+    "q38_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOf.joinAsOf(ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, "user_id", "ts", "value", "last_purchase_value")
+        .select(col("event_id"), col("last_purchase_value"))
+        .orderBy("event_id")
+    }),
+    // unblocked SimHash near-dup via the multi-index pigeonhole
+    "q39_simhash_multiindex" -> ((s, dir) =>
+      Dedup.simhashPairsMultiIndex(documents(s, dir), "text", "doc_id", 2)
+        .orderBy("id_a", "id_b")),
+    // deterministic stratified sample: 20 docs per source in hash order
+    "q40_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedCap(documents(s, dir), "source", "doc_id", 20, "split1")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+    // deterministic Bernoulli(10%) sample by content hash
+    "q41_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(documents(s, dir), col("doc_id"), 0.1, "split1")
+        .select(col("doc_id"))
+        .orderBy("doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -482,5 +507,25 @@ object SparkEntry {
         |         THEN 1::BIGINT ELSE 0::BIGINT END AS new_sess
         |  FROM (SELECT user_id, epoch_us(ts) AS t FROM events)
         |) GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q38_asof_join" ->
+      """SELECT event_id, last_purchase_value FROM (
+        |  SELECT e.event_id, r.value AS last_purchase_value
+        |  FROM events e ASOF LEFT JOIN
+        |    (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |    ON e.user_id = r.user_id AND e.ts >= r.ts)
+        |ORDER BY event_id""".stripMargin,
+    "q39_simhash_multiindex" ->
+      s"${Dedup.simhashPairsMultiIndexSql("documents", "text", "doc_id", 2)} ORDER BY id_a, id_b",
+    "q40_stratified_sample" -> {
+      val h = graft.functions.Hashing.h60Sql("'split1' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rn
+         |  FROM documents) WHERE rn <= 20 ORDER BY doc_id""".stripMargin
+    },
+    "q41_hash_sample" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ${Sampling.hashSampleSqlPredicate("doc_id", 0.1, "split1")}
+         |ORDER BY doc_id""".stripMargin,
   )
 }

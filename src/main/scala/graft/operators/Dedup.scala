@@ -275,6 +275,54 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** UNBLOCKED SimHash near-dup pairs via the multi-index pigeonhole
+   *  (Manku et al.'s simhash-at-scale construction): split the 32-bit
+   *  simhash into `maxHamming + 1` disjoint segments — any pair within
+   *  hamming ≤ maxHamming must agree EXACTLY on at least one segment —
+   *  then self-join on (segment-index, segment-value) only, and verify
+   *  bit_count(xor) on the distinct candidates. LOSSLESS for the
+   *  threshold, needs no blocking column, and the join key is ~11
+   *  bits per segment: candidate cost is Σ bucket², i.e. linear in
+   *  corpus size for near-uniform simhashes, vs the blocked variant's
+   *  Σ block². This is the hamming-search shape that survives when no
+   *  natural block exists at 100 TB. */
+  def simhashPairsMultiIndex(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int): DataFrame = {
+    val nSeg = maxHamming + 1
+    val base = 32 / nSeg
+    val widths = (0 until nSeg).map(j => if (j < 32 % nSeg) base + 1 else base)
+    val shifts = widths.scanLeft(0)(_ + _).init
+    val s = df.select(col(idCol).as("id"),
+      graft.functions.HashExpressions.simhash32(
+        TextFunctions.lowerTokens(col(textCol))).as("sh32"))
+    val segCols = (0 until nSeg).map(j =>
+      expr(s"shiftright(sh32, ${shifts(j)}) & ${(1L << widths(j)) - 1}"))
+    val posts = s.select(col("id"), col("sh32"), posexplode(array(segCols: _*)))
+      .withColumnRenamed("pos", "seg").withColumnRenamed("col", "sv")
+    posts.select(col("seg"), col("sv"), col("id").as("id_a"), col("sh32").as("sh_a"))
+      .join(posts.select(col("seg"), col("sv"), col("id").as("id_b"), col("sh32").as("sh_b")),
+        Seq("seg", "sv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Oracle for [[simhashPairsMultiIndex]]: the UNFILTERED all-pairs
+   *  formulation — a multi-index bug (a dropped candidate) cannot pass
+   *  verification. */
+  def simhashPairsMultiIndexSql(table: String, textCol: String,
+      idCol: String, maxHamming: Int): String = {
+    val sh = simhash32Sql(TextFunctions.lowerTokensSql(textCol))
+    s"""WITH s AS (SELECT $idCol AS id, $sh AS sh32 FROM $table)
+       |SELECT * FROM (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         CAST(bit_count(xor(a.sh32, b.sh32)) AS BIGINT) AS hamming
+       |  FROM s a JOIN s b ON a.id < b.id
+       |) WHERE hamming <= $maxHamming""".stripMargin
+  }
+
   def simhashPairsSql(table: String, textCol: String, idCol: String,
       blockCol: String, maxHamming: Int): String = {
     val sh = simhash32Sql(TextFunctions.lowerTokensSql(textCol))

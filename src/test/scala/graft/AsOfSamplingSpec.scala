@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, Dedup, Sampling}
+
+/** Semantics of the round-2 operators: as-of join, deterministic
+ *  sampling, multi-index SimHash. */
+class AsOfSamplingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("asof join: inclusive at equal time, latest-prior otherwise, null before first") {
+    val left = Seq((1L, 5L, "e1"), (1L, 10L, "e2"), (1L, 20L, "e3"),
+      (2L, 7L, "e4")).toDF("k", "t", "name")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (3L, 1L, 999.0))
+      .toDF("k", "t", "v")
+    val out = AsOf.joinAsOf(left, right, "k", "t", "v", "asof_v")
+      .orderBy("t").select("name", "asof_v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("e1").isEmpty) // before any snapshot
+    assert(out("e2").contains(100.0)) // equal time is inclusive
+    assert(out("e3").contains(150.0)) // latest prior, not first
+    assert(out("e4").isEmpty) // key with no snapshots at all
+  }
+
+  test("asof join preserves every left row (left-join cardinality)") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val n = AsOf.joinAsOf(ev, right, "user_id", "ts", "value", "pv").count()
+    assert(n == ev.count())
+  }
+
+  test("hash sampling is deterministic, salt-sensitive, and ~rate-sized") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val a1 = Sampling.hashSample(docs, col("doc_id"), 0.2, "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a2 = Sampling.hashSample(docs, col("doc_id"), 0.2, "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs, col("doc_id"), 0.2, "s2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a1 == a2) // pure function of the data
+    assert(a1 != b) // independent draw per salt
+    val n = docs.count().toDouble
+    assert(math.abs(a1.size / n - 0.2) < 0.06) // binomial tolerance
+    // rate monotonicity: a 10% sample is a subset of the 20% sample
+    val sub = Sampling.hashSample(docs, col("doc_id"), 0.1, "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sub.subsetOf(a1))
+  }
+
+  test("stratified cap keeps at most n per stratum, deterministically") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val out = Sampling.stratifiedCap(docs, "source", "doc_id", 7, "s1")
+    val per = out.groupBy("source").count().collect()
+    assert(per.nonEmpty)
+    per.foreach(r => assert(r.getLong(1) <= 7))
+    val again = Sampling.stratifiedCap(docs, "source", "doc_id", 7, "s1")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("multi-index simhash finds EXACTLY the brute-force hamming pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = Dedup.simhashPairsMultiIndex(docs, "text", "doc_id", 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all pairs on the same simhash values
+    val s = docs.select(col("doc_id").as("id"),
+      graft.functions.HashExpressions.simhash32(
+        graft.functions.TextFunctions.lowerTokens(col("text"))).as("sh32"))
+    val brute = s.as("a").join(s.as("b"), col("a.id") < col("b.id"))
+      .filter(expr("bit_count(a.sh32 ^ b.sh32)") <= 2)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == brute)
+  }
+}
