@@ -360,6 +360,13 @@ object SparkEntry {
     "q39_simhash_multiindex" -> ((s, dir) =>
       Dedup.simhashPairsMultiIndex(documents(s, dir), "text", "doc_id", 2)
         .orderBy("id_a", "id_b")),
+    // transitive near-dup clusters: min reachable doc_id through the
+    // MinHash pair graph (connected components by label propagation)
+    "q42_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(documents(s, dir), "doc_id",
+          Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id", 3, 16, 4, 0.8,
+            persistIntermediate = true))
+        .orderBy("doc_id")),
     // deterministic stratified sample: 20 docs per source in hash order
     "q40_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedCap(documents(s, dir), "source", "doc_id", 20, "split1")
@@ -516,6 +523,10 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q39_simhash_multiindex" ->
       s"${Dedup.simhashPairsMultiIndexSql("documents", "text", "doc_id", 2)} ORDER BY id_a, id_b",
+    "q42_dedup_clusters" ->
+      s"""${Dedup.clustersSql("documents", "doc_id",
+             Dedup.minhashLshPairsSql("documents", "text", "doc_id", 3, 16, 4, 0.8))}
+         |ORDER BY doc_id""".stripMargin,
     "q40_stratified_sample" -> {
       val h = graft.functions.Hashing.h60Sql("'split1' || CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, source FROM (

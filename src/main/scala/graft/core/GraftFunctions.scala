@@ -54,7 +54,30 @@ object GraftFunctions {
     "graft_fingerprint" -> { args: Seq[Expression] =>
       require(args.size == 1, "graft_fingerprint(string)")
       graft.functions.RollingHash(args(0))
+    },
+    "graft_simhash" -> { args: Seq[Expression] =>
+      require(args.size == 1, "graft_simhash(string)")
+      graft.functions.SimHash32(lowerTokensExpr(args(0)))
+    },
+    "graft_lang_id" -> { args: Seq[Expression] =>
+      require(args.size == 1, "graft_lang_id(string)")
+      graft.functions.LangIdOf(lowerTokensExpr(args(0)))
+    },
+    "graft_shingle_hashes" -> { args: Seq[Expression] =>
+      require(args.size == 2, "graft_shingle_hashes(string, k)")
+      graft.functions.ShingleHashes(lowerTokensExpr(args(0)), literalInt(args(1)))
     })
+
+  /** The shared tokenizer as an expression tree:
+   *  split(trim(lower(text)), '\\s+') — same as TextFunctions.lowerTokens. */
+  private def lowerTokensExpr(e: Expression): Expression =
+    StringSplit(StringTrim(Lower(e)), Literal("\\s+"), Literal(-1))
+
+  private def literalInt(e: Expression): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal, got $other")
+  }
 
   private def info(name: String) = new ExpressionInfo(
     GraftFunctions.getClass.getCanonicalName, null, name,

@@ -240,6 +240,68 @@ object Dedup {
   def applyKeepFirst(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  // ---------------------------------------------- transitive clusters
+
+  /** Connected components over a near-dup pair list: every row of `df`
+   *  gets `cluster_id` = the MINIMUM id reachable through pairs
+   *  (singletons cluster as themselves). This is the transitive
+   *  closure `applyKeepFirst` deliberately skips — the policy big
+   *  pipelines use when chains of near-dups must collapse to one
+   *  representative.
+   *
+   *  Algorithm: iterative min-label propagation — per round, each
+   *  vertex takes the min of its label and its neighbors' labels
+   *  (edges are symmetrized), one shuffle per round, early-stop when a
+   *  round changes nothing. Rounds needed = component diameter, and
+   *  near-dup components are shallow (chains of a few docs); maxIter
+   *  is a safety bound, and the result equals the DuckDB recursive-CTE
+   *  oracle whenever propagation converged (guaranteed for diameter ≤
+   *  maxIter). Intermediate labels are persisted and lineage is cut
+   *  per round (iterative plans otherwise grow exponentially in
+   *  re-execution cost). At extreme scale swap for pointer-doubling
+   *  (large-star/small-star): O(log d) rounds instead of O(d). */
+  def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = df.select(col(idCol).as(idCol), col(idCol).as("cluster_id"))
+      .persist(MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val viaNeighbors = edges
+        .join(labels.select(col(idCol).as("dst"), col("cluster_id")), "dst")
+        .select(col("src").as(idCol), col("cluster_id"))
+      val next = labels.select(col(idCol), col("cluster_id"))
+        .union(viaNeighbors)
+        .groupBy(col(idCol)).agg(min(col("cluster_id")).as("cluster_id"))
+        .persist(MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col(idCol), col("cluster_id").as("__old")), idCol)
+        .filter(col("cluster_id") < col("__old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Oracle for [[clusters]]: DuckDB recursive CTE computing min
+   *  reachable id per vertex over the same (nested) pair query. */
+  def clustersSql(table: String, idCol: String, pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT $idCol, $idCol FROM $table
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)
+       |SELECT src AS $idCol, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin
+
   // ----------------------------------------------------------- simhash
 
   def simhash32Sql(toksExpr: String): String = {

@@ -60,6 +60,17 @@ class AsOfSamplingSpec extends SparkTestBase {
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("clusters: chains collapse transitively, singletons keep their own id") {
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    // chain 1-2-3-4 (never directly 1-4), pair 5-6, singleton 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.clusters(vertices, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("multi-index simhash finds EXACTLY the brute-force hamming pairs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fast = Dedup.simhashPairsMultiIndex(docs, "text", "doc_id", 2)

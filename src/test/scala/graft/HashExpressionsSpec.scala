@@ -108,6 +108,26 @@ class HashExpressionsSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("SQL surface: graft_simhash / graft_lang_id / graft_shingle_hashes ≡ Column DSL") {
+    graft.core.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("hx_docs")
+    val sql = spark.sql(
+      """SELECT graft_simhash(text) AS sh, graft_lang_id(text) AS lang,
+        |       graft_shingle_hashes(text, 3) AS hs
+        |FROM hx_docs ORDER BY doc_id""".stripMargin).collect()
+    val dsl = docs.orderBy("doc_id").select(
+      HashExpressions.simhash32(TextFunctions.lowerTokens(col("text"))).as("sh"),
+      TextFunctions.langIdFast(col("text")).as("lang"),
+      HashExpressions.shingleHashes(TextFunctions.lowerTokens(col("text")), 3).as("hs"))
+      .collect()
+    assert(sql.length == dsl.length && sql.nonEmpty)
+    sql.zip(dsl).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getString(1) == b.getString(1))
+      assert(a.getSeq[Long](2) == b.getSeq[Long](2))
+    }
+  }
+
   test("kernels run inside whole-stage codegen (no CodegenFallback in the plan)") {
     val exec = docs.select(
       HashExpressions.simhash32(TextFunctions.lowerTokens(col("text"))),
