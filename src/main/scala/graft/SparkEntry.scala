@@ -360,6 +360,11 @@ object SparkEntry {
     "q39_simhash_multiindex" -> ((s, dir) =>
       Dedup.simhashPairsMultiIndex(documents(s, dir), "text", "doc_id", 2)
         .orderBy("id_a", "id_b")),
+    // trained IVF codebook: deterministic Lloyd's k-means (decimal-sum
+    // means, no RNG), summarized as per-cell size + centroid norm
+    "q43_kmeans_train" -> ((s, dir) =>
+      Similarity.kmeansSummary(Sources.table(s, dir, "embeddings"), 8, 2)
+        .orderBy("c_id")),
     // transitive near-dup clusters: min reachable doc_id through the
     // MinHash pair graph (connected components by label propagation)
     "q42_dedup_clusters" -> ((s, dir) =>
@@ -523,6 +528,8 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q39_simhash_multiindex" ->
       s"${Dedup.simhashPairsMultiIndexSql("documents", "text", "doc_id", 2)} ORDER BY id_a, id_b",
+    "q43_kmeans_train" ->
+      s"${Similarity.kmeansSummarySql("embeddings", 8, 2)} ORDER BY c_id",
     "q42_dedup_clusters" ->
       s"""${Dedup.clustersSql("documents", "doc_id",
              Dedup.minhashLshPairsSql("documents", "text", "doc_id", 3, 16, 4, 0.8))}

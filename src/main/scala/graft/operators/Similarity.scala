@@ -209,6 +209,107 @@ object Similarity {
        |  FROM scored
        |) WHERE rank <= $k""".stripMargin
 
+  // ------------------------------------------------------ k-means train
+
+  /** Deterministic Lloyd's k-means over the embedding column — the
+   *  codebook-training step [[ivfTopK]]'s docs point at. Every source
+   *  of nondeterminism is removed so the result is a pure function of
+   *  the data (and DuckDB-oracle verifiable):
+   *   - init: centroids = vectors with `vec_id < k` (no RNG);
+   *   - assignment: argmin squared-L2 via `-2·v·c + |c|²` (the `|v|²`
+   *     term is constant per row), ties → lower c_id;
+   *   - update: per-dimension mean as a SEQUENTIAL double fold in
+   *     vec_id order (collect + sort + fold) — float addition is
+   *     order-dependent, so a plain sum() would vary with
+   *     partitioning; fixing the order makes the mean a pure function
+   *     of the data and bit-identical to the oracle's
+   *     `list(x ORDER BY vec_id)` fold. (A DECIMAL-sum variant was
+   *     tried first: exact and order-free, but Spark and DuckDB round
+   *     double→decimal ties differently — 1-ulp divergence.);
+   *   - empty cells keep their previous centroid.
+   *
+   *  Scale posture: centroids are k×dim values broadcast each
+   *  iteration (identical to Spark MLlib's KMeans dataflow); the
+   *  corpus is scanned once per iteration with one (cell, dim)
+   *  aggregation — map-side partial sums make the shuffle k×dim rows
+   *  per partition. Iterations are a driver loop over small plans, so
+   *  lineage stays flat. Returns (c_id, cv: array<double>). */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = prepared(emb).select(col("vec_id"), col("v"))
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    for (_ <- 0 until iters) {
+      val means = assign(e, cents)
+        .select(col("c_id"), col("vec_id"), posexplode(col("v")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg((expr("aggregate(transform(sort_array(collect_list(struct(vec_id, col))), " +
+          "s -> s.col), cast(0.0 as double), (acc, x) -> acc + x)") /
+          count(lit(1))).as("m"))
+        .groupBy(col("c_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
+          .as("mv"))
+      cents = cents.join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("mv"), col("cv")).as("cv"))
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: (vec_id, v, c_id). */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val c = cents.withColumn("cn2", dotExpr("cv", "cv"))
+    e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        (dotExpr("v", "cv") * lit(-2.0) + col("cn2")).as("score"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("vec_id").orderBy(asc("score"), asc("c_id"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("v"), col("c_id"))
+  }
+
+  /** Trained-codebook summary query: per-cell member count and
+   *  centroid norm after `iters` Lloyd iterations (scalar outputs —
+   *  engine-comparable without array hashing). */
+  def kmeansSummary(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = prepared(emb).select(col("vec_id"), col("v"))
+    val cents = kmeansCentroids(emb, k, iters)
+    val sizes = assign(e, cents).groupBy(col("c_id")).count()
+    cents.join(sizes, Seq("c_id"), "left")
+      .select(col("c_id"), coalesce(col("count"), lit(0L)).as("n_members"),
+        sqrt(dotExpr("cv", "cv")).as("cnorm"))
+  }
+
+  def kmeansSummarySql(table: String, k: Int, iters: Int): String = {
+    def assignSql(cents: String, out: String): String =
+      s"""$out AS (SELECT vec_id, v, c_id FROM (
+         |  SELECT e.vec_id, e.v, c.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      (${dotSql("e.v", "c.cv")}) * -2.0 + c.cn2 ASC, c.c_id) AS r
+         |  FROM e CROSS JOIN
+         |    (SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2 FROM $cents) c
+         |) WHERE r = 1)""".stripMargin
+    val iterCtes = (0 until iters).map { i =>
+      s"""${assignSql(s"c$i", s"a$i")},
+         |m$i AS (SELECT c_id, pos,
+         |          list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+         |                      (acc, x) -> acc + x) / count(*) AS m
+         |        FROM (SELECT c_id, vec_id, generate_subscripts(v, 1) AS pos,
+         |                unnest(v) AS x FROM a$i)
+         |        GROUP BY c_id, pos),
+         |c${i + 1} AS (SELECT c.c_id, COALESCE(mm.cv, c.cv) AS cv
+         |        FROM c$i c LEFT JOIN (SELECT c_id, list(m ORDER BY pos) AS cv
+         |                              FROM m$i GROUP BY c_id) mm
+         |          ON c.c_id = mm.c_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, v FROM (${preparedSql(table)})),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $k),
+       |$iterCtes,
+       |${assignSql(s"c$iters", "afin")},
+       |sizes AS (SELECT c_id, count(*) AS n FROM afin GROUP BY c_id)
+       |SELECT c.c_id AS c_id, COALESCE(s.n, 0) AS n_members,
+       |       sqrt(${dotSql("c.cv", "c.cv")}) AS cnorm
+       |FROM c$iters c LEFT JOIN sizes s ON c.c_id = s.c_id""".stripMargin
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup view: the single closest pair within

@@ -71,6 +71,31 @@ class AsOfSamplingSpec extends SparkTestBase {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("kmeans: Lloyd objective is non-increasing and partitions the corpus") {
+    import graft.operators.Similarity
+    import graft.functions.VectorExpressions
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    def objective(iters: Int): Double = {
+      val cents = Similarity.kmeansCentroids(emb, 8, iters)
+      // min squared-L2 to any centroid, summed over the corpus
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          (VectorExpressions.dot(col("v"), col("v"))
+            - VectorExpressions.dot(col("v"), col("cv")) * 2.0
+            + VectorExpressions.dot(col("cv"), col("cv"))).as("d2"))
+        .groupBy("vec_id").agg(min("d2").as("d2"))
+        .agg(sum("d2")).collect()(0).getDouble(0)
+    }
+    val objs = (0 to 3).map(objective)
+    objs.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-9, objs) }
+    assert(objs.last < objs.head) // it actually moved
+    val sum43 = Similarity.kmeansSummary(emb, 8, 2)
+      .agg(sum("n_members")).collect()(0).getLong(0)
+    assert(sum43 == emb.count()) // every vector lands in exactly one cell
+  }
+
   test("multi-index simhash finds EXACTLY the brute-force hamming pairs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fast = Dedup.simhashPairsMultiIndex(docs, "text", "doc_id", 2)
