@@ -24,9 +24,14 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
         }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries are self-contained: drop any intermediate a query
+      // persisted so later queries aren't squeezed by stale cache
+      // (the persist+compute cost stays inside the owning query's dt)
+      spark.catalog.clearCache()
       // a failed query records sentinel -1.0 (never a plausible time)
       // and is excluded from the total, so it can't shrink the 2x gate
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) dt else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
