@@ -63,6 +63,23 @@ object Streams {
         (col("value") % 476000L).as("Mem.used"))
   }
 
+  /** Streaming exact dedup by content hash — the streaming twin of
+   *  [[graft.operators.Dedup.exactGroups]]'s downstream use: emit only
+   *  the FIRST record per content within the watermark horizon.
+   *  `dropDuplicatesWithinWatermark` keys state by the md5 content
+   *  hash and EVICTS entries older than the watermark — state stays
+   *  O(distinct contents per window), the only formulation that
+   *  survives an unbounded stream (plain dropDuplicates grows state
+   *  forever). Exactly the ingest-side dedup a continuous
+   *  training-data pipeline runs before writing to the lake. */
+  def dedupExactStream(df: DataFrame, textCol: String, tsCol: String,
+      watermark: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+
   /** `exit`-style run: drain everything currently available into an
    *  in-memory table and stop — used by tests to prove streaming ≡
    *  batch row-for-row (SURVEY §5.1(5)). `complete` mode for

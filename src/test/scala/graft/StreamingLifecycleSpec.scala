@@ -28,6 +28,25 @@ class StreamingLifecycleSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps the first record per content within the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)](spark)
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    input.addData(
+      (ts(0), "alpha", 1L), (ts(1), "beta", 2L),
+      (ts(2), "alpha", 3L), // dup within watermark -> dropped
+      (ts(3), "gamma", 4L), (ts(4), "beta", 5L)) // dup -> dropped
+    val deduped = Streams.dedupExactStream(
+      input.toDF().toDF("ts", "text", "id"), "text", "ts", "10 seconds")
+    Streams.drainToMemory(deduped, "dedup_stream")
+    val kept = spark.table("dedup_stream").select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L))
+    // the state key is the content hash, present on the output
+    assert(spark.table("dedup_stream").columns.contains("content_hash"))
+  }
+
   test("checkpointed file stream processes each file exactly once across restarts") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_ckpt_src_")
