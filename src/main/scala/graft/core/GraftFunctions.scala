@@ -57,21 +57,16 @@ object GraftFunctions {
     },
     "graft_simhash" -> { args: Seq[Expression] =>
       require(args.size == 1, "graft_simhash(string)")
-      graft.functions.SimHash32(lowerTokensExpr(args(0)))
+      graft.functions.SimHash32(args(0))
     },
     "graft_lang_id" -> { args: Seq[Expression] =>
       require(args.size == 1, "graft_lang_id(string)")
-      graft.functions.LangIdOf(lowerTokensExpr(args(0)))
+      graft.functions.LangIdOf(args(0))
     },
     "graft_shingle_hashes" -> { args: Seq[Expression] =>
       require(args.size == 2, "graft_shingle_hashes(string, k)")
-      graft.functions.ShingleHashes(lowerTokensExpr(args(0)), literalInt(args(1)))
+      graft.functions.ShingleHashes(args(0), literalInt(args(1)))
     })
-
-  /** The shared tokenizer as an expression tree:
-   *  split(trim(lower(text)), '\\s+') — same as TextFunctions.lowerTokens. */
-  private def lowerTokensExpr(e: Expression): Expression =
-    StringSplit(StringTrim(Lower(e)), Literal("\\s+"), Literal(-1))
 
   private def literalInt(e: Expression): Int = e match {
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v

@@ -60,30 +60,82 @@ object HashOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  private val ShingleSep = UTF8String.fromString(" ")
+  /** ASCII whitespace, the class Java regex `\s` matches (and what
+   *  Spark's `split(_, "\\s+")` therefore splits on). Multi-byte
+   *  UTF-8 units are all ≥ 0x80, so byte-level scanning is safe. */
+  private def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
 
-  /** Distinct word-k-shingle h60 hashes of a token array, SORTED
-   *  ascending — the whole `array_distinct(transform(sequence, i ->
-   *  array_join(slice(toks,i,k))))` → md5-hash → sort_array pipeline
-   *  in one pass. Token arrays shorter than k yield the single
-   *  whole-array shingle (slice truncates), so no document drops out
-   *  of dedup. Distinctness is by HASH, not string — identical unless
-   *  two distinct shingles collide in 60 bits (p ≈ 2⁻⁶⁰ per pair;
-   *  the DuckDB oracle still distincts strings, so a real collision
-   *  would surface as a verification failure, not silent corruption). */
-  def shingleHashes(arr: ArrayData, k: Int): ArrayData = {
-    val n = arr.numElements()
+  /** Visit the tokens of `split(trim(s), "\\s+")` over raw UTF-8
+   *  bytes, replicating the builtin pipeline exactly: trim strips
+   *  0x20 only; inner whitespace runs collapse; a leading/trailing
+   *  non-space whitespace boundary yields an EMPTY token (split
+   *  keeps boundary empties with limit -1); empty input yields one
+   *  empty token. Callback gets (offset, length) into `b`. */
+  private def forEachSplitToken(b: Array[Byte])(f: (Int, Int) => Unit): Unit = {
+    var from = 0
+    var to = b.length
+    while (from < to && b(from) == 0x20) from += 1
+    while (to > from && b(to - 1) == 0x20) to -= 1
+    if (from == to) { f(from, 0); return }
+    if (isWs(b(from))) f(from, 0)
+    var i = from
+    while (i < to) {
+      while (i < to && isWs(b(i))) i += 1
+      val start = i
+      while (i < to && !isWs(b(i))) i += 1
+      if (i > start) f(start, i - start)
+    }
+    if (isWs(b(to - 1))) f(to, 0)
+  }
+
+  /** h60 over a concatenation of byte slices joined by single spaces
+   *  (a word shingle) without materializing the joined string. */
+  private def h60Joined(b: Array[Byte], offs: Array[Int], lens: Array[Int],
+      from: Int, until: Int): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    var i = from
+    while (i < until) {
+      if (i > from) md.update(0x20.toByte)
+      md.update(b, offs(i), lens(i))
+      i += 1
+    }
+    val d = md.digest()
+    var v = 0L
+    var j = 0
+    while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    v >>> 4
+  }
+
+  /** Distinct word-k-shingle h60 hashes of `lower(text)`'s whitespace
+   *  tokens, SORTED ascending — the whole `split` → `transform(slice+
+   *  array_join)` → `array_distinct` → md5 → `sort_array` pipeline in
+   *  one pass over the bytes, with zero intermediate arrays or
+   *  strings. Fewer than k tokens yield the single whole-sequence
+   *  shingle (slice truncates), so no document drops out of dedup.
+   *  Distinctness is by HASH, not string — identical unless two
+   *  distinct shingles collide in 60 bits (p ≈ 2⁻⁶⁰ per pair; the
+   *  DuckDB oracle still distincts strings, so a real collision would
+   *  surface as a verification failure, not silent corruption). */
+  def shingleHashes(s: UTF8String, k: Int): ArrayData = {
+    val b = s.toLowerCase.getBytes
+    var offs = new Array[Int](16)
+    var lens = new Array[Int](16)
+    var n = 0
+    forEachSplitToken(b) { (off, len) =>
+      if (n == offs.length) {
+        offs = java.util.Arrays.copyOf(offs, n * 2)
+        lens = java.util.Arrays.copyOf(lens, n * 2)
+      }
+      offs(n) = off; lens(n) = len; n += 1
+    }
     val m = math.max(n - k + 1, 1)
     val seen = new java.util.HashSet[java.lang.Long](m * 2)
     val out = new Array[Long](m)
     var cnt = 0
     var i = 0
     while (i < m) {
-      val end = math.min(i + k, n)
-      val slice = new Array[UTF8String](end - i)
-      var j = i
-      while (j < end) { slice(j - i) = arr.getUTF8String(j); j += 1 }
-      val h = h60(UTF8String.concatWs(ShingleSep, slice: _*).getBytes)
+      val h = h60Joined(b, offs, lens, i, math.min(i + k, n))
       if (seen.add(h)) { out(cnt) = h; cnt += 1 }
       i += 1
     }
@@ -119,21 +171,27 @@ object HashOps {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
-  /** 32-bit SimHash over token strings: bit b set iff the ±1 majority
-   *  of h60(token) bit b is positive — identical to the explode +
-   *  32-conditional-sums aggregation it replaces. */
-  def simhash32(arr: ArrayData): Long = {
+  /** 32-bit SimHash over `lower(text)`'s whitespace tokens: bit b set
+   *  iff the ±1 majority of h60(token) bit b is positive — identical
+   *  to hashing the `split` token array (including its boundary empty
+   *  tokens), with no token array materialized. */
+  def simhash32(s: UTF8String): Long = {
+    val bytes = s.toLowerCase.getBytes
     val counts = new Array[Long](32)
-    val n = arr.numElements()
-    var i = 0
-    while (i < n) {
-      val h = h60(arr.getUTF8String(i).getBytes)
+    val md = mdLocal.get()
+    forEachSplitToken(bytes) { (off, len) =>
+      md.reset()
+      md.update(bytes, off, len)
+      val d = md.digest()
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      val h = v >>> 4
       var b = 0
       while (b < 32) {
         counts(b) += ((h >>> b) & 1L) * 2L - 1L
         b += 1
       }
-      i += 1
     }
     var acc = 0L
     var b = 0
@@ -168,19 +226,22 @@ object HashOps {
       s
     }.toArray
 
-  /** Stopword-profile argmax over tokens (every occurrence counts),
-   *  ties broken toward the earlier profile — the same left fold as
-   *  [[TextFunctions.langId]] / the DuckDB oracle. */
-  def langId(arr: ArrayData): UTF8String = {
+  /** Stopword-profile argmax over `lower(text)`'s whitespace tokens
+   *  (every occurrence counts), ties broken toward the earlier
+   *  profile — the same left fold as [[TextFunctions.langId]] / the
+   *  DuckDB oracle, with no token array materialized (empty boundary
+   *  tokens can't match a stopword, so skipping vs counting them is
+   *  indistinguishable here). */
+  def langId(s: UTF8String): UTF8String = {
+    val bytes = s.toLowerCase.getBytes
     val k = langSets.length
     val scores = new Array[Int](k)
-    val n = arr.numElements()
-    var i = 0
-    while (i < n) {
-      val t = arr.getUTF8String(i)
-      var j = 0
-      while (j < k) { if (langSets(j).contains(t)) scores(j) += 1; j += 1 }
-      i += 1
+    forEachSplitToken(bytes) { (off, len) =>
+      if (len > 0) {
+        val t = UTF8String.fromBytes(bytes, off, len)
+        var j = 0
+        while (j < k) { if (langSets(j).contains(t)) scores(j) += 1; j += 1 }
+      }
     }
     var best = 0
     var j = 1
@@ -194,6 +255,14 @@ private[functions] trait StringArrayInput { self: UnaryExpression =>
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
       s"${self.prettyName} expects array<string>, got ${dt.simpleString}")
+  }
+}
+
+private[functions] trait StringInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = self.child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"${self.prettyName} expects string, got ${dt.simpleString}")
   }
 }
 
@@ -212,13 +281,14 @@ case class H60Array(child: Expression, mod: Long)
     copy(child = newChild)
 }
 
-/** `ShingleHashes(array<string>, k) → array<long>` — fused distinct
- *  word-k-shingling + h60 + sort (see [[HashOps.shingleHashes]]). */
+/** `ShingleHashes(string, k) → array<long>` — fused lowercasing +
+ *  tokenization + distinct word-k-shingling + h60 + sort (see
+ *  [[HashOps.shingleHashes]]). */
 case class ShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with StringArrayInput {
+    extends UnaryExpression with StringInput {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    HashOps.shingleHashes(input.asInstanceOf[ArrayData], k)
+    HashOps.shingleHashes(input.asInstanceOf[UTF8String], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.HashOps.shingleHashes($c, $k);")
@@ -245,12 +315,13 @@ case class MinHashSig(child: Expression, perms: Int)
     copy(child = newChild)
 }
 
-/** `SimHash32(array<string>) → long` — fused bit-majority SimHash. */
+/** `SimHash32(string) → long` — fused tokenize + bit-majority
+ *  SimHash. */
 case class SimHash32(child: Expression)
-    extends UnaryExpression with StringArrayInput {
+    extends UnaryExpression with StringInput {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    HashOps.simhash32(input.asInstanceOf[ArrayData])
+    HashOps.simhash32(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.HashOps.simhash32($c);")
@@ -282,14 +353,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `LangIdOf(array<string>) → string` — single-pass stopword-profile
- *  argmax; replaces the explode + 5-conditional-sums aggregation (and
- *  its shuffle) with a narrow projection. */
+/** `LangIdOf(string) → string` — single-pass tokenize + stopword-
+ *  profile argmax; replaces the explode + 5-conditional-sums
+ *  aggregation (and its shuffle) with a narrow projection. */
 case class LangIdOf(child: Expression)
-    extends UnaryExpression with StringArrayInput {
+    extends UnaryExpression with StringInput {
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
-    HashOps.langId(input.asInstanceOf[ArrayData])
+    HashOps.langId(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.HashOps.langId($c);")

@@ -124,7 +124,7 @@ object TextFunctions {
    *  projection with no explode shuffle. This is the engine's
    *  production path (and the 100 TB shape: embarrassingly
    *  parallel). */
-  def langIdFast(c: Column): Column = HashExpressions.langIdOf(wsTokens(lower(c)))
+  def langIdFast(c: Column): Column = HashExpressions.langIdOf(c)
 
   /** DataFrame-level lang-ID via EXPLODE + hash aggregation: one
    *  conditional-count per language over exploded tokens (map-side

@@ -58,9 +58,7 @@ object Dedup {
   private def shingled(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, k: Int): DataFrame =
     df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        TextFunctions.lowerTokens(col(textCol)).as("toks"))
-      .select(col("id"), col("blk"),
-        HashExpressions.shingleHashes(col("toks"), k).as("hs"))
+        HashExpressions.shingleHashes(col(textCol), k).as("hs"))
       .withColumn("sz", size(col("hs")))
 
   private def shingledSql(table: String, textCol: String, idCol: String,
@@ -321,7 +319,7 @@ object Dedup {
   private def simhashed(df: DataFrame, textCol: String, idCol: String,
       blockCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      HashExpressions.simhash32(TextFunctions.lowerTokens(col(textCol))).as("sh32"))
+      HashExpressions.simhash32(col(textCol)).as("sh32"))
 
   /** Blocked SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤
    *  maxHamming within a block. Output (id_a, id_b, hamming). */
@@ -355,8 +353,7 @@ object Dedup {
     val widths = (0 until nSeg).map(j => if (j < 32 % nSeg) base + 1 else base)
     val shifts = widths.scanLeft(0)(_ + _).init
     val s = df.select(col(idCol).as("id"),
-      graft.functions.HashExpressions.simhash32(
-        TextFunctions.lowerTokens(col(textCol))).as("sh32"))
+      graft.functions.HashExpressions.simhash32(col(textCol)).as("sh32"))
     val segCols = (0 until nSeg).map(j =>
       expr(s"shiftright(sh32, ${shifts(j)}) & ${(1L << widths(j)) - 1}"))
     val posts = s.select(col("id"), col("sh32"), posexplode(array(segCols: _*)))

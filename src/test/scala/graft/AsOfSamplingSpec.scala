@@ -102,8 +102,7 @@ class AsOfSamplingSpec extends SparkTestBase {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // brute force over all pairs on the same simhash values
     val s = docs.select(col("doc_id").as("id"),
-      graft.functions.HashExpressions.simhash32(
-        graft.functions.TextFunctions.lowerTokens(col("text"))).as("sh32"))
+      graft.functions.HashExpressions.simhash32(col("text")).as("sh32"))
     val brute = s.as("a").join(s.as("b"), col("a.id") < col("b.id"))
       .filter(expr("bit_count(a.sh32 ^ b.sh32)") <= 2)
       .select(col("a.id"), col("b.id")).collect()

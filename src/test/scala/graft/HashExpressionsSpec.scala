@@ -29,15 +29,30 @@ class HashExpressionsSpec extends SparkTestBase {
   }
 
   test("ShingleHashes ≡ sort_array(h60(distinct word-shingle strings))") {
-    val toks = TextFunctions.lowerTokens(col("text"))
-    val cmp = docs.select(toks.as("toks"))
+    val cmp = docs.select(col("text"),
+        TextFunctions.lowerTokens(col("text")).as("toks"))
       .select(
-        HashExpressions.shingleHashes(col("toks"), 3).as("fused"),
+        HashExpressions.shingleHashes(col("text"), 3).as("fused"),
         sort_array(HashExpressions.h60Array(
           TextFunctions.wordShingles("toks", 3))).as("hof"))
       .collect()
     assert(cmp.nonEmpty)
     cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("ShingleHashes split-edge parity: tabs, leading/trailing ws, empty text") {
+    import spark.implicits._
+    val edgy = Seq("", "   ", "\tfoo bar", "foo bar\n", "a  b\t c", "one")
+      .toDF("text")
+    val cmp = edgy.select(col("text"),
+        TextFunctions.lowerTokens(col("text")).as("toks"))
+      .select(
+        HashExpressions.shingleHashes(col("text"), 3).as("fused"),
+        sort_array(HashExpressions.h60Array(
+          TextFunctions.wordShingles("toks", 3))).as("hof"),
+        HashExpressions.simhash32(col("text")).as("sh_fused"))
+      .collect()
+    cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
   }
 
   test("MinHashSig ≡ per-perm array_min over affine-permuted hashes") {
@@ -48,17 +63,12 @@ class HashExpressionsSpec extends SparkTestBase {
       .withColumn("hs", expr(s"transform(sh, s -> $h60Lambda % ${Hashing.P})"))
       .select(
         HashExpressions.minhashSig(
-          HashExpressions.shingleHashes(col("sh"), 1), perms).as("fused_via_kernel"),
-        HashExpressions.minhashSig(
           HashExpressions.h60Array(col("sh")), perms).as("fused"),
         array((0 until perms).map(i => array_min(expr(
           s"transform(hs, h -> (${Hashing.permA(i)} * h + ${Hashing.permB(i)}) % ${Hashing.P})"))): _*).as("hof"))
       .collect()
     assert(cmp.nonEmpty)
-    cmp.foreach { r =>
-      assert(r.getSeq[Long](1) == r.getSeq[Long](2))
-      assert(r.getSeq[Long](0) == r.getSeq[Long](2))
-    }
+    cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
   test("MinHashSig on an empty array yields all-null elements (array_min parity)") {
@@ -69,7 +79,6 @@ class HashExpressionsSpec extends SparkTestBase {
   }
 
   test("SimHash32 ≡ nested-HOF bit-majority formulation") {
-    val toks = TextFunctions.lowerTokens(col("text"))
     val hofSim =
       expr("aggregate(transform(sequence(0, 31), b -> " +
         "IF(aggregate(transform(split(trim(lower(text)), '\\\\s+'), " +
@@ -77,14 +86,13 @@ class HashExpressionsSpec extends SparkTestBase {
         "(acc, h) -> acc + ((shiftright(h, b) % 2) * 2 - 1)) > 0, " +
         "shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)")
     val rows = docs.limit(100).select(
-      HashExpressions.simhash32(toks).as("fused"), hofSim.as("hof")).collect()
+      HashExpressions.simhash32(col("text")).as("fused"), hofSim.as("hof")).collect()
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
   test("SortedIntersectCount ≡ size(array_intersect) on sorted distinct arrays") {
-    val toks = TextFunctions.lowerTokens(col("text"))
-    val withHs = docs.select(HashExpressions.shingleHashes(toks, 3).as("hs"),
+    val withHs = docs.select(HashExpressions.shingleHashes(col("text"), 3).as("hs"),
       monotonically_increasing_id().as("i"))
     val a = withHs.select(col("hs").as("hs_a"), col("i"))
     val b = withHs.select(col("hs").as("hs_b"), (col("i") + 1).as("i"))
@@ -116,9 +124,9 @@ class HashExpressionsSpec extends SparkTestBase {
         |       graft_shingle_hashes(text, 3) AS hs
         |FROM hx_docs ORDER BY doc_id""".stripMargin).collect()
     val dsl = docs.orderBy("doc_id").select(
-      HashExpressions.simhash32(TextFunctions.lowerTokens(col("text"))).as("sh"),
+      HashExpressions.simhash32(col("text")).as("sh"),
       TextFunctions.langIdFast(col("text")).as("lang"),
-      HashExpressions.shingleHashes(TextFunctions.lowerTokens(col("text")), 3).as("hs"))
+      HashExpressions.shingleHashes(col("text"), 3).as("hs"))
       .collect()
     assert(sql.length == dsl.length && sql.nonEmpty)
     sql.zip(dsl).foreach { case (a, b) =>
@@ -130,7 +138,7 @@ class HashExpressionsSpec extends SparkTestBase {
 
   test("kernels run inside whole-stage codegen (no CodegenFallback in the plan)") {
     val exec = docs.select(
-      HashExpressions.simhash32(TextFunctions.lowerTokens(col("text"))),
+      HashExpressions.simhash32(col("text")),
       TextFunctions.langIdFast(col("text")))
       .queryExecution.executedPlan
     val hasWscg = exec.exists(
