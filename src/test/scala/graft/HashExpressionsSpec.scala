@@ -116,6 +116,37 @@ class HashExpressionsSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("property: byte-walking tokenizer ≡ split pipeline on random whitespace-heavy strings") {
+    import spark.implicits._
+    // adversarial generator: words, every ASCII whitespace char, unicode
+    val rnd = new scala.util.Random(42)
+    val pieces = Seq("foo", "Bar", "the", "der", "的", "a", "", " ", "\t",
+      "\n", "", "\f", "\r", "  ", "x1", "é", "ABC")
+    val strings = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => pieces(rnd.nextInt(pieces.length))).mkString
+    }.distinct
+    val df = strings.toDF("text")
+      .select(col("text"), TextFunctions.lowerTokens(col("text")).as("toks"))
+    val rows = df.select(
+      HashExpressions.shingleHashes(col("text"), 3).as("sh_fused"),
+      sort_array(HashExpressions.h60Array(
+        TextFunctions.wordShingles("toks", 3))).as("sh_hof"),
+      TextFunctions.langIdFast(col("text")).as("lang_fused"),
+      TextFunctions.langId(col("text")).as("lang_hof"),
+      HashExpressions.simhash32(col("text")).as("sim_fused"),
+      expr("aggregate(transform(sequence(0, 31), b -> " +
+        "IF(aggregate(transform(split(trim(lower(text)), '\\\\s+'), " +
+        "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as long)), 0L, " +
+        "(acc, h) -> acc + ((shiftright(h, b) % 2) * 2 - 1)) > 0, " +
+        "shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)").as("sim_hof"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"shingles: ${r.getString(6).map(_.toInt)}")
+      assert(r.getString(2) == r.getString(3), s"lang: ${r.getString(6).map(_.toInt)}")
+      assert(r.getLong(4) == r.getLong(5), s"simhash: ${r.getString(6).map(_.toInt)}")
+    }
+  }
+
   test("SQL surface: graft_simhash / graft_lang_id / graft_shingle_hashes ≡ Column DSL") {
     graft.core.GraftFunctions.register(spark)
     docs.createOrReplaceTempView("hx_docs")

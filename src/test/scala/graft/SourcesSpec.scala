@@ -45,6 +45,32 @@ class SourcesSpec extends SparkTestBase {
     assert(rows.count(r => !r.isNullAt(r.fieldIndex("_corrupt"))) == 1)
   }
 
+  test("partitioned sink: reads prune partitions (filter never scans other dirs)") {
+    import graft.sources.Sinks
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    Sinks.write(docs, dir, partitionCols = Seq("lang"))
+    val back = Sinks.read(spark, dir).filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected partition pruning in:\n$plan")
+    assert(back.count() ==
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en").count())
+  }
+
+  test("orc round-trip preserves every row and schema") {
+    import graft.sources.Sinks
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    Sinks.write(docs, dir, format = "orc")
+    val back = Sinks.read(spark, dir, format = "orc")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      docs.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("doc_id").select("doc_id", "text").collect().toSeq ==
+      docs.orderBy("doc_id").select("doc_id", "text").collect().toSeq)
+  }
+
   test("operand resolution coerces every numeric type (SURVEY §1.2)") {
     val schema = StructType(Seq(
       StructField("id", LongType),
