@@ -313,6 +313,22 @@ object SparkEntry {
       Sources.table(s, dir, "customer").select(col("c_nationkey").as("nk"))
         .intersect(Sources.table(s, dir, "supplier").select(col("s_nationkey").as("nk")))
         .orderBy("nk")),
+    // set operation: high-balance customers with no high-value order
+    // (predicate-based EXCEPT — the natural key EXCEPTs are empty on
+    // this referentially-intact testdata)
+    "q44_except" -> ((s, dir) =>
+      Sources.table(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("ck"))
+        .except(Sources.table(s, dir, "orders").filter(col("o_totalprice") > 200000)
+          .select(col("o_custkey").as("ck")))
+        .orderBy("ck")),
+    // full grouping-sets lattice (CUBE) with canonicalized aggregates
+    "q45_cube" -> ((s, dir) =>
+      Sources.table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
     // SQL-expressible sessionization (lag/cumsum windows) — the
     // batch twin of streaming/Sessionize.scala, oracle-verified
     "q34_session_stats" -> ((s, dir) => {
@@ -509,6 +525,15 @@ object SparkEntry {
     "q36_intersect" ->
       """SELECT c_nationkey AS nk FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+    "q44_except" ->
+      """SELECT c_custkey AS ck FROM customer WHERE c_acctbal > 5000
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |ORDER BY ck""".stripMargin,
+    "q45_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q34_session_stats" ->
       """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM (
