@@ -361,6 +361,18 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("hour", "event_type")),
+    // corpus vocabulary stats: global top-20 tokens by frequency
+    // (explode → map-side-combined count → TakeOrdered top-k)
+    "q46_token_freq" -> ((s, dir) => documents(s, dir)
+      .select(explode(TextFunctions.lowerTokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("t")).limit(20)),
+    // corpus length histogram: 100-char buckets (integer math only)
+    "q47_length_hist" -> ((s, dir) => documents(s, dir)
+      .select(expr("(n_chars div 100) * 100").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy("bucket")),
     // as-of join: every event gets the user's most recent purchase
     // value at-or-before its timestamp (point-in-time correctness)
     "q38_asof_join" -> ((s, dir) => {
@@ -544,6 +556,13 @@ object SparkEntry {
         |         THEN 1::BIGINT ELSE 0::BIGINT END AS new_sess
         |  FROM (SELECT user_id, epoch_us(ts) AS t FROM events)
         |) GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q46_token_freq" ->
+      s"""SELECT t, count(*) AS n FROM (
+         |  SELECT unnest(${TextFunctions.lowerTokensSql("text")}) AS t FROM documents)
+         |WHERE t <> '' GROUP BY t ORDER BY n DESC, t LIMIT 20""".stripMargin,
+    "q47_length_hist" ->
+      """SELECT (n_chars // 100) * 100 AS bucket, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q38_asof_join" ->
       """SELECT event_id, last_purchase_value FROM (
         |  SELECT e.event_id, r.value AS last_purchase_value
