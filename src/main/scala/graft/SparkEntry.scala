@@ -165,6 +165,14 @@ object SparkEntry {
       Media.extractFeatures(Media.fromDocuments(documents(s, dir)))
         .toDF().orderBy("doc_id")),
 
+    // frame sampling: every 3rd fixed-size frame of each payload —
+    // the 1->N blob-to-frames dataflow of a video pipeline
+    "q48_frame_sample" -> ((s, dir) =>
+      Media.sampleFrames(Media.fromDocuments(documents(s, dir)), 3)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), length(col("bytes")).as("n_bytes"))
+        .orderBy("doc_id", "frame_idx")),
+
     // ---- relational breadth over the TPC-H-ish star schema ----
     // partial-agg groupBy with decimal sums + filter pushdown to scan.
     // Aggregation stays exact decimal; the FINAL value is cast to
@@ -467,6 +475,8 @@ object SparkEntry {
       s"${Similarity.labelNearestPairSql("embeddings")} ORDER BY label",
     "q22_media_features" ->
       s"SELECT * FROM (${Media.decodeSql("documents")}) ORDER BY doc_id",
+    "q48_frame_sample" ->
+      s"SELECT * FROM (${Media.sampleFramesSql("documents", 3)}) ORDER BY doc_id, frame_idx",
     "q23_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

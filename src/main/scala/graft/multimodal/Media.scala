@@ -15,6 +15,9 @@ final case class MediaFeatures(
     doc_id: Long, mime: String, n_bytes: Long,
     width: Int, height: Int, n_frames: Int)
 
+/** One sampled frame of a (video-shaped) payload. */
+final case class FrameRecord(doc_id: Long, frame_idx: Int, bytes: Array[Byte])
+
 /**
  * Multimodal-column plumbing for the LLM-data-pipeline surface:
  * binary payload columns with typed metadata, batch-shaped decode /
@@ -91,4 +94,66 @@ object Media {
       records.map(decode)
     }
   }
+
+  /** STUB RESIZE — re-encode each payload at a target size. A real
+   *  implementation decodes, scales, re-encodes; the stub emits a
+   *  deterministic truncation/cycle of the source bytes at the target
+   *  length and tags the mime. Plumbing (per-partition batching,
+   *  1→1 binary-to-binary shape, metadata threading) is the real
+   *  thing and is what a swapped-in codec inherits. */
+  def resize(media: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val target = width * height / 64 // stub "compressed" size
+    media.mapPartitions { records =>
+      records.map { r =>
+        val out = new Array[Byte](math.max(target, 1))
+        var i = 0
+        while (i < out.length) {
+          out(i) = if (r.bytes.isEmpty) 0 else r.bytes(i % r.bytes.length)
+          i += 1
+        }
+        MediaRecord(r.doc_id, out, s"${r.mime};resized=${width}x$height")
+      }
+    }
+  }
+
+  /** Frame size of the stub container format (small enough that
+   *  testdata payloads span multiple frames, so the 1→N explode is
+   *  actually exercised). */
+  val FrameBytes = 64
+
+  /** STUB FRAME SAMPLER — every `everyN`-th fixed-size frame of the
+   *  payload (a real implementation demuxes the container and decodes
+   *  only the sampled frames). The 1→N flatMap dataflow — one blob
+   *  exploding into many frame rows, each independently processable
+   *  downstream — is the real video-pipeline shape and is what the
+   *  oracle verifies (q48). Empty payloads yield one empty frame so
+   *  no document silently disappears. */
+  def sampleFrames(media: Dataset[MediaRecord], everyN: Int): Dataset[FrameRecord] = {
+    require(everyN >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val n = math.max((r.bytes.length + FrameBytes - 1) / FrameBytes, 1)
+      (0 until n by everyN).iterator.map { i =>
+        val start = i * FrameBytes
+        val end = math.min(start + FrameBytes, r.bytes.length)
+        val b = if (end > start)
+          java.util.Arrays.copyOfRange(r.bytes, start, end)
+        else Array.emptyByteArray
+        FrameRecord(r.doc_id, i, b)
+      }
+    }
+  }
+
+  /** DuckDB mirror of the stub frame sampler's (doc_id, frame_idx,
+   *  n_bytes) view. */
+  def sampleFramesSql(table: String, everyN: Int): String =
+    s"""SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       |  CAST(greatest(least($FrameBytes, len - frame_idx * $FrameBytes), 0) AS INT) AS n_bytes
+       |FROM (
+       |  SELECT doc_id, len, unnest(range(0,
+       |    greatest((len + ${FrameBytes - 1}) // $FrameBytes, 1), $everyN)) AS frame_idx
+       |  FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM $table))""".stripMargin
 }

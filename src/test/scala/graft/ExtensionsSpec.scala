@@ -67,6 +67,33 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
   }
 
+  test("media: resize normalizes every payload to the target size, tags mime") {
+    val resized = Media.resize(Media.fromDocuments(docs), 64, 64).collect()
+    assert(resized.length == docs.count())
+    assert(resized.forall(_.bytes.length == 64 * 64 / 64))
+    assert(resized.forall(_.mime.endsWith(";resized=64x64")))
+    val again = Media.resize(Media.fromDocuments(docs), 64, 64).collect()
+    assert(resized.map(_.bytes.toSeq).toSeq.sortBy(_.hashCode) ==
+      again.map(_.bytes.toSeq).toSeq.sortBy(_.hashCode))
+  }
+
+  test("media: frame sampling explodes blobs into every-Nth fixed-size frames") {
+    val media = Media.fromDocuments(docs)
+    val frames = Media.sampleFrames(media, 2).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    media.collect().foreach { r =>
+      val n = math.max((r.bytes.length + Media.FrameBytes - 1) / Media.FrameBytes, 1)
+      val expectIdx = (0 until n by 2).toSeq
+      val got = byDoc(r.doc_id).sortBy(_.frame_idx)
+      assert(got.map(_.frame_idx).toSeq == expectIdx)
+      got.foreach { f =>
+        val start = f.frame_idx * Media.FrameBytes
+        val expLen = math.max(math.min(Media.FrameBytes, r.bytes.length - start), 0)
+        assert(f.bytes.length == expLen)
+      }
+    }
+  }
+
   test("fingerprint/langid/quality are non-degenerate on real docs") {
     val r = docs.select(
       TextFunctions.fingerprint("text").as("fp"),
