@@ -247,35 +247,54 @@ object Dedup {
    *  pipelines use when chains of near-dups must collapse to one
    *  representative.
    *
-   *  Algorithm: iterative min-label propagation — per round, each
-   *  vertex takes the min of its label and its neighbors' labels
-   *  (edges are symmetrized), one shuffle per round, early-stop when a
-   *  round changes nothing. Rounds needed = component diameter, and
-   *  near-dup components are shallow (chains of a few docs); maxIter
-   *  is a safety bound, and the result equals the DuckDB recursive-CTE
-   *  oracle whenever propagation converged (guaranteed for diameter ≤
-   *  maxIter). Intermediate labels are persisted and lineage is cut
-   *  per round (iterative plans otherwise grow exponentially in
-   *  re-execution cost). At extreme scale swap for pointer-doubling
-   *  (large-star/small-star): O(log d) rounds instead of O(d). */
+   *  Algorithm: min-label propagation WITH per-round path compression
+   *  (the hash-to-min family). Each round every vertex takes the min
+   *  of its label and its neighbors' labels (edges are symmetrized),
+   *  then labels shortcut through themselves (L(v) ← L(L(v)) — one
+   *  extra self-join), so label trees halve in depth each round and
+   *  convergence is O(log diameter) rounds, not O(diameter): a
+   *  10⁶-long duplicate chain converges within the default maxIter
+   *  instead of silently returning unconverged labels. Early-stop
+   *  when a round changes nothing; intermediate labels are persisted
+   *  and lineage is cut per round (iterative plans otherwise grow
+   *  exponentially in re-execution cost). */
   def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 30): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(MEMORY_AND_DISK)
-    var labels = df.select(col(idCol).as(idCol), col(idCol).as("cluster_id"))
-      .persist(MEMORY_AND_DISK)
+    val spark = df.sparkSession
+    // Lineage is cut per round by round-tripping the plan through its
+    // RDD (plan becomes a leaf LogicalRDD): the compression step
+    // references the previous round TWICE, so an uncut logical plan
+    // doubles in size per round — 2^rounds nodes kills the analyzer
+    // long before any data moves. The RDD DAG itself grows linearly
+    // and each round is persisted, so nothing recomputes. persist()
+    // (not localCheckpoint) keeps every block under the CacheManager,
+    // so callers/harnesses can actually free them — localCheckpoint
+    // blocks are invisible to spark.catalog.clearCache() and were
+    // measured crowding out every subsequent query in the bench.
+    def cut(d: DataFrame): DataFrame =
+      spark.createDataFrame(d.rdd, d.schema).persist(MEMORY_AND_DISK)
+    var labels = cut(df.select(col(idCol).as(idCol), col(idCol).as("cluster_id")))
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
       val viaNeighbors = edges
         .join(labels.select(col(idCol).as("dst"), col("cluster_id")), "dst")
         .select(col("src").as(idCol), col("cluster_id"))
-      val next = labels.select(col(idCol), col("cluster_id"))
+      val propagated = labels.select(col(idCol), col("cluster_id"))
         .union(viaNeighbors)
         .groupBy(col(idCol)).agg(min(col("cluster_id")).as("cluster_id"))
-        .persist(MEMORY_AND_DISK)
+      // path compression: follow the label one more hop — L(v) ← L(L(v)).
+      // cluster_id is always a vertex id, so the join is total; the
+      // left+coalesce guards the degenerate empty-vertex-set case.
+      val next = cut(propagated
+        .join(propagated.select(col(idCol).as("cluster_id"),
+          col("cluster_id").as("__cc")), Seq("cluster_id"), "left")
+        .select(col(idCol),
+          coalesce(col("__cc"), col("cluster_id")).as("cluster_id")))
       changed = next
         .join(labels.select(col(idCol), col("cluster_id").as("__old")), idCol)
         .filter(col("cluster_id") < col("__old")).count()

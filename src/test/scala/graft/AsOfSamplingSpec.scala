@@ -71,6 +71,17 @@ class AsOfSamplingSpec extends SparkTestBase {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("clusters converge on deep chains within maxIter (path compression)") {
+    // a 200-deep path needs 199 rounds under plain one-hop propagation;
+    // pointer doubling must finish it well inside the default bound
+    val n = 200L
+    val vertices = (0L until n).toDF("id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(vertices, "id", pairs).collect()
+    assert(out.length == n)
+    assert(out.forall(_.getLong(1) == 0L), "chain did not fully collapse")
+  }
+
   test("kmeans: Lloyd objective is non-increasing and partitions the corpus") {
     import graft.operators.Similarity
     import graft.functions.VectorExpressions
