@@ -80,6 +80,27 @@ object Streams {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 
+  /** Stream-stream interval join: pair each left event with the right
+   *  events of the same key whose time falls in
+   *  [leftTs − lookback, leftTs]. BOTH sides are watermarked — that is
+   *  what lets Spark bound the join state: a buffered right row can be
+   *  evicted once the left watermark passes its time + lookback, so
+   *  state is O(rows inside the watermark horizon), never the whole
+   *  stream. This is the streaming twin of the event-enrichment joins
+   *  the batch surface runs (and the bounded cousin of [[graft.operators.AsOf]] —
+   *  a TRUE unbounded as-of can't stream, since "latest prior" may be
+   *  arbitrarily old; the lookback IS the eviction contract).
+   *  Column names must not collide across sides (caller renames). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      watermark: String, lookback: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND " +
+          s"$rightTs BETWEEN $leftTs - INTERVAL $lookback AND $leftTs"))
+  }
+
   /** `exit`-style run: drain everything currently available into an
    *  in-memory table and stop — used by tests to prove streaming ≡
    *  batch row-for-row (SURVEY §5.1(5)). `complete` mode for

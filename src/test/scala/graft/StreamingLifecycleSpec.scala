@@ -47,6 +47,27 @@ class StreamingLifecycleSpec extends SparkTestBase {
     assert(spark.table("dedup_stream").columns.contains("content_hash"))
   }
 
+  test("stream-stream interval join matches only within the lookback window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    clicks.addData((1L, ts(100), "c1"), (1L, ts(700), "c2"), (2L, ts(100), "c3"))
+    buys.addData((1L, ts(90), 9.0), (1L, ts(100), 10.0), (1L, ts(650), 65.0),
+      (2L, ts(200), 20.0)) // after c3 -> no match
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("u", "t", "name"),
+      buys.toDF().toDF("bu", "bt", "amount"),
+      "u", "bu", "t", "bt", "10 seconds", "60 seconds")
+    Streams.drainToMemory(joined, "ssjoin")
+    val got = spark.table("ssjoin").select("name", "amount").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    // c1@100 matches buys at 90 and 100 (within [40,100]); c2@700
+    // matches 650 (within [640,700]); c3 has no purchase at/before it
+    assert(got == Set(("c1", 9.0), ("c1", 10.0), ("c2", 65.0)))
+  }
+
   test("checkpointed file stream processes each file exactly once across restarts") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_ckpt_src_")
