@@ -234,6 +234,28 @@ object SparkEntry {
         .select(col("c_custkey"))
         .orderBy("c_custkey")
     }),
+    // semi join: customers WITH at least one high-value order (no
+    // row multiplication, broadcastable probe side)
+    "q49_semi_join" -> ((s, dir) => {
+      val hi = Sources.table(s, dir, "orders").filter(col("o_totalprice") > 280000)
+      Sources.table(s, dir, "customer")
+        .join(hi, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+    // full outer join: nations by high-balance customer count vs
+    // high-balance supplier count — either side may be absent
+    "q50_full_outer" -> ((s, dir) => {
+      val c = Sources.table(s, dir, "customer").filter(col("c_acctbal") > 7000)
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+      val sup = Sources.table(s, dir, "supplier").filter(col("s_acctbal") > 7000)
+        .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+      c.join(sup, Seq("nk"), "full_outer")
+        .select(col("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nk")
+    }),
     // schemaless map-payload math (reference map mode over events.props)
     "q29_map_payload" -> ((s, dir) => {
       val payload = Sources.jsonPayload(events(s, dir), "props")
@@ -509,6 +531,20 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 280000)
         |ORDER BY c_custkey""".stripMargin,
+    "q49_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 280000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q50_full_outer" ->
+      """SELECT COALESCE(c.nk, s.nk) AS nk,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+        |      WHERE c_acctbal > 7000 GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+        |      WHERE s_acctbal > 7000 GROUP BY 1) s
+        |  ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin,
     "q29_map_payload" ->
       """SELECT event_id,
         |  COALESCE(CAST(json_extract(props, '$.k') AS DOUBLE), 0.0) + 5.0 AS out
