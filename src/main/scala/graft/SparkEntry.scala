@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.TextFunctions
 import graft.multimodal.Media
-import graft.operators.{AsOf, Dedup, Sampling, Similarity}
+import graft.operators.{AsOf, Dedup, RangeJoin, Sampling, Similarity}
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -233,6 +233,19 @@ object SparkEntry {
         .join(hi, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"))
         .orderBy("c_custkey")
+    }),
+    // range join, bucketized: customers whose balance falls within
+    // ±50 of some supplier's balance — equi-join on value buckets +
+    // exact verify, NOT a BroadcastNestedLoopJoin
+    "q51_range_join" -> ((s, dir) => {
+      val pts = Sources.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val iv = Sources.table(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          (col("s_acctbal") - 50.0).as("lo"), (col("s_acctbal") + 50.0).as("hi"))
+      RangeJoin.pointInInterval(pts, "c_acctbal", iv, "lo", "hi", 100.0)
+        .select(col("c_custkey"), col("s_suppkey"))
+        .orderBy("c_custkey", "s_suppkey")
     }),
     // semi join: customers WITH at least one high-value order (no
     // row multiplication, broadcastable probe side)
@@ -531,6 +544,10 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 280000)
         |ORDER BY c_custkey""".stripMargin,
+    "q51_range_join" ->
+      """SELECT c_custkey, s_suppkey FROM customer JOIN supplier
+        |  ON c_acctbal BETWEEN s_acctbal - 50.0 AND s_acctbal + 50.0
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
     "q49_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

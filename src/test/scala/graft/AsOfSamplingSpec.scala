@@ -82,6 +82,28 @@ class AsOfSamplingSpec extends SparkTestBase {
     assert(out.forall(_.getLong(1) == 0L), "chain did not fully collapse")
   }
 
+  test("range join: bucketized result ≡ nested-loop result, without the nested loop") {
+    import graft.operators.RangeJoin
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val supp = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .select(col("s_suppkey"),
+        (col("s_acctbal") - 50.0).as("lo"), (col("s_acctbal") + 50.0).as("hi"))
+    val fast = RangeJoin.pointInInterval(cust, "c_acctbal", supp, "lo", "hi", 100.0)
+      .select("c_custkey", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = cust.crossJoin(supp)
+      .filter(col("c_acctbal") >= col("lo") && col("c_acctbal") <= col("hi"))
+      .select("c_custkey", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+    val plan = RangeJoin.pointInInterval(cust, "c_acctbal", supp, "lo", "hi", 100.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
+
   test("kmeans: Lloyd objective is non-increasing and partitions the corpus") {
     import graft.operators.Similarity
     import graft.functions.VectorExpressions
