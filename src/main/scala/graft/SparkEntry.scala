@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.TextFunctions
 import graft.multimodal.Media
-import graft.operators.{AsOf, Dedup, RangeJoin, Sampling, Similarity}
+import graft.operators.{AsOf, Decontamination, Dedup, RangeJoin, Sampling, Similarity}
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -443,6 +443,16 @@ object SparkEntry {
           Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id", 3, 16, 4, 0.8,
             persistIntermediate = true))
         .orderBy("doc_id")),
+    // benchmark decontamination: corpus docs (doc_id >= 20) sharing a
+    // word-3-shingle with the "eval set" (doc_id < 20), with distinct
+    // overlap counts — benchmark side broadcast
+    "q52_decontaminate" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Decontamination.contaminated(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "text", "doc_id", 3)
+        .orderBy("doc_id")
+    }),
     // deterministic stratified sample: 20 docs per source in hash order
     "q40_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedCap(documents(s, dir), "source", "doc_id", 20, "split1")
@@ -640,6 +650,10 @@ object SparkEntry {
     "q42_dedup_clusters" ->
       s"""${Dedup.clustersSql("documents", "doc_id",
              Dedup.minhashLshPairsSql("documents", "text", "doc_id", 3, 16, 4, 0.8))}
+         |ORDER BY doc_id""".stripMargin,
+    "q52_decontaminate" ->
+      s"""${Decontamination.contaminatedSql("documents", "text", "doc_id", 3,
+             "doc_id >= 20", "doc_id < 20")}
          |ORDER BY doc_id""".stripMargin,
     "q40_stratified_sample" -> {
       val h = graft.functions.Hashing.h60Sql("'split1' || CAST(doc_id AS VARCHAR)")

@@ -129,6 +129,22 @@ class AsOfSamplingSpec extends SparkTestBase {
     assert(sum43 == emb.count()) // every vector lands in exactly one cell
   }
 
+  test("decontamination: clean + contaminated partition the corpus; no false hits") {
+    import graft.operators.Decontamination
+    val bench = Seq((1L, "the quick brown fox jumps over lazy dogs")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "quick brown fox seen again today"), // shares "quick brown fox"
+      (11L, "completely different vocabulary here entirely"), // clean
+      (12L, "over lazy dogs they jumped")).toDF("doc_id", "text") // shares "over lazy dogs"
+    val hits = Decontamination.contaminated(corpus, bench, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(10L, 12L))
+    assert(hits(10L) == 1L && hits(12L) == 1L)
+    val clean = Decontamination.clean(corpus, bench, "text", "doc_id", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(11L))
+  }
+
   test("multi-index simhash finds EXACTLY the brute-force hamming pairs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fast = Dedup.simhashPairsMultiIndex(docs, "text", "doc_id", 2)
