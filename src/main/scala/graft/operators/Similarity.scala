@@ -228,54 +228,85 @@ object Similarity {
    *     double→decimal ties differently — 1-ulp divergence.);
    *   - empty cells keep their previous centroid.
    *
-   *  Scale posture: centroids are k×dim values broadcast each
-   *  iteration (identical to Spark MLlib's KMeans dataflow); the
-   *  corpus is scanned once per iteration with one (cell, dim)
-   *  aggregation — map-side partial sums make the shuffle k×dim rows
-   *  per partition. Iterations are a driver loop over small plans, so
-   *  lineage stays flat. Returns (c_id, cv: array<double>). */
+   *  Scale posture: centroids live on the DRIVER between iterations
+   *  (k×dim doubles — Spark MLlib's KMeans keeps them there too) and
+   *  enter each assignment as LITERAL arrays in a narrow projection,
+   *  so the corpus NEVER shuffles for assignment (an earlier
+   *  formulation crossJoined a centroid frame and ranked with a
+   *  window — a corpus-wide exchange+sort per iteration for what is
+   *  per-row math). The only shuffle per iteration is the (cell, dim)
+   *  mean aggregation: k×dim rows after map-side partials. Iterations
+   *  are a driver loop over small plans, so lineage stays flat.
+   *  Returns (c_id, cv: array<double>). */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    trainedCentroids(emb, k, iters).toDF("c_id", "cv")
+  }
+
+  private def trainedCentroids(emb: DataFrame, k: Int,
+      iters: Int): Seq[(Long, Seq[Double])] = {
     val e = prepared(emb).select(col("vec_id"), col("v"))
-    var cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+      .sortBy(_._1)
     for (_ <- 0 until iters) {
-      val means = assign(e, cents)
-        .select(col("c_id"), col("vec_id"), posexplode(col("v")))
-        .groupBy(col("c_id"), col("pos"))
+      val means = assignByLiterals(e, cents)
+        .select(col("cell"), col("vec_id"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
         .agg((expr("aggregate(transform(sort_array(collect_list(struct(vec_id, col))), " +
           "s -> s.col), cast(0.0 as double), (acc, x) -> acc + x)") /
           count(lit(1))).as("m"))
-        .groupBy(col("c_id"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
-          .as("mv"))
-      cents = cents.join(means, Seq("c_id"), "left")
-        .select(col("c_id"), coalesce(col("mv"), col("cv")).as("cv"))
+        .collect()
+      val byCell: Map[Long, Seq[Double]] = means.groupBy(_.getLong(0)).map {
+        case (cid, rows) => cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      // empty cells keep their previous centroid
+      cents = cents.map { case (cid, cv) => (cid, byCell.getOrElse(cid, cv)) }
     }
     cents
   }
 
-  /** Nearest-centroid assignment: (vec_id, v, c_id). */
-  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val c = cents.withColumn("cn2", dotExpr("cv", "cv"))
-    e.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("v"), col("c_id"),
-        (dotExpr("v", "cv") * lit(-2.0) + col("cn2")).as("score"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("vec_id").orderBy(asc("score"), asc("c_id"))))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("v"), col("c_id"))
+  /** Ascending-index fold — the driver-side twin of the codegen'd
+   *  DotProduct accumulation order (bit-identical: IEEE addition is
+   *  deterministic for a fixed order). */
+  private def dotLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Narrow nearest-centroid assignment: each centroid is a LITERAL
+   *  array in the projection; argmin with ties to the lower c_id via
+   *  lexicographic least(struct(score, c_id)). Zero shuffle. */
+  private def assignByLiterals(e: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val scored = cents.map { case (cid, cv) =>
+      val cvArr = array(cv.map(lit): _*)
+      struct(
+        (graft.functions.VectorExpressions.dot(col("v"), cvArr) * lit(-2.0)
+          + lit(dotLocal(cv, cv))).as("score"),
+        lit(cid).as("c_id"))
+    }
+    e.withColumn("cell", least(scored: _*).getField("c_id"))
   }
 
   /** Trained-codebook summary query: per-cell member count and
    *  centroid norm after `iters` Lloyd iterations (scalar outputs —
    *  engine-comparable without array hashing). */
   def kmeansSummary(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val e = prepared(emb).select(col("vec_id"), col("v"))
-    val cents = kmeansCentroids(emb, k, iters)
-    val sizes = assign(e, cents).groupBy(col("c_id")).count()
-    cents.join(sizes, Seq("c_id"), "left")
-      .select(col("c_id"), coalesce(col("count"), lit(0L)).as("n_members"),
-        sqrt(dotExpr("cv", "cv")).as("cnorm"))
+    val cents = trainedCentroids(emb, k, iters)
+    val sizes = assignByLiterals(e, cents)
+      .groupBy(col("cell")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cents.map { case (cid, cv) =>
+      (cid, sizes.getOrElse(cid, 0L), math.sqrt(dotLocal(cv, cv)))
+    }.toDF("c_id", "n_members", "cnorm")
   }
 
   def kmeansSummarySql(table: String, k: Int, iters: Int): String = {
