@@ -119,16 +119,28 @@ object Dedup {
       s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else s0
     val posts = s.select(col("blk"), col("id"), col("sz"),
-        explode(slice(col("hs"), lit(1), col("pfx"))).as("h"))
-    // length filter (also lossless): j ≥ tau forces
-    // tau·|A| ≤ |B| ≤ |A|/tau — prunes size-mismatched pairs before
-    // the distinct.
-    val cand = posts.select(col("blk"), col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
-      .join(posts.select(col("blk"), col("h"), col("id").as("id_b"), col("sz").as("sz_b")),
+        posexplode(slice(col("hs"), lit(1), col("pfx"))))
+      .select(col("blk"), col("id"), col("sz"),
+        (col("pos") + 1).as("p"), col("col").as("h"))
+    // two more LOSSLESS prunes before the distinct:
+    //  - length filter: j ≥ tau forces tau·|A| ≤ |B| ≤ |A|/tau;
+    //  - PPJoin positional filter: hs is sorted, so at the FIRST
+    //    common element (position p, 1-based) nothing earlier is
+    //    shared and |A∩B| ≤ 1 + min(sz_a−p_a, sz_b−p_b); j ≥ tau
+    //    needs |A∩B| ≥ tau/(1+tau)·(sz_a+sz_b). A pair's first
+    //    common posting always carries a valid bound, and the OR
+    //    across its other postings can only keep it — never drop it.
+    val minOverlap = (col("sz_a") + col("sz_b")) * lit(tau / (1.0 + tau))
+    val cand = posts.select(col("blk"), col("h"), col("id").as("id_a"),
+        col("sz").as("sz_a"), col("p").as("p_a"))
+      .join(posts.select(col("blk"), col("h"), col("id").as("id_b"),
+        col("sz").as("sz_b"), col("p").as("p_b")),
         Seq("blk", "h"))
       .filter(col("id_a") < col("id_b") &&
         col("sz_b") >= col("sz_a") * lit(tau) &&
-        col("sz_a") >= col("sz_b") * lit(tau))
+        col("sz_a") >= col("sz_b") * lit(tau) &&
+        (lit(1) + least(col("sz_a") - col("p_a"), col("sz_b") - col("p_b")))
+          >= minOverlap)
       .select(col("id_a"), col("id_b")).distinct()
     val la = s.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
     val lb = s.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
