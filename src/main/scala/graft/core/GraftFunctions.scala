@@ -66,6 +66,12 @@ object GraftFunctions {
     "graft_shingle_hashes" -> { args: Seq[Expression] =>
       require(args.size == 2, "graft_shingle_hashes(string, k)")
       graft.functions.ShingleHashes(args(0), literalInt(args(1)))
+    },
+    "graft_minhash" -> { args: Seq[Expression] =>
+      require(args.size == 3, "graft_minhash(string, k, perms)")
+      graft.functions.MinHashSig(
+        graft.functions.ShingleHashes(args(0), literalInt(args(1))),
+        literalInt(args(2)))
     })
 
   private def literalInt(e: Expression): Int = e match {

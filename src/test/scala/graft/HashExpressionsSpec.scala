@@ -152,18 +152,22 @@ class HashExpressionsSpec extends SparkTestBase {
     docs.createOrReplaceTempView("hx_docs")
     val sql = spark.sql(
       """SELECT graft_simhash(text) AS sh, graft_lang_id(text) AS lang,
-        |       graft_shingle_hashes(text, 3) AS hs
+        |       graft_shingle_hashes(text, 3) AS hs,
+        |       graft_minhash(text, 3, 16) AS sig
         |FROM hx_docs ORDER BY doc_id""".stripMargin).collect()
     val dsl = docs.orderBy("doc_id").select(
       HashExpressions.simhash32(col("text")).as("sh"),
       TextFunctions.langIdFast(col("text")).as("lang"),
-      HashExpressions.shingleHashes(col("text"), 3).as("hs"))
+      HashExpressions.shingleHashes(col("text"), 3).as("hs"),
+      HashExpressions.minhashSig(
+        HashExpressions.shingleHashes(col("text"), 3), 16).as("sig"))
       .collect()
     assert(sql.length == dsl.length && sql.nonEmpty)
     sql.zip(dsl).foreach { case (a, b) =>
       assert(a.getLong(0) == b.getLong(0))
       assert(a.getString(1) == b.getString(1))
       assert(a.getSeq[Long](2) == b.getSeq[Long](2))
+      assert(a.getSeq[Long](3) == b.getSeq[Long](3))
     }
   }
 

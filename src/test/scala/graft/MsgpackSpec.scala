@@ -62,6 +62,51 @@ class MsgpackSpec extends SparkTestBase {
       assert(one(hdr) == Seq("e" -> None, "k" -> Some(5.0)), name)
   }
 
+  test("property: random event chunks round-trip encode→decode exactly") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      val events = (0 until rnd.nextInt(6)).map { _ =>
+        val ts = math.abs(rnd.nextLong()) % (4102444800L * 1000000000L)
+        val payload = (0 until rnd.nextInt(8)).map { i =>
+          val key = s"k${i}_${rnd.nextInt(100)}"
+          val v: Any = rnd.nextInt(6) match {
+            case 0 => rnd.nextInt(128) // positive fixint
+            case 1 => -rnd.nextInt(100000) - 1 // int32
+            case 2 => rnd.nextLong() // int64
+            case 3 => rnd.nextDouble() * 1e6 // float64
+            case 4 => s"s${rnd.nextInt(999)}" // non-numeric
+            case 5 => rnd.nextBoolean() // non-numeric
+          }
+          key -> v
+        }
+        (ts, payload)
+      }
+      val bytes = events.flatMap { case (ts, p) => Msgpack.encodeEvent(ts, p) }.toArray
+      val decoded = Msgpack.decodeEvents(bytes)
+      assert(decoded.length == events.length)
+      decoded.zip(events).foreach { case (d, (ts, p)) =>
+        assert(d.ts == ts)
+        val expected = p.foldLeft(Vector.empty[(String, Option[Double])]) {
+          case (acc, (k, v)) =>
+            val num: Option[Double] = v match {
+              case i: Int => Some(i.toDouble)
+              case l: Long => Some(l.toDouble)
+              case f: Double => Some(f)
+              case _ => None
+            }
+            acc.indexWhere(_._1 == k) match {
+              case -1 => acc :+ (k -> num)
+              case idx =>
+                // duplicate key: first numeric occurrence wins
+                if (acc(idx)._2.isEmpty && num.isDefined) acc.updated(idx, k -> num)
+                else acc
+            }
+        }
+        assert(d.payload == expected, s"ts=$ts payload=$p")
+      }
+    }
+  }
+
   test("malformed tail keeps the parsed prefix") {
     val good = Msgpack.encodeEvent(1L, Seq("a" -> 1))
     val events = Msgpack.decodeEvents(good ++ Array[Byte](0xc1.toByte, 0x00))
