@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.execution.SparkPlan
+
+/** PLANS.md's audit claims, pinned as tests: hot paths stay inside
+ *  whole-stage codegen, predicates reach the scans, dimension joins
+ *  broadcast, and nothing falls back to a nested-loop join. */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+
+  private def fallbacksIn(plan: SparkPlan): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    plan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case e: CodegenFallback => out += e.getClass.getSimpleName
+        case _ =>
+      })
+    }
+    out.distinct.toSeq
+  }
+
+  test("hot-path queries contain no interpreted (CodegenFallback) expressions") {
+    // The accepted interpreted spots (PLANS.md) are NOT in this list:
+    // q17/q32/q42 (4-element band-hash transform), q29 (JsonToStructs),
+    // q43 (sequential mean folds — deliberate for float determinism).
+    val hot = Seq("q1_sum_fields", "q6_cast_int", "q10_tag_fanout",
+      "q12_quality_score", "q13_lang_id", "q14_fingerprint",
+      "q15_dedup_exact", "q16_jaccard_dup", "q18_simhash",
+      "q19_knn_brute", "q21_embed_dup", "q23_group_agg",
+      "q37_percentile", "q38_asof_join", "q39_simhash_multiindex",
+      "q40_stratified_sample", "q41_hash_sample", "q46_token_freq",
+      "q51_range_join", "q52_decontaminate")
+    val offenders = hot.flatMap { name =>
+      fallbacksIn(executed(name)).map(e => s"$name: $e")
+    }
+    assert(offenders.isEmpty,
+      s"interpreted expressions crept into hot paths: ${offenders.mkString(", ")}")
+  }
+
+  test("q23 predicate reaches the parquet scan (PushedFilters)") {
+    val plan = executed("q23_group_agg").toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"), plan)
+  }
+
+  test("q24 joins both dimension tables via broadcast") {
+    val plan = executed("q24_join_agg").toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("no query plans a cartesian or UNINTENDED nested-loop join") {
+    // BNL is legitimate exactly where a bounded side is broadcast on
+    // purpose: the kNN/IVF scoring passes fan a BOUNDED query/probe
+    // set across the corpus (SCALE.md documents why that's the right
+    // plan there). Anywhere else it means a join degenerated.
+    val boundedBroadcastOk = Set("q19_knn_brute", "q31_ivf_topk")
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val plan = executed(name).toString
+      assert(!plan.contains("CartesianProduct"), s"$name planned a cartesian join")
+      if (!boundedBroadcastOk(name))
+        assert(!plan.contains("BroadcastNestedLoop"), s"$name planned a nested loop")
+    }
+  }
+}
