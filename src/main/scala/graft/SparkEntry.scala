@@ -431,6 +431,12 @@ object SparkEntry {
     "q39_simhash_multiindex" -> ((s, dir) =>
       Dedup.simhashPairsMultiIndex(documents(s, dir), "text", "doc_id", 2)
         .orderBy("id_a", "id_b")),
+    // the scale-width variant: 60-bit simhash, hamming <= 3 across 4
+    // disjoint 15-bit segments — the index shape for corpora where 32
+    // bits saturate with false candidates
+    "q53_simhash_wide" -> ((s, dir) =>
+      Dedup.simhashPairsMultiIndex(documents(s, dir), "text", "doc_id", 3, bits = 60)
+        .orderBy("id_a", "id_b")),
     // trained IVF codebook: deterministic Lloyd's k-means (decimal-sum
     // means, no RNG), summarized as per-cell size + centroid norm
     "q43_kmeans_train" -> ((s, dir) =>
@@ -645,6 +651,8 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q39_simhash_multiindex" ->
       s"${Dedup.simhashPairsMultiIndexSql("documents", "text", "doc_id", 2)} ORDER BY id_a, id_b",
+    "q53_simhash_wide" ->
+      s"${Dedup.simhashPairsMultiIndexSql("documents", "text", "doc_id", 3, bits = 60)} ORDER BY id_a, id_b",
     "q43_kmeans_train" ->
       s"${Similarity.kmeansSummarySql("embeddings", 8, 2)} ORDER BY c_id",
     "q42_dedup_clusters" ->

@@ -171,13 +171,16 @@ object HashOps {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
-  /** 32-bit SimHash over `lower(text)`'s whitespace tokens: bit b set
-   *  iff the ±1 majority of h60(token) bit b is positive — identical
-   *  to hashing the `split` token array (including its boundary empty
-   *  tokens), with no token array materialized. */
-  def simhash32(s: UTF8String): Long = {
+  /** `bits`-wide SimHash (bits ≤ 60) over `lower(text)`'s whitespace
+   *  tokens: bit b set iff the ±1 majority of h60(token) bit b is
+   *  positive — identical to hashing the `split` token array
+   *  (including its boundary empty tokens), with no token array
+   *  materialized. 32 bits is the compact default; 60 bits is the
+   *  scale width (hamming search over larger corpora needs the
+   *  collision space — see SCALE.md). */
+  def simhashBits(s: UTF8String, bits: Int): Long = {
     val bytes = s.toLowerCase.getBytes
-    val counts = new Array[Long](32)
+    val counts = new Array[Long](bits)
     val md = mdLocal.get()
     forEachSplitToken(bytes) { (off, len) =>
       md.reset()
@@ -188,14 +191,14 @@ object HashOps {
       while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
       val h = v >>> 4
       var b = 0
-      while (b < 32) {
+      while (b < bits) {
         counts(b) += ((h >>> b) & 1L) * 2L - 1L
         b += 1
       }
     }
     var acc = 0L
     var b = 0
-    while (b < 32) { if (counts(b) > 0) acc |= 1L << b; b += 1 }
+    while (b < bits) { if (counts(b) > 0) acc |= 1L << b; b += 1 }
     acc
   }
 
@@ -315,16 +318,17 @@ case class MinHashSig(child: Expression, perms: Int)
     copy(child = newChild)
 }
 
-/** `SimHash32(string) → long` — fused tokenize + bit-majority
- *  SimHash. */
-case class SimHash32(child: Expression)
+/** `SimHash32(string, bits) → long` — fused tokenize + bit-majority
+ *  SimHash at a configurable width (≤ 60). */
+case class SimHash32(child: Expression, bits: Int = 32)
     extends UnaryExpression with StringInput {
+  require(bits >= 1 && bits <= 60, s"simhash width must be 1..60: $bits")
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    HashOps.simhash32(input.asInstanceOf[UTF8String])
+    HashOps.simhashBits(input.asInstanceOf[UTF8String], bits)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.HashOps.simhash32($c);")
+      s"${ev.value} = graft.functions.HashOps.simhashBits($c, $bits);")
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)
 }
@@ -377,6 +381,8 @@ object HashExpressions {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), perms))
   def simhash32(c: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(c)))
+  def simhashBits(c: Column, bits: Int): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(c), bits))
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -333,9 +333,11 @@ object Dedup {
 
   // ----------------------------------------------------------- simhash
 
-  def simhash32Sql(toksExpr: String): String = {
+  def simhash32Sql(toksExpr: String): String = simhashBitsSql(toksExpr, 32)
+
+  def simhashBitsSql(toksExpr: String, bits: Int): String = {
     val h = Hashing.h60Sql("t")
-    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), b -> " +
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(0, $bits), b -> " +
       s"CASE WHEN list_sum(list_transform($toksExpr, t -> ((($h >> b) & 1) * 2 - 1))) > 0 " +
       s"THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (acc, x) -> acc + x)"
   }
@@ -378,13 +380,13 @@ object Dedup {
    *  Σ block². This is the hamming-search shape that survives when no
    *  natural block exists at 100 TB. */
   def simhashPairsMultiIndex(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, bits: Int = 32): DataFrame = {
     val nSeg = maxHamming + 1
-    val base = 32 / nSeg
-    val widths = (0 until nSeg).map(j => if (j < 32 % nSeg) base + 1 else base)
+    val base = bits / nSeg
+    val widths = (0 until nSeg).map(j => if (j < bits % nSeg) base + 1 else base)
     val shifts = widths.scanLeft(0)(_ + _).init
     val s = df.select(col(idCol).as("id"),
-      graft.functions.HashExpressions.simhash32(col(textCol)).as("sh32"))
+      graft.functions.HashExpressions.simhashBits(col(textCol), bits).as("sh32"))
     val segCols = (0 until nSeg).map(j =>
       expr(s"shiftright(sh32, ${shifts(j)}) & ${(1L << widths(j)) - 1}"))
     val posts = s.select(col("id"), col("sh32"), posexplode(array(segCols: _*)))
@@ -403,8 +405,8 @@ object Dedup {
    *  formulation — a multi-index bug (a dropped candidate) cannot pass
    *  verification. */
   def simhashPairsMultiIndexSql(table: String, textCol: String,
-      idCol: String, maxHamming: Int): String = {
-    val sh = simhash32Sql(TextFunctions.lowerTokensSql(textCol))
+      idCol: String, maxHamming: Int, bits: Int = 32): String = {
+    val sh = simhashBitsSql(TextFunctions.lowerTokensSql(textCol), bits)
     s"""WITH s AS (SELECT $idCol AS id, $sh AS sh32 FROM $table)
        |SELECT * FROM (
        |  SELECT a.id AS id_a, b.id AS id_b,

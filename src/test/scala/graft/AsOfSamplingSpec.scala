@@ -157,5 +157,15 @@ class AsOfSamplingSpec extends SparkTestBase {
       .select(col("a.id"), col("b.id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fast == brute)
+    // and at the 60-bit scale width with a wider hamming budget
+    val fastWide = Dedup.simhashPairsMultiIndex(docs, "text", "doc_id", 3, bits = 60)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sWide = docs.select(col("doc_id").as("id"),
+      graft.functions.HashExpressions.simhashBits(col("text"), 60).as("sh"))
+    val bruteWide = sWide.as("a").join(sWide.as("b"), col("a.id") < col("b.id"))
+      .filter(expr("bit_count(a.sh ^ b.sh)") <= 3)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fastWide == bruteWide)
   }
 }
