@@ -42,6 +42,14 @@ class PlanAuditSpec extends SparkTestBase {
       s"interpreted expressions crept into hot paths: ${offenders.mkString(", ")}")
   }
 
+  test("driver contract: every query has an oracle and vice versa") {
+    // a query without an oracle silently downgrades to a rows-only
+    // check; an oracle without a query is dead weight that masks typos
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"mismatch: only-queries=${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet} " +
+        s"only-oracles=${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
+  }
+
   test("q23 predicate reaches the parquet scan (PushedFilters)") {
     val plan = executed("q23_group_agg").toString
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"), plan)
