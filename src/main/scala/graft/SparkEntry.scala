@@ -270,14 +270,14 @@ object SparkEntry {
         .orderBy("nk")
     }),
     // schemaless map-payload math (reference map mode over events.props)
-    "q29_map_payload" -> ((s, dir) => {
-      val payload = Sources.jsonPayload(events(s, dir), "props")
-      MathCompiler.applyToMap(payload,
+    // — fused codegen JSON-key scan, not from_json (same semantics,
+    // spec-pinned equal to the map path; SCALE.md measurements)
+    "q29_map_payload" -> ((s, dir) =>
+      MathCompiler.applyToJson(events(s, dir),
         MathOp("Operation" -> "sum", "Field" -> "k", "Constant" -> "5",
-          "Output_field" -> "out"), "payload")
+          "Output_field" -> "out"), "props")
         .select(col("event_id"), col("out"))
-        .orderBy("event_id")
-    }),
+        .orderBy("event_id")),
     // IVF ANN: broadcast centroid assign, search within cell only
     "q31_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Sources.table(s, dir, "embeddings"), 16, 8, 3)

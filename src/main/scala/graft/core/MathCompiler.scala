@@ -150,6 +150,30 @@ object MathCompiler {
   def applyToMap(df: DataFrame, op: MathOp, payloadCol: String): DataFrame =
     df.withColumn(op.outputField, columnForMap(op, col(payloadCol)))
 
+  /** Fused JSON-payload resolution: the same case-insensitive
+   *  first-numeric-wins forward scan as the map mode (math.c:146-165),
+   *  but as ONE codegen'd byte pass per operand over the raw JSON
+   *  text ([[graft.functions.JsonOps]]) instead of `from_json`
+   *  materializing a full `MapType` per record (`JsonToStructs` is
+   *  CodegenFallback — measured 2×+ slower; SCALE.md). Missing key,
+   *  no numeric match, or a malformed document all resolve to 0.0
+   *  exactly like [[resolveInMap]] over a null/empty map. The map
+   *  path remains for payloads already materialized as maps
+   *  (msgpack ingestion). */
+  def resolveInJson(jsonCol: Column, name: String): Column =
+    coalesce(graft.functions.JsonExpressions.jsonFirstNumeric(jsonCol, name),
+      lit(0.0))
+
+  /** JSON-text-payload compile + apply (schemaless fast path). */
+  def columnForJson(op: MathOp, jsonCol: Column): Column =
+    expression(op, {
+      case Const(c)    => lit(c.toDouble)
+      case FieldRef(f) => resolveInJson(jsonCol, f)
+    })
+
+  def applyToJson(df: DataFrame, op: MathOp, jsonCol: String): DataFrame =
+    df.withColumn(op.outputField, columnForJson(op, col(jsonCol)))
+
   /** VARIANT-payload resolution (Spark 4): exact-key access via
    *  `try_variant_get` — missing key, non-numeric value, or NULL
    *  payload all resolve to 0.0 like the reference's scan. NOTE:
