@@ -270,8 +270,12 @@ object SparkEntry {
         .orderBy("nk")
     }),
     // schemaless map-payload math (reference map mode over events.props)
-    // — fused codegen JSON-key scan, not from_json (same semantics,
-    // spec-pinned equal to the map path; SCALE.md measurements)
+    // — fused codegen JSON-key scan, not from_json: reference-faithful
+    // (math.c:146-165 forward scan), and equal to the map path on
+    // numeric-valued documents; mixed-type/lenient-syntax documents
+    // diverge (kernel skips non-numeric values per key where Jackson
+    // nulls the whole map) — pinned in JsonKernelSpec. SCALE.md has
+    // the measurements.
     "q29_map_payload" -> ((s, dir) =>
       MathCompiler.applyToJson(events(s, dir),
         MathOp("Operation" -> "sum", "Field" -> "k", "Constant" -> "5",

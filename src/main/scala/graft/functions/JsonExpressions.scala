@@ -59,10 +59,19 @@ object JsonOps {
 /** Single-use, single-pass scanner. Not thread-shared; one instance
  *  per evaluation (escape-free documents allocate only for the
  *  extracted key slice). */
+private object JsonKeyScan {
+  /** Nesting cap: matches Jackson's default depth limit, so a
+   *  pathological tens-of-thousands-deep document degrades to NULL →
+   *  0.0 (exactly like the from_json path it replaced) instead of a
+   *  StackOverflowError failing the whole task inside codegen. */
+  final val MaxDepth = 1000
+}
+
 private final class JsonKeyScan(b: Array[Byte], keyLower: UTF8String) {
   private[this] var i = 0
   private[this] var found: java.lang.Double = null
   private[this] var bad = false
+  private[this] var depth = 0
 
   private def ws(): Unit = {
     while (i < b.length &&
@@ -83,10 +92,22 @@ private final class JsonKeyScan(b: Array[Byte], keyLower: UTF8String) {
     i += 1
     val start = i
     var hasEscape = false
-    // fast scan to closing quote
+    // fast scan to closing quote — escapes are VALIDATED here too, so
+    // skipped strings reject exactly what decoded strings reject (an
+    // unvalidated skip let documents from_json refuses slip through —
+    // a lenient/strict divergence this scan otherwise avoids)
     while (i < b.length && b(i) != '"') {
-      if (b(i) == '\\') { hasEscape = true; i += 2 }
-      else i += 1
+      if (b(i) == '\\') {
+        hasEscape = true
+        if (i + 1 >= b.length) { bad = true; return null }
+        b(i + 1) match {
+          case '"' | '\\' | '/' | 'b' | 'f' | 'n' | 'r' | 't' => i += 2
+          case 'u' =>
+            if (i + 6 > b.length || hex4(i + 2) < 0) { bad = true; return null }
+            i += 6
+          case _ => bad = true; return null
+        }
+      } else i += 1
     }
     if (i >= b.length) { bad = true; return null }
     val end = i
@@ -187,19 +208,28 @@ private final class JsonKeyScan(b: Array[Byte], keyLower: UTF8String) {
   private def parseValue(capture: Boolean): Unit = {
     peek match {
       case '"' => parseString(want = false); ()
-      case '{' => parseObject(inner = true)
+      case '{' =>
+        depth += 1
+        if (depth > JsonKeyScan.MaxDepth) bad = true
+        else parseObject(inner = true)
+        depth -= 1
       case '[' =>
-        i += 1; ws()
-        if (peek == ']') { i += 1 }
+        depth += 1
+        if (depth > JsonKeyScan.MaxDepth) bad = true
         else {
-          var cont = true
-          while (cont && !bad) {
-            parseValue(capture = false); ws()
-            if (peek == ',') { i += 1; ws() }
-            else if (peek == ']') { i += 1; cont = false }
-            else bad = true
+          i += 1; ws()
+          if (peek == ']') { i += 1 }
+          else {
+            var cont = true
+            while (cont && !bad) {
+              parseValue(capture = false); ws()
+              if (peek == ',') { i += 1; ws() }
+              else if (peek == ']') { i += 1; cont = false }
+              else bad = true
+            }
           }
         }
+        depth -= 1
       case 't' => expectWord("true")
       case 'f' => expectWord("false")
       case 'n' => expectWord("null")

@@ -289,27 +289,54 @@ object Dedup {
     // measured crowding out every subsequent query in the bench.
     def cut(d: DataFrame): DataFrame =
       spark.createDataFrame(d.rdd, d.schema).persist(MEMORY_AND_DISK)
+    // The lineage-cutting RDD round-trip doubles as the convergence
+    // check: a long accumulator counts label changes WHILE the round's
+    // blocks are built, so no separate join-with-previous + count()
+    // job runs per round (it used to — a full extra shuffle each
+    // iteration). The old label rides along as `__old` (labels
+    // contribute their own; neighbor rows a Long.MaxValue sentinel
+    // that min() discards — every vertex has exactly one labels row).
+    // Accumulators can over-count if an evicted block recomputes;
+    // that only delays early-stop by a round, never changes labels.
+    def cutCounting(d: DataFrame, changes: org.apache.spark.util.LongAccumulator,
+        schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val rdd = d.rdd.mapPartitions { it =>
+        it.map { r =>
+          if (r.get(1) != r.get(2)) changes.add(1L)
+          org.apache.spark.sql.Row(r.get(0), r.get(1))
+        }
+      }
+      spark.createDataFrame(rdd, schema).persist(MEMORY_AND_DISK)
+    }
     var labels = cut(df.select(col(idCol).as(idCol), col(idCol).as("cluster_id")))
+    val outSchema = labels.schema
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
+      val acc = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
       val viaNeighbors = edges
         .join(labels.select(col(idCol).as("dst"), col("cluster_id")), "dst")
-        .select(col("src").as(idCol), col("cluster_id"))
-      val propagated = labels.select(col(idCol), col("cluster_id"))
+        .select(col("src").as(idCol), col("cluster_id"),
+          lit(Long.MaxValue).as("__old"))
+      // persisted: the compression self-join below references this
+      // frame twice, and uncached that recomputes the whole round
+      val propagated = cut(labels
+        .select(col(idCol), col("cluster_id"), col("cluster_id").as("__old"))
         .union(viaNeighbors)
-        .groupBy(col(idCol)).agg(min(col("cluster_id")).as("cluster_id"))
+        .groupBy(col(idCol)).agg(min(col("cluster_id")).as("cluster_id"),
+          min(col("__old")).as("__old")))
       // path compression: follow the label one more hop — L(v) ← L(L(v)).
       // cluster_id is always a vertex id, so the join is total; the
       // left+coalesce guards the degenerate empty-vertex-set case.
-      val next = cut(propagated
+      val next = cutCounting(propagated
         .join(propagated.select(col(idCol).as("cluster_id"),
           col("cluster_id").as("__cc")), Seq("cluster_id"), "left")
         .select(col(idCol),
-          coalesce(col("__cc"), col("cluster_id")).as("cluster_id")))
-      changed = next
-        .join(labels.select(col(idCol), col("cluster_id").as("__old")), idCol)
-        .filter(col("cluster_id") < col("__old")).count()
+          coalesce(col("__cc"), col("cluster_id")).as("cluster_id"),
+          col("__old")), acc, outSchema)
+      next.count() // one action per round: materializes next + fills acc
+      changed = acc.value
+      propagated.unpersist()
       labels.unpersist()
       labels = next
       iter += 1

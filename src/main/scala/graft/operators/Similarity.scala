@@ -218,14 +218,18 @@ object Similarity {
    *   - init: centroids = vectors with `vec_id < k` (no RNG);
    *   - assignment: argmin squared-L2 via `-2·v·c + |c|²` (the `|v|²`
    *     term is constant per row), ties → lower c_id;
-   *   - update: per-dimension mean as a SEQUENTIAL double fold in
-   *     vec_id order (collect + sort + fold) — float addition is
-   *     order-dependent, so a plain sum() would vary with
-   *     partitioning; fixing the order makes the mean a pure function
-   *     of the data and bit-identical to the oracle's
-   *     `list(x ORDER BY vec_id)` fold. (A DECIMAL-sum variant was
-   *     tried first: exact and order-free, but Spark and DuckDB round
-   *     double→decimal ties differently — 1-ulp divergence.);
+   *   - update: per-dimension mean over FIXED-POINT long sums — each
+   *     value quantizes to `floor(x·2³⁰ + ½)` (a bigint; exact and
+   *     identical in both engines), the quantized values sum exactly
+   *     (decimal(38,0) partials here, HUGEINT in DuckDB — integral
+   *     inputs, so none of the double→decimal tie-rounding that made
+   *     a direct decimal sum diverge 1 ulp), and the mean divides
+   *     back in double with one fixed expression shape both sides.
+   *     Order-free AND bit-deterministic, with bounded per-group
+   *     state: map-side partial sums replace the earlier
+   *     `sort_array(collect_list(...))` sequential fold, which
+   *     buffered ~|corpus|/k values per (cell,dim) group — unbounded
+   *     aggregation state at 100 TB;
    *   - empty cells keep their previous centroid.
    *
    *  Scale posture: centroids live on the DRIVER between iterations
@@ -251,13 +255,7 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
       .sortBy(_._1)
     for (_ <- 0 until iters) {
-      val means = assignByLiterals(e, cents)
-        .select(col("cell"), col("vec_id"), posexplode(col("v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg((expr("aggregate(transform(sort_array(collect_list(struct(vec_id, col))), " +
-          "s -> s.col), cast(0.0 as double), (acc, x) -> acc + x)") /
-          count(lit(1))).as("m"))
-        .collect()
+      val means = cellDimMeans(assignByLiterals(e, cents)).collect()
       val byCell: Map[Long, Seq[Double]] = means.groupBy(_.getLong(0)).map {
         case (cid, rows) => cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
       }
@@ -266,6 +264,22 @@ object Similarity {
     }
     cents
   }
+
+  /** Per-(cell, dimension) fixed-point mean — the Lloyd update step.
+   *  Map-side partial sums of `floor(x·2³⁰ + ½)` quantized bigints
+   *  (exact in decimal(38,0) — no per-group value buffering, unlike a
+   *  `collect_list` fold, so aggregation state stays O(1) per group
+   *  at any corpus size); the divide back to double uses one fixed
+   *  expression shape mirrored verbatim in the DuckDB oracle.
+   *  `private[graft]` so PlanAuditSpec can pin the no-collect_list,
+   *  hash-aggregate plan. */
+  private[graft] def cellDimMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(((expr("cast(sum(cast(cast(floor(col * 1073741824.0D + 0.5D)" +
+        " as bigint) as decimal(38,0))) as double)") /
+        count(lit(1)).cast("double")) / lit(1073741824.0)).as("m"))
 
   /** Ascending-index fold — the driver-side twin of the codegen'd
    *  DotProduct accumulation order (bit-identical: IEEE addition is
@@ -321,9 +335,10 @@ object Similarity {
     val iterCtes = (0 until iters).map { i =>
       s"""${assignSql(s"c$i", s"a$i")},
          |m$i AS (SELECT c_id, pos,
-         |          list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
-         |                      (acc, x) -> acc + x) / count(*) AS m
-         |        FROM (SELECT c_id, vec_id, generate_subscripts(v, 1) AS pos,
+         |          (CAST(sum(CAST(floor(x * 1073741824.0 + 0.5) AS BIGINT))
+         |                AS DOUBLE)
+         |           / CAST(count(*) AS DOUBLE)) / 1073741824.0 AS m
+         |        FROM (SELECT c_id, generate_subscripts(v, 1) AS pos,
          |                unnest(v) AS x FROM a$i)
          |        GROUP BY c_id, pos),
          |c${i + 1} AS (SELECT c.c_id, COALESCE(mm.cv, c.cv) AS cv

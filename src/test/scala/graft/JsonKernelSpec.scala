@@ -103,6 +103,43 @@ class JsonKernelSpec extends SparkTestBase {
     assert(viaJson == Seq(576.0, 110.0, 100.0, 100.0, 100.0, 99.75))
   }
 
+  test("pathological nesting degrades to a miss, never a StackOverflowError") {
+    // from_json (Jackson) caps depth at 1000 and degrades to a null
+    // map → 0.0; the kernel must match that failure mode, not blow
+    // the task's stack inside whole-stage codegen.
+    val deep = "{\"k\": " + ("[" * 50000) + ("]" * 50000) + "}"
+    assert(kernel(deep, "k") == None)
+    // under the cap: structurally skipped fine
+    val ok = "{\"a\": " + ("[" * 900) + "5" + ("]" * 900) + ", \"k\": 7}"
+    assert(kernel(ok, "k") == Some(7.0))
+  }
+
+  test("invalid escapes are rejected in skipped strings too (≡ decoded path)") {
+    // the skip path validates escapes, so a document from_json rejects
+    // cannot sneak through just because the bad escape sits in a value
+    assert(kernel("""{"s": "a\x", "k": 3}""", "k") == None)
+    assert(kernel("{\"s\": \"a\\" + "u00ZZ\", \"k\": 3}", "k") == None)
+    assert(kernel("""{"s": "aA", "k": 3}""", "k") == Some(3.0))
+  }
+
+  test("DOCUMENTED DIVERGENCE from the from_json map path on mixed-type docs") {
+    // from_json's lenient Jackson conversion nulls the WHOLE map when
+    // any value fails double conversion, so the map path yields 0.0
+    // here; the kernel strict-parses per key and finds the later
+    // numeric duplicate — the reference-faithful behavior
+    // (math.c:149-163 continues the forward scan past non-numbers).
+    import spark.implicits._
+    val d = Seq((1L, """{"k": "junk", "K": 5}""")).toDF("id", "json")
+    val op = MathOp("Operation" -> "sum", "Field" -> "k",
+      "Constant" -> "100", "Output_field" -> "o")
+    val viaMap = MathCompiler.applyToMap(Sources.jsonPayload(d, "json"), op, "payload")
+      .select("o").collect().head.getDouble(0)
+    val viaJson = MathCompiler.applyToJson(d, op, "json")
+      .select("o").collect().head.getDouble(0)
+    assert(viaMap == 100.0)  // Jackson: "junk" kills the map → k = 0.0
+    assert(viaJson == 105.0) // kernel: skip, continue, take the 5
+  }
+
   test("kernel column runs inside whole-stage codegen (no fallback)") {
     import spark.implicits._
     val d = Seq((1L, """{"k": 5}""")).toDF("id", "json")

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
 
 /** PLANS.md's audit claims, pinned as tests: hot paths stay inside
  *  whole-stage codegen, predicates reach the scans, dimension joins
@@ -40,6 +41,23 @@ class PlanAuditSpec extends SparkTestBase {
     }
     assert(offenders.isEmpty,
       s"interpreted expressions crept into hot paths: ${offenders.mkString(", ")}")
+  }
+
+  test("q43 Lloyd update aggregates with bounded state (no collect_list)") {
+    // The mean fold is fixed-point long sums — map-side partial
+    // HashAggregate, O(1) state per (cell, dim) group. The earlier
+    // sort_array(collect_list(...)) formulation buffered ~|corpus|/k
+    // values per group: unbounded aggregation state at scale.
+    val emb = graft.sources.Sources.table(spark, dir, "embeddings")
+    val assigned = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"),
+      (col("vec_id") % 4).as("cell"))
+    val plan = graft.operators.Similarity.cellDimMeans(assigned)
+      .queryExecution.executedPlan
+    val s = plan.toString
+    assert(!s.contains("collect_list") && !s.contains("ObjectHashAggregate"), s)
+    assert(s.contains("HashAggregate"), s)
+    assert(fallbacksIn(plan).isEmpty, s"fallbacks: ${fallbacksIn(plan)}")
   }
 
   test("driver contract: every query has an oracle and vice versa") {
