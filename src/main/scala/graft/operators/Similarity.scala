@@ -79,7 +79,12 @@ object Similarity {
 
   /** Exact cosine top-k: for each query vector (`vec_id < nQueries`),
    *  the k nearest corpus vectors. Queries are BROADCAST — the corpus
-   *  is read once with no shuffle before the per-query top-k. */
+   *  is read once with no shuffle — and the per-query top-k is a
+   *  BOUNDED aggregation ([[graft.functions.TopKAggregate]]): each map
+   *  task reduces its corpus slice to ≤ k candidates per query before
+   *  the exchange, so the shuffle carries k×maps×queries heap entries
+   *  instead of the |corpus|×|queries| scored rows the window
+   *  formulation sorted. */
   def knnBrute(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val e = prepared(emb)
     val q = e.filter(col("vec_id") < nQueries)
@@ -88,11 +93,18 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (dotExpr("qv", "v") / (col("qn") * col("nrm"))).as("sim"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))).cast("long"))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
+
+  /** (q_id, n_id, sim) → the k best per q_id with rank — the
+   *  aggregation twin of `row_number() OVER (PARTITION BY q_id ORDER
+   *  BY sim DESC, n_id) <= k` (n_id unique ⇒ identical rows). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAggregate.simTopK(col("sim"), col("n_id"), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), col("col.n_id").as("n_id"), col("col.sim").as("sim"),
+        (col("pos") + 1).cast("long").as("rank"))
 
   def knnBruteSql(table: String, nQueries: Int, k: Int): String =
     s"""WITH e AS (${preparedSql(table)}),
@@ -162,30 +174,40 @@ object Similarity {
    *  Centroid set = the vectors with `vec_id < nCells` — a
    *  deterministic stand-in for a k-means codebook (real deployments
    *  train centroids offline; the ASSIGN/SEARCH dataflow, which is
-   *  what scales, is identical). Assignment is one broadcast pass over
-   *  the corpus — no shuffle until the per-cell search join; search
-   *  cost is corpus²/nCells instead of corpus². Output: top-`k`
-   *  neighbors per query among `nQueries` probe vectors. */
+   *  what scales, is identical). Assignment is one NARROW literal
+   *  pass over the corpus — no shuffle until the per-cell search
+   *  join; search cost is corpus²/nCells instead of corpus², and the
+   *  final top-k is a bounded aggregation, not a window. Output:
+   *  top-`k` neighbors per query among `nQueries` probe vectors. */
   def ivfTopK(emb: DataFrame, nCells: Int, nQueries: Int, k: Int): DataFrame = {
     val e = prepared(emb)
+    // The codebook is driver-held (k×dim doubles — same residence as
+    // kmeansCentroids'), so assignment is a NARROW projection: argmax
+    // cosine via lexicographic least(struct(-csim, c_id)) over literal
+    // centroid arrays — no corpus×nCells row expansion, no rank
+    // window, zero shuffle. Ties → lower c_id, matching the oracle's
+    // (csim DESC, c_id ASC) row_number. (An earlier formulation
+    // crossJoined the centroid frame and ranked with a window — a
+    // corpus-wide exchange for what is per-row math.)
     val cents = e.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-        (dotExpr("v", "cv") / (col("nrm") * col("cn"))).as("csim"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("csim"), asc("c_id"))))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val scoredCells = cents.map { case (cid, cv, cn) =>
+      val cvArr = array(cv.map(lit): _*)
+      struct((-(graft.functions.VectorExpressions.dot(col("v"), cvArr) /
+        (col("nrm") * lit(cn)))).as("negsim"), lit(cid).as("c_id"))
+    }
+    val assigned = e
+      .select(col("vec_id"), col("v"), col("nrm"),
+        least(scoredCells: _*).getField("c_id").as("cell"))
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("cell"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    assigned.join(q, Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        (dotExpr("qv", "v") / (col("qn") * col("nrm"))).as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))).cast("long"))
-      .filter(col("rank") <= k)
+    topKPerQuery(
+      assigned.join(q, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (dotExpr("qv", "v") / (col("qn") * col("nrm"))).as("sim")), k)
   }
 
   def ivfTopKSql(table: String, nCells: Int, nQueries: Int, k: Int): String =
