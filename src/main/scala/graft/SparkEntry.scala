@@ -441,8 +441,16 @@ object SparkEntry {
     "q53_simhash_wide" -> ((s, dir) =>
       Dedup.simhashPairsMultiIndex(documents(s, dir), "text", "doc_id", 3, bits = 60)
         .orderBy("id_a", "id_b")),
-    // trained IVF codebook: deterministic Lloyd's k-means (decimal-sum
-    // means, no RNG), summarized as per-cell size + centroid norm
+    // real image decode: synthesize tiny PNGs on executors (dimensions
+    // derived from the row), read width/height back through the
+    // javax.imageio header path — the oracle knows the dimensions
+    // without ever seeing the bytes
+    "q54_image_decode" -> ((s, dir) =>
+      Media.extractFeatures(Media.imagesFromDocuments(documents(s, dir)))
+        .toDF().select(col("doc_id"), col("width"), col("height"), col("n_frames"))
+        .orderBy("doc_id")),
+    // trained IVF codebook: deterministic Lloyd's k-means (fixed-point
+    // long-sum means, no RNG), summarized as per-cell size + centroid norm
     "q43_kmeans_train" -> ((s, dir) =>
       Similarity.kmeansSummary(Sources.table(s, dir, "embeddings"), 8, 2)
         .orderBy("c_id")),
@@ -657,6 +665,10 @@ object SparkEntry {
       s"${Dedup.simhashPairsMultiIndexSql("documents", "text", "doc_id", 2)} ORDER BY id_a, id_b",
     "q53_simhash_wide" ->
       s"${Dedup.simhashPairsMultiIndexSql("documents", "text", "doc_id", 3, bits = 60)} ORDER BY id_a, id_b",
+    "q54_image_decode" ->
+      """SELECT doc_id, CAST(n_chars % 64 + 1 AS INT) AS width,
+        |  CAST(doc_id % 48 + 1 AS INT) AS height, CAST(1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q43_kmeans_train" ->
       s"${Similarity.kmeansSummarySql("embeddings", 8, 2)} ORDER BY c_id",
     "q42_dedup_clusters" ->

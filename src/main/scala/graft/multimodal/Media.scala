@@ -31,11 +31,15 @@ final case class FrameRecord(doc_id: Long, frame_idx: Int, bytes: Array[Byte])
  * explicit repartition knob so decode cost balances across executors
  * independently of upstream file splits.
  *
- * ONLY the innermost byte→pixels step is a STUB: this container ships
- * no image/audio codecs, so [[Media.decode]] derives deterministic
- * pseudo-features from the byte length. Swapping in a real codec
- * changes one function body and nothing else — signature, schema,
- * batching, and partitioning stay as tested here.
+ * Image payloads (image mimes) decode FOR REAL: `javax.imageio`
+ * ships with the JDK, and [[Media.imageDims]] reads true width/height
+ * from the container header (PNG/JPEG/GIF/BMP — no pixel decode, no
+ * external dependency). Audio/video byte→samples steps remain STUBS:
+ * this container ships no such codecs, so [[Media.decode]] derives
+ * deterministic pseudo-features from the byte length for non-image
+ * mimes. Swapping in a real codec changes one function body and
+ * nothing else — signature, schema, batching, and partitioning stay
+ * as tested here.
  */
 object Media {
 
@@ -52,12 +56,46 @@ object Media {
     ).as[MediaRecord]
   }
 
-  /** STUB DECODER — deterministic fake. A real implementation opens
-   *  the payload with a codec (e.g. javax.imageio / ffmpeg bindings)
-   *  and reads true dimensions; unavailable in this environment, so
-   *  features are derived from the byte payload deterministically.
-   *  The formulas are mirrored in [[decodeSql]] for the oracle. */
-  def decode(r: MediaRecord): MediaFeatures = {
+  /** Decode dispatch: image payloads read their REAL dimensions from
+   *  the container header ([[imageDims]]); anything else (audio/video
+   *  stand-ins — no codec in the JDK) falls back to the deterministic
+   *  stub whose formulas are mirrored in [[decodeSql]] for the
+   *  oracle. An image payload imageio cannot read also falls back
+   *  (malformed-tolerance, like every other graft source). */
+  def decode(r: MediaRecord): MediaFeatures =
+    if (r.mime.startsWith("image/"))
+      imageDims(r.bytes) match {
+        case Some((w, h)) =>
+          MediaFeatures(r.doc_id, r.mime, r.bytes.length.toLong, w, h, 1)
+        case None => stubDecode(r)
+      }
+    else stubDecode(r)
+
+  /** True image header decode via `javax.imageio` (in the JDK — no
+   *  external codec): width/height come off the format header through
+   *  `ImageReader.getWidth/getHeight(0)`, which does NOT decode pixel
+   *  data — O(header) per record no matter the image size. Returns
+   *  None when no installed reader claims the bytes (wrong mime,
+   *  truncated file, unsupported format). */
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          Some((reader.getWidth(0), reader.getHeight(0)))
+        } catch { case _: Exception => None }
+        finally reader.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
+
+  /** STUB DECODER — deterministic fake for mimes with no JDK codec. */
+  private def stubDecode(r: MediaRecord): MediaFeatures = {
     val n = r.bytes.length.toLong
     MediaFeatures(
       doc_id = r.doc_id,
@@ -66,6 +104,45 @@ object Media {
       width = ((n % 640) + 1).toInt,
       height = (((n * 7) % 480) + 1).toInt,
       n_frames = ((n % 30) + 1).toInt)
+  }
+
+  /** Deterministic tiny PNG: real, decodable image bytes rendered
+   *  with the JDK's own encoder (pixel pattern keyed by `docId` so
+   *  payloads differ). Executor-side generation for the image-decode
+   *  query — the testdata carries no binary blobs, so the query
+   *  synthesizes real images in flight and proves the imageio path
+   *  end-to-end against an oracle that knows the dimensions. */
+  def encodePng(docId: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((docId * 2654435761L + x * 31L + y * 17L) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Documents → real PNG payloads with dimensions derived from the
+   *  row (width = n_chars%64+1, height = doc_id%48+1): the oracle can
+   *  state the expected dimensions without seeing the bytes. */
+  def imagesFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          MediaRecord(id,
+            encodePng(id, (nChars % 64 + 1).toInt, (id % 48 + 1).toInt),
+            "image/png")
+        }
+      }
   }
 
   /** DuckDB mirror of the stub decode (oracle). */

@@ -67,6 +67,30 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
   }
 
+  test("media: imageio reads true dimensions from real PNG/JPEG/GIF headers") {
+    // round-trip through the JDK's own encoders — decode must return
+    // the real rendered dimensions, not the stub formula
+    val png = Media.encodePng(42L, 17, 23)
+    assert(Media.imageDims(png) == Some((17, 23)))
+    assert(png.take(8).toSeq ==
+      Seq(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte.toInt & 0xff).map(_.toByte))
+    val img = new java.awt.image.BufferedImage(5, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (fmt <- Seq("jpg", "gif", "bmp")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), fmt)
+      assert(Media.imageDims(bos.toByteArray) == Some((5, 9)), fmt)
+    }
+    // non-image bytes: no reader claims them → None → decode falls
+    // back to the stub instead of failing the task
+    assert(Media.imageDims("not an image".getBytes) == None)
+    assert(Media.imageDims(Array.emptyByteArray) == None)
+    // truncated header: reader may claim it but fails → None
+    assert(Media.imageDims(png.take(16).toArray) == None)
+    val feats = Media.decode(graft.multimodal.MediaRecord(7L, png, "image/png"))
+    assert((feats.width, feats.height, feats.n_frames) == ((17, 23, 1)))
+  }
+
   test("media: resize normalizes every payload to the target size, tags mime") {
     val resized = Media.resize(Media.fromDocuments(docs), 64, 64).collect()
     assert(resized.length == docs.count())
