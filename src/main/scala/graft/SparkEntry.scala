@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.TextFunctions
 import graft.multimodal.Media
-import graft.operators.{AsOf, Decontamination, Dedup, RangeJoin, Sampling, Similarity}
+import graft.operators.{AsOf, Decontamination, Dedup, RangeJoin, Sampling, Similarity, Skew}
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -441,6 +441,17 @@ object SparkEntry {
     "q53_simhash_wide" -> ((s, dir) =>
       Dedup.simhashPairsMultiIndex(documents(s, dir), "text", "doc_id", 3, bits = 60)
         .orderBy("id_a", "id_b")),
+    // skew-proof aggregation: lang is a deliberately hot grouping key
+    // (a handful of values over the whole corpus); the two-phase
+    // salted pre-partial splits each hot key over 8 reducers before
+    // the per-key merge. Integral sums keep cross-engine exactness.
+    "q55_salted_agg" -> ((s, dir) =>
+      Skew.saltedAggregate(
+          documents(s, dir).select(col("lang"), col("n_chars")),
+          "lang", "n_chars", 8)
+        .select(col("lang"), col("sum_n_chars").cast("long").as("sum_n_chars"),
+          col("n"))
+        .orderBy("lang")),
     // real image decode: synthesize tiny PNGs on executors (dimensions
     // derived from the row), read width/height back through the
     // javax.imageio header path — the oracle knows the dimensions
@@ -665,6 +676,9 @@ object SparkEntry {
       s"${Dedup.simhashPairsMultiIndexSql("documents", "text", "doc_id", 2)} ORDER BY id_a, id_b",
     "q53_simhash_wide" ->
       s"${Dedup.simhashPairsMultiIndexSql("documents", "text", "doc_id", 3, bits = 60)} ORDER BY id_a, id_b",
+    "q55_salted_agg" ->
+      """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        |  count(*) AS n FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q54_image_decode" ->
       """SELECT doc_id, CAST(n_chars % 64 + 1 AS INT) AS width,
         |  CAST(doc_id % 48 + 1 AS INT) AS height, CAST(1 AS INT) AS n_frames
