@@ -78,7 +78,11 @@ object Media {
    *  None when no installed reader claims the bytes (wrong mime,
    *  truncated file, unsupported format). */
   def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+    // the factory default is a FileCache* stream — a temp file created
+    // and deleted PER RECORD, which dwarfs the header parse itself on
+    // small payloads (measured ~6s for 5k records before this)
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -112,20 +116,47 @@ object Media {
    *  query — the testdata carries no binary blobs, so the query
    *  synthesizes real images in flight and proves the imageio path
    *  end-to-end against an oracle that knows the dimensions. */
-  def encodePng(docId: Long, width: Int, height: Int): Array[Byte] = {
+  def encodePng(docId: Long, width: Int, height: Int): Array[Byte] =
+    encodePng(pngWriter(), docId, width, height)
+
+  /** One PNG `ImageWriter` per partition — `ImageIO.write`'s
+   *  per-call registry scan and stream setup dominate tiny-image
+   *  encode cost; reusing the writer is the standard batched-encode
+   *  shape (and is why [[extractFeatures]]-style per-partition init
+   *  exists at all). */
+  def pngWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+
+  def encodePng(writer: javax.imageio.ImageWriter, docId: Long,
+      width: Int, height: Int): Array[Byte] = {
+    // 3BYTE_BGR: the PNG encoder consumes the raster directly — no
+    // per-pixel int→byte repack on write
     val img = new java.awt.image.BufferedImage(
-      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        img.setRGB(x, y, ((docId * 2654435761L + x * 31L + y * 17L) & 0xFFFFFF).toInt)
+        val rgb = (docId * 2654435761L + x * 31L + y * 17L) & 0xFFFFFF
+        val o = (y * width + x) * 3
+        raster(o) = (rgb & 0xff).toByte
+        raster(o + 1) = ((rgb >> 8) & 0xff).toByte
+        raster(o + 2) = ((rgb >> 16) & 0xff).toByte
         x += 1
       }
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // memory-cached stream for the same reason as imageDims — the
+    // factory default buffers through a per-call temp FILE
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+    } finally ios.close()
     bos.toByteArray
   }
 
@@ -137,9 +168,10 @@ object Media {
     import spark.implicits._
     docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .mapPartitions { it =>
+        val writer = pngWriter() // codec init once per partition
         it.map { case (id, nChars) =>
           MediaRecord(id,
-            encodePng(id, (nChars % 64 + 1).toInt, (id % 48 + 1).toInt),
+            encodePng(writer, id, (nChars % 64 + 1).toInt, (id % 48 + 1).toInt),
             "image/png")
         }
       }
