@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.TextFunctions
 import graft.multimodal.Media
-import graft.operators.{AsOf, Decontamination, Dedup, RangeJoin, Sampling, Similarity, Skew}
+import graft.operators.{AsOf, Decontamination, Dedup, Percentiles, RangeJoin, Sampling, Similarity, Skew}
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -340,33 +340,13 @@ object SparkEntry {
     // every value in per-partition hash maps and serializes them
     // through the shuffle — 3x slower at sf0.1 and unbounded memory
     // per group at scale; the window plan shuffles each row once.
-    "q37_percentile" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val byFlag = Window.partitionBy("l_returnflag")
-      def rnOf(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
-      def boundVal(p: Double, edge: Column => Column): Column =
-        max(when(col("rn0") === edge(rnOf(p)), col("v")))
-      def interp(p: Double, lo: Column, hi: Column): Column = {
-        val rn = lit(p) * (col("n") - 1).cast("double")
-        when(floor(rn) === ceil(rn), lo)
-          .otherwise(lo * (ceil(rn).cast("double") - rn) +
-            hi * (rn - floor(rn).cast("double")))
-      }
-      Sources.table(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-        .withColumn("rn0", row_number().over(byFlag.orderBy("v")).cast("long") - 1)
-        .withColumn("n", count(lit(1)).over(byFlag))
-        .filter(col("rn0") === floor(rnOf(0.5)) || col("rn0") === ceil(rnOf(0.5)) ||
-          col("rn0") === floor(rnOf(0.95)) || col("rn0") === ceil(rnOf(0.95)))
-        .groupBy(col("l_returnflag"))
-        .agg(max(col("n")).as("n"),
-          boundVal(0.5, floor).as("v50lo"), boundVal(0.5, ceil).as("v50hi"),
-          boundVal(0.95, floor).as("v95lo"), boundVal(0.95, ceil).as("v95hi"))
-        .select(col("l_returnflag"),
-          interp(0.5, col("v50lo"), col("v50hi")).as("p50"),
-          interp(0.95, col("v95lo"), col("v95hi")).as("p95"))
-        .orderBy("l_returnflag")
-    }),
+    "q37_percentile" -> ((s, dir) =>
+      // distributed selection, not a per-group window sort: the three
+      // huge flag groups never co-locate (operators/Percentiles.scala)
+      Percentiles.exactByGroup(
+          Sources.table(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          Seq("p50" -> 0.5, "p95" -> 0.95))
+        .orderBy("l_returnflag")),
     // rollup subtotals (grouping-sets family)
     "q35_rollup" -> ((s, dir) =>
       Sources.table(s, dir, "lineitem")
