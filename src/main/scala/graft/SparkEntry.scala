@@ -43,7 +43,9 @@ object SparkEntry {
   private def sharedLshPairs(s: SparkSession, dir: String): DataFrame = {
     val path = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_shared_pairs_" +
-        s"${Integer.toHexString(dir.hashCode)}_k3_p16_b4_t08")
+        s"${Integer.toHexString(dir.hashCode)}_k3_p16_b4_t08_v1")
+    // ^ bump _vN on ANY minhash/shingle algorithm change — parameters
+    // alone can't invalidate a stale file if the kernel itself moved
     this.synchronized {
       if (!new java.io.File(path, "_SUCCESS").exists())
         Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id", 3, 16, 4, 0.8,

@@ -144,14 +144,16 @@ object Similarity {
     val a = e.select(col("bucket"), col("vec_id"), col("v"), col("nrm"))
     val b = e.select(col("bucket"), col("vec_id").as("n_id"),
       col("v").as("nv"), col("nrm").as("nn"))
+    // rank-1 via the bounded top-k aggregate: the exchange carries one
+    // (sim, n_id) per (vec_id, map task), not every scored bucket pair
     a.join(b, Seq("bucket"))
       .filter(col("vec_id") =!= col("n_id"))
       .select(col("vec_id"), col("n_id"),
         (dotExpr("v", "nv") / (col("nrm") * col("nn"))).as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("sim"), asc("n_id"))))
-      .filter(col("rank") === 1)
-      .drop("rank")
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKAggregate.simTopK(col("sim"), col("n_id"), 1).as("tk"))
+      .select(col("vec_id"), explode(col("tk")).as("e"))
+      .select(col("vec_id"), col("e.n_id").as("n_id"), col("e.sim").as("sim"))
   }
 
   def annLshSql(table: String, nPlanes: Int, dim: Int): String =
