@@ -127,11 +127,14 @@ object SparkEntry {
     "q10_tag_fanout" -> (q10Fanout _),
 
     // ---- LLM-pipeline extensions: text analysis over `documents` ----
-    // token counting: whitespace + BPE-ish regex (narrow projection)
-    "q11_token_count" -> ((s, dir) => documents(s, dir).select(
-      col("doc_id"),
-      TextFunctions.tokenCountWs(col("text")).cast("long").as("tok_ws"),
-      TextFunctions.tokenCountRegex(col("text")).cast("long").as("tok_re"))
+    // token counting: whitespace + BPE-ish regex — ONE fused pass
+    // (TokenCounts kernel), no token arrays; oracle keeps the regex
+    // formulations
+    "q11_token_count" -> ((s, dir) => documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TokenCounts(col("text")).as("tc"))
+      .select(col("doc_id"), col("tc.tok_ws").as("tok_ws"),
+        col("tc.tok_re").as("tok_re"))
       .orderBy("doc_id")),
     // quality scoring: length/punct/stopword ratios (fused one-scan
     // TextStats expression; oracle runs the regex formulation)

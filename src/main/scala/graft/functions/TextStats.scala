@@ -111,3 +111,83 @@ object TextStats {
   def apply(c: Column): Column =
     ColumnBridge.column(TextStats(ColumnBridge.expression(c)))
 }
+
+/** Both token counts of q11 in ONE pass with no token arrays:
+ *   - tok_ws ≡ `size(split(trim(s), "\\s+"))` — Spark trim strips
+ *     0x20 only and Java split keeps leading/trailing empty tokens
+ *     (the TextStatsUtil.n_tok walk, minus lowering: case cannot
+ *     change a count);
+ *   - tok_re ≡ `size(regexp_extract_all(s, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))`
+ *     — alnum RUNS count once, every other non-ws CODE POINT counts
+ *     once (astral pairs are one code point, as in Java regex).
+ *  The regex formulations built two arrays per row through two regex
+ *  engines just to take their lengths. */
+object TokenCountsUtil {
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def compute(u: org.apache.spark.unsafe.types.UTF8String): InternalRow = {
+    val s = u.toString
+    var tokRe = 0L
+    var inAlnum = false
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val alnum = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= '0' && cp <= '9')
+      val ws = cp < 128 && isWs(cp.toChar)
+      if (alnum) { if (!inAlnum) tokRe += 1; inAlnum = true }
+      else { inAlnum = false; if (!ws) tokRe += 1 }
+      i += Character.charCount(cp)
+    }
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    var tokWs = 0L
+    if (b == e) tokWs = 1 // split("") = [""]
+    else {
+      if (isWs(s.charAt(b))) tokWs += 1 // leading empty token
+      var j = b
+      while (j < e) {
+        while (j < e && isWs(s.charAt(j))) j += 1
+        if (j < e) {
+          tokWs += 1
+          while (j < e && !isWs(s.charAt(j))) j += 1
+        }
+      }
+      if (isWs(s.charAt(e - 1))) tokWs += 1 // trailing empty token
+    }
+    new GenericInternalRow(Array[Any](tokWs, tokRe))
+  }
+}
+
+case class TokenCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TokenCounts.schema
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_counts expects string, got ${dt.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenCountsUtil.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenCountsUtil.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+}
+
+object TokenCounts {
+  val schema: StructType = StructType(Seq(
+    StructField("tok_ws", LongType, nullable = false),
+    StructField("tok_re", LongType, nullable = false)))
+
+  def apply(c: Column): Column =
+    ColumnBridge.column(TokenCounts(ColumnBridge.expression(c)))
+}

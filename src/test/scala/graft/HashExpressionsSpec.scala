@@ -147,6 +147,26 @@ class HashExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("property: TokenCounts kernel ≡ split/regexp_extract_all formulations") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pieces = Seq("foo", "Bar9", "the", "的", "a", "", " ", "\t", "\n",
+      "", "\f", "\r", "  ", "x1", "é", "ABC", "!?", ".", "--", "😀")
+    val strings = Seq("", " ", "\t", "a b", " a ", "\ta\t") ++ (0 until 300).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => pieces(rnd.nextInt(pieces.length))).mkString
+    }
+    val rows = strings.distinct.toDF("text").select(
+      graft.functions.TokenCounts(col("text")).as("tc"),
+      TextFunctions.tokenCountWs(col("text")).cast("long").as("ws_re"),
+      TextFunctions.tokenCountRegex(col("text")).cast("long").as("re_re"),
+      col("text")).collect()
+    rows.foreach { r =>
+      val tc = r.getStruct(0)
+      assert(tc.getLong(0) == r.getLong(1), s"tok_ws: ${r.getString(3).map(_.toInt)}")
+      assert(tc.getLong(1) == r.getLong(2), s"tok_re: ${r.getString(3).map(_.toInt)}")
+    }
+  }
+
   test("SQL surface: graft_simhash / graft_lang_id / graft_shingle_hashes ≡ Column DSL") {
     graft.core.GraftFunctions.register(spark)
     docs.createOrReplaceTempView("hx_docs")
