@@ -72,12 +72,33 @@ object GraftFunctions {
       graft.functions.MinHashSig(
         graft.functions.ShingleHashes(args(0), literalInt(args(1))),
         literalInt(args(2)))
+    },
+    "graft_json_first_numeric" -> { args: Seq[Expression] =>
+      require(args.size == 2, "graft_json_first_numeric(json, 'key')")
+      graft.functions.JsonFirstNumeric(args(0), literalString(args(1)))
+    },
+    "graft_token_counts" -> { args: Seq[Expression] =>
+      require(args.size == 1, "graft_token_counts(string)")
+      graft.functions.TokenCounts(args(0))
+    },
+    // aggregate: the analyzer wraps a bare AggregateFunction builder
+    // result in AggregateExpression, same as Spark's own sum/min
+    "graft_sim_top_k" -> { args: Seq[Expression] =>
+      require(args.size == 3, "graft_sim_top_k(sim, id, k)")
+      graft.functions.SimTopK(args(0), args(1), literalInt(args(2)))
     })
 
   private def literalInt(e: Expression): Int = e match {
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"expected an integer literal, got $other")
+  }
+
+  private def literalString(e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+      org.apache.spark.sql.types.StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"expected a string literal, got $other")
   }
 
   private def info(name: String) = new ExpressionInfo(

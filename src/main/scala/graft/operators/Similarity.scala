@@ -383,7 +383,12 @@ object Similarity {
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup view: the single closest pair within
-   *  each label block (labels act as the blocking key). */
+   *  each label block (labels act as the blocking key). Rank-1 per
+   *  label is a lexicographic min(struct) AGGREGATION — argmax with
+   *  (sim DESC, id_a, id_b) tie-break — not a window: labels are few
+   *  and huge, so a label-partitioned window would sort every scored
+   *  pair of a label on one reducer, while the aggregate reduces
+   *  map-side to one candidate per (label, task). */
   def labelNearestPair(emb: DataFrame): DataFrame = {
     val e = prepared(emb)
     val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
@@ -392,10 +397,11 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("label"), col("id_a"), col("id_b"),
         (dotExpr("va", "vb") / (col("na") * col("nb"))).as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("label").orderBy(desc("sim"), asc("id_a"), asc("id_b"))))
-      .filter(col("rank") === 1)
-      .drop("rank")
+      .groupBy(col("label"))
+      .agg(min(struct((-col("sim")).as("neg"), col("id_a"), col("id_b"),
+        col("sim"))).as("best"))
+      .select(col("label"), col("best.id_a").as("id_a"),
+        col("best.id_b").as("id_b"), col("best.sim").as("sim"))
   }
 
   def labelNearestPairSql(table: String): String =

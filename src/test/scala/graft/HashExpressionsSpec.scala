@@ -167,6 +167,28 @@ class HashExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("SQL surface: json-scan, token-counts, and top-k aggregate registrations") {
+    graft.core.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, """{"K": 5, "k": 7}""", "a b  c", 0.9),
+        (1L, """{"x": 1}""", " ", 0.5),
+        (2L, "nope", "", 0.7))
+      .toDF("g", "js", "txt", "sim").createOrReplaceTempView("hx_sqlfns")
+    val r = spark.sql(
+      """SELECT g, graft_json_first_numeric(js, 'k') AS jn,
+        |       graft_token_counts(txt) AS tc FROM hx_sqlfns ORDER BY g, jn
+        |""".stripMargin).collect()
+    // NULLS FIRST under ASC: g=1's missing-key row leads, then K=5
+    // (case-insensitive forward scan), then g=2's malformed doc
+    assert(r.map(x => Option(x.get(1))).toSeq == Seq(None, Some(5.0), None))
+    assert(r.map(_.getStruct(2).getLong(0)).toSeq == Seq(1L, 3L, 1L))
+    val agg = spark.sql(
+      """SELECT g, graft_sim_top_k(sim, CAST(g AS BIGINT) + CAST(sim*10 AS BIGINT), 1) AS tk
+        |FROM hx_sqlfns GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(agg.length == 2)
+    assert(agg(0).getSeq[org.apache.spark.sql.Row](1).head.getDouble(0) == 0.9)
+  }
+
   test("SQL surface: graft_simhash / graft_lang_id / graft_shingle_hashes ≡ Column DSL") {
     graft.core.GraftFunctions.register(spark)
     docs.createOrReplaceTempView("hx_docs")
