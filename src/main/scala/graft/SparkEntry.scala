@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.TextFunctions
 import graft.multimodal.Media
-import graft.operators.{AsOf, Decontamination, Dedup, Percentiles, RangeJoin, Sampling, Similarity, Skew}
+import graft.operators.{AsOf, Curation, Decontamination, Dedup, Percentiles, RangeJoin, Sampling, Similarity, Skew}
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -445,6 +445,21 @@ object SparkEntry {
     "q53_simhash_wide" -> ((s, dir) =>
       Dedup.simhashPairsMultiIndex(documents(s, dir), "text", "doc_id", 3, bits = 60)
         .orderBy("id_a", "id_b")),
+    // Gopher-style repetition signals: dup-token and dup-2gram
+    // fractions per doc, one narrow kernel pass
+    "q56_repetition" -> ((s, dir) =>
+      Curation.repetitionStats(documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
+    // sequence packing: docs -> fixed token-budget training sequences
+    // via the DISTRIBUTED prefix sum (a global-order window cumsum
+    // would run on one reducer)
+    "q57_pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(documents(s, dir), "text", "doc_id", 256L)
+        .orderBy("doc_id")),
+    // sliding token-window chunking: width 16, stride 8 (1->N explode)
+    "q58_chunk_tokens" -> ((s, dir) =>
+      Curation.chunkByTokens(documents(s, dir), "text", "doc_id", 16, 8)
+        .orderBy("doc_id", "chunk_idx")),
     // skew-proof aggregation: lang is a deliberately hot grouping key
     // (a handful of values over the whole corpus); the two-phase
     // salted pre-partial splits each hot key over 8 reducers before
@@ -681,6 +696,12 @@ object SparkEntry {
     "q55_salted_agg" ->
       """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
         |  count(*) AS n FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q56_repetition" ->
+      s"SELECT * FROM (${Curation.repetitionStatsSql("documents", "text", "doc_id")}) ORDER BY doc_id",
+    "q57_pack_sequences" ->
+      s"SELECT * FROM (${Curation.packSequencesSql("documents", "text", "doc_id", 256L)}) ORDER BY doc_id",
+    "q58_chunk_tokens" ->
+      s"SELECT * FROM (${Curation.chunkByTokensSql("documents", "text", "doc_id", 16, 8)}) ORDER BY doc_id, chunk_idx",
     "q54_image_decode" ->
       """SELECT doc_id, CAST(n_chars % 64 + 1 AS INT) AS width,
         |  CAST(doc_id % 48 + 1 AS INT) AS height, CAST(1 AS INT) AS n_frames

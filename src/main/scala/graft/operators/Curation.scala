@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashExpressions, TextFunctions}
+
+/**
+ * Corpus-curation operators for pretraining pipelines — the
+ * Gopher/C4-rule family plus the sequence-assembly steps that sit
+ * between "filtered corpus" and "training batches".
+ *
+ * Everything here is a narrow projection or a bounded two-pass
+ * primitive; nothing buffers a group, nothing windows over the whole
+ * corpus on one reducer.
+ */
+object Curation {
+
+  // ------------------------------------------------- repetition stats
+
+  /** Gopher-style repetition signals per document, one narrow pass:
+   *   - `dup_token_frac`: 1 − |distinct tokens| / |tokens| — the
+   *     "repeated words" rule;
+   *   - `dup_2gram_frac`: 1 − |distinct word-2-grams| / |word-2-grams|
+   *     (0.0 when the doc has fewer than 2 tokens) — the "repeated
+   *     phrases" rule.
+   *  Distinct counts ride the fused [[HashExpressions.shingleHashes]]
+   *  kernel (k=1 tokens, k=2 bigrams — distinct sorted h60s in one
+   *  codegen pass, no string arrays); totals come off the same
+   *  tokenization. Thresholding on these columns IS the filter —
+   *  composable with the q33 quality gates. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextFunctions.lowerTokens(col(textCol))
+    val tot1 = size(toks).cast("double")
+    val tot2 = greatest(size(toks) - lit(1), lit(0)).cast("double")
+    val d1 = size(HashExpressions.shingleHashes(col(textCol), 1)).cast("double")
+    val d2 = size(HashExpressions.shingleHashes(col(textCol), 2)).cast("double")
+    df.select(col(idCol),
+      (lit(1.0) - d1 / tot1).as("dup_token_frac"),
+      when(tot2 === 0.0, lit(0.0))
+        .otherwise(lit(1.0) - d2 / tot2).as("dup_2gram_frac"))
+  }
+
+  /** DuckDB mirror: distinct SHINGLE STRINGS stand in for distinct
+   *  h60s (q16's oracle already cross-checks that equivalence). */
+  def repetitionStatsSql(table: String, textCol: String, idCol: String): String = {
+    val toks = TextFunctions.lowerTokensSql(textCol)
+    s"""SELECT $idCol,
+       |  1.0 - CAST(length(list_distinct(toks)) AS DOUBLE)
+       |      / CAST(length(toks) AS DOUBLE) AS dup_token_frac,
+       |  CASE WHEN length(toks) - 1 <= 0 THEN 0.0
+       |       ELSE 1.0 - CAST(length(list_distinct(grams)) AS DOUBLE)
+       |            / CAST(length(toks) - 1 AS DOUBLE) END AS dup_2gram_frac
+       |FROM (SELECT $idCol, toks,
+       |        list_transform(range(1, greatest(length(toks), 1)),
+       |          i -> toks[i] || ' ' || toks[i + 1]) AS grams
+       |      FROM (SELECT $idCol, $toks AS toks FROM $table))""".stripMargin
+  }
+
+  // --------------------------------------- distributed running totals
+
+  /** Exclusive running total of `valueCol` in `orderCol` order — the
+   *  distributed prefix sum. A window (`ORDER BY id ROWS UNBOUNDED
+   *  PRECEDING`) computes this on ONE reducer because a global order
+   *  has a single partition; this primitive never does:
+   *   1. range-exchange on `orderCol` + partition-local sort;
+   *   2. per-partition value totals collect to the driver (one long
+   *      per partition) and prefix-sum into partition offsets;
+   *   3. a second narrow pass adds the offset to a partition-local
+   *      running sum.
+   *  Exact (long arithmetic), partitioning-invariant, two scans of a
+   *  persisted frame — the same shape as
+   *  [[Percentiles.exactByGroup]]'s selection. */
+  def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p0 = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(p0, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .persist(MEMORY_AND_DISK)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val partTotals: Array[(Int, Long)] = sorted.rdd.mapPartitionsWithIndex {
+      (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(vIdx))
+        Iterator.single((pid, s))
+    }.collect()
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      partTotals.sortBy(_._1).map { case (pid, s) =>
+        val o = pid -> acc; acc += s; o
+      }.toMap
+    }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val outSchema = sorted.schema.add(outCol,
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bOff.value.getOrElse(pid, 0L)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(vIdx)
+        out
+      }
+    }
+    val result = spark.createDataFrame(rdd, outSchema)
+    sorted.unpersist(blocking = false)
+    result
+  }
+
+  // --------------------------------------------------- sequence packing
+
+  /** Capacity packing: assign documents (in `idCol` order) to training
+   *  sequences of `budget` tokens — `seq_id = exclusive-prefix-sum of
+   *  token counts ÷ budget` (integer division), the deterministic
+   *  fixed-order packing contract. Token counts come from the fused
+   *  [[graft.functions.TokenCounts]] kernel. Output
+   *  (id, n_tok, seq_id). */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      budget: Long): DataFrame = {
+    val counted = df.select(col(idCol),
+      graft.functions.TokenCounts(col(textCol)).getField("tok_ws").as("n_tok"))
+    withRunningTotal(counted, idCol, "n_tok", "__cum")
+      .select(col(idCol), col("n_tok"),
+        (col("__cum") / lit(budget)).cast("long").as("seq_id"))
+  }
+
+  def packSequencesSql(table: String, textCol: String, idCol: String,
+      budget: Long): String =
+    s"""SELECT $idCol, n_tok,
+       |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY $idCol
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $budget
+       |    AS BIGINT) AS seq_id
+       |FROM (SELECT $idCol,
+       |        CAST(length(regexp_split_to_array(trim($textCol), '\\s+')) AS BIGINT)
+       |          AS n_tok FROM $table)""".stripMargin
+
+  // -------------------------------------------------- token chunking
+
+  /** Sliding token-window chunking: split each document into windows
+   *  of `width` whitespace tokens advancing by `stride` (overlap =
+   *  width − stride), the standard context-window preparation step.
+   *  1→N explode; chunk count = 1 + ⌈max(n−width, 0) / stride⌉, so
+   *  every token is covered and short docs yield exactly one chunk.
+   *  Output (id, chunk_idx, chunk_text). */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1 && stride <= width,
+      "chunkByTokens needs 1 <= stride <= width")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nChunks = (lit(1) +
+      ceil(greatest(size(toks) - lit(width), lit(0)).cast("double")
+        / lit(stride.toDouble)).cast("int"))
+    df.select(col(idCol), toks.as("__toks"),
+        posexplode(sequence(lit(0), nChunks - lit(1))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"),
+          col("pos") * lit(stride) + lit(1), lit(width))).as("chunk_text"))
+  }
+
+  def chunkByTokensSql(table: String, textCol: String, idCol: String,
+      width: Int, stride: Int): String =
+    s"""SELECT $idCol, CAST(i AS INT) AS chunk_idx,
+       |  array_to_string(toks[(i * $stride + 1):(i * $stride + $width)], ' ')
+       |    AS chunk_text
+       |FROM (SELECT $idCol, toks, unnest(range(0,
+       |        1 + CAST(ceil(greatest(length(toks) - $width, 0)
+       |              / CAST($stride AS DOUBLE)) AS BIGINT))) AS i
+       |      FROM (SELECT $idCol,
+       |              regexp_split_to_array(trim($textCol), '\\s+') AS toks
+       |            FROM $table))""".stripMargin
+}
