@@ -59,6 +59,47 @@ class StreamingParitySpec extends SparkTestBase {
     assert(got.select("event_id").collect().map(_.getLong(0)).forall(inputIds))
   }
 
+  test("streaming sessionization over lake files ≡ batch sessions minus the open tail") {
+    import spark.implicits._
+    import graft.streaming.{SessionEvent, Sessionize}
+    val gapUs = 30L * 60 * 1000 * 1000
+    // streaming: flatMapGroupsWithState emits sessions CLOSED by a
+    // later event; each user's trailing session stays in state
+    val stream = Streams.parquetStream(spark, s"$dir/events.parquet")
+      .select(col("user_id"), expr("ts div 1000").as("ets_us")).as[SessionEvent]
+    val got = {
+      val out = java.nio.file.Files.createTempDirectory("graft_sess_out_")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt_")
+      val q = Sessionize.sessions(stream, gapUs).writeStream.format("parquet")
+        .option("path", out.toString).option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSeq.sorted
+    }
+    // batch: the full session list (q34's oracle-green definition),
+    // minus each user's LAST session — the one streaming keeps open
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t")
+    val sessions = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), expr("ts div 1000").as("t"))
+      .withColumn("new_sess", when(lag(col("t"), 1).over(w).isNull ||
+        col("t") - lag(col("t"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id")
+      .agg(min("t").as("start_us"), max("t").as("end_us"),
+        count(lit(1)).cast("int").as("n_events"))
+    val lastSess = sessions.groupBy("user_id")
+      .agg(max("sess_id").as("sess_id")).withColumn("__last", lit(1))
+    val want = sessions.join(lastSess, Seq("user_id", "sess_id"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSeq.sorted
+    assert(got.nonEmpty, "no closed sessions — vacuous parity")
+    assert(got == want)
+  }
+
   test("stream-stream interval join over lake files ≡ the batch interval join") {
     val lookback = "1 hour"
     val left = Streams.parquetStream(spark, s"$dir/events.parquet")
