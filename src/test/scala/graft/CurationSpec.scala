@@ -28,6 +28,15 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("withRunningTotal and packSequences survive empty input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(Curation.withRunningTotal(empty, "id", "v", "cum").collect().isEmpty)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.packSequences(emptyDocs, "text", "doc_id", 10L)
+      .collect().isEmpty)
+  }
+
   test("packSequences: sequences are contiguous in id order and budget-bounded") {
     val packed = Curation.packSequences(docs, "text", "doc_id", 256L)
       .orderBy("doc_id").collect()

@@ -59,6 +59,12 @@ class PercentilesSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("empty input yields an empty result, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Percentiles.exactByGroup(empty, "g", "v", ps).collect().isEmpty)
+  }
+
   test("result is invariant to input partitioning and partition knob") {
     import spark.implicits._
     val rows = (0 until 997).map(i => (s"g${i % 3}", math.sin(i).abs * 100))
