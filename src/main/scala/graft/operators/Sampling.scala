@@ -19,9 +19,11 @@ import graft.functions.Hashing
  *
  * Scale posture: `hashSample` is a pure narrow filter (pushes below
  * everything Catalyst can move it past; no shuffle). `stratifiedCap`
- * is one shuffle on the stratum key + a per-partition sort; at
- * extreme per-stratum cardinality swap the window for a size-n
- * per-partition heap aggregation — n is small by construction.
+ * selects winners with a bounded n-heap aggregation (map-side
+ * partials; strata are typically FEW and HUGE, so a stratum-
+ * partitioned rank window would sort each whole stratum on one
+ * reducer) and keeps their rows via a broadcast-sized semi join —
+ * the big side never sorts and never shuffles beyond the winner agg.
  */
 object Sampling {
 
@@ -41,13 +43,28 @@ object Sampling {
 
   /** At most `n` rows per stratum, chosen in hash order (hash order ≡
    *  reshuffle-proof pseudo-random order; keyCol as tiebreak makes the
-   *  pick total even under h60 ties). */
+   *  pick total even under h60 ties — (hash, key) is unique per row,
+   *  so the winner SET is identical to the rank-window formulation the
+   *  oracle runs). Winners = k smallest (hash, key) pairs per stratum
+   *  via [[graft.functions.TopKAggregate.longMinK]] (exact 64-bit
+   *  compares; n×strata rows total), joined back broadcast-semi.
+   *  `keyCol` must be integral (it rides the long tie slot). */
   def stratifiedCap(df: DataFrame, stratumCol: String, keyCol: String,
       n: Int, salt: String): DataFrame = {
-    val w = Window.partitionBy(stratumCol)
-      .orderBy(splitHash(salt, col(keyCol)), col(keyCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
+    val hashed = df.withColumn("__h", splitHash(salt, col(keyCol)))
+    val winners = hashed
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.TopKAggregate.longMinK(
+        col("__h"), col(keyCol).cast("long"), n).as("w"))
+      .select(col(stratumCol), explode(col("w")).as("e"))
+      .select(col(stratumCol), col("e.key").as("__h"),
+        col("e.tie").as("__k"))
+    hashed.join(
+        broadcast(winners),
+        hashed(stratumCol) === winners(stratumCol) &&
+          hashed("__h") === winners("__h") &&
+          col(keyCol).cast("long") === winners("__k"),
+        "left_semi")
+      .drop("__h")
   }
 }
