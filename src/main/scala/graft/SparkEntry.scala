@@ -445,6 +445,41 @@ object SparkEntry {
     "q53_simhash_wide" -> ((s, dir) =>
       Dedup.simhashPairsMultiIndex(documents(s, dir), "text", "doc_id", 3, bits = 60)
         .orderBy("id_a", "id_b")),
+    // VARIANT payload math (Spark 4 shredded-JSON path): exact-key,
+    // case-sensitive access — the documented fast alternative to the
+    // faithful map/kernel modes (X27, now oracle-verified)
+    "q59_variant_payload" -> ((s, dir) =>
+      MathCompiler.applyToVariant(
+          Sources.variantPayload(events(s, dir), "props"),
+          MathOp("Operation" -> "mul", "Field" -> "k", "Constant" -> "3",
+            "Output_field" -> "out"), "payload")
+        .select(col("event_id"), col("out"))
+        .orderBy("event_id")),
+    // the reference's ACTUAL wire format, end-to-end: events encode
+    // into fluent-bit msgpack chunks on executors (ext-type event
+    // time, ~100 events/chunk), decode through the Msgpack source,
+    // and run map-payload math — output must equal the same math
+    // computed straight off the parquet rows
+    "q60_msgpack_roundtrip" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val chunks = events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .mapPartitions(_.grouped(100).map(_.flatMap { case (id, ts, u, v) =>
+          graft.sources.Msgpack.encodeEvent(ts,
+            Seq("event_id" -> id, "user_id" -> u, "value" -> v))
+        }.toArray))
+      val decoded = Sources.msgpackEvents(chunks)
+      MathCompiler.applyToMap(decoded,
+          MathOp("Operation" -> "sum", "Field" -> "value",
+            "Field" -> "user_id", "Output_field" -> "out"), "payload")
+        // micros for the oracle diff: DuckDB surfaces the parquet
+        // event time at µs; the decoded wire ts is full nanos
+        .select(element_at(col("payload"), "event_id").cast("long").as("event_id"),
+          expr("ts div 1000").as("ts_us"), col("out"))
+        .orderBy("event_id")
+    }),
     // Gopher-style repetition signals: dup-token and dup-2gram
     // fractions per doc, one narrow kernel pass
     "q56_repetition" -> ((s, dir) =>
@@ -696,6 +731,15 @@ object SparkEntry {
     "q55_salted_agg" ->
       """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
         |  count(*) AS n FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q59_variant_payload" ->
+      """SELECT event_id,
+        |  COALESCE(TRY_CAST(json_extract(props, '$.k') AS DOUBLE), 0.0)
+        |    * CAST(3 AS DOUBLE) AS out
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q60_msgpack_roundtrip" ->
+      s"""SELECT event_id, epoch_us(ts) AS ts_us,
+         |  ${o("value")} + ${o("user_id")} AS out
+         |FROM events ORDER BY event_id""".stripMargin,
     "q56_repetition" ->
       s"SELECT * FROM (${Curation.repetitionStatsSql("documents", "text", "doc_id")}) ORDER BY doc_id",
     "q57_pack_sequences" ->
