@@ -16,6 +16,17 @@ object Bench {
     // startup (which was billed to whichever query sorted first).
     try exhaust(SparkEntry.queries("q1_sum_fields")(spark, sfDir).limit(1000))
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // codec-path warmup (10 synthetic images): the FIRST touch of
+    // javax.imageio/java.awt loads the plugin registry + color stack —
+    // measured 4-5 s of one-time class init that otherwise lands on
+    // whichever single query touches codecs first (q54), swamping its
+    // actual per-record cost. Same classloading-startup category the
+    // q1 warmup exists to exclude.
+    try {
+      val tiny = spark.range(10).selectExpr("id AS doc_id", "100 AS n_chars")
+      exhaust(graft.multimodal.Media.extractFeatures(
+        graft.multimodal.Media.imagesFromDocuments(tiny)).toDF())
+    } catch { case e: Throwable => System.err.println(s"[bench] codec warmup failed: ${e.getMessage}") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

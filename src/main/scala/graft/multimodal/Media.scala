@@ -56,6 +56,19 @@ object Media {
     ).as[MediaRecord]
   }
 
+  /** One-time JVM codec warm-up: the FIRST use of javax.imageio /
+   *  java.awt loads the image plugin registry and the color-management
+   *  stack — seconds of class-init that 32 simultaneous first-use
+   *  tasks serialize on badly (measured: 2 s amortized vs 7–15 s when
+   *  a whole stage races through it). A lazy val makes exactly one
+   *  thread pay it; the rest block briefly on the monitor. Referenced
+   *  at partition start by every codec-touching operator. */
+  lazy val codecWarm: Unit = {
+    val probe = encodePng(pngWriter(), 0L, 1, 1)
+    imageDims(probe)
+    ()
+  }
+
   /** Decode dispatch: image payloads read their REAL dimensions from
    *  the container header ([[imageDims]]); anything else (audio/video
    *  stand-ins — no codec in the JDK) falls back to the deterministic
@@ -168,6 +181,7 @@ object Media {
     import spark.implicits._
     docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .mapPartitions { it =>
+        codecWarm // serialize JVM-wide awt/imageio class init
         val writer = pngWriter() // codec init once per partition
         it.map { case (id, nChars) =>
           MediaRecord(id,
@@ -200,6 +214,7 @@ object Media {
       if (parallelism > 0) media.repartition(parallelism) else media
     balanced.mapPartitions { records =>
       // Real codecs would be opened HERE, once per partition.
+      codecWarm
       records.map(decode)
     }
   }
