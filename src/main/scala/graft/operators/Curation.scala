@@ -70,7 +70,10 @@ object Curation {
    *      running sum.
    *  Exact (long arithmetic), partitioning-invariant, two scans of a
    *  persisted frame — the same shape as
-   *  [[Percentiles.exactByGroup]]'s selection. */
+   *  [[Percentiles.exactByGroup]]'s selection. `orderCol` must be
+   *  UNIQUE (ids): tied order keys would make the running total
+   *  between the tied rows order-ambiguous — in the window
+   *  formulation too. */
   def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
