@@ -43,6 +43,52 @@ object Decontamination {
     corpus.join(contaminated(corpus, benchmark, textCol, idCol, k)
       .select(col(idCol)), Seq(idCol), "left_anti")
 
+  /** Approximate contamination screen for eval suites too big to
+   *  broadcast as an exact hash set: benchmark shingles aggregate
+   *  into a BLOOM FILTER on the executors
+   *  ([[graft.functions.BloomFunctions]] — mergeable partials, one
+   *  pass), sized from the measured distinct-shingle count at `fpp`;
+   *  the corpus then filters its exploded shingles through the
+   *  codegen'd `might_contain` predicate — NO join at all, just a
+   *  narrow filter between the scan and the per-doc hit count.
+   *
+   *  Direction of error is the SAFE one for decontamination: false
+   *  positives flag (and drop) a few extra clean docs — a
+   *  contaminated document can never slip through, because Bloom
+   *  filters have no false negatives. Size `fpp` for the PER-DOCUMENT
+   *  error: every shingle of every doc probes the filter, so a doc
+   *  with s shingles is falsely flagged with ≈ s·fpp — the 1e-4
+   *  default keeps that under 1% for 100-shingle docs at ~2.4
+   *  bytes/shingle (vs 8 exact: a 10⁹-shingle eval corpus in ~2.4 GB
+   *  where the exact set needs 8+). Returns a SUPERSET of
+   *  [[contaminated]] (ids + approximate hit counts). */
+  def contaminatedBloom(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, k: Int, fpp: Double = 1e-4): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp in (0,1): $fpp")
+    val bh = benchmark
+      .select(explode(HashExpressions.shingleHashes(col(textCol), k)).as("h"))
+      .distinct()
+    val n = math.max(bh.count(), 1L)
+    // optimal bits for n items at fpp: -n·ln(fpp)/ln²2
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bf = bh.agg(graft.functions.BloomFunctions
+      .bloomAgg(col("h"), n, numBits).as("bf")).head.getAs[Array[Byte]](0)
+    corpus
+      .select(col(idCol), explode(HashExpressions.shingleHashes(col(textCol), k)).as("h"))
+      .filter(graft.functions.BloomFunctions.mightContain(bf, col("h")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Corpus minus every might-be-contaminated document. Guaranteed
+   *  `⊆ clean(...)`: only false POSITIVES exist, so this never keeps
+   *  a document the exact path would drop. */
+  def cleanBloom(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, k: Int, fpp: Double = 1e-4): DataFrame =
+    corpus.join(contaminatedBloom(corpus, benchmark, textCol, idCol, k, fpp)
+      .select(col(idCol)), Seq(idCol), "left_anti")
+
   /** DuckDB oracle for [[contaminated]] over two predicates of one
    *  table (same h60 shingle space). */
   def contaminatedSql(table: String, textCol: String, idCol: String,

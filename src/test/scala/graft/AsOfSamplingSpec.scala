@@ -145,6 +145,34 @@ class AsOfSamplingSpec extends SparkTestBase {
     assert(clean == Set(11L))
   }
 
+  test("bloom decontamination: superset screen, never a false negative") {
+    import graft.operators.Decontamination
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter(col("doc_id") < 20)
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val exact = Decontamination.contaminated(corpus, bench, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Decontamination.contaminatedBloom(corpus, bench, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives: every exactly-contaminated doc is flagged,
+    // with at LEAST its exact hit count (fp can only add hits)
+    assert(exact.keySet.subsetOf(bloom.keySet))
+    exact.foreach { case (id, n) => assert(bloom(id) >= n, s"doc $id") }
+    // clean side: bloom-clean is a subset of exactly-clean
+    val cleanExact = Decontamination.clean(corpus, bench, "text", "doc_id", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cleanBloom = Decontamination.cleanBloom(corpus, bench, "text", "doc_id", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleanBloom.subsetOf(cleanExact))
+    // at 1% fpp on this corpus the screen should be near-exact
+    assert(cleanBloom.size >= (cleanExact.size * 0.95).toInt)
+    // plan shape: a FILTER, not a join — the bloom path's point
+    val plan = Decontamination.contaminatedBloom(corpus, bench, "text", "doc_id", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("might_contain"), plan)
+  }
+
   test("multi-index simhash finds EXACTLY the brute-force hamming pairs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fast = Dedup.simhashPairsMultiIndex(docs, "text", "doc_id", 2)
