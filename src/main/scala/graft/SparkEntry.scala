@@ -47,10 +47,20 @@ object SparkEntry {
     // ^ bump _vN on ANY minhash/shingle algorithm change — parameters
     // alone can't invalidate a stale file if the kernel itself moved
     this.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").exists())
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        // build under a process-private name, then RENAME into place:
+        // a concurrent process either sees the complete directory or
+        // none at all (the _SUCCESS probe alone can't guard a reader
+        // racing a writer mid-write across JVMs)
+        val tmp = new java.io.File(path.getParent,
+          s"${path.getName}.tmp${ProcessHandle.current().pid()}")
         Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id", 3, 16, 4, 0.8,
             persistIntermediate = true)
-          .write.mode("overwrite").parquet(path.toString)
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (!tmp.renameTo(path)) { // lost the race: someone else won
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        }
+      }
     }
     s.read.parquet(path.toString)
   }
