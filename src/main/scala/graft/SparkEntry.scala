@@ -455,6 +455,12 @@ object SparkEntry {
     "q53_simhash_wide" -> ((s, dir) =>
       Dedup.simhashPairsMultiIndex(documents(s, dir), "text", "doc_id", 3, bits = 60)
         .orderBy("id_a", "id_b")),
+    // real audio decode: executor-rendered PCM WAVs (parameters
+    // derived from the row) read back through the javax.sound header
+    // path — the audio twin of q54
+    "q61_audio_decode" -> ((s, dir) =>
+      Media.extractAudioMeta(Media.audioFromDocuments(documents(s, dir)))
+        .orderBy("doc_id")),
     // VARIANT payload math (Spark 4 shredded-JSON path): exact-key,
     // case-sensitive access — the documented fast alternative to the
     // faithful map/kernel modes (X27, now oracle-verified)
@@ -741,6 +747,11 @@ object SparkEntry {
     "q55_salted_agg" ->
       """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
         |  count(*) AS n FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q61_audio_decode" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 4) * 4000 AS DOUBLE) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, n_chars + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q59_variant_payload" ->
       """SELECT event_id,
         |  COALESCE(TRY_CAST(json_extract(props, '$.k') AS DOUBLE), 0.0)

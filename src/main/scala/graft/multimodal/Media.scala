@@ -111,6 +111,72 @@ object Media {
     } finally if (iis != null) iis.close()
   }
 
+  /** True audio header decode via `javax.sound.sampled` (in the JDK —
+   *  no external codec): WAV/AIFF/AU container headers yield sample
+   *  rate, channel count, and frame length without touching sample
+   *  data. Returns None when no installed reader claims the bytes. */
+  def audioMeta(bytes: Array[Byte]): Option[(Float, Int, Long)] =
+    try {
+      val f = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      Some((f.getFormat.getSampleRate, f.getFormat.getChannels,
+        f.getFrameLength.toLong))
+    } catch { case _: Exception => None }
+
+  /** Deterministic tiny PCM WAV: real, decodable audio bytes written
+   *  with the JDK's own encoder (16-bit mono PCM; sample pattern keyed
+   *  by `docId`). Executor-side generation for the audio-decode query,
+   *  exactly like [[encodePng]] for images. */
+  def encodeWav(docId: Long, sampleRate: Int, nFrames: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = ((docId * 31L + i * 7L) % 65536L - 32768L).toShort
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Documents → real WAV payloads with parameters derived from the
+   *  row (sampleRate = 8000 + (doc_id%4)·4000, frames = n_chars + 1):
+   *  the oracle states the expected metadata without the bytes. */
+  def audioFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { it =>
+        codecWarm
+        it.map { case (id, nChars) =>
+          MediaRecord(id,
+            encodeWav(id, 8000 + (id % 4).toInt * 4000, (nChars + 1).toInt),
+            "audio/wav")
+        }
+      }
+  }
+
+  /** (doc_id, sample_rate, channels, n_frames) for audio payloads —
+   *  real header decode, stub-free. Non-audio/unreadable payloads are
+   *  absent from the output (a media pipeline routes by mime first). */
+  def extractAudioMeta(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.flatMap { r =>
+        audioMeta(r.bytes).map { case (sr, ch, fr) =>
+          (r.doc_id, sr.toDouble, ch, fr)
+        }
+      }
+    }.toDF("doc_id", "sample_rate", "channels", "n_frames")
+  }
+
   /** STUB DECODER — deterministic fake for mimes with no JDK codec. */
   private def stubDecode(r: MediaRecord): MediaFeatures = {
     val n = r.bytes.length.toLong

@@ -91,6 +91,16 @@ class ExtensionsSpec extends SparkTestBase {
     assert((feats.width, feats.height, feats.n_frames) == ((17, 23, 1)))
   }
 
+  test("media: javax.sound reads true WAV parameters from real headers") {
+    val wav = Media.encodeWav(42L, 16000, 777)
+    assert(wav.take(4).map(_.toChar).mkString == "RIFF")
+    assert(Media.audioMeta(wav) == Some((16000.0f, 1, 777L)))
+    // malformed / non-audio bytes: None, never an exception
+    assert(Media.audioMeta("not audio".getBytes) == None)
+    assert(Media.audioMeta(Array.emptyByteArray) == None)
+    assert(Media.audioMeta(wav.take(10).toArray) == None)
+  }
+
   test("media: resize normalizes every payload to the target size, tags mime") {
     val resized = Media.resize(Media.fromDocuments(docs), 64, 64).collect()
     assert(resized.length == docs.count())
