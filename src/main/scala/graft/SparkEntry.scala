@@ -455,6 +455,13 @@ object SparkEntry {
     "q53_simhash_wide" -> ((s, dir) =>
       Dedup.simhashPairsMultiIndex(documents(s, dir), "text", "doc_id", 3, bits = 60)
         .orderBy("id_a", "id_b")),
+    // real multi-frame demux: executor-rendered animated GIFs (frame
+    // count + dims derived from the row) sampled every 2nd frame
+    // through ImageReader — the container is demuxed for real, not
+    // byte-sliced
+    "q62_video_frames" -> ((s, dir) =>
+      Media.decodeFrames(Media.videoFromDocuments(documents(s, dir)), 2)
+        .orderBy("doc_id", "frame_idx")),
     // real audio decode: executor-rendered PCM WAVs (parameters
     // derived from the row) read back through the javax.sound header
     // path — the audio twin of q54
@@ -747,6 +754,13 @@ object SparkEntry {
     "q55_salted_agg" ->
       """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
         |  count(*) AS n FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q62_video_frames" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(n_chars % 32 + 1 AS INT) AS width,
+        |  CAST(doc_id % 24 + 1 AS INT) AS height
+        |FROM (SELECT doc_id, n_chars,
+        |        unnest(range(0, doc_id % 5 + 2, 2)) AS i FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q61_audio_decode" ->
       """SELECT doc_id,
         |  CAST(8000 + (doc_id % 4) * 4000 AS DOUBLE) AS sample_rate,

@@ -177,6 +177,82 @@ object Media {
     }.toDF("doc_id", "sample_rate", "channels", "n_frames")
   }
 
+  /** Deterministic animated GIF: a REAL multi-frame container written
+   *  with the JDK's own sequence encoder — the closest thing to video
+   *  the JDK can produce natively. Each frame carries one marker pixel
+   *  keyed by (docId, frame); few distinct colors keep the GIF
+   *  palette lossless. */
+  def encodeGif(docId: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, (((docId * 131) + f * 17) & 0xFFFF).toInt)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Frame sampling with REAL container demux: every `everyN`-th frame
+   *  of a multi-frame image container (animated GIF — the JDK's native
+   *  video stand-in), decoded through `ImageReader` — frame count and
+   *  per-frame dimensions come off the container, not a byte formula.
+   *  This is the "demux the container, decode only the sampled frames"
+   *  dataflow [[sampleFrames]]'s stub documents; payloads no reader
+   *  claims yield no rows. Output (doc_id, frame_idx, width, height). */
+  def decodeFrames(media: Dataset[MediaRecord], everyN: Int): DataFrame = {
+    require(everyN >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      codecWarm
+      records.flatMap { r =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(r.bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Iterator.empty }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n by everyN).map { i =>
+              (r.doc_id, i, reader.getWidth(i), reader.getHeight(i))
+            }.iterator
+          } catch { case _: Exception => Iterator.empty }
+          finally { reader.dispose(); iis.close() }
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "width", "height")
+  }
+
+  /** Documents → real animated-GIF payloads with frame count and
+   *  dimensions derived from the row, so the oracle knows the
+   *  expected demux output without the bytes. */
+  def videoFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { it =>
+        codecWarm
+        it.map { case (id, nChars) =>
+          MediaRecord(id,
+            encodeGif(id, (nChars % 32 + 1).toInt, (id % 24 + 1).toInt,
+              (id % 5 + 2).toInt),
+            "image/gif")
+        }
+      }
+  }
+
   /** STUB DECODER — deterministic fake for mimes with no JDK codec. */
   private def stubDecode(r: MediaRecord): MediaFeatures = {
     val n = r.bytes.length.toLong

@@ -101,6 +101,29 @@ class ExtensionsSpec extends SparkTestBase {
     assert(Media.audioMeta(wav.take(10).toArray) == None)
   }
 
+  test("media: animated-GIF frames round-trip with per-frame pixel content") {
+    val gif = Media.encodeGif(9L, 12, 7, 5)
+    assert(gif.take(6).map(_.toChar).mkString == "GIF89a")
+    // demux: real frame count and dims off the container
+    import spark.implicits._
+    val one = Seq(graft.multimodal.MediaRecord(9L, gif, "image/gif")).toDS()
+    val frames = Media.decodeFrames(one, 1).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).sorted
+    assert(frames.toSeq == (0 until 5).map(i => (i, 12, 7)))
+    // and the sampled PIXELS are the encoded ones (marker at 0,0)
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    (0 until 5).foreach { f =>
+      assert((reader.read(f).getRGB(0, 0) & 0xFFFF) == (((9L * 131) + f * 17) & 0xFFFF).toInt)
+    }
+    reader.dispose(); iis.close()
+    // non-container payloads produce no frame rows
+    val junk = Seq(graft.multimodal.MediaRecord(1L, "junk".getBytes, "video/mp4")).toDS()
+    assert(Media.decodeFrames(junk, 1).collect().isEmpty)
+  }
+
   test("media: resize normalizes every payload to the target size, tags mime") {
     val resized = Media.resize(Media.fromDocuments(docs), 64, 64).collect()
     assert(resized.length == docs.count())
