@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -10,18 +9,19 @@ import org.apache.spark.sql.functions._
  * baseline, random-hyperplane LSH bucketing as the scale path, and a
  * per-label nearest-pair dedup view.
  *
- * Implementation: higher-order functions only (`zip_with` +
- * `aggregate` sequential folds) — fully codegen'd, no UDFs. Floats are
- * cast to double BEFORE any arithmetic, and every fold/product/
- * division associates identically in the DuckDB `*Sql` mirrors, so
- * scores are bit-identical across engines.
+ * Implementation: the custom codegen'd `DotProduct` expression inside
+ * narrow projections — no UDFs, no interpreted HOFs in the scoring
+ * loop. Floats are cast to double BEFORE any arithmetic, and every
+ * fold/product/division associates identically in the DuckDB `*Sql`
+ * mirrors, so scores are bit-identical across engines.
  *
  * Scale posture (100 TB):
  *  - `knnBrute` broadcasts the QUERY side (small by construction) and
- *    streams the corpus — one narrow pass, no corpus shuffle; the
- *    top-k window partitions by query id (shuffle of scored rows ≈
- *    |corpus|×|queries| — keep |queries| bounded; for large query
- *    sets, switch to the LSH path).
+ *    streams the corpus — one narrow pass, no corpus shuffle; ranking
+ *    is the bounded `SimTopK` aggregation (map-side k-heaps), so the
+ *    only exchange carries k×maps×queries heap entries, never the
+ *    |corpus|×|queries| scored rows. For large query sets, switch to
+ *    the LSH path.
  *  - `annLsh` reduces each vector to an integer bucket (narrow), then
  *    joins within buckets only; plane count tunes the bucket
  *    occupancy/recall trade-off. Planes are md5-derived constants —
