@@ -13,18 +13,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * never opens non-matching directories, which at 100 TB is the
  * difference between reading 1/50th of the data and all of it. The
  * spec asserts the pruned plan, not just the values. Formats: any
- * Spark DataSource (parquet default, orc/json/csv tested).
+ * Spark DataSource (parquet default; orc/json/csv/xml tested —
+ * Spark 4 bundles the XML source, `rowTag` via `options`).
  */
 object Sinks {
 
   def write(df: DataFrame, path: String, format: String = "parquet",
-      partitionCols: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
-    val w = df.write.format(format).mode(mode)
+      partitionCols: Seq[String] = Nil, mode: String = "overwrite",
+      options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.format(format).mode(mode).options(options)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .save(path)
   }
 
-  def read(spark: SparkSession, path: String,
-      format: String = "parquet"): DataFrame =
-    spark.read.format(format).load(path)
+  def read(spark: SparkSession, path: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format(format).options(options).load(path)
 }

@@ -71,6 +71,20 @@ class SourcesSpec extends SparkTestBase {
       docs.orderBy("doc_id").select("doc_id", "text").collect().toSeq)
   }
 
+  test("xml round-trip preserves rows (Spark 4 built-in XML source)") {
+    import graft.sources.Sinks
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "n_chars") // flat scalars: xml-safe
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml_").toString
+    Sinks.write(docs, dir, format = "xml", options = Map("rowTag" -> "doc"))
+    val back = Sinks.read(spark, dir, format = "xml",
+      options = Map("rowTag" -> "doc"))
+    assert(back.count() == docs.count())
+    assert(back.orderBy("doc_id").select("doc_id", "lang", "n_chars")
+      .collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+  }
+
   test("operand resolution coerces every numeric type (SURVEY §1.2)") {
     val schema = StructType(Seq(
       StructField("id", LongType),
