@@ -82,6 +82,22 @@ class AsOfSamplingSpec extends SparkTestBase {
     assert(out.forall(_.getLong(1) == 0L), "chain did not fully collapse")
   }
 
+  test("clusters converge on cycles and star-joined components") {
+    // a ring has no chain endpoints (every vertex degree 2) and a
+    // 2-cycle of min-labels if propagation were naive; plus a star
+    // whose center connects 50 leaves, bridged to the ring
+    val ringN = 101L
+    val ring = (0L until ringN).map(i => (i, (i + 1) % ringN))
+    val star = (1000L until 1050L).map(l => (999L, l))
+    val bridge = Seq((50L, 999L))
+    val vertices = ((0L until ringN) ++ (999L until 1050L)).toDF("id")
+    val pairs = (ring ++ star ++ bridge).toDF("id_a", "id_b")
+    val out = Dedup.clusters(vertices, "id", pairs).collect()
+    assert(out.length == ringN + 51)
+    assert(out.forall(_.getLong(1) == 0L),
+      "ring+star component did not collapse to the min id")
+  }
+
   test("range join: bucketized result ≡ nested-loop result, without the nested loop") {
     import graft.operators.RangeJoin
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
