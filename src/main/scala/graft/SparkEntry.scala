@@ -40,10 +40,29 @@ object SparkEntry {
    *  exact (ids + double sim), so consumers are value-identical to
    *  recomputing. Parameters are part of the path: a knob change
    *  can never serve stale pairs. */
+
+  /** Cache key for the documents corpus at `dir`: CRC over the full
+   *  path PLUS every parquet part's (name, length, mtime). A
+   *  regenerated table at the same path, or two dirs whose Strings
+   *  collide on hashCode, can never serve stale pairs — the cache
+   *  outlives the JVM, so the path alone is not identity. */
+  private def corpusFingerprint(dir: String): String = {
+    val root = new java.io.File(dir, "documents.parquet")
+    val parts: Seq[java.io.File] =
+      if (root.isDirectory)
+        root.listFiles().toSeq.filter(_.isFile).sortBy(_.getName)
+      else Seq(root)
+    val crc = new java.util.zip.CRC32()
+    crc.update(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+    parts.foreach { f =>
+      crc.update(s";${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8"))
+    }
+    java.lang.Long.toHexString(crc.getValue)
+  }
   private def sharedLshPairs(s: SparkSession, dir: String): DataFrame = {
     val path = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_shared_pairs_" +
-        s"${Integer.toHexString(dir.hashCode)}_k3_p16_b4_t08_v1")
+        s"${corpusFingerprint(dir)}_k3_p16_b4_t08_v1")
     // ^ bump _vN on ANY minhash/shingle algorithm change — parameters
     // alone can't invalidate a stale file if the kernel itself moved
     this.synchronized {
@@ -422,12 +441,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("hour", "event_type")),
-    // corpus vocabulary stats: global top-20 tokens by frequency
-    // (explode → map-side-combined count → TakeOrdered top-k)
+    // corpus vocabulary stats: global top-20 tokens by frequency.
+    // NARROW-FIRST: the fused TokenFrequencies kernel folds each doc
+    // to its distinct (token, count) pairs in one byte pass, so the
+    // generate + partial agg handle per-doc DISTINCTS, not every
+    // token occurrence (the pre-r5 explode formulation was the
+    // heaviest per-row stage in the suite). Then map-side-combined
+    // sum → TakeOrdered(20).
     "q46_token_freq" -> ((s, dir) => documents(s, dir)
-      .select(explode(TextFunctions.lowerTokens(col("text"))).as("t"))
-      .filter(col("t") =!= "")
-      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .select(explode(graft.functions.HashExpressions
+        .tokenFrequencies(col("text"))).as("tf"))
+      .groupBy(col("tf.t").as("t")).agg(sum(col("tf.n")).as("n"))
       .orderBy(desc("n"), asc("t")).limit(20)),
     // corpus length histogram: 100-char buckets (integer math only)
     "q47_length_hist" -> ((s, dir) => documents(s, dir)

@@ -107,7 +107,14 @@ object Curation {
         out
       }
     }
+    // Materialize the second pass BEFORE unpersisting `sorted` —
+    // returning lazily and unpersisting here would silently recompute
+    // pass 2 from the shuffle (correct only by determinism, and it
+    // repeats the partition-local sort). localCheckpoint pins the
+    // result on the executors; at cluster scale with executor churn a
+    // lake write (the sharedLshPairs pattern) is the durable variant.
     val result = spark.createDataFrame(rdd, outSchema)
+      .localCheckpoint(eager = true)
     sorted.unpersist(blocking = false)
     result
   }
@@ -126,7 +133,10 @@ object Curation {
       graft.functions.TokenCounts(col(textCol)).getField("tok_ws").as("n_tok"))
     withRunningTotal(counted, idCol, "n_tok", "__cum")
       .select(col(idCol), col("n_tok"),
-        (col("__cum") / lit(budget)).cast("long").as("seq_id"))
+        // integer floor division on longs (`div`), matching the
+        // oracle's `//` exactly — `/` is double division and loses
+        // exactness past 2^53 cumulative tokens
+        expr(s"__cum div $budget").as("seq_id"))
   }
 
   def packSequencesSql(table: String, textCol: String, idCol: String,

@@ -59,8 +59,14 @@ object Decontamination {
    *  error: every shingle of every doc probes the filter, so a doc
    *  with s shingles is falsely flagged with ≈ s·fpp — the 1e-4
    *  default keeps that under 1% for 100-shingle docs at ~2.4
-   *  bytes/shingle (vs 8 exact: a 10⁹-shingle eval corpus in ~2.4 GB
-   *  where the exact set needs 8+). Returns a SUPERSET of
+   *  bytes/shingle (vs 8 exact). Spark's `BloomFilterAggregate`
+   *  silently clamps its size arguments to the session's
+   *  runtime-filter limits (`maxNumBits` default 64 Mbit ≈ 3.3 M
+   *  items at 1e-4), so this method RAISES those two confs to cover
+   *  the computed size for the duration of the build (restored
+   *  after) — without that, eval suites past a few million distinct
+   *  shingles would silently run at a far worse effective fpp and
+   *  drop a large fraction of clean docs. Returns a SUPERSET of
    *  [[contaminated]] (ids + approximate hit counts). */
   def contaminatedBloom(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, k: Int, fpp: Double = 1e-4): DataFrame = {
@@ -72,8 +78,19 @@ object Decontamination {
     // optimal bits for n items at fpp: -n·ln(fpp)/ln²2
     val numBits = math.max(64L,
       math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val bf = bh.agg(graft.functions.BloomFunctions
-      .bloomAgg(col("h"), n, numBits).as("bf")).head.getAs[Array[Byte]](0)
+    // BloomFilterAggregate clamps numBits/numItems to these session
+    // confs (Math.min in the constructor) — raise them so the
+    // requested size is actually honored, then restore.
+    val conf = corpus.sparkSession.conf
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val (prevBits, prevItems) = (conf.get(bitsKey), conf.get(itemsKey))
+    val bf = try {
+      if (prevBits.toLong < numBits) conf.set(bitsKey, numBits.toString)
+      if (prevItems.toLong < n) conf.set(itemsKey, n.toString)
+      bh.agg(graft.functions.BloomFunctions
+        .bloomAgg(col("h"), n, numBits).as("bf")).head.getAs[Array[Byte]](0)
+    } finally { conf.set(bitsKey, prevBits); conf.set(itemsKey, prevItems) }
     corpus
       .select(col(idCol), explode(HashExpressions.shingleHashes(col(textCol), k)).as("h"))
       .filter(graft.functions.BloomFunctions.mightContain(bf, col("h")))

@@ -48,7 +48,11 @@ object Percentiles {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val p0 = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val base = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    // NULL values are ignored, matching quantile_cont / percentile
+    // semantics — without this they'd sort first, count toward n, and
+    // unbox to 0.0 on a target rank
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
     val sorted = base.repartitionByRange(p0, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
       .persist(MEMORY_AND_DISK) // two passes: counts, then selection
