@@ -220,6 +220,40 @@ object HashOps {
     c
   }
 
+  /** Per-document token frequencies: distinct non-empty tokens of
+   *  `split(trim(lower(s)), "\\s+")` with occurrence counts, sorted by
+   *  token (binary order) — `(t, n)` structs from one pass over the
+   *  bytes. This is the NARROW-FIRST shape for corpus vocabulary
+   *  aggregation: exploding it emits one row per distinct token PER
+   *  DOCUMENT (then map-side partial agg combines across documents),
+   *  where exploding the raw token array emits one row per token
+   *  OCCURRENCE and pays generator + hash-agg probe cost per
+   *  occurrence — the heaviest per-row work in the suite before this
+   *  kernel existed. UTF8String keys wrap the lowercased byte buffer
+   *  (no copy); struct rows are built only for the distinct survivors. */
+  def tokenFreqs(s: UTF8String): ArrayData = {
+    val b = s.toLowerCase.getBytes
+    val m = new java.util.HashMap[UTF8String, Array[Long]](32)
+    forEachSplitToken(b) { (off, len) =>
+      if (len > 0) {
+        val t = UTF8String.fromBytes(b, off, len)
+        val cur = m.get(t)
+        if (cur == null) m.put(t, Array(1L)) else cur(0) += 1L
+      }
+    }
+    val keys = m.keySet().toArray(new Array[UTF8String](m.size()))
+    java.util.Arrays.sort(keys,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    val rows = new Array[Any](keys.length)
+    var i = 0
+    while (i < keys.length) {
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](keys(i), m.get(keys(i))(0)))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   private val langNames: Array[UTF8String] =
     TextFunctions.langProfiles.map(p => UTF8String.fromString(p._1)).toArray
   private val langSets: Array[java.util.HashSet[UTF8String]] =
@@ -357,6 +391,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `TokenFrequencies(string) → array<struct<t:string,n:bigint>>` —
+ *  fused lowercase + tokenize + per-doc frequency map, sorted by
+ *  token (see [[HashOps.tokenFreqs]]). Explode + sum replaces the
+ *  per-occurrence explode + count in vocabulary aggregation. */
+case class TokenFrequencies(child: Expression)
+    extends UnaryExpression with StringInput {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t", StringType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.tokenFreqs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.tokenFreqs($c);")
+  override protected def withNewChildInternal(newChild: Expression): TokenFrequencies =
+    copy(child = newChild)
+}
+
 /** `LangIdOf(string) → string` — single-pass tokenize + stopword-
  *  profile argmax; replaces the explode + 5-conditional-sums
  *  aggregation (and its shuffle) with a narrow projection. */
@@ -388,4 +440,6 @@ object HashExpressions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def langIdOf(c: Column): Column =
     ColumnBridge.column(LangIdOf(ColumnBridge.expression(c)))
+  def tokenFrequencies(c: Column): Column =
+    ColumnBridge.column(TokenFrequencies(ColumnBridge.expression(c)))
 }

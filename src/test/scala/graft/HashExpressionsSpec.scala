@@ -167,6 +167,26 @@ class HashExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("TokenFrequencies ≡ explode + count of lowerTokens, globally and per doc") {
+    import spark.implicits._
+    val edgy = Seq("", " ", "\tfoo bar foo", "a A a  b", "one").toDF("text")
+    for (df <- Seq(docs.select(col("text")), edgy)) {
+      val fused = df
+        .select(explode(HashExpressions.tokenFrequencies(col("text"))).as("tf"))
+        .groupBy(col("tf.t").as("t")).agg(sum(col("tf.n")).as("n"))
+      val exploded = df
+        .select(explode(TextFunctions.lowerTokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      assert(fused.except(exploded).isEmpty && exploded.except(fused).isEmpty)
+    }
+    // per-doc: struct list is token-sorted with exact counts
+    val row = Seq("b a b  B c").toDF("text")
+      .select(HashExpressions.tokenFrequencies(col("text")).as("tf"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(row.map(r => (r.getString(0), r.getLong(1))) == Seq("a" -> 1L, "b" -> 3L, "c" -> 1L))
+  }
+
   test("SQL surface: json-scan, token-counts, and top-k aggregate registrations") {
     graft.core.GraftFunctions.register(spark)
     import spark.implicits._
