@@ -31,15 +31,17 @@ final case class FrameRecord(doc_id: Long, frame_idx: Int, bytes: Array[Byte])
  * explicit repartition knob so decode cost balances across executors
  * independently of upstream file splits.
  *
- * Image payloads (image mimes) decode FOR REAL: `javax.imageio`
- * ships with the JDK, and [[Media.imageDims]] reads true width/height
- * from the container header (PNG/JPEG/GIF/BMP — no pixel decode, no
- * external dependency). Audio/video byte→samples steps remain STUBS:
- * this container ships no such codecs, so [[Media.decode]] derives
- * deterministic pseudo-features from the byte length for non-image
- * mimes. Swapping in a real codec changes one function body and
- * nothing else — signature, schema, batching, and partitioning stay
- * as tested here.
+ * Image payloads (image mimes) decode, demux, AND resize FOR REAL:
+ * `javax.imageio` + `java.awt` ship with the JDK — [[Media.imageDims]]
+ * reads true width/height off the container header (no pixel decode),
+ * [[Media.decodeFrames]] demuxes multi-frame containers, and
+ * [[Media.resize]] does decode → bilinear scale → re-encode. Audio
+ * headers decode for real through `javax.sound.sampled`. The one
+ * remaining STUB surface is byte→samples for mimes with no JDK codec
+ * (mp4/h264): [[Media.decode]] derives deterministic pseudo-features
+ * from the byte length there. Swapping in a real codec changes one
+ * function body and nothing else — signature, schema, batching, and
+ * partitioning stay as tested here.
  */
 object Media {
 
@@ -303,9 +305,15 @@ object Media {
       }
       y += 1
     }
+    writePng(writer, img)
+  }
+
+  /** Encode a raster as PNG through a reused writer (memory-cached
+   *  stream for the same reason as [[imageDims]] — the factory
+   *  default buffers through a per-call temp FILE). */
+  def writePng(writer: javax.imageio.ImageWriter,
+      img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    // memory-cached stream for the same reason as imageDims — the
-    // factory default buffers through a per-call temp FILE
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
@@ -361,27 +369,73 @@ object Media {
     }
   }
 
-  /** STUB RESIZE — re-encode each payload at a target size. A real
-   *  implementation decodes, scales, re-encodes; the stub emits a
-   *  deterministic truncation/cycle of the source bytes at the target
-   *  length and tags the mime. Plumbing (per-partition batching,
-   *  1→1 binary-to-binary shape, metadata threading) is the real
-   *  thing and is what a swapped-in codec inherits. */
+  /** Full pixel decode via the same memory-cached reader path as
+   *  [[imageDims]] (never `ImageIO.read(InputStream)` — its factory
+   *  wraps a temp-FILE-cached stream per record). None when no
+   *  installed reader claims or can decode the bytes. */
+  def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          Option(reader.read(0))
+        } catch { case _: Exception => None }
+        finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** REAL RESIZE for image mimes: decode ([[readImage]]) → bilinear
+   *  scale onto a `width`×`height` raster (`java.awt.Graphics2D`, in
+   *  the JDK) → re-encode as PNG with a per-PARTITION writer (the q54
+   *  lesson: per-call registry scans dominate tiny-image encode).
+   *  Output mime records the transform (`image/png;resized=WxH`).
+   *  Mimes with no JDK codec (and image bytes no reader can decode)
+   *  fall back to the byte-level stub below — the one remaining stub
+   *  surface, since the JDK ships no mp4/h264 codec. */
   def resize(media: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
+    require(width >= 1 && height >= 1, "resize needs positive target dims")
     val spark = media.sparkSession
     import spark.implicits._
-    val target = width * height / 64 // stub "compressed" size
     media.mapPartitions { records =>
+      codecWarm
+      val writer = pngWriter() // codec init once per partition
       records.map { r =>
-        val out = new Array[Byte](math.max(target, 1))
-        var i = 0
-        while (i < out.length) {
-          out(i) = if (r.bytes.isEmpty) 0 else r.bytes(i % r.bytes.length)
-          i += 1
-        }
-        MediaRecord(r.doc_id, out, s"${r.mime};resized=${width}x$height")
+        val real =
+          if (r.mime.startsWith("image/")) readImage(r.bytes).map { src =>
+            val dst = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, width, height, null)
+            } finally g.dispose()
+            MediaRecord(r.doc_id, writePng(writer, dst),
+              s"image/png;resized=${width}x$height")
+          } else None
+        real.getOrElse(stubResize(r, width, height))
       }
     }
+  }
+
+  /** STUB RESIZE — deterministic byte truncation/cycle for payloads
+   *  with no JDK codec (the real path above handles images). */
+  private def stubResize(r: MediaRecord, width: Int, height: Int): MediaRecord = {
+    val target = width * height / 64 // stub "compressed" size
+    val out = new Array[Byte](math.max(target, 1))
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (r.bytes.isEmpty) 0 else r.bytes(i % r.bytes.length)
+      i += 1
+    }
+    MediaRecord(r.doc_id, out, s"${r.mime};resized=${width}x$height")
   }
 
   /** Frame size of the stub container format (small enough that

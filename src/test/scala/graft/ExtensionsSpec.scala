@@ -124,6 +124,26 @@ class ExtensionsSpec extends SparkTestBase {
     assert(Media.decodeFrames(junk, 1).collect().isEmpty)
   }
 
+  test("media: resize really decodes, scales, and re-encodes image payloads") {
+    import spark.implicits._
+    val src = Seq(
+      graft.multimodal.MediaRecord(1L, Media.encodePng(1L, 40, 30), "image/png"),
+      graft.multimodal.MediaRecord(2L, Media.encodePng(2L, 3, 5), "image/png")).toDS()
+    val out = Media.resize(src, 16, 12).collect().sortBy(_.doc_id)
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.mime == "image/png;resized=16x12")
+      // re-decode: the emitted bytes are a REAL 16x12 PNG
+      assert(Media.imageDims(r.bytes) == Some((16, 12)))
+    }
+    // scaled pixels derive from the source raster, not a constant fill
+    assert(!java.util.Arrays.equals(out(0).bytes, out(1).bytes))
+    // image mime with undecodable bytes falls back to the stub
+    val bad = Seq(graft.multimodal.MediaRecord(3L, "junk".getBytes, "image/png")).toDS()
+    val stub = Media.resize(bad, 16, 12).collect()(0)
+    assert(stub.bytes.length == 16 * 12 / 64 && stub.mime.endsWith(";resized=16x12"))
+  }
+
   test("media: resize normalizes every payload to the target size, tags mime") {
     val resized = Media.resize(Media.fromDocuments(docs), 64, 64).collect()
     assert(resized.length == docs.count())
