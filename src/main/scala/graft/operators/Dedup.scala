@@ -342,6 +342,8 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    System.err.println(s"[graft.cc] converged after $iter rounds " +
+      s"(maxIter=$maxIter, lastChanged=$changed)")
     labels
   }
 

@@ -50,8 +50,14 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, salts: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt", rowSalt(big, salts))
+    // SHUFFLE_HASH pins the shuffled path: this operator exists for
+    // the "too big to broadcast" regime, and letting the optimizer
+    // broadcast a small test-scale side would leave the salting dead
+    // code in the executed plan (a broadcast join has no reducer-side
+    // skew to fix in the first place).
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
+      .hint("SHUFFLE_HASH")
     saltedBig.join(replicated,
       saltedBig(bigKey) === replicated(smallKey) &&
         saltedBig("__salt") === replicated("__salt"))

@@ -62,6 +62,30 @@ class MsgpackSpec extends SparkTestBase {
       assert(one(hdr) == Seq("e" -> None, "k" -> Some(5.0)), name)
   }
 
+  test("property: chunk grouping size (1/2/odd/large) never changes the decoded stream") {
+    // q60 groups ~100 events per wire chunk (SparkEntry) — an
+    // arbitrary transport constant. Pin that the constant is
+    // semantics-free: any grouping of the same event stream into
+    // chunks decodes to the identical event sequence, including the
+    // degenerate one-event and two-event chunk sizes that put every
+    // event against a chunk boundary.
+    val rnd = new scala.util.Random(13)
+    val events = (0 until 23).map { i =>
+      val ts = 1700000000L * 1000000000L + i * 1000L
+      val payload: Seq[(String, Any)] =
+        Seq("event_id" -> i.toLong, "value" -> rnd.nextDouble(), "tag" -> s"t$i")
+      (ts, payload)
+    }
+    def decodeGrouped(n: Int) = events.grouped(n).toSeq.flatMap { g =>
+      Msgpack.decodeEvents(
+        g.flatMap { case (ts, p) => Msgpack.encodeEvent(ts, p) }.toArray)
+    }
+    val ref = decodeGrouped(events.length)
+    assert(ref.length == events.length)
+    for (n <- Seq(1, 2, 3, 7, 100))
+      assert(decodeGrouped(n) == ref, s"chunk size $n changed the decode")
+  }
+
   test("property: random event chunks round-trip encode→decode exactly") {
     val rnd = new scala.util.Random(7)
     for (_ <- 0 until 50) {

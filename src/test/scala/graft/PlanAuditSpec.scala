@@ -81,6 +81,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("q66 salted join: salt replication in plan, join shuffled, never broadcast") {
+    // if the optimizer broadcast the replicated side, the salting
+    // would be dead code — a broadcast join has no reducer-side skew
+    val plan = executed("q66_salted_join").toString
+    assert(plan.contains("Generate") && plan.contains("explode"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("no query plans a cartesian or UNINTENDED nested-loop join") {
     // BNL is legitimate exactly where a bounded side is broadcast on
     // purpose: the kNN/IVF scoring passes fan a BOUNDED query/probe
