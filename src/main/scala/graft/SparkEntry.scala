@@ -681,6 +681,58 @@ object SparkEntry {
         .select(col("event_id"), col("n_nationkey"))
         .orderBy("event_id", "n_nationkey")
     }),
+    // STREAM-STREAM interval join through the real streaming path
+    // (X43, driver-visible): both sides are watermarked file streams;
+    // each even event pairs with the same user's odd events from the
+    // prior 6 hours. Inner joins emit on match, so AvailableNow
+    // drains the complete deterministic result — the watermark's job
+    // is bounding buffered state on an unbounded stream, not gating
+    // output. Oracle = the batch BETWEEN join.
+    "q67_stream_interval" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q67_").toString
+      def side(parity: Int, idN: String, kN: String, tsN: String) =
+        graft.streaming.Streams.parquetStream(s, s"$dir/events.parquet")
+          .filter(col("event_id") % 2 === parity)
+          .select(col("event_id").as(idN), col("user_id").as(kN),
+            timestamp_micros(expr("ts div 1000")).as(tsN))
+      val joined = graft.streaming.Streams.intervalJoin(
+          side(0, "l_id", "k_l", "l_ts"), side(1, "r_id", "k_r", "r_ts"),
+          "k_l", "k_r", "l_ts", "r_ts", "10 minutes", "6 hours")
+        .select(col("l_id"), col("r_id"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/data").orderBy("l_id", "r_id")
+    }),
+    // STREAMING sessionization driver row (X22): the custom
+    // flatMapGroupsWithState path (gap = 30 min) drained with
+    // AvailableNow into parquet. Sessions CLOSED by a later event
+    // emit; each user's trailing session stays in state at
+    // end-of-stream BY DESIGN (a later event could still extend it) —
+    // the oracle excludes exactly each user's last session.
+    "q68_stream_sessionize" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q68_").toString
+      val evs = graft.streaming.Streams
+        .parquetStream(s, s"$dir/events.parquet")
+        .select(col("user_id"), expr("ts div 1000").as("ets_us"))
+        .as[graft.streaming.SessionEvent]
+      val sessions = graft.streaming.Sessionize
+        .sessions(evs, 30L * 60 * 1000 * 1000)
+      val q = sessions.toDF().writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/data").orderBy("user_id", "start_us")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -936,5 +988,30 @@ object SparkEntry {
         |JOIN (SELECT n_nationkey % 5 AS nk, n_nationkey FROM nation) n
         |  ON e.k = n.nk
         |ORDER BY event_id, n_nationkey""".stripMargin,
+    "q67_stream_interval" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |      WHERE event_id % 2 = 0) l
+        |JOIN (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |      WHERE event_id % 2 = 1) r
+        |  ON l.user_id = r.user_id
+        | AND r.t BETWEEN l.t - 6::BIGINT * 3600 * 1000000 AND l.t
+        |ORDER BY l_id, r_id""".stripMargin,
+    "q68_stream_sessionize" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        | m AS (SELECT user_id, t,
+        |         CASE WHEN lag(t) OVER w IS NULL
+        |                OR t - lag(t) OVER w > 30::BIGINT * 60 * 1000000
+        |              THEN 1 ELSE 0 END AS ns
+        |       FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        | s AS (SELECT user_id, t, sum(ns) OVER
+        |         (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+        |       FROM m),
+        | g AS (SELECT user_id, sid, min(t) AS start_us, max(t) AS end_us,
+        |         CAST(count(*) AS INT) AS n_events
+        |       FROM s GROUP BY user_id, sid)
+        |SELECT user_id, start_us, end_us, n_events FROM g
+        |WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)
+        |ORDER BY user_id, start_us""".stripMargin,
   )
 }
