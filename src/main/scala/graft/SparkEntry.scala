@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.TextFunctions
 import graft.multimodal.Media
-import graft.operators.{AsOf, Curation, Decontamination, Dedup, Percentiles, RangeJoin, Sampling, Similarity, Skew}
+import graft.operators.{AsOf, Curation, Decontamination, Dedup, Percentiles, RangeJoin, Sampling, Similarity, Skew, Sketches}
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -733,6 +733,31 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(s"$out/data").orderBy("user_id", "start_us")
     }),
+    // HyperLogLog++ distinct-count sketch (X50) with its error
+    // contract enforced at runtime: approx and exact aggregate in one
+    // pass; any group off by more than 10% (at rsd=2%) fails the
+    // query. Result = the exact counts (oracle: count(DISTINCT …)).
+    "q69_hll_distinct" -> ((s, dir) =>
+      Sketches.verifiedDistinctByGroup(events(s, dir),
+          "event_type", "user_id", rsd = 0.02, maxRelErr = 0.10)
+        .orderBy("event_type")),
+    // count-min frequency sketch (X51): the exact top-10 hottest
+    // users are probed against a distributed CMS; an underestimate
+    // (impossible by construction) or a >4×eps·N overestimate fails
+    // the query. Result = the exact top-10 (deterministic tie-break).
+    "q70_cms_topk" -> ((s, dir) =>
+      Sketches.verifiedTopK(events(s, dir), "user_id", 10,
+          eps = 0.001, confidence = 0.99, seed = 42)
+        .orderBy(col("n").desc, col("user_id"))),
+    // Greenwald-Khanna/KLL quantile sketch (X52): per-event-type
+    // percentile_approx values are rank-checked against the data
+    // (±n/accuracy), then the EXACT interpolated quantiles return
+    // via distributed selection (quantile_cont semantics).
+    "q71_approx_quantile" -> ((s, dir) =>
+      Sketches.verifiedQuantilesByGroup(events(s, dir),
+          "event_type", "value", Seq("p50" -> 0.5, "p90" -> 0.9),
+          accuracy = 100)
+        .orderBy("event_type")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1013,5 +1038,15 @@ object SparkEntry {
         |SELECT user_id, start_us, end_us, n_events FROM g
         |WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)
         |ORDER BY user_id, start_us""".stripMargin,
+    "q69_hll_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q70_cms_topk" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    "q71_approx_quantile" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
