@@ -76,6 +76,15 @@ object SparkEntry {
       Media.videoFromDocuments(documents(s, dir)).toDF()
     }
 
+  /** The synthesized PNG corpus q54 decodes and q64 resizes, for the
+   *  same reason: the queries' subjects are DECODE and RESIZE; the
+   *  un-cached formulation billed 5k PNG encodes to each of them
+   *  every run. */
+  private def sharedPngCorpus(s: SparkSession, dir: String): DataFrame =
+    sharedTable(s, dir, "pngs_v1") {
+      Media.imagesFromDocuments(documents(s, dir)).toDF()
+    }
+
   /** Materialize `build` ONCE per (corpus, tag) to a lake path and
    *  read back — what a real pipeline does with an expensive
    *  intermediate dataset. An in-memory cached view dies with the
@@ -516,11 +525,14 @@ object SparkEntry {
     // header re-decode; the oracle asserts every re-decoded dimension
     // is the resize target. A stub fallback would emit undecodable
     // bytes and fail the dimension check.
-    "q64_image_resize" -> ((s, dir) =>
+    "q64_image_resize" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
       Media.extractFeatures(
-          Media.resize(Media.imagesFromDocuments(documents(s, dir)), 16, 12))
+          Media.resize(sharedPngCorpus(s, dir).as[graft.multimodal.MediaRecord], 16, 12))
         .toDF().select(col("doc_id"), col("width"), col("height"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
     // real audio decode: executor-rendered PCM WAVs (parameters
     // derived from the row) read back through the javax.sound header
     // path — the audio twin of q54
@@ -592,10 +604,13 @@ object SparkEntry {
     // derived from the row), read width/height back through the
     // javax.imageio header path — the oracle knows the dimensions
     // without ever seeing the bytes
-    "q54_image_decode" -> ((s, dir) =>
-      Media.extractFeatures(Media.imagesFromDocuments(documents(s, dir)))
+    "q54_image_decode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      Media.extractFeatures(sharedPngCorpus(s, dir).as[graft.multimodal.MediaRecord])
         .toDF().select(col("doc_id"), col("width"), col("height"), col("n_frames"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
     // trained IVF codebook: deterministic Lloyd's k-means (fixed-point
     // long-sum means, no RNG), summarized as per-cell size + centroid norm
     "q43_kmeans_train" -> ((s, dir) =>
