@@ -262,11 +262,12 @@ object Dedup {
    *  Algorithm: min-label propagation WITH per-round path compression
    *  (the hash-to-min family). Each round every vertex takes the min
    *  of its label and its neighbors' labels (edges are symmetrized),
-   *  then labels shortcut through themselves (L(v) ← L(L(v)) — one
-   *  extra self-join), so label trees halve in depth each round and
-   *  convergence is O(log diameter) rounds, not O(diameter): a
-   *  10⁶-long duplicate chain converges within the default maxIter
-   *  instead of silently returning unconverged labels. Early-stop
+   *  then labels shortcut through themselves TWICE (L ← L∘L, twice —
+   *  two extra self-joins), so label trees QUARTER in depth each
+   *  round and convergence is O(log₄ diameter) rounds, not
+   *  O(diameter): a 10⁶-long duplicate chain converges within the
+   *  default maxIter instead of silently returning unconverged
+   *  labels. Early-stop
    *  when a round changes nothing; intermediate labels are persisted
    *  and lineage is cut per round (iterative plans otherwise grow
    *  exponentially in re-execution cost). */
@@ -328,14 +329,24 @@ object Dedup {
       // path compression: follow the label one more hop — L(v) ← L(L(v)).
       // cluster_id is always a vertex id, so the join is total; the
       // left+coalesce guards the degenerate empty-vertex-set case.
-      val next = cutCounting(propagated
-        .join(propagated.select(col(idCol).as("cluster_id"),
+      def compressed(d: DataFrame): DataFrame = d
+        .join(d.select(col(idCol).as("cluster_id"),
           col("cluster_id").as("__cc")), Seq("cluster_id"), "left")
         .select(col(idCol),
           coalesce(col("__cc"), col("cluster_id")).as("cluster_id"),
-          col("__old")), acc, outSchema)
+          col("__old"))
+      // compression runs TWICE per round (pointer jumping composed
+      // with itself): label-tree depth QUADRUPLES per round instead
+      // of doubling, so the 200-deep chain spec converges in 5 rounds
+      // instead of 8 — the second self-join is far cheaper than the
+      // whole rounds (neighbor join + agg + persist + action) it
+      // replaces. Each compression input is persisted because the
+      // self-join references it twice.
+      val c1 = cut(compressed(propagated))
+      val next = cutCounting(compressed(c1), acc, outSchema)
       next.count() // one action per round: materializes next + fills acc
       changed = acc.value
+      c1.unpersist()
       propagated.unpersist()
       labels.unpersist()
       labels = next
