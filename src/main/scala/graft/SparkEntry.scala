@@ -773,6 +773,23 @@ object SparkEntry {
           "event_type", "value", Seq("p50" -> 0.5, "p90" -> 0.9),
           accuracy = 100)
         .orderBy("event_type")),
+    // PII redaction (X53): every doc gets a synthetic email + IPv4 +
+    // intl phone derived from its id appended, then the codegen'd
+    // regexp_replace chain masks them. The oracle reruns the SAME
+    // patterns through DuckDB's RE2 — byte-identical output proves
+    // the patterns sit in the Java∩RE2 common subset.
+    "q72_pii_redact" -> ((s, dir) => {
+      val d = col("doc_id")
+      val dirty = concat(col("text"),
+        lit(" contact user"), d.cast("string"), lit("@example.com from "),
+        (d % 256).cast("string"), lit("."), ((d * 7) % 256).cast("string"),
+        lit("."), ((d * 13) % 256).cast("string"), lit("."),
+        ((d * 29) % 256).cast("string"),
+        lit(" or call +"), (d + 12025550000L).cast("string"))
+      documents(s, dir)
+        .select(col("doc_id"), TextFunctions.redactPii(dirty).as("clean"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1063,5 +1080,13 @@ object SparkEntry {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q72_pii_redact" -> {
+      val dirty = "text || ' contact user' || doc_id || '@example.com from ' || " +
+        "(doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || " +
+        "((doc_id * 13) % 256) || '.' || ((doc_id * 29) % 256) || " +
+        "' or call +' || (doc_id + 12025550000)"
+      s"SELECT doc_id, ${TextFunctions.redactPiiSql(dirty)} AS clean " +
+        "FROM documents ORDER BY doc_id"
+    },
   )
 }

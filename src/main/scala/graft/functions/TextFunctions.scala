@@ -212,4 +212,33 @@ object TextFunctions {
   def lowerTokens(c: Column): Column = split(trim(lower(c)), "\\s+")
   def lowerTokensSql(c: String): String =
     s"regexp_split_to_array(trim(lower($c)), '\\s+')"
+
+  // ------------------------------------------------------ PII redaction
+
+  /** PII masking patterns (X53), deliberately restricted to the
+   *  regex subset Java (`RegExpReplace`) and RE2 (DuckDB) interpret
+   *  identically — ASCII classes, greedy counted repeats, `\b` word
+   *  boundaries, no backrefs or lookaround — so the two engines
+   *  produce byte-identical redactions. */
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pat = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val phonePat = "\\+[0-9]{7,15}"
+
+  /** Mask emails, IPv4 addresses, and international phone numbers, in
+   *  that fixed order (emails first so their digit-dot tails can't be
+   *  half-eaten as IPs). A pure codegen'd `regexp_replace` chain —
+   *  narrow projection, embarrassingly parallel at any scale; the
+   *  compiled Pattern is reused across rows by the expression. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPat, "<EMAIL>"),
+        ipv4Pat, "<IP>"),
+      phonePat, "<PHONE>")
+
+  /** DuckDB oracle twin ('g' = replace all, Spark's default). */
+  def redactPiiSql(c: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($c, " +
+      s"'$emailPat', '<EMAIL>', 'g'), '$ipv4Pat', '<IP>', 'g'), " +
+      s"'$phonePat', '<PHONE>', 'g')"
 }
