@@ -790,6 +790,51 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.redactPii(dirty).as("clean"))
         .orderBy("doc_id")
     }),
+    // STREAMING watermarked tumbling-window aggregation (X20's
+    // streaming twin, driver-visible): the stateful windowed count/sum
+    // runs through MicroBatchExecution with a 1-hour watermark and
+    // drains complete-mode into a memory sink — complete emission is
+    // what makes end-of-stream output deterministic (append mode
+    // withholds windows the final watermark hasn't passed). Oracle =
+    // q30's batch hourly rollup.
+    "q73_stream_window" -> ((s, dir) => {
+      val stream = graft.streaming.Streams
+        .parquetStream(s, s"$dir/events.parquet")
+        .select(timestamp_micros(expr("ts div 1000")).as("t"),
+          col("event_type"), col("value"))
+        .withWatermark("t", "1 hour")
+        .groupBy(window(col("t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+      val table = s"q73_sink_${System.nanoTime}"
+      graft.streaming.Streams.drainToMemory(stream, table, "complete")
+      s.table(table).orderBy("hour", "event_type")
+    }),
+    // the REFERENCE'S OWN hot path through the stream engine: a
+    // streaming source flows through the identical stateless
+    // MathCompiler projection the batch path uses (H1→O1→H5,
+    // math.c:290-366's chunk loop ≡ micro-batches) into a parquet
+    // sink. Oracle = q1's batch SQL — the strongest statement that
+    // batch and streaming share one math surface.
+    "q74_stream_math" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q74_").toString
+      val filtered = graft.streaming.Streams.mathFilter(
+        graft.streaming.Streams.parquetStream(s, s"$dir/events.parquet"),
+        MathOp("Operation" -> "sum", "Field" -> "value",
+          "Field" -> "user_id", "Output_field" -> "out"))
+      val q = filtered.select(col("event_id"), col("out"))
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/data").orderBy("event_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1088,5 +1133,12 @@ object SparkEntry {
       s"SELECT doc_id, ${TextFunctions.redactPiiSql(dirty)} AS clean " +
         "FROM documents ORDER BY doc_id"
     },
+    "q73_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q74_stream_math" ->
+      s"SELECT event_id, ${o("value")} + ${o("user_id")} AS out FROM events ORDER BY event_id",
   )
 }
