@@ -647,7 +647,8 @@ object SparkEntry {
     // back as the result. Output is the dedup KEY set (distinct
     // content hashes), which is deterministic no matter which
     // duplicate the stream kept. Oracle = the batch DISTINCT.
-    "q63_stream_dedup" -> ((s, dir) => {
+    "q63_stream_dedup" -> ((s, dir) =>
+        graft.streaming.Streams.withStatePartitions(s, 8) {
       val out = java.nio.file.Files
         .createTempDirectory("graft_q63_").toString
       val stream = graft.streaming.Streams
@@ -667,6 +668,9 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(s"$out/data").orderBy("content_hash")
     }),
+    // (state-partition note: the four stateful streaming rows run
+    // under withStatePartitions(8) — state-store count should track
+    // state volume, not the batch shuffle default; see Streams.scala)
     // Bloom decontamination screen, no-false-negative contract made
     // oracle-visible: every EXACT-contaminated doc must survive a
     // semi join against the bloom superset, so the result equals q52
@@ -703,7 +707,8 @@ object SparkEntry {
     // drains the complete deterministic result — the watermark's job
     // is bounding buffered state on an unbounded stream, not gating
     // output. Oracle = the batch BETWEEN join.
-    "q67_stream_interval" -> ((s, dir) => {
+    "q67_stream_interval" -> ((s, dir) =>
+        graft.streaming.Streams.withStatePartitions(s, 8) {
       val out = java.nio.file.Files
         .createTempDirectory("graft_q67_").toString
       def side(parity: Int, idN: String, kN: String, tsN: String) =
@@ -729,7 +734,8 @@ object SparkEntry {
     // emit; each user's trailing session stays in state at
     // end-of-stream BY DESIGN (a later event could still extend it) —
     // the oracle excludes exactly each user's last session.
-    "q68_stream_sessionize" -> ((s, dir) => {
+    "q68_stream_sessionize" -> ((s, dir) =>
+        graft.streaming.Streams.withStatePartitions(s, 8) {
       val spark = s
       import spark.implicits._
       val out = java.nio.file.Files
@@ -797,7 +803,8 @@ object SparkEntry {
     // what makes end-of-stream output deterministic (append mode
     // withholds windows the final watermark hasn't passed). Oracle =
     // q30's batch hourly rollup.
-    "q73_stream_window" -> ((s, dir) => {
+    "q73_stream_window" -> ((s, dir) =>
+        graft.streaming.Streams.withStatePartitions(s, 8) {
       val stream = graft.streaming.Streams
         .parquetStream(s, s"$dir/events.parquet")
         .select(timestamp_micros(expr("ts div 1000")).as("t"),

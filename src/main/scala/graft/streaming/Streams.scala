@@ -101,6 +101,23 @@ object Streams {
           s"$rightTs BETWEEN $leftTs - INTERVAL $lookback AND $leftTs"))
   }
 
+  /** Run `f` with the session's shuffle-partition count — which for a
+   *  NEW streaming query is also its state-store count, baked into
+   *  the checkpoint at first start — temporarily overridden. Stateful
+   *  state scales with STATE volume, not cluster width: every state
+   *  partition pays per-micro-batch maintenance (version commit,
+   *  snapshot, delta-file churn), so a bounded AvailableNow drain
+   *  with kilobytes of state per store is pure overhead at the batch
+   *  default (measured 4.4× on the q67 interval join: 32→8 stores).
+   *  A production deployment with large state keeps the session
+   *  default or raises it — the knob is per-query by design. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** `exit`-style run: drain everything currently available into an
    *  in-memory table and stop — used by tests to prove streaming ≡
    *  batch row-for-row (SURVEY §5.1(5)). `complete` mode for
