@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.TextFunctions
 import graft.multimodal.Media
-import graft.operators.{AsOf, Curation, Decontamination, Dedup, Percentiles, RangeJoin, Sampling, Similarity, Skew, Sketches}
+import graft.operators.{AsOf, Curation, Decontamination, Dedup, Percentiles, Quality, RangeJoin, Sampling, Similarity, Skew, Sketches}
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -842,6 +842,28 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(s"$out/data").orderBy("event_id")
     }),
+    // data-quality expectations gate (X54): six declarative rules —
+    // null checks, range, accepted set, regex, two uniqueness keys —
+    // ALL evaluated in one scan (one agg expression per rule; the
+    // distinct counts ride the same Expand). The batch-promotion
+    // gate a production ingest runs before publishing.
+    "q75_expectations" -> ((s, dir) =>
+      Quality.expectations(events(s, dir), Seq(
+          Quality.NotNull("value"),
+          Quality.InRange("value", 0.0, 100.0),
+          Quality.Accepted("event_type",
+            Seq("click", "view", "purchase", "signup")),
+          Quality.Matches("event_type", "^[a-z]+$"),
+          Quality.Unique(Seq("event_id")),
+          Quality.Unique(Seq("user_id"))))
+        .orderBy("rule")),
+    // per-column profile (X55, the ANALYZE TABLE shape): count /
+    // nulls / exact distinct / min / max for three columns in ONE
+    // scan — Expand + two-stage aggregate handles the multi-column
+    // distinct without re-scanning per column.
+    "q76_profile" -> ((s, dir) =>
+      Quality.profile(events(s, dir), Seq("event_id", "user_id", "value"))
+        .orderBy("col_name")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1147,5 +1169,45 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q74_stream_math" ->
       s"SELECT event_id, ${o("value")} + ${o("user_id")} AS out FROM events ORDER BY event_id",
+    "q75_expectations" ->
+      """SELECT * FROM (
+        |  SELECT 'not_null:value' AS rule, CAST(coalesce(sum(CASE WHEN value IS NULL
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations FROM events
+        |  UNION ALL
+        |  SELECT 'in_range:value:[0.0,100.0]', CAST(coalesce(sum(CASE WHEN value IS NOT NULL
+        |    AND (value < 0.0 OR value > 100.0) THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'accepted:event_type', CAST(coalesce(sum(CASE WHEN event_type IS NOT NULL
+        |    AND event_type NOT IN ('click','view','purchase','signup')
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'matches:event_type', CAST(coalesce(sum(CASE WHEN event_type IS NOT NULL
+        |    AND NOT regexp_matches(event_type, '^[a-z]+$')
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'unique:event_id', CAST(count(*) - count(DISTINCT event_id) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'unique:user_id', CAST(count(*) - count(DISTINCT user_id) AS BIGINT) FROM events
+        |) ORDER BY rule""".stripMargin,
+    "q76_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'event_id' AS col_name, count(*) AS n,
+        |    CAST(coalesce(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
+        |    count(DISTINCT event_id) AS n_distinct,
+        |    CAST(min(event_id) AS DOUBLE) AS min_d, CAST(max(event_id) AS DOUBLE) AS max_d
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', count(*),
+        |    CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |    count(DISTINCT user_id),
+        |    CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'value', count(*),
+        |    CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |    count(DISTINCT value),
+        |    CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+        |  FROM events
+        |) ORDER BY col_name""".stripMargin,
   )
 }

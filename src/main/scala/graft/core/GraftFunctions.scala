@@ -86,6 +86,15 @@ object GraftFunctions {
     "graft_sim_top_k" -> { args: Seq[Expression] =>
       require(args.size == 3, "graft_sim_top_k(sim, id, k)")
       graft.functions.SimTopK(args(0), args(1), literalInt(args(2)))
+    },
+    "graft_redact" -> { args: Seq[Expression] =>
+      require(args.size == 1, "graft_redact(string)")
+      import graft.functions.TextFunctions.{emailPat, ipv4Pat, phonePat}
+      RegExpReplace(
+        RegExpReplace(
+          RegExpReplace(args(0), Literal(emailPat), Literal("<EMAIL>")),
+          Literal(ipv4Pat), Literal("<IP>")),
+        Literal(phonePat), Literal("<PHONE>"))
     })
 
   private def literalInt(e: Expression): Int = e match {

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality gates (SURVEY §2.5 X54/X55) — the dbt-test /
+ * Great-Expectations primitives a production ingest pipeline runs
+ * before promoting a batch: declarative rules evaluated in ONE scan,
+ * and a per-column profile (the ANALYZE TABLE shape).
+ *
+ * Scale posture: every rule compiles to a conditional partial
+ * aggregate inside the same HashAggregate — adding a rule adds one
+ * agg expression, never a scan or a shuffle. The only exceptions are
+ * uniqueness / distinct counts, which genuinely require a distinct
+ * hash aggregation; Spark plans the mixed distinct/non-distinct agg
+ * through one Expand + two-stage aggregate (still a single scan).
+ * The result is a handful of rows (rules or columns), so gating
+ * logic (`fail if violations > 0`) is driver-trivial.
+ */
+object Quality {
+
+  /** One declarative expectation. `name` keys the output row;
+   *  `violations` is an aggregate expression counting offending rows
+   *  (never null — coalesced to 0 on empty input). */
+  sealed abstract class Rule(val name: String) {
+    def violations: Column
+    protected def cnt(bad: Column): Column =
+      coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L))
+  }
+
+  /** NULL is a violation. */
+  final case class NotNull(c: String) extends Rule(s"not_null:$c") {
+    def violations: Column = cnt(col(c).isNull)
+  }
+
+  /** Non-null value outside [lo, hi] is a violation (NULLs pass —
+   *  compose with [[NotNull]] to also reject those). */
+  final case class InRange(c: String, lo: Double, hi: Double)
+      extends Rule(s"in_range:$c:[$lo,$hi]") {
+    def violations: Column =
+      cnt(col(c).isNotNull && (col(c) < lo || col(c) > hi))
+  }
+
+  /** Non-null value outside the accepted set is a violation. */
+  final case class Accepted(c: String, vals: Seq[String])
+      extends Rule(s"accepted:$c") {
+    def violations: Column =
+      cnt(col(c).isNotNull && !col(c).isin(vals: _*))
+  }
+
+  /** Non-null value NOT matching `pattern` is a violation. Keep
+   *  patterns in the Java∩RE2 subset if an oracle must mirror them. */
+  final case class Matches(c: String, pattern: String)
+      extends Rule(s"matches:$c") {
+    def violations: Column = cnt(col(c).isNotNull && !col(c).rlike(pattern))
+  }
+
+  /** Duplicate rows on the key are violations: count(*) − count(DISTINCT key).
+   *  (NULL keys: countDistinct ignores all-null tuples, matching SQL
+   *  COUNT(DISTINCT) — mirror that in any oracle.) */
+  final case class Unique(cols: Seq[String])
+      extends Rule(s"unique:${cols.mkString(",")}") {
+    def violations: Column =
+      count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*)
+  }
+
+  /** Evaluate every rule in one aggregate pass over one scan and
+   *  return (rule, violations) rows — the batch-promotion gate. */
+  def expectations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val wide = df.agg(
+      rules.head.violations.as("r0"),
+      rules.tail.zipWithIndex.map { case (r, i) =>
+        r.violations.as(s"r${i + 1}") }: _*)
+    val stack = rules.zipWithIndex
+      .map { case (r, i) => s"'${r.name}', r$i" }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${rules.size}, $stack) AS (rule, violations)")
+  }
+
+  /** Per-column profile of numeric columns — rows of
+   *  (col_name, n, n_null, n_distinct, min_d, max_d), all columns in
+   *  ONE scan (Expand handles the multi-column distinct). min/max
+   *  are raw parquet values cast to double: no arithmetic, so they
+   *  match any engine bit-for-bit. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"n_$c"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stack = cols
+      .map(c => s"'$c', n_$c, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    wide.selectExpr(s"stack(${cols.size}, $stack) AS " +
+      "(col_name, n, n_null, n_distinct, min_d, max_d)")
+  }
+}

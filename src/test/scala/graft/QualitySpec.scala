@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quality
+import graft.operators.Quality._
+
+/** X54/X55 data-quality gates: known violation counts on a corrupted
+ *  synthetic frame, zero-not-null on empty input, one scan total. */
+class QualitySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // 10 rows: id 7 duplicated (9→7), v null at id 3, v=999 at id 5,
+  // tag "BAD!" at id 6
+  private lazy val frame = Seq.tabulate(10) { i =>
+    val id = if (i == 9) 7L else i.toLong
+    val v: java.lang.Double = if (i == 3) null else if (i == 5) 999.0 else i * 1.0
+    val tag = if (i == 6) "BAD!" else "ok"
+    (id, v, tag)
+  }.toDF("id", "v", "tag")
+
+  test("expectations count each violation class exactly") {
+    val out = Quality.expectations(frame, Seq(
+        NotNull("v"), InRange("v", 0.0, 100.0),
+        Accepted("tag", Seq("ok")), Matches("tag", "^[a-z]+$"),
+        Unique(Seq("id"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      "not_null:v" -> 1L, "in_range:v:[0.0,100.0]" -> 1L,
+      "accepted:tag" -> 1L, "matches:tag" -> 1L, "unique:id" -> 1L))
+  }
+
+  test("empty input yields zero violations, never null") {
+    val out = Quality.expectations(frame.filter(lit(false)),
+        Seq(NotNull("v"), Unique(Seq("id"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("not_null:v" -> 0L, "unique:id" -> 0L))
+  }
+
+  test("profile computes count/null/distinct/min/max per column in one scan") {
+    val out = Quality.profile(frame, Seq("id", "v")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out("id") === ((10L, 0L, 9L, 0.0, 8.0)))
+    assert(out("v") === ((10L, 1L, 9L, 0.0, 999.0)))
+    // ONE scan feeds every aggregate — the multi-distinct rides
+    // Expand, never a per-column re-read (leaf count on the optimized
+    // plan; the physical plan hides behind AdaptiveSparkPlanExec)
+    val leaves = Quality.profile(frame, Seq("id", "v"))
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size === 1, leaves.map(_.nodeName))
+  }
+}

@@ -41,4 +41,12 @@ class RedactSpec extends SparkTestBase {
   test("replacement is global, not first-match") {
     assert(redact("a@b.io c@d.io e@f.io") === "<EMAIL> <EMAIL> <EMAIL>")
   }
+
+  test("graft_redact SQL function ≡ the Column builder") {
+    graft.core.GraftFunctions.register(spark)
+    val out = spark
+      .sql("SELECT graft_redact('a@b.io at 10.0.0.1, +12345678') AS r")
+      .head.getString(0)
+    assert(out === "<EMAIL> at <IP>, <PHONE>")
+  }
 }
