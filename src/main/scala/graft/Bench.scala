@@ -33,7 +33,10 @@ object Bench {
     // that hadn't changed. The min is recorded too (best-case, least
     // contended). Cache is cleared between repeats so every repeat
     // pays its own persists.
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    // tolerate malformed values: a typo'd env var must not abort the
+    // whole bench before a single query runs
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_RUNS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(3))
     // iteration aid: bench only queries whose name contains a token of
     // SPARK_GRAFT_ONLY (comma-separated); the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY").toSeq.flatMap(_.split(','))

@@ -649,8 +649,7 @@ object SparkEntry {
     // duplicate the stream kept. Oracle = the batch DISTINCT.
     "q63_stream_dedup" -> ((s, dir) =>
         graft.streaming.Streams.withStatePartitions(s, 8) {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_q63_").toString
+      val out = graft.streaming.Streams.scratchDir("graft_q63_")
       val stream = graft.streaming.Streams
         .parquetStream(s, s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
@@ -706,11 +705,16 @@ object SparkEntry {
     // prior 6 hours. Inner joins emit on match, so AvailableNow
     // drains the complete deterministic result — the watermark's job
     // is bounding buffered state on an unbounded stream, not gating
-    // output. Oracle = the batch BETWEEN join.
+    // output. Completeness against the batch oracle holds because a
+    // bounded single-file drain is one micro-batch: in a MULTI-batch
+    // incremental ingest (maxFilesPerTrigger), rows arriving after
+    // the watermark passes their match window are dropped BY
+    // CONTRACT — that bounded loss is the price of bounded state,
+    // not a defect, and the parity spec pins the one-batch shape the
+    // oracle assumes. Oracle = the batch BETWEEN join.
     "q67_stream_interval" -> ((s, dir) =>
         graft.streaming.Streams.withStatePartitions(s, 8) {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_q67_").toString
+      val out = graft.streaming.Streams.scratchDir("graft_q67_")
       def side(parity: Int, idN: String, kN: String, tsN: String) =
         graft.streaming.Streams.parquetStream(s, s"$dir/events.parquet")
           .filter(col("event_id") % 2 === parity)
@@ -738,8 +742,7 @@ object SparkEntry {
         graft.streaming.Streams.withStatePartitions(s, 8) {
       val spark = s
       import spark.implicits._
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_q68_").toString
+      val out = graft.streaming.Streams.scratchDir("graft_q68_")
       val evs = graft.streaming.Streams
         .parquetStream(s, s"$dir/events.parquet")
         .select(col("user_id"), expr("ts div 1000").as("ets_us"))
@@ -818,7 +821,12 @@ object SparkEntry {
           col("event_type"), col("n"), col("sum_value"))
       val table = s"q73_sink_${System.nanoTime}"
       graft.streaming.Streams.drainToMemory(stream, table, "complete")
-      s.table(table).orderBy("hour", "event_type")
+      // resolve BEFORE dropping the view: the analyzed plan holds the
+      // sink relation directly, so repeated runs don't accumulate
+      // registered views (the bench runs each query 3x per JVM)
+      val resolved = s.table(table).orderBy("hour", "event_type")
+      s.catalog.dropTempView(table)
+      resolved
     }),
     // the REFERENCE'S OWN hot path through the stream engine: a
     // streaming source flows through the identical stateless
@@ -827,8 +835,7 @@ object SparkEntry {
     // sink. Oracle = q1's batch SQL — the strongest statement that
     // batch and streaming share one math surface.
     "q74_stream_math" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_q74_").toString
+      val out = graft.streaming.Streams.scratchDir("graft_q74_")
       val filtered = graft.streaming.Streams.mathFilter(
         graft.streaming.Streams.parquetStream(s, s"$dir/events.parquet"),
         MathOp("Operation" -> "sum", "Field" -> "value",
@@ -1185,9 +1192,9 @@ object SparkEntry {
         |    AND NOT regexp_matches(event_type, '^[a-z]+$')
         |    THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events
         |  UNION ALL
-        |  SELECT 'unique:event_id', CAST(count(*) - count(DISTINCT event_id) AS BIGINT) FROM events
+        |  SELECT 'unique:event_id', CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) FROM events
         |  UNION ALL
-        |  SELECT 'unique:user_id', CAST(count(*) - count(DISTINCT user_id) AS BIGINT) FROM events
+        |  SELECT 'unique:user_id', CAST(count(user_id) - count(DISTINCT user_id) AS BIGINT) FROM events
         |) ORDER BY rule""".stripMargin,
     "q76_profile" ->
       """SELECT * FROM (

@@ -92,11 +92,20 @@ object Media {
    *  data — O(header) per record no matter the image size. Returns
    *  None when no installed reader claims the bytes (wrong mime,
    *  truncated file, unsupported format). */
-  def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
-    // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
-    // the factory default is a FileCache* stream — a temp file created
-    // and deleted PER RECORD, which dwarfs the header parse itself on
-    // small payloads (measured ~6s for 5k records before this)
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    withImageReader(bytes)(r => (r.getWidth(0), r.getHeight(0)))
+
+  /** Shared reader acquisition for the single-image paths
+   *  ([[imageDims]], [[readImage]]): memory-cached stream → first
+   *  claiming `ImageReader` → `f`, disposing/closing on every path.
+   *  MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+   *  the factory default is a FileCache* stream — a temp file created
+   *  and deleted PER RECORD, which dwarfs the actual work on small
+   *  payloads (measured ~6s for 5k records before this). Returns None
+   *  when no installed reader claims the bytes or `f` throws
+   *  (truncated/undecodable payload). */
+  private def withImageReader[T](bytes: Array[Byte])(
+      f: javax.imageio.ImageReader => T): Option[T] = {
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -106,11 +115,11 @@ object Media {
         val reader = readers.next()
         try {
           reader.setInput(iis, true, true)
-          Some((reader.getWidth(0), reader.getHeight(0)))
+          Option(f(reader))
         } catch { case _: Exception => None }
         finally reader.dispose()
       }
-    } finally if (iis != null) iis.close()
+    } finally iis.close()
   }
 
   /** True audio header decode via `javax.sound.sampled` (in the JDK —
@@ -373,22 +382,8 @@ object Media {
    *  [[imageDims]] (never `ImageIO.read(InputStream)` — its factory
    *  wraps a temp-FILE-cached stream per record). None when no
    *  installed reader claims or can decode the bytes. */
-  def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
-    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis, true, true)
-          Option(reader.read(0))
-        } catch { case _: Exception => None }
-        finally reader.dispose()
-      }
-    } finally iis.close()
-  }
+  def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    withImageReader(bytes)(_.read(0))
 
   /** REAL RESIZE for image mimes: decode ([[readImage]]) → bilinear
    *  scale onto a `width`×`height` raster (`java.awt.Graphics2D`, in

@@ -84,13 +84,20 @@ object Decontamination {
     val conf = corpus.sparkSession.conf
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val (prevBits, prevItems) = (conf.get(bitsKey), conf.get(itemsKey))
-    val bf = try {
-      if (prevBits.toLong < numBits) conf.set(bitsKey, numBits.toString)
-      if (prevItems.toLong < n) conf.set(itemsKey, n.toString)
-      bh.agg(graft.functions.BloomFunctions
-        .bloomAgg(col("h"), n, numBits).as("bf")).head.getAs[Array[Byte]](0)
-    } finally { conf.set(bitsKey, prevBits); conf.set(itemsKey, prevItems) }
+    // session-global confs: builds are serialized under a process-
+    // local lock so one build's restore can never re-clamp a
+    // concurrent build mid-plan or capture its raised value as
+    // "previous" (concurrent OTHER-thread queries only ever see
+    // RAISED limits during the window — the safe direction)
+    val bf = Decontamination.bloomConfLock.synchronized {
+      val (prevBits, prevItems) = (conf.get(bitsKey), conf.get(itemsKey))
+      try {
+        if (prevBits.toLong < numBits) conf.set(bitsKey, numBits.toString)
+        if (prevItems.toLong < n) conf.set(itemsKey, n.toString)
+        bh.agg(graft.functions.BloomFunctions
+          .bloomAgg(col("h"), n, numBits).as("bf")).head.getAs[Array[Byte]](0)
+      } finally { conf.set(bitsKey, prevBits); conf.set(itemsKey, prevItems) }
+    }
     corpus
       .select(col(idCol), explode(HashExpressions.shingleHashes(col(textCol), k)).as("h"))
       .filter(graft.functions.BloomFunctions.mightContain(bf, col("h")))
@@ -120,4 +127,6 @@ object Decontamination {
        |FROM (SELECT DISTINCT $idCol, h FROM ch) JOIN bh USING (h)
        |GROUP BY $idCol""".stripMargin
   }
+
+  private val bloomConfLock = new Object
 }

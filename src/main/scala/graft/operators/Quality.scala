@@ -56,13 +56,17 @@ object Quality {
     def violations: Column = cnt(col(c).isNotNull && !col(c).rlike(pattern))
   }
 
-  /** Duplicate rows on the key are violations: count(*) − count(DISTINCT key).
-   *  (NULL keys: countDistinct ignores all-null tuples, matching SQL
-   *  COUNT(DISTINCT) — mirror that in any oracle.) */
+  /** Duplicate rows on the key are violations: rows with a FULLY
+   *  non-null key, minus distinct keys. Rows with any NULL key
+   *  component are excluded from both sides (SQL COUNT(DISTINCT)
+   *  skips them; counting them against a distinct count that ignores
+   *  them would flag unique rows as duplicates) — compose with
+   *  [[NotNull]] to reject null keys themselves. */
   final case class Unique(cols: Seq[String])
       extends Rule(s"unique:${cols.mkString(",")}") {
     def violations: Column =
-      count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*)
+      cnt(cols.map(col(_).isNotNull).reduce(_ && _)) -
+        countDistinct(col(cols.head), cols.tail.map(col): _*)
   }
 
   /** Evaluate every rule in one aggregate pass over one scan and

@@ -110,13 +110,43 @@ object Streams {
    *  with kilobytes of state per store is pure overhead at the batch
    *  default (measured 4.4× on the q67 interval join: 32→8 stores).
    *  A production deployment with large state keeps the session
-   *  default or raises it — the knob is per-query by design. */
-  def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+   *  default or raises it — the knob is per-query by design.
+   *
+   *  The conf is SESSION-GLOBAL, so the save/set/restore is
+   *  serialized under a process-local lock (two overlapping calls
+   *  would otherwise leak one call's override as the other's
+   *  "previous" value). Batch queries issued from OTHER threads of
+   *  the same session while a drain is in flight would still plan
+   *  with `n` — in a genuinely multi-tenant session, clone the
+   *  session (`spark.newSession()`) for the drain instead. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T =
+    confLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try f finally spark.conf.set(key, prev)
+    }
+
+  private val confLock = new Object
+
+  /** Temp dir for a one-shot drain's sink + checkpoint, swept
+   *  recursively at JVM exit: repeated harness runs in one JVM (the
+   *  bench runs every query 3×) would otherwise accumulate dead
+   *  sink/checkpoint trees for the process lifetime. One shutdown
+   *  hook sweeps the whole list. */
+  def scratchDir(prefix: String): String = {
+    sweepHook
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.synchronized { scratchDirs += d.toFile }
+    d.toString
   }
+
+  private val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+  private lazy val sweepHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.synchronized(scratchDirs.foreach { f =>
+        org.apache.commons.io.FileUtils.deleteQuietly(f); ()
+      })))
 
   /** `exit`-style run: drain everything currently available into an
    *  in-memory table and stop — used by tests to prove streaming ≡

@@ -31,6 +31,16 @@ class QualitySpec extends SparkTestBase {
       "accepted:tag" -> 1L, "matches:tag" -> 1L, "unique:id" -> 1L))
   }
 
+  test("unique ignores null-key rows instead of calling them duplicates") {
+    // (1,null),(2,null) under a composite key is NOT a duplicate pair;
+    // naive count(*) - countDistinct would report 2 violations
+    val df = Seq((Some(1L), None: Option[Long]), (Some(2L), None),
+      (Some(3L), Some(4L)), (Some(3L), Some(4L))).toDF("a", "b")
+    val out = Quality.expectations(df, Seq(Unique(Seq("a", "b"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("unique:a,b" -> 1L))
+  }
+
   test("empty input yields zero violations, never null") {
     val out = Quality.expectations(frame.filter(lit(false)),
         Seq(NotNull("v"), Unique(Seq("id"))))
