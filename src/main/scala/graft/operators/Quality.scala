@@ -83,6 +83,40 @@ object Quality {
       s"stack(${rules.size}, $stack) AS (rule, violations)")
   }
 
+  /** Attach the rules as an `observe` metric set instead of a
+   *  separate aggregation job: violation counts materialize as
+   *  observation metrics per ACTION (batch) or per MICRO-BATCH
+   *  (streaming, via `StreamingQueryListener` progress events)
+   *  riding the existing job — zero extra scans, zero plan change.
+   *  This is the shape for CONTINUOUS quality monitoring on an
+   *  ingest stream, where a second expectations() pass per batch
+   *  would double the read. Distinct-based rules ([[Unique]]) are
+   *  not expressible as observation metrics (Spark rejects distinct
+   *  aggregates there) — run those through [[expectations]] on the
+   *  promoted batch instead. */
+  def observed(df: DataFrame, rules: Seq[Rule],
+      name: String = "graft_quality"): DataFrame = {
+    observable(rules)
+    df.observe(name, rules.head.violations.as(rules.head.name),
+      rules.tail.map(r => r.violations.as(r.name)): _*)
+  }
+
+  /** Batch-side variant binding an [[org.apache.spark.sql.Observation]]
+   *  handle: `obs.get` blocks until the first action and returns the
+   *  rule-name → violation-count map. */
+  def observed(df: DataFrame, rules: Seq[Rule],
+      obs: org.apache.spark.sql.Observation): DataFrame = {
+    observable(rules)
+    df.observe(obs, rules.head.violations.as(rules.head.name),
+      rules.tail.map(r => r.violations.as(r.name)): _*)
+  }
+
+  private def observable(rules: Seq[Rule]): Unit = {
+    require(rules.nonEmpty, "at least one rule")
+    require(!rules.exists(_.isInstanceOf[Unique]),
+      "Unique needs a distinct aggregate — not observable; use expectations()")
+  }
+
   /** Per-column profile of numeric columns — rows of
    *  (col_name, n, n_null, n_distinct, min_d, max_d), all columns in
    *  ONE scan (Expand handles the multi-column distinct). min/max

@@ -48,6 +48,21 @@ class QualitySpec extends SparkTestBase {
     assert(out === Map("not_null:v" -> 0L, "unique:id" -> 0L))
   }
 
+  test("observed rules ride the job as observation metrics — no second scan") {
+    val obs = new org.apache.spark.sql.Observation("gate")
+    val observed = Quality.observed(frame,
+      Seq(NotNull("v"), InRange("v", 0.0, 100.0), Accepted("tag", Seq("ok"))),
+      obs)
+    assert(observed.count() === 10) // the action both counts AND observes
+    val m = obs.get
+    assert(m("not_null:v") === 1L &&
+      m("in_range:v:[0.0,100.0]") === 1L && m("accepted:tag") === 1L)
+    // distinct-based rules are rejected loudly
+    intercept[IllegalArgumentException] {
+      Quality.observed(frame, Seq(Unique(Seq("id"))))
+    }
+  }
+
   test("profile computes count/null/distinct/min/max per column in one scan") {
     val out = Quality.profile(frame, Seq("id", "v")).collect()
       .map(r => r.getString(0) ->
