@@ -65,6 +65,17 @@ class PercentilesSpec extends SparkTestBase {
     assert(Percentiles.exactByGroup(empty, "g", "v", ps).collect().isEmpty)
   }
 
+  test("NULL values are ignored, matching quantile_cont") {
+    import spark.implicits._
+    // nulls used to sort first, count toward n, and unbox to 0.0 when
+    // a target rank landed on one — quantile_cont ignores them
+    val df = Seq(("a", Option(1.0)), ("a", None), ("a", Option(3.0)),
+      ("a", None), ("a", Option(2.0))).toDF("g", "v")
+    val out = Percentiles
+      .exactByGroup(df, "g", "v", Seq("p50" -> 0.5)).collect()
+    assert(out.length === 1 && out.head.getDouble(1) === 2.0)
+  }
+
   test("result is invariant to input partitioning and partition knob") {
     import spark.implicits._
     val rows = (0 until 997).map(i => (s"g${i % 3}", math.sin(i).abs * 100))

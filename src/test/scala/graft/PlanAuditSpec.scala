@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q38_asof_join", "q39_simhash_multiindex",
       "q40_stratified_sample", "q41_hash_sample", "q46_token_freq",
       "q51_range_join", "q52_decontaminate", "q55_salted_agg",
-      "q56_repetition", "q58_chunk_tokens")
+      "q56_repetition", "q58_chunk_tokens", "q72_pii_redact",
+      "q75_expectations", "q76_profile")
     // (q37/q57 coordinate driver-side over RDD passes — their inner
     // scans are audited via PercentilesSpec/CurationSpec instead)
     val offenders = hot.flatMap { name =>
