@@ -871,6 +871,19 @@ object SparkEntry {
     "q76_profile" -> ((s, dir) =>
       Quality.profile(events(s, dir), Seq("event_id", "user_id", "value"))
         .orderBy("col_name")),
+    // INCREMENTAL ingest dedup (X56): the 10%-of-ids "new batch"
+    // screens against the 90% "existing corpus" through a BIPARTITE
+    // band-bucket join — candidates scale with the batch, never
+    // |corpus|²; same q17 LSH parameters so signatures are shared
+    // machinery.
+    "q77_incremental_dedup" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.minhashLshPairsAgainst(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", 3, 16, 4, 0.8)
+        .orderBy("new_id", "corpus_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1216,5 +1229,9 @@ object SparkEntry {
         |    CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
         |  FROM events
         |) ORDER BY col_name""".stripMargin,
+    "q77_incremental_dedup" ->
+      s"""${Dedup.minhashLshPairsAgainstSql("documents", "text", "doc_id",
+             3, 16, 4, 0.8, "doc_id % 10 = 0", "doc_id % 10 <> 0")}
+         |ORDER BY new_id, corpus_id""".stripMargin,
   )
 }

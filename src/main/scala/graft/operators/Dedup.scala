@@ -191,21 +191,30 @@ object Dedup {
    *  `persistIntermediate` materializes the shingle projection (it
    *  feeds the signature arm and both verify arms); caller owns the
    *  cache lifecycle, as with [[jaccardPairs]]. */
-  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-      k: Int, perms: Int, bands: Int, tau: Double,
-      persistIntermediate: Boolean = false): DataFrame = {
-    require(perms % bands == 0); val rows = perms / bands
-    val s0 = shingled(df, textCol, idCol, idCol, k).drop("blk")
-    val s = if (persistIntermediate)
-      s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else s0
+  /** (band, bh, id) rows for a shingle-projected frame: the fused
+   *  MinHashSig kernel feeds `bands` 8-byte band-bucket hashes per
+   *  doc — the LSH index projection both the self-join and the
+   *  bipartite incremental variant bucket on. */
+  private def bandedSig(s: DataFrame, perms: Int, bands: Int): DataFrame = {
+    val rows = perms / bands
     val sig = s.select(col("id"),
       HashExpressions.minhashSig(col("hs"), perms).as("sig"))
-    val banded = sig.select(col("id"), posexplode(array(
+    sig.select(col("id"), posexplode(array(
       (0 until bands).map(j => Hashing.h60(array_join(
         expr(s"transform(slice(sig, ${j * rows + 1}, $rows), x -> cast(x as string))"),
         ","))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  }
+
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int, perms: Int, bands: Int, tau: Double,
+      persistIntermediate: Boolean = false): DataFrame = {
+    require(perms % bands == 0)
+    val s0 = shingled(df, textCol, idCol, idCol, k).drop("blk")
+    val s = if (persistIntermediate)
+      s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else s0
+    val banded = bandedSig(s, perms, bands)
     val cand = banded.select(col("band"), col("bh"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
         Seq("band", "bh"))
@@ -217,6 +226,69 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         jaccardFromHashes(col("hs_a"), col("hs_b"), col("sz_a"), col("sz_b")).as("jac"))
       .filter(col("jac") >= tau)
+  }
+
+  /** INCREMENTAL ingest dedup (X56): near-dup pairs between a NEW
+   *  batch and the EXISTING corpus — the production shape where each
+   *  arriving batch screens against everything already ingested
+   *  WITHOUT re-running the corpus×corpus self-join. Same fused
+   *  signature kernel and 8-byte band buckets, but the bucket join
+   *  is BIPARTITE (new × corpus only), so candidate volume scales
+   *  with |batch| × collisions, never |corpus|². Output
+   *  (new_id, corpus_id, jac ≥ tau); a doc present in both sides
+   *  pairs with itself at jac 1.0 — re-ingestion IS a duplicate.
+   *  At 100 TB the corpus-side banded projection is what you
+   *  materialize once to the lake as an LSH index table and only
+   *  SCAN per batch (the [[minhashLshPairs]] scaladoc's sharedTable
+   *  pattern); the per-batch cost is one broadcast-able banded
+   *  projection of the batch + one bucket join against the index. */
+  def minhashLshPairsAgainst(newDf: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, k: Int, perms: Int, bands: Int,
+      tau: Double): DataFrame = {
+    require(perms % bands == 0)
+    val sn = shingled(newDf, textCol, idCol, idCol, k).drop("blk")
+    val sc = shingled(corpus, textCol, idCol, idCol, k).drop("blk")
+    val cand = bandedSig(sn, perms, bands)
+      .select(col("band"), col("bh"), col("id").as("new_id"))
+      .join(bandedSig(sc, perms, bands)
+        .select(col("band"), col("bh"), col("id").as("corpus_id")),
+        Seq("band", "bh"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    cand
+      .join(sn.select(col("id").as("new_id"), col("hs").as("hs_a"),
+        col("sz").as("sz_a")), "new_id")
+      .join(sc.select(col("id").as("corpus_id"), col("hs").as("hs_b"),
+        col("sz").as("sz_b")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        jaccardFromHashes(col("hs_a"), col("hs_b"),
+          col("sz_a"), col("sz_b")).as("jac"))
+      .filter(col("jac") >= tau)
+  }
+
+  /** DuckDB oracle for [[minhashLshPairsAgainst]]: the two sides are
+   *  predicates over one table (same shingle/signature pipeline). */
+  def minhashLshPairsAgainstSql(table: String, textCol: String,
+      idCol: String, k: Int, perms: Int, bands: Int, tau: Double,
+      newPred: String, corpusPred: String): String = {
+    require(perms % bands == 0); val rows = perms / bands
+    val sh = TextFunctions.wordShinglesSql(TextFunctions.lowerTokensSql(textCol), k)
+    val sigExprs = (0 until perms).map(i =>
+      s"list_aggregate(list_transform(hs, h -> (${Hashing.permA(i)} * h + ${Hashing.permB(i)}) % ${Hashing.P}), 'min')")
+      .mkString("[", ", ", "]")
+    val bandHash = Hashing.h60Sql(s"array_to_string(array_slice(sig, j * $rows + 1, j * $rows + $rows), ',')")
+    s"""WITH s AS (SELECT $idCol AS id, ($newPred) AS is_new, ($corpusPred) AS is_corpus,
+       |            $sh AS sh FROM $table),
+       |hs AS (SELECT id, is_new, is_corpus, sh,
+       |         list_transform(sh, s -> ${Hashing.h60Sql("s")} % ${Hashing.P}) AS hs FROM s),
+       |sig AS (SELECT id, is_new, is_corpus, sh, $sigExprs AS sig FROM hs),
+       |banded AS (SELECT id, is_new, is_corpus, sh, j AS band, $bandHash AS bh
+       |           FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS j)),
+       |cand AS (SELECT DISTINCT a.id AS new_id, b.id AS corpus_id,
+       |                ${jaccardSqlExpr("a.sh", "b.sh")} AS jac
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bh = b.bh
+       |          AND a.is_new AND b.is_corpus)
+       |SELECT new_id, corpus_id, jac FROM cand WHERE jac >= $tau""".stripMargin
   }
 
   def minhashLshPairsSql(table: String, textCol: String, idCol: String,

@@ -34,6 +34,26 @@ class ExtensionsSpec extends SparkTestBase {
     assert(brute.subsetOf(lsh), s"missed: ${brute -- lsh}")
   }
 
+  test("bipartite incremental dedup ≡ the cross-split slice of the self-join") {
+    import org.apache.spark.sql.functions.col
+    val newDf = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bi = Dedup.minhashLshPairsAgainst(newDf, corpus,
+        "text", "doc_id", 3, 16, 4, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 16, 4, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cross = full.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a).filter { case (n, c) => n % 10 == 0 && c % 10 != 0 }
+    }.toSet
+    assert(bi === cross, s"only-bi=${bi -- cross} only-self=${cross -- bi}")
+    // re-ingesting a corpus doc flags itself at jac 1.0
+    val self = Dedup.minhashLshPairsAgainst(
+        corpus.limit(3), corpus, "text", "doc_id", 3, 16, 4, 0.8)
+      .filter(col("new_id") === col("corpus_id")).collect()
+    assert(self.length === 3 && self.forall(_.getDouble(2) === 1.0))
+  }
+
   test("simhash is deterministic and pairs respect hamming bound") {
     val p = Dedup.simhashPairs(docs, "text", "doc_id", "lang", 3).collect()
     assert(p.forall(_.getLong(2) <= 3))
