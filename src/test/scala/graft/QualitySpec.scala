@@ -48,6 +48,20 @@ class QualitySpec extends SparkTestBase {
     assert(out === Map("not_null:v" -> 0L, "unique:id" -> 0L))
   }
 
+  test("edge: all-null column profiles with null min/max, not a crash") {
+    val df = Seq.tabulate(4)(i => (i.toLong, None: Option[Double]))
+      .toDF("id", "v")
+    val out = Quality.profile(df, Seq("v")).collect().head
+    assert(out.getLong(1) === 4L && out.getLong(2) === 4L &&
+      out.getLong(3) === 0L && out.isNullAt(4) && out.isNullAt(5))
+    val exp = Quality.expectations(df, Seq(NotNull("v"),
+        InRange("v", 0, 1), Unique(Seq("v"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // nulls violate not_null only — range passes them, unique ignores them
+    assert(exp("not_null:v") === 4L &&
+      exp("in_range:v:[0.0,1.0]") === 0L && exp("unique:v") === 0L)
+  }
+
   test("observed rules ride the job as observation metrics — no second scan") {
     val obs = new org.apache.spark.sql.Observation("gate")
     val observed = Quality.observed(frame,

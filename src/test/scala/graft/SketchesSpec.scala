@@ -69,6 +69,17 @@ class SketchesSpec extends SparkTestBase {
       102 -> 8L, 103 -> 8L))
   }
 
+  test("edge: k beyond the key space returns every key; empty inputs don't crash") {
+    val tiny = Seq(1, 1, 2).toDF("k")
+    val all = Sketches.verifiedTopK(tiny, "k", 10, 0.01, 0.99, 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(all === Set(1 -> 2L, 2 -> 1L))
+    assert(Sketches.verifiedDistinctByGroup(groups.filter(lit(false)),
+      "g", "v", 0.05, 0.1).collect().isEmpty)
+    assert(Sketches.verifiedTopK(tiny.filter(lit(false)), "k", 5,
+      0.01, 0.99, 1).collect().isEmpty)
+  }
+
   test("verifiedQuantilesByGroup ≡ exact selection under the rank contract") {
     // deterministic LCG values, two groups of very different shape
     var seed = 12345L
