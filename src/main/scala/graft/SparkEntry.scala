@@ -884,6 +884,29 @@ object SparkEntry {
           "text", "doc_id", 3, 16, 4, 0.8)
         .orderBy("new_id", "corpus_id")
     }),
+    // the STREAMING shape of X56: the new batch arrives as a file
+    // stream; each micro-batch is LSH-screened against the static
+    // corpus (foreachBatch) and only survivors land in the sink.
+    // Oracle = the batch anti-join over the same bipartite pairs.
+    "q78_stream_ingest_screen" -> ((s, dir) =>
+        graft.streaming.Streams.withStatePartitions(s, 8) {
+      val out = graft.streaming.Streams.scratchDir("graft_q78_")
+      val corpus = documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+      val stream = graft.streaming.Streams
+        .parquetStream(s, s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      val q = graft.streaming.Streams
+        .screenIngest(stream, corpus, "text", "doc_id", 3, 16, 4, 0.8) {
+          survivors => survivors.select(col("doc_id"))
+            .write.mode("append").parquet(s"$out/data")
+        }
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/data").orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1233,5 +1256,12 @@ object SparkEntry {
       s"""${Dedup.minhashLshPairsAgainstSql("documents", "text", "doc_id",
              3, 16, 4, 0.8, "doc_id % 10 = 0", "doc_id % 10 <> 0")}
          |ORDER BY new_id, corpus_id""".stripMargin,
+    "q78_stream_ingest_screen" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE doc_id % 10 = 0 AND doc_id NOT IN (
+         |  SELECT DISTINCT new_id FROM (
+         |    ${Dedup.minhashLshPairsAgainstSql("documents", "text", "doc_id",
+               3, 16, 4, 0.8, "doc_id % 10 = 0", "doc_id % 10 <> 0")}))
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -101,6 +101,30 @@ object Streams {
           s"$rightTs BETWEEN $leftTs - INTERVAL $lookback AND $leftTs"))
   }
 
+  /** Continuous-ingest near-dup screen (X56's streaming shape): each
+   *  micro-batch runs the BIPARTITE LSH screen
+   *  ([[graft.operators.Dedup.minhashLshPairsAgainst]]) against the
+   *  static corpus and hands only the SURVIVORS to `sink`.
+   *  `foreachBatch` is the right tool here — the screen is a
+   *  multi-stage batch join pipeline per micro-batch against a
+   *  static side, which a stream-static join cannot express inline.
+   *  State lives in the corpus index, not the stream: the screen
+   *  itself is stateless per batch, so nothing grows with stream
+   *  length. (Batches are screened against the FIXED corpus, not
+   *  against each other — ingest-then-reindex handles intra-stream
+   *  dups, or compose with [[dedupExactStream]] upstream.) */
+  def screenIngest(stream: DataFrame, corpus: DataFrame, textCol: String,
+      idCol: String, k: Int, perms: Int, bands: Int, tau: Double)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      import org.apache.spark.sql.functions.col
+      val dupes = graft.operators.Dedup
+        .minhashLshPairsAgainst(batch, corpus, textCol, idCol,
+          k, perms, bands, tau)
+        .select(col("new_id").as(idCol)).distinct()
+      sink(batch.join(dupes, Seq(idCol), "left_anti"))
+    }
+
   /** Run `f` with the session's shuffle-partition count — which for a
    *  NEW streaming query is also its state-store count, baked into
    *  the checkpoint at first start — temporarily overridden. Stateful
