@@ -885,9 +885,13 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
     // the STREAMING shape of X56: the new batch arrives as a file
-    // stream; each micro-batch is LSH-screened against the static
-    // corpus (foreachBatch) and only survivors land in the sink.
-    // Oracle = the batch anti-join over the same bipartite pairs.
+    // stream; the corpus-side LSH index is materialized ONCE before
+    // the stream starts, each micro-batch is screened against that
+    // index (foreachBatch) and only survivors land in the sink —
+    // under a per-batchId overwrite path, so foreachBatch's
+    // at-least-once retry replaces its own output instead of
+    // duplicating survivors. Oracle = the batch anti-join over the
+    // same bipartite pairs.
     "q78_stream_ingest_screen" -> ((s, dir) =>
         graft.streaming.Streams.withStatePartitions(s, 8) {
       val out = graft.streaming.Streams.scratchDir("graft_q78_")
@@ -898,14 +902,23 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val q = graft.streaming.Streams
         .screenIngest(stream, corpus, "text", "doc_id", 3, 16, 4, 0.8) {
-          survivors => survivors.select(col("doc_id"))
-            .write.mode("append").parquet(s"$out/data")
+          (survivors, batchId) => survivors.select(col("doc_id"))
+            .write.mode("overwrite").parquet(s"$out/data/batch=$batchId")
         }
         .option("checkpointLocation", s"$out/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$out/data").orderBy("doc_id")
+      // enumerate batch dirs explicitly: a zero-batch drain (source
+      // listed no files) must fail LOUDLY with the query's progress,
+      // not as an opaque unmatched-glob read error
+      val batchDirs = Option(new java.io.File(s"$out/data").listFiles())
+        .map(_.filter(_.isDirectory).map(_.toString).sorted.toSeq)
+        .getOrElse(Seq.empty)
+      require(batchDirs.nonEmpty,
+        s"q78: zero micro-batches drained; recentProgress=" +
+          q.recentProgress.map(_.json).mkString("[", ",", "]"))
+      s.read.parquet(batchDirs: _*).orderBy("doc_id")
     }),
   )
 

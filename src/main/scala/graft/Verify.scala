@@ -20,6 +20,9 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must surface as MISSING output, never as a
+        // stale pass against the previous run's dump
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$outDir/$name"))
       }
       finally spark.catalog.clearCache() // per-query persists stay per-query
     }

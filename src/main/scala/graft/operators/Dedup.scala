@@ -228,42 +228,96 @@ object Dedup {
       .filter(col("jac") >= tau)
   }
 
-  /** INCREMENTAL ingest dedup (X56): near-dup pairs between a NEW
-   *  batch and the EXISTING corpus — the production shape where each
-   *  arriving batch screens against everything already ingested
-   *  WITHOUT re-running the corpus×corpus self-join. Same fused
-   *  signature kernel and 8-byte band buckets, but the bucket join
-   *  is BIPARTITE (new × corpus only), so candidate volume scales
-   *  with |batch| × collisions, never |corpus|². Output
-   *  (new_id, corpus_id, jac ≥ tau); a doc present in both sides
-   *  pairs with itself at jac 1.0 — re-ingestion IS a duplicate.
-   *  At 100 TB the corpus-side banded projection is what you
-   *  materialize once to the lake as an LSH index table and only
-   *  SCAN per batch (the [[minhashLshPairs]] scaladoc's sharedTable
-   *  pattern); the per-batch cost is one broadcast-able banded
-   *  projection of the batch + one bucket join against the index. */
-  def minhashLshPairsAgainst(newDf: DataFrame, corpus: DataFrame,
+  /** A prebuilt corpus-side LSH index — the two frames every
+   *  incremental screen scans INSTEAD of re-deriving them from the
+   *  corpus text:
+   *   - `banded`: (band, bh, id) band-bucket postings (8 bytes/row
+   *     payload) — what the bipartite bucket join probes;
+   *   - `shingles`: (id, hs, sz) sorted shingle-hash sets — what the
+   *     exact-Jaccard verify reads for the corpus arm.
+   *  At 100 TB these are lake tables written once at ingest time
+   *  (and appended as batches are admitted); per-batch cost is then
+   *  one banded projection of the BATCH plus one bucket join against
+   *  the index — the corpus text is never re-read, never re-signed. */
+  final case class LshIndex(banded: DataFrame, shingles: DataFrame)
+
+  /** Build the corpus-side [[LshIndex]]. One pass over the corpus:
+   *  fused shingle kernel → fused signature kernel → band buckets.
+   *  The caller owns materialization (persist, or write both frames
+   *  to the lake and read back) — see [[graft.streaming.Streams.screenIngest]]
+   *  for the once-per-stream pattern. */
+  def buildLshIndex(corpus: DataFrame, textCol: String, idCol: String,
+      k: Int, perms: Int, bands: Int): LshIndex = {
+    require(perms % bands == 0)
+    val sc = shingled(corpus, textCol, idCol, idCol, k).drop("blk")
+    LshIndex(bandedSig(sc, perms, bands),
+      sc.select(col("id"), col("hs"), col("sz")))
+  }
+
+  /** INCREMENTAL ingest dedup against a PREBUILT index (X56): near-dup
+   *  pairs between a NEW batch and the existing corpus's [[LshIndex]].
+   *  Same fused signature kernel and 8-byte band buckets as
+   *  [[minhashLshPairs]], but the bucket join is BIPARTITE (new ×
+   *  index only), so candidate volume scales with |batch| ×
+   *  collisions, never |corpus|² — and the corpus side is only
+   *  SCANNED, never recomputed. Output (new_id, corpus_id, jac ≥
+   *  tau); a doc present in both sides pairs with itself at jac 1.0 —
+   *  re-ingestion IS a duplicate. */
+  def minhashLshPairsAgainstIndex(newDf: DataFrame, index: LshIndex,
       textCol: String, idCol: String, k: Int, perms: Int, bands: Int,
       tau: Double): DataFrame = {
     require(perms % bands == 0)
     val sn = shingled(newDf, textCol, idCol, idCol, k).drop("blk")
-    val sc = shingled(corpus, textCol, idCol, idCol, k).drop("blk")
     val cand = bandedSig(sn, perms, bands)
       .select(col("band"), col("bh"), col("id").as("new_id"))
-      .join(bandedSig(sc, perms, bands)
+      .join(index.banded
         .select(col("band"), col("bh"), col("id").as("corpus_id")),
         Seq("band", "bh"))
       .select(col("new_id"), col("corpus_id")).distinct()
     cand
       .join(sn.select(col("id").as("new_id"), col("hs").as("hs_a"),
         col("sz").as("sz_a")), "new_id")
-      .join(sc.select(col("id").as("corpus_id"), col("hs").as("hs_b"),
-        col("sz").as("sz_b")), "corpus_id")
+      .join(index.shingles.select(col("id").as("corpus_id"),
+        col("hs").as("hs_b"), col("sz").as("sz_b")), "corpus_id")
       .select(col("new_id"), col("corpus_id"),
         jaccardFromHashes(col("hs_a"), col("hs_b"),
           col("sz_a"), col("sz_b")).as("jac"))
       .filter(col("jac") >= tau)
   }
+
+  /** Build AND materialize the corpus [[LshIndex]] under `dir` as two
+   *  parquet tables (`shingles`, `banded`) and return the read-back
+   *  frames — the lake-index pattern every REPEATED screen wants. The
+   *  corpus text is scanned exactly ONCE: the shingle projection is
+   *  written first, and the banded projection is derived from the
+   *  written parquet (never from the corpus again). Returned frames
+   *  are plain parquet scans — cheap to re-plan per micro-batch,
+   *  immune to `clearCache`, shareable across JVMs. */
+  def materializeLshIndex(corpus: DataFrame, textCol: String,
+      idCol: String, k: Int, perms: Int, bands: Int,
+      dir: String): LshIndex = {
+    require(perms % bands == 0)
+    val spark = corpus.sparkSession
+    shingled(corpus, textCol, idCol, idCol, k).drop("blk")
+      .select(col("id"), col("hs"), col("sz"))
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+    val sh = spark.read.parquet(s"$dir/shingles")
+    bandedSig(sh, perms, bands)
+      .write.mode("overwrite").parquet(s"$dir/banded")
+    LshIndex(spark.read.parquet(s"$dir/banded"), sh)
+  }
+
+  /** One-shot convenience form of [[minhashLshPairsAgainstIndex]]:
+   *  derives the corpus index inline. Right for a SINGLE screen; a
+   *  repeated screen (a streaming ingest, a nightly admission job)
+   *  must build the index once and call the index form — deriving it
+   *  here per call is a full corpus pass each time. */
+  def minhashLshPairsAgainst(newDf: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, k: Int, perms: Int, bands: Int,
+      tau: Double): DataFrame =
+    minhashLshPairsAgainstIndex(newDf,
+      buildLshIndex(corpus, textCol, idCol, k, perms, bands),
+      textCol, idCol, k, perms, bands, tau)
 
   /** DuckDB oracle for [[minhashLshPairsAgainst]]: the two sides are
    *  predicates over one table (same shingle/signature pipeline). */

@@ -103,8 +103,8 @@ object Streams {
 
   /** Continuous-ingest near-dup screen (X56's streaming shape): each
    *  micro-batch runs the BIPARTITE LSH screen
-   *  ([[graft.operators.Dedup.minhashLshPairsAgainst]]) against the
-   *  static corpus and hands only the SURVIVORS to `sink`.
+   *  ([[graft.operators.Dedup.minhashLshPairsAgainstIndex]]) against a
+   *  PREBUILT corpus index and hands only the SURVIVORS to `sink`.
    *  `foreachBatch` is the right tool here — the screen is a
    *  multi-stage batch join pipeline per micro-batch against a
    *  static side, which a stream-static join cannot express inline.
@@ -112,18 +112,42 @@ object Streams {
    *  itself is stateless per batch, so nothing grows with stream
    *  length. (Batches are screened against the FIXED corpus, not
    *  against each other — ingest-then-reindex handles intra-stream
-   *  dups, or compose with [[dedupExactStream]] upstream.) */
-  def screenIngest(stream: DataFrame, corpus: DataFrame, textCol: String,
+   *  dups, or compose with [[dedupExactStream]] upstream.)
+   *
+   *  The per-batch plan only SCANS `index` — the corpus text is never
+   *  re-read or re-signed by a micro-batch ([[ScanOnceSpec]] pins
+   *  this). `sink` receives the micro-batch's survivors AND the
+   *  batchId: foreachBatch is at-least-once, so an idempotent sink
+   *  must key its output by batchId (per-batch overwrite paths) —
+   *  a retried batch then replaces its own output instead of
+   *  duplicating it. */
+  def screenIngestIndexed(stream: DataFrame,
+      index: graft.operators.Dedup.LshIndex, textCol: String,
       idCol: String, k: Int, perms: Int, bands: Int, tau: Double)(
-      sink: DataFrame => Unit): DataStreamWriter[Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       import org.apache.spark.sql.functions.col
       val dupes = graft.operators.Dedup
-        .minhashLshPairsAgainst(batch, corpus, textCol, idCol,
+        .minhashLshPairsAgainstIndex(batch, index, textCol, idCol,
           k, perms, bands, tau)
         .select(col("new_id").as(idCol)).distinct()
-      sink(batch.join(dupes, Seq(idCol), "left_anti"))
+      sink(batch.join(dupes, Seq(idCol), "left_anti"), batchId)
     }
+
+  /** [[screenIngestIndexed]] with the index built here, ONCE, before
+   *  the stream starts: the corpus-side shingle + banded projections
+   *  are materialized to a scratch lake path (one corpus scan total —
+   *  [[graft.operators.Dedup.materializeLshIndex]]) and every
+   *  micro-batch probes the parquet index. Production keeps the index
+   *  at a durable lake path instead and appends admitted batches to
+   *  it; the scratch dir here is swept at JVM exit. */
+  def screenIngest(stream: DataFrame, corpus: DataFrame, textCol: String,
+      idCol: String, k: Int, perms: Int, bands: Int, tau: Double)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val index = graft.operators.Dedup.materializeLshIndex(
+      corpus, textCol, idCol, k, perms, bands, scratchDir("graft_lsh_ix_"))
+    screenIngestIndexed(stream, index, textCol, idCol, k, perms, bands, tau)(sink)
+  }
 
   /** Run `f` with the session's shuffle-partition count — which for a
    *  NEW streaming query is also its state-store count, baked into
