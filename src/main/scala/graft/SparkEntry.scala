@@ -647,8 +647,8 @@ object SparkEntry {
     // back as the result. Output is the dedup KEY set (distinct
     // content hashes), which is deterministic no matter which
     // duplicate the stream kept. Oracle = the batch DISTINCT.
-    "q63_stream_dedup" -> ((s, dir) =>
-        graft.streaming.Streams.withStatePartitions(s, 8) {
+    "q63_stream_dedup" -> ((s0, dir) =>
+        graft.streaming.Streams.withStatePartitions(s0, 8) { s =>
       val out = graft.streaming.Streams.scratchDir("graft_q63_")
       val stream = graft.streaming.Streams
         .parquetStream(s, s"$dir/documents.parquet")
@@ -665,6 +665,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.Streams.assertSingleBatch(q, "q63_stream_dedup")
       s.read.parquet(s"$out/data").orderBy("content_hash")
     }),
     // (state-partition note: the four stateful streaming rows run
@@ -712,8 +713,8 @@ object SparkEntry {
     // CONTRACT — that bounded loss is the price of bounded state,
     // not a defect, and the parity spec pins the one-batch shape the
     // oracle assumes. Oracle = the batch BETWEEN join.
-    "q67_stream_interval" -> ((s, dir) =>
-        graft.streaming.Streams.withStatePartitions(s, 8) {
+    "q67_stream_interval" -> ((s0, dir) =>
+        graft.streaming.Streams.withStatePartitions(s0, 8) { s =>
       val out = graft.streaming.Streams.scratchDir("graft_q67_")
       def side(parity: Int, idN: String, kN: String, tsN: String) =
         graft.streaming.Streams.parquetStream(s, s"$dir/events.parquet")
@@ -730,6 +731,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.Streams.assertSingleBatch(q, "q67_stream_interval")
       s.read.parquet(s"$out/data").orderBy("l_id", "r_id")
     }),
     // STREAMING sessionization driver row (X22): the custom
@@ -738,8 +740,8 @@ object SparkEntry {
     // emit; each user's trailing session stays in state at
     // end-of-stream BY DESIGN (a later event could still extend it) —
     // the oracle excludes exactly each user's last session.
-    "q68_stream_sessionize" -> ((s, dir) =>
-        graft.streaming.Streams.withStatePartitions(s, 8) {
+    "q68_stream_sessionize" -> ((s0, dir) =>
+        graft.streaming.Streams.withStatePartitions(s0, 8) { s =>
       val spark = s
       import spark.implicits._
       val out = graft.streaming.Streams.scratchDir("graft_q68_")
@@ -755,6 +757,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.Streams.assertSingleBatch(q, "q68_stream_sessionize")
       s.read.parquet(s"$out/data").orderBy("user_id", "start_us")
     }),
     // HyperLogLog++ distinct-count sketch (X50) with its error
@@ -806,8 +809,8 @@ object SparkEntry {
     // what makes end-of-stream output deterministic (append mode
     // withholds windows the final watermark hasn't passed). Oracle =
     // q30's batch hourly rollup.
-    "q73_stream_window" -> ((s, dir) =>
-        graft.streaming.Streams.withStatePartitions(s, 8) {
+    "q73_stream_window" -> ((s0, dir) =>
+        graft.streaming.Streams.withStatePartitions(s0, 8) { s =>
       val stream = graft.streaming.Streams
         .parquetStream(s, s"$dir/events.parquet")
         .select(timestamp_micros(expr("ts div 1000")).as("t"),
@@ -892,8 +895,8 @@ object SparkEntry {
     // at-least-once retry replaces its own output instead of
     // duplicating survivors. Oracle = the batch anti-join over the
     // same bipartite pairs.
-    "q78_stream_ingest_screen" -> ((s, dir) =>
-        graft.streaming.Streams.withStatePartitions(s, 8) {
+    "q78_stream_ingest_screen" -> ((s0, dir) =>
+        graft.streaming.Streams.withStatePartitions(s0, 8) { s =>
       val out = graft.streaming.Streams.scratchDir("graft_q78_")
       val corpus = documents(s, dir).filter(col("doc_id") % 10 =!= 0)
       val stream = graft.streaming.Streams

@@ -70,17 +70,25 @@ object Quality {
   }
 
   /** Evaluate every rule in one aggregate pass over one scan and
-   *  return (rule, violations) rows — the batch-promotion gate. */
+   *  return (rule, violations) rows — the batch-promotion gate.
+   *
+   *  The unpivot is built from Column expressions with `lit()` rule
+   *  names — never by interpolating names into SQL text, so a rule
+   *  over a column whose name carries quotes/backticks/dots unpivots
+   *  correctly instead of breaking the parse (rule BODIES reference
+   *  columns through standard `col()` resolution, where dotted names
+   *  mean nested fields as everywhere in Spark). */
   def expectations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
     val wide = df.agg(
       rules.head.violations.as("r0"),
       rules.tail.zipWithIndex.map { case (r, i) =>
         r.violations.as(s"r${i + 1}") }: _*)
-    val stack = rules.zipWithIndex
-      .map { case (r, i) => s"'${r.name}', r$i" }.mkString(", ")
-    wide.selectExpr(
-      s"stack(${rules.size}, $stack) AS (rule, violations)")
+    wide.select(stack(
+      lit(rules.size) +:
+        rules.zipWithIndex.flatMap { case (r, i) =>
+          Seq(lit(r.name), col(s"r$i")) }: _*)
+      .as(Seq("rule", "violations")))
   }
 
   /** Attach the rules as an `observe` metric set instead of a
@@ -124,18 +132,24 @@ object Quality {
    *  match any engine bit-for-bit. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(count(lit(1)).as(s"n_$c"),
+    // internal aliases are POSITIONAL (n_0, nn_0, …), never derived
+    // from the user's column name — and the unpivot is Column-built
+    // with lit() names, so a profiled column named with dots, quotes
+    // or backticks labels its row verbatim instead of breaking the
+    // parse (or silently resolving as a nested-field reference)
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(lit(1)).as(s"n_$i"),
         coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
-          .as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        min(col(c).cast("double")).as(s"mn_$c"),
-        max(col(c).cast("double")).as(s"mx_$c"))
+          .as(s"nn_$i"),
+        countDistinct(col(c)).as(s"nd_$i"),
+        min(col(c).cast("double")).as(s"mn_$i"),
+        max(col(c).cast("double")).as(s"mx_$i"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stack = cols
-      .map(c => s"'$c', n_$c, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
-    wide.selectExpr(s"stack(${cols.size}, $stack) AS " +
-      "(col_name, n, n_null, n_distinct, min_d, max_d)")
+    wide.select(stack(
+      lit(cols.size) +:
+        cols.indices.flatMap(i => Seq(lit(cols(i)), col(s"n_$i"),
+          col(s"nn_$i"), col(s"nd_$i"), col(s"mn_$i"), col(s"mx_$i"))): _*)
+      .as(Seq("col_name", "n", "n_null", "n_distinct", "min_d", "max_d")))
   }
 }

@@ -149,33 +149,46 @@ object Streams {
     screenIngestIndexed(stream, index, textCol, idCol, k, perms, bands, tau)(sink)
   }
 
-  /** Run `f` with the session's shuffle-partition count — which for a
-   *  NEW streaming query is also its state-store count, baked into
-   *  the checkpoint at first start — temporarily overridden. Stateful
-   *  state scales with STATE volume, not cluster width: every state
-   *  partition pays per-micro-batch maintenance (version commit,
-   *  snapshot, delta-file churn), so a bounded AvailableNow drain
-   *  with kilobytes of state per store is pure overhead at the batch
-   *  default (measured 4.4× on the q67 interval join: 32→8 stores).
-   *  A production deployment with large state keeps the session
-   *  default or raises it — the knob is per-query by design.
+  /** Run `f` against a session CLONE whose shuffle-partition count —
+   *  which for a NEW streaming query is also its state-store count,
+   *  baked into the checkpoint at first start — is overridden to `n`.
+   *  Stateful state scales with STATE volume, not cluster width:
+   *  every state partition pays per-micro-batch maintenance (version
+   *  commit, snapshot, delta-file churn), so a bounded AvailableNow
+   *  drain with kilobytes of state per store is pure overhead at the
+   *  batch default (measured 4.4× on the q67 interval join: 32→8
+   *  stores). A production deployment with large state keeps the
+   *  session default or raises it — the knob is per-query by design.
    *
-   *  The conf is SESSION-GLOBAL, so the save/set/restore is
-   *  serialized under a process-local lock (two overlapping calls
-   *  would otherwise leak one call's override as the other's
-   *  "previous" value). Batch queries issued from OTHER threads of
-   *  the same session while a drain is in flight would still plan
-   *  with `n` — in a genuinely multi-tenant session, clone the
-   *  session (`spark.newSession()`) for the drain instead. */
-  def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T =
-    confLock.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, n.toString)
-      try f finally spark.conf.set(key, prev)
-    }
+   *  `newSession()` shares the SparkContext and catalog but carries
+   *  its OWN SQLConf and temp-view namespace, so the override lives
+   *  only on the clone: no lock, no save/restore, and concurrent
+   *  batch queries planned on other threads of the parent session
+   *  are untouched. `f` must build its frames (sources, streams,
+   *  memory-sink lookups) from the clone it receives — a frame built
+   *  on the parent would silently plan with the parent's conf. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(f: SparkSession => T): T = {
+    val clone = spark.newSession()
+    clone.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(clone)
+  }
 
-  private val confLock = new Object
+  /** One-shot-drain parity guard. The batch oracle for a watermarked
+   *  stream assumes the WHOLE bounded input arrived as ONE micro-batch:
+   *  split it across batches and the advancing watermark starts doing
+   *  its real job — dropping late rows / splitting sessions — and the
+   *  drain legitimately diverges from the batch result. That contract
+   *  currently holds only because the testdata is a single parquet
+   *  file and no source sets maxFilesPerTrigger; assert it at runtime
+   *  so a future layout or option change fails LOUDLY instead of as a
+   *  subtle oracle hash mismatch. Call after `awaitTermination()`. */
+  def assertSingleBatch(q: StreamingQuery, what: String): Unit = {
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 1,
+      s"$what: batch-oracle parity needs a single-micro-batch drain, " +
+        s"got $dataBatches data-carrying batches — a source option " +
+        "(e.g. maxFilesPerTrigger) or input layout change broke the assumption")
+  }
 
   /** Temp dir for a one-shot drain's sink + checkpoint, swept
    *  recursively at JVM exit: repeated harness runs in one JVM (the

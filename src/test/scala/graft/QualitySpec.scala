@@ -91,4 +91,21 @@ class QualitySpec extends SparkTestBase {
       .queryExecution.optimizedPlan.collectLeaves()
     assert(leaves.size === 1, leaves.map(_.nodeName))
   }
+
+  test("hostile column names (quotes, spaces) label rows verbatim — no SQL-text parse break") {
+    // names with a single quote and spaces: interpolated SQL text
+    // would either fail to parse or mislabel; the Column-built
+    // unpivot must carry them through verbatim
+    val hostile = frame.withColumnRenamed("v", "it's v")
+      .withColumnRenamed("tag", "the tag")
+    val prof = Quality.profile(hostile, Seq("id", "it's v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prof.keySet === Set("id", "it's v"))
+    assert(prof("it's v") === 10L)
+    val exp = Quality.expectations(hostile, Seq(
+        NotNull("`it's v`"), Matches("`the tag`", "^[a-z]+$")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exp("not_null:`it's v`") === 1L)
+    assert(exp("matches:`the tag`") === 1L)
+  }
 }
