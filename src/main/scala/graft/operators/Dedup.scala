@@ -24,9 +24,11 @@ import graft.functions.{HashExpressions, Hashing, TextFunctions}
  *    true Jaccard. Nothing is ever quadratic in corpus size, only in
  *    bucket occupancy.
  *  - `simhashPairs` reduces each doc to one 32-bit integer, so the
- *    candidate join ships 8 bytes/doc; at real scale the hamming
- *    search would pivot to multi-index (4×8-bit tables) — kept
- *    block-joined here, noted for the cluster path.
+ *    candidate join ships 8 bytes/doc; BOTH the blocked and the
+ *    unblocked form search hamming space through the multi-index
+ *    pigeonhole posting join (segment-equality buckets), never an
+ *    all-pairs expansion — blocked merely adds the block to the
+ *    posting key.
  *
  * Every operator has a `*Sql` mirror producing the exact DuckDB
  * equivalent (same md5-derived hashes via [[Hashing.h60]]) used as the
@@ -520,52 +522,62 @@ object Dedup {
     df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       HashExpressions.simhash32(col(textCol)).as("sh32"))
 
-  /** Blocked SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤
-   *  maxHamming within a block. Output (id_a, id_b, hamming). */
-  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      blockCol: String, maxHamming: Int): DataFrame = {
-    val s = simhashed(df, textCol, idCol, blockCol)
-    val a = s.select(col("blk"), col("id").as("id_a"), col("sh32").as("sh_a"))
-    val b = s.select(col("blk"), col("id").as("id_b"), col("sh32").as("sh_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-  }
-
-  /** UNBLOCKED SimHash near-dup pairs via the multi-index pigeonhole
-   *  (Manku et al.'s simhash-at-scale construction): split the 32-bit
+  /** Pigeonhole posting-list join (Manku et al.'s simhash-at-scale
+   *  construction), shared by BOTH hamming-search forms: split the
    *  simhash into `maxHamming + 1` disjoint segments — any pair within
    *  hamming ≤ maxHamming must agree EXACTLY on at least one segment —
-   *  then self-join on (segment-index, segment-value) only, and verify
-   *  bit_count(xor) on the distinct candidates. LOSSLESS for the
-   *  threshold, needs no blocking column, and the join key is ~11
-   *  bits per segment: candidate cost is Σ bucket², i.e. linear in
-   *  corpus size for near-uniform simhashes, vs the blocked variant's
-   *  Σ block². This is the hamming-search shape that survives when no
-   *  natural block exists at 100 TB. */
-  def simhashPairsMultiIndex(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int, bits: Int = 32): DataFrame = {
+   *  post each doc under its (extraKey…, segment-index, segment-value)
+   *  keys, self-join on those keys only, and verify bit_count(xor) on
+   *  the distinct candidates. LOSSLESS for the threshold; candidate
+   *  cost is Σ bucket² over ~11-bit segment buckets — linear in corpus
+   *  size for near-uniform simhashes — never Σ block² over whole
+   *  blocks. `s` must carry (id, sh32) plus the extraKey columns. */
+  private def pigeonholePairs(s: DataFrame, extraKey: Seq[String],
+      maxHamming: Int, bits: Int): DataFrame = {
     val nSeg = maxHamming + 1
     val base = bits / nSeg
     val widths = (0 until nSeg).map(j => if (j < bits % nSeg) base + 1 else base)
     val shifts = widths.scanLeft(0)(_ + _).init
-    val s = df.select(col(idCol).as("id"),
-      graft.functions.HashExpressions.simhashBits(col(textCol), bits).as("sh32"))
     val segCols = (0 until nSeg).map(j =>
       expr(s"shiftright(sh32, ${shifts(j)}) & ${(1L << widths(j)) - 1}"))
-    val posts = s.select(col("id"), col("sh32"), posexplode(array(segCols: _*)))
+    val posts = s.select(extraKey.map(col) ++
+        Seq(col("id"), col("sh32"), posexplode(array(segCols: _*))): _*)
       .withColumnRenamed("pos", "seg").withColumnRenamed("col", "sv")
-    posts.select(col("seg"), col("sv"), col("id").as("id_a"), col("sh32").as("sh_a"))
-      .join(posts.select(col("seg"), col("sv"), col("id").as("id_b"), col("sh32").as("sh_b")),
-        Seq("seg", "sv"))
+    val key = extraKey ++ Seq("seg", "sv")
+    posts.select(key.map(col) ++
+        Seq(col("id").as("id_a"), col("sh32").as("sh_a")): _*)
+      .join(posts.select(key.map(col) ++
+        Seq(col("id").as("id_b"), col("sh32").as("sh_b")): _*), key)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Blocked SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤
+   *  maxHamming within a block. Output (id_a, id_b, hamming).
+   *  Candidates come from the pigeonhole posting join WITH the block
+   *  as an extra key — semantically identical to a within-block
+   *  all-pairs scan (the pigeonhole is lossless at the threshold, and
+   *  the oracle runs the unfiltered blocked form), but the plan is a
+   *  posting-list equi-join: a block's cost is Σ bucket² within it,
+   *  never block². */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, maxHamming: Int): DataFrame =
+    pigeonholePairs(simhashed(df, textCol, idCol, blockCol),
+      Seq("blk"), maxHamming, bits = 32)
+
+  /** UNBLOCKED SimHash near-dup pairs via the multi-index pigeonhole:
+   *  [[pigeonholePairs]] with no extra key — needs no blocking column
+   *  at all. This is the hamming-search shape that survives when no
+   *  natural block exists at 100 TB. */
+  def simhashPairsMultiIndex(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int, bits: Int = 32): DataFrame =
+    pigeonholePairs(
+      df.select(col(idCol).as("id"),
+        graft.functions.HashExpressions.simhashBits(col(textCol), bits).as("sh32")),
+      Seq.empty, maxHamming, bits)
 
   /** Oracle for [[simhashPairsMultiIndex]]: the UNFILTERED all-pairs
    *  formulation — a multi-index bug (a dropped candidate) cannot pass
