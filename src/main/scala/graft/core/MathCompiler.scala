@@ -192,4 +192,19 @@ object MathCompiler {
 
   def applyToVariant(df: DataFrame, op: MathOp, payloadCol: String): DataFrame =
     df.withColumn(op.outputField, columnForVariant(op, col(payloadCol)))
+
+  /** Case-INSENSITIVE variant mode (opt-in, X27): pairs with
+   *  [[graft.sources.Sources.variantPayloadCI]]'s lower-cased-key
+   *  ingestion — the query key lowers here, the payload keys lowered
+   *  at ingest, so lookup is case-insensitive end-to-end while the
+   *  access itself stays the exact-key shredded-variant fast path. */
+  def columnForVariantCI(op: MathOp, vCol: Column): Column =
+    expression(op, {
+      case Const(c)    => lit(c.toDouble)
+      case FieldRef(f) =>
+        resolveInVariant(vCol, f.toLowerCase(java.util.Locale.ROOT))
+    })
+
+  def applyToVariantCI(df: DataFrame, op: MathOp, payloadCol: String): DataFrame =
+    df.withColumn(op.outputField, columnForVariantCI(op, col(payloadCol)))
 }

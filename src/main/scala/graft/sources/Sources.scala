@@ -44,6 +44,24 @@ object Sources {
   def variantPayload(df: DataFrame, jsonCol: String, payloadCol: String = "payload"): DataFrame =
     df.withColumn(payloadCol, try_parse_json(col(jsonCol)))
 
+  /** OPT-IN case-insensitive variant ingestion: lower-case the
+   *  payload's top-level keys at ingest, so the (inherently
+   *  case-sensitive) variant path can be resolved case-insensitively
+   *  by lowering the query key too
+   *  ([[graft.core.MathCompiler.applyToVariantCI]]) — the documented
+   *  case-sensitivity divergence of the plain variant mode becomes a
+   *  choice. Costs one JSON round-trip per record at INGEST (values
+   *  re-enter the variant as strings and resolve through numeric
+   *  casts; duplicate keys that collide after lowering keep the last
+   *  occurrence — use the map/JSON-kernel modes when the reference's
+   *  first-numeric-wins duplicate scan matters). */
+  def variantPayloadCI(df: DataFrame, jsonCol: String, payloadCol: String = "payload"): DataFrame =
+    df.withColumn(payloadCol, try_parse_json(to_json(transform_keys(
+      from_json(col(jsonCol), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)),
+      (k, _) => lower(k)))))
+
   /** msgpack event ingestion — the reference's ACTUAL wire format:
    *  each element of `chunks` is a fluent-bit chunk of concatenated
    *  `[ts, {k=>v}]` msgpack events. Decoding happens per-partition
