@@ -923,6 +923,28 @@ object SparkEntry {
           q.recentProgress.map(_.json).mkString("[", ",", "]"))
       s.read.parquet(batchDirs: _*).orderBy("doc_id")
     }),
+    // STREAMING quality gate (X54's observe path through real
+    // MicroBatchExecution): the expectation rules ride the
+    // micro-batch jobs as observation metrics — zero extra scans —
+    // and the per-batch counters sum to the gate decision. Unique
+    // rules are excluded BY CONTRACT (distinct aggregates aren't
+    // observable; Quality.observable enforces). Oracle = the batch
+    // expectations() SQL over the same rules.
+    "q79_stream_quality" -> ((s0, dir) =>
+        graft.streaming.Streams.withStatePartitions(s0, 8) { s =>
+      val rules = Seq(
+        Quality.NotNull("value"),
+        Quality.InRange("value", 0.0, 100.0),
+        Quality.Accepted("event_type",
+          Seq("click", "view", "purchase", "signup")),
+        Quality.Matches("event_type", "^[a-z]+$"))
+      val stream = graft.streaming.Streams
+        .parquetStream(s, s"$dir/events.parquet")
+      val counts = graft.streaming.Streams
+        .drainObservedMetrics(Quality.observed(stream, rules), "graft_quality")
+      s.createDataFrame(rules.map(r => (r.name, counts(r.name))))
+        .toDF("rule", "violations").orderBy("rule")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1279,5 +1301,21 @@ object SparkEntry {
          |    ${Dedup.minhashLshPairsAgainstSql("documents", "text", "doc_id",
                3, 16, 4, 0.8, "doc_id % 10 = 0", "doc_id % 10 <> 0")}))
          |ORDER BY doc_id""".stripMargin,
+    "q79_stream_quality" ->
+      """SELECT * FROM (
+        |  SELECT 'not_null:value' AS rule, CAST(coalesce(sum(CASE WHEN value IS NULL
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations FROM events
+        |  UNION ALL
+        |  SELECT 'in_range:value:[0.0,100.0]', CAST(coalesce(sum(CASE WHEN value IS NOT NULL
+        |    AND (value < 0.0 OR value > 100.0) THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'accepted:event_type', CAST(coalesce(sum(CASE WHEN event_type IS NOT NULL
+        |    AND event_type NOT IN ('click','view','purchase','signup')
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'matches:event_type', CAST(coalesce(sum(CASE WHEN event_type IS NOT NULL
+        |    AND NOT regexp_matches(event_type, '^[a-z]+$')
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events
+        |) ORDER BY rule""".stripMargin,
   )
 }

@@ -173,6 +173,28 @@ object Streams {
     f(clone)
   }
 
+  /** Drain a bounded OBSERVED stream (AvailableNow, no-op sink) and
+   *  return the observation metrics named `name`, summed across
+   *  micro-batches — [[graft.operators.Quality.observed]]'s violation
+   *  counters are additive sums riding each micro-batch's job, so the
+   *  cross-batch sum equals the whole-input batch result with ZERO
+   *  extra scans. This is the continuous-quality-monitoring shape: a
+   *  production stream reads them per batch from
+   *  `StreamingQueryProgress.observedMetrics` (listener) and alerts;
+   *  a bounded drain folds them into one gate decision. */
+  def drainObservedMetrics(df: DataFrame, name: String): Map[String, Long] = {
+    val q = df.writeStream.format("noop")
+      .option("checkpointLocation", scratchDir("graft_obs_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get(name)))
+    require(rows.nonEmpty, s"no observation metrics '$name' reported by the drain")
+    rows.flatMap(r => r.schema.fieldNames.map(f => f -> r.getAs[Long](f)))
+      .groupMapReduce(_._1)(_._2)(_ + _)
+  }
+
   /** One-shot-drain parity guard. The batch oracle for a watermarked
    *  stream assumes the WHOLE bounded input arrived as ONE micro-batch:
    *  split it across batches and the advancing watermark starts doing
