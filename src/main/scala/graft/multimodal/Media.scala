@@ -264,6 +264,77 @@ object Media {
       }
   }
 
+  /** One JPEG `ImageWriter` per partition — same registry-scan
+   *  amortization as [[pngWriter]]. */
+  def jpegWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+
+  /** Deterministic AVI/MJPEG: REAL executor-rendered JPEG frames
+   *  muxed into a real RIFF container ([[Avi.encode]]) — a true
+   *  non-GIF video path with no native codec dependency. Frame
+   *  pixels vary by (docId, frame) so frames are distinct; the
+   *  lossy JPEG payload is fine because demux correctness is judged
+   *  on frame COUNT and per-frame header DIMENSIONS, which survive
+   *  exactly. */
+  def encodeAvi(writer: javax.imageio.ImageWriter, docId: Long,
+      width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = img.createGraphics()
+      try {
+        g.setColor(new java.awt.Color(
+          (((docId * 131) + f * 17) & 0xFFFFFF).toInt))
+        g.fillRect(0, 0, width, height)
+      } finally g.dispose()
+      writeImage(writer, img)
+    }
+    Avi.encode(frames, width, height)
+  }
+
+  /** Documents → real AVI/MJPEG payloads with frame count and
+   *  dimensions derived from the row (width = n_chars%32+8, height =
+   *  doc_id%24+8, frames = doc_id%5+2), so the oracle knows the
+   *  expected demux output without the bytes. */
+  def aviFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { it =>
+        codecWarm
+        val writer = jpegWriter()
+        it.map { case (id, nChars) =>
+          MediaRecord(id,
+            encodeAvi(writer, id, (nChars % 32 + 8).toInt,
+              (id % 24 + 8).toInt, (id % 5 + 2).toInt),
+            "video/x-msvideo")
+        }
+      }
+  }
+
+  /** Every `everyN`-th frame of an AVI payload: [[Avi.demux]] walks
+   *  the container's chunk tree, then ONLY the sampled frames'
+   *  JPEG headers are decoded for dimensions ([[imageDims]]) — the
+   *  demux-then-decode-selectively dataflow that matters at scale
+   *  (decoding every frame of every video to sample a tenth of them
+   *  would be 10× the codec work). Undemuxable payloads and
+   *  undecodable frames yield no rows. Output
+   *  (doc_id, frame_idx, width, height). */
+  def demuxAviFrames(media: Dataset[MediaRecord], everyN: Int): DataFrame = {
+    require(everyN >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      codecWarm
+      records.flatMap { r =>
+        val frames = Avi.demux(r.bytes)
+        (0 until frames.length by everyN).iterator.flatMap { i =>
+          imageDims(frames(i)).map { case (w, h) => (r.doc_id, i, w, h) }
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "width", "height")
+  }
+
   /** STUB DECODER — deterministic fake for mimes with no JDK codec. */
   private def stubDecode(r: MediaRecord): MediaFeatures = {
     val n = r.bytes.length.toLong
@@ -314,13 +385,14 @@ object Media {
       }
       y += 1
     }
-    writePng(writer, img)
+    writeImage(writer, img)
   }
 
-  /** Encode a raster as PNG through a reused writer (memory-cached
-   *  stream for the same reason as [[imageDims]] — the factory
-   *  default buffers through a per-call temp FILE). */
-  def writePng(writer: javax.imageio.ImageWriter,
+  /** Encode a raster through a reused writer of ANY format (PNG,
+   *  JPEG, …) — memory-cached stream for the same reason as
+   *  [[imageDims]]: the factory default buffers through a per-call
+   *  temp FILE. */
+  def writeImage(writer: javax.imageio.ImageWriter,
       img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
@@ -412,7 +484,7 @@ object Media {
                 java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
               g.drawImage(src, 0, 0, width, height, null)
             } finally g.dispose()
-            MediaRecord(r.doc_id, writePng(writer, dst),
+            MediaRecord(r.doc_id, writeImage(writer, dst),
               s"image/png;resized=${width}x$height")
           } else None
         real.getOrElse(stubResize(r, width, height))
