@@ -94,6 +94,15 @@ object SparkEntry {
       Media.aviFromDocuments(documents(s, dir)).toDF()
     }
 
+  /** The synthesized WAV corpus q61 header-decodes, for the same
+   *  reason (r6: un-cached encode was invisible at sf0.1's 5k docs
+   *  but dominated q61 at the sf1 scale sweep — 50k PCM encodes per
+   *  timed run; the query's subject is the DECODE). */
+  private def sharedWavCorpus(s: SparkSession, dir: String): DataFrame =
+    sharedTable(s, dir, "wavs_v1") {
+      Media.audioFromDocuments(documents(s, dir)).toDF()
+    }
+
   /** Materialize `build` ONCE per (corpus, tag) to a lake path and
    *  read back — what a real pipeline does with an expensive
    *  intermediate dataset. An in-memory cached view dies with the
@@ -545,9 +554,13 @@ object SparkEntry {
     // real audio decode: executor-rendered PCM WAVs (parameters
     // derived from the row) read back through the javax.sound header
     // path — the audio twin of q54
-    "q61_audio_decode" -> ((s, dir) =>
-      Media.extractAudioMeta(Media.audioFromDocuments(documents(s, dir)))
-        .orderBy("doc_id")),
+    "q61_audio_decode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      Media.extractAudioMeta(
+          sharedWavCorpus(s, dir).as[graft.multimodal.MediaRecord])
+        .orderBy("doc_id")
+    }),
     // VARIANT payload math (Spark 4 shredded-JSON path): exact-key,
     // case-sensitive access — the documented fast alternative to the
     // faithful map/kernel modes (X27, now oracle-verified)

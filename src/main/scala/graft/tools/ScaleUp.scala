@@ -65,14 +65,23 @@ object ScaleUp {
     rep("events", 8)((d, r) => d
       .withColumn("event_id", shift("event_id", r))
       .withColumn("user_id", shift("user_id", r)))
-    // single part file: the streaming rows assert a one-batch drain
-    rep("documents", 1)((d, r) => d
+    // multi-part is fine for the streaming rows: AvailableNow without
+    // maxFilesPerTrigger drains ALL listed files as one micro-batch —
+    // but a SINGLE part would serialize every doc-heavy query on one
+    // core (parquet splits by file first)
+    // splice a DOC-KEYED replica token every 3 words: a shared
+    // constant token would put ~25% common token mass into every
+    // replica-r doc, correlating their simhash/minhash signatures and
+    // inflating near-dup candidate collisions by construction — the
+    // perturbation must decorrelate docs, not correlate them
+    rep("documents", 8)((d, r) => d
       .withColumn("doc_id", shift("doc_id", r))
       .withColumn("text",
         if (r == 0) col("text")
-        else regexp_replace(col("text"), "(\\S+ \\S+ \\S+ )",
-          s"$$1zr$r "))) // splice a replica token every 3 words
-    rep("embeddings", 1)((d, r) => d
+        else regexp_replace(col("text"), lit("(\\S+ \\S+ \\S+ )"),
+          concat(lit(s"$$1z$r" + "w"), (col("doc_id") % 997).cast("string"),
+            lit(" ")))))
+    rep("embeddings", 4)((d, r) => d
       .withColumn("vec_id", shift("vec_id", r))
       .withColumn("embedding",
         if (r == 0) col("embedding")
