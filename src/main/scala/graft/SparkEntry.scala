@@ -558,7 +558,8 @@ object SparkEntry {
       val spark = s
       import spark.implicits._
       Media.extractAudioMeta(
-          sharedWavCorpus(s, dir).as[graft.multimodal.MediaRecord])
+          sharedWavCorpus(s, dir).as[graft.multimodal.MediaRecord],
+          parallelism = s.sparkContext.defaultParallelism)
         .orderBy("doc_id")
     }),
     // VARIANT payload math (Spark 4 shredded-JSON path): exact-key,
