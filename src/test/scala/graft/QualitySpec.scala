@@ -92,6 +92,26 @@ class QualitySpec extends SparkTestBase {
     assert(leaves.size === 1, leaves.map(_.nodeName))
   }
 
+  test("observed metrics fold additively across a multi-batch drain to the batch gate result") {
+    import graft.streaming.Streams
+    // two parquet part files + maxFilesPerTrigger=1 → two micro-batches,
+    // each contributing partial violation counts
+    val dir = Streams.scratchDir("graft_qobs_in_")
+    frame.filter(col("id") < 5).coalesce(1).write.mode("append").parquet(dir)
+    frame.filter(col("id") >= 5).coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val rules = Seq(NotNull("v"), InRange("v", 0.0, 100.0),
+      Matches("tag", "^[a-z]+$"))
+    val counts = Streams.drainObservedMetrics(
+      Quality.observed(stream, rules), "graft_quality")
+    val batch = Quality.expectations(frame, rules).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === batch)
+    assert(counts("not_null:v") === 1L) // sanity: the fixture's known dirt
+  }
+
   test("hostile column names (quotes, spaces) label rows verbatim — no SQL-text parse break") {
     // names with a single quote and spaces: interpolated SQL text
     // would either fail to parse or mislabel; the Column-built
