@@ -846,7 +846,11 @@ object SparkEntry {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("sum_value"))
       val table = s"q73_sink_${System.nanoTime}"
-      graft.streaming.Streams.drainToMemory(stream, table, "complete")
+      val q = graft.streaming.Streams.drainToMemory(stream, table, "complete")
+      // complete mode re-emits full state, but the 1-hour watermark
+      // still DROPS late rows across batches — same one-batch parity
+      // assumption as q63/q67/q68
+      graft.streaming.Streams.assertSingleBatch(q, "q73_stream_window")
       // resolve BEFORE dropping the view: the analyzed plan holds the
       // sink relation directly, so repeated runs don't accumulate
       // registered views (the bench runs each query 3x per JVM)

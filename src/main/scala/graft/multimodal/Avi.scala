@@ -122,20 +122,26 @@ object Avi {
     def isFrame(id: String): Boolean =
       (id.endsWith("dc") || id.endsWith("db")) &&
         id.take(2).forall(_.isDigit)
-    def walk(start: Long, end: Long, inMovi: Boolean): Unit = {
+    // depth-capped: real AVIs nest ≤3 (RIFF→movi→rec ); a hostile
+    // payload can encode ~80k LIST levels in 1 MB, and an unbounded
+    // recursion would die with StackOverflowError — an Error, which
+    // the tolerance catch below deliberately does not swallow
+    def walk(start: Long, end: Long, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > 16) return
       var p = start
       while (p + 8 <= end) {
         val id = fccAt(p)
         val sz = u32At(p + 4)
         val dataStart = p + 8
-        val dataEnd = math.min(dataStart + sz, end)
-        if (id == "LIST" && sz >= 4) {
+        if (id == "LIST" && sz >= 4 && dataStart + 4 <= end) {
           val tpe = fccAt(dataStart)
-          walk(dataStart + 4, dataEnd,
-            inMovi || tpe == "movi" || tpe == "rec ")
-        } else if (inMovi && isFrame(id) && dataEnd >= dataStart) {
+          walk(dataStart + 4, math.min(dataStart + sz, end),
+            inMovi || tpe == "movi" || tpe == "rec ", depth + 1)
+        } else if (inMovi && isFrame(id) && dataStart + sz <= end) {
+          // a frame whose declared size overruns the buffer is
+          // TRUNCATED — drop it rather than emit partial bytes
           out += java.util.Arrays.copyOfRange(
-            bytes, dataStart.toInt, dataEnd.toInt)
+            bytes, dataStart.toInt, (dataStart + sz).toInt)
         }
         p = dataStart + sz + (sz & 1)
       }
@@ -144,7 +150,7 @@ object Avi {
       if (bytes.length < 12 || fccAt(0) != "RIFF" || fccAt(8) != "AVI ")
         return Seq.empty
       val riffEnd = math.min(bytes.length.toLong, 8L + u32At(4))
-      walk(12, riffEnd, inMovi = false)
+      walk(12, riffEnd, inMovi = false, depth = 0)
       out.result()
     } catch { case _: Exception => Seq.empty }
   }

@@ -240,8 +240,15 @@ object Dedup {
    *  At 100 TB these are lake tables written once at ingest time
    *  (and appended as batches are admitted); per-batch cost is then
    *  one banded projection of the BATCH plus one bucket join against
-   *  the index — the corpus text is never re-read, never re-signed. */
-  final case class LshIndex(banded: DataFrame, shingles: DataFrame)
+   *  the index — the corpus text is never re-read, never re-signed.
+   *
+   *  The build parameters (k, perms, bands) travel WITH the index:
+   *  the probe derives the batch side from them, so a batch signed
+   *  with different parameters than the index — which would silently
+   *  misalign every bucket hash and admit duplicates as false
+   *  negatives — is impossible by construction. */
+  final case class LshIndex(banded: DataFrame, shingles: DataFrame,
+      k: Int, perms: Int, bands: Int)
 
   /** Build the corpus-side [[LshIndex]]. One pass over the corpus:
    *  fused shingle kernel → fused signature kernel → band buckets.
@@ -253,7 +260,7 @@ object Dedup {
     require(perms % bands == 0)
     val sc = shingled(corpus, textCol, idCol, idCol, k).drop("blk")
     LshIndex(bandedSig(sc, perms, bands),
-      sc.select(col("id"), col("hs"), col("sz")))
+      sc.select(col("id"), col("hs"), col("sz")), k, perms, bands)
   }
 
   /** INCREMENTAL ingest dedup against a PREBUILT index (X56): near-dup
@@ -264,13 +271,13 @@ object Dedup {
    *  collisions, never |corpus|² — and the corpus side is only
    *  SCANNED, never recomputed. Output (new_id, corpus_id, jac ≥
    *  tau); a doc present in both sides pairs with itself at jac 1.0 —
-   *  re-ingestion IS a duplicate. */
+   *  re-ingestion IS a duplicate. The batch side signs with the
+   *  INDEX's own (k, perms, bands) — a parameter mismatch between
+   *  build and probe cannot happen. */
   def minhashLshPairsAgainstIndex(newDf: DataFrame, index: LshIndex,
-      textCol: String, idCol: String, k: Int, perms: Int, bands: Int,
-      tau: Double): DataFrame = {
-    require(perms % bands == 0)
-    val sn = shingled(newDf, textCol, idCol, idCol, k).drop("blk")
-    val cand = bandedSig(sn, perms, bands)
+      textCol: String, idCol: String, tau: Double): DataFrame = {
+    val sn = shingled(newDf, textCol, idCol, idCol, index.k).drop("blk")
+    val cand = bandedSig(sn, index.perms, index.bands)
       .select(col("band"), col("bh"), col("id").as("new_id"))
       .join(index.banded
         .select(col("band"), col("bh"), col("id").as("corpus_id")),
@@ -306,7 +313,7 @@ object Dedup {
     val sh = spark.read.parquet(s"$dir/shingles")
     bandedSig(sh, perms, bands)
       .write.mode("overwrite").parquet(s"$dir/banded")
-    LshIndex(spark.read.parquet(s"$dir/banded"), sh)
+    LshIndex(spark.read.parquet(s"$dir/banded"), sh, k, perms, bands)
   }
 
   /** One-shot convenience form of [[minhashLshPairsAgainstIndex]]:
@@ -319,7 +326,7 @@ object Dedup {
       tau: Double): DataFrame =
     minhashLshPairsAgainstIndex(newDf,
       buildLshIndex(corpus, textCol, idCol, k, perms, bands),
-      textCol, idCol, k, perms, bands, tau)
+      textCol, idCol, tau)
 
   /** DuckDB oracle for [[minhashLshPairsAgainst]]: the two sides are
    *  predicates over one table (same shingle/signature pipeline). */

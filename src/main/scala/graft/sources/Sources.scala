@@ -55,12 +55,20 @@ object Sources {
    *  casts; duplicate keys that collide after lowering keep the last
    *  occurrence — use the map/JSON-kernel modes when the reference's
    *  first-numeric-wins duplicate scan matters). */
-  def variantPayloadCI(df: DataFrame, jsonCol: String, payloadCol: String = "payload"): DataFrame =
-    df.withColumn(payloadCol, try_parse_json(to_json(transform_keys(
-      from_json(col(jsonCol), org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType,
-        org.apache.spark.sql.types.StringType)),
-      (k, _) => lower(k)))))
+  def variantPayloadCI(df: DataFrame, jsonCol: String, payloadCol: String = "payload"): DataFrame = {
+    // keep-last must be explicit: transform_keys on a map whose keys
+    // COLLIDE after lowering throws DUPLICATED_MAP_KEY under the
+    // default dedup policy — and case-colliding keys are precisely
+    // the input this mode exists for. Scan the reversed entry list
+    // and keep each lowered key's first (i.e. originally LAST)
+    // occurrence before rebuilding the map.
+    val entries = s"reverse(transform(map_entries(" +
+      s"from_json(`$jsonCol`, 'map<string,string>')), " +
+      "e -> struct(lower(e.key) as key, e.value as value)))"
+    df.withColumn(payloadCol, try_parse_json(to_json(expr(
+      s"map_from_entries(filter($entries, " +
+        s"(e, i) -> NOT exists(slice($entries, 1, i), x -> x.key = e.key)))"))))
+  }
 
   /** msgpack event ingestion — the reference's ACTUAL wire format:
    *  each element of `chunks` is a fluent-bit chunk of concatenated

@@ -123,13 +123,12 @@ object Streams {
    *  duplicating it. */
   def screenIngestIndexed(stream: DataFrame,
       index: graft.operators.Dedup.LshIndex, textCol: String,
-      idCol: String, k: Int, perms: Int, bands: Int, tau: Double)(
+      idCol: String, tau: Double)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       import org.apache.spark.sql.functions.col
       val dupes = graft.operators.Dedup
-        .minhashLshPairsAgainstIndex(batch, index, textCol, idCol,
-          k, perms, bands, tau)
+        .minhashLshPairsAgainstIndex(batch, index, textCol, idCol, tau)
         .select(col("new_id").as(idCol)).distinct()
       sink(batch.join(dupes, Seq(idCol), "left_anti"), batchId)
     }
@@ -146,7 +145,7 @@ object Streams {
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val index = graft.operators.Dedup.materializeLshIndex(
       corpus, textCol, idCol, k, perms, bands, scratchDir("graft_lsh_ix_"))
-    screenIngestIndexed(stream, index, textCol, idCol, k, perms, bands, tau)(sink)
+    screenIngestIndexed(stream, index, textCol, idCol, tau)(sink)
   }
 
   /** Run `f` against a session CLONE whose shuffle-partition count —
@@ -183,15 +182,51 @@ object Streams {
    *  `StreamingQueryProgress.observedMetrics` (listener) and alerts;
    *  a bounded drain folds them into one gate decision. */
   def drainObservedMetrics(df: DataFrame, name: String): Map[String, Long] = {
-    val q = df.writeStream.format("noop")
-      .option("checkpointLocation", scratchDir("graft_obs_ckpt_"))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val rows = q.recentProgress.toSeq
-      .flatMap(p => Option(p.observedMetrics.get(name)))
-    require(rows.nonEmpty, s"no observation metrics '$name' reported by the drain")
-    rows.flatMap(r => r.schema.fieldNames.map(f => f -> r.getAs[Long](f)))
+    // collect through a listener, NOT q.recentProgress: recentProgress
+    // is a bounded ring (spark.sql.streaming.numRecentProgressUpdates,
+    // default 100) — a drain of >100 micro-batches would silently
+    // evict the earliest counters and under-report the gate. The
+    // listener sees every progress event, which is also the shape a
+    // production monitor uses.
+    // collected as (queryId, metricsRow) and filtered AFTER the drain:
+    // the query id is only known after start(), so filtering inside
+    // the listener would race the first progress event
+    val rows = new scala.collection.mutable.ArrayBuffer[(java.util.UUID, Row)]
+    val spark = df.sparkSession
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        Option(e.progress.observedMetrics.get(name)).foreach { r =>
+          rows.synchronized { rows += ((e.progress.id, r)) }
+        }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val qid =
+      try {
+        val q = df.writeStream.format("noop")
+          .option("checkpointLocation", scratchDir("graft_obs_ckpt_"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // listener events arrive asynchronously on the event bus —
+        // poll until the count is stable (quiet for 400 ms) so late
+        // per-batch events of a multi-batch drain are not dropped
+        val deadline = System.currentTimeMillis() + 30000
+        var last = -1
+        var quiet = 0
+        while (quiet < 2 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200)
+          val n = rows.synchronized(rows.size)
+          if (n == last && n > 0) quiet += 1 else quiet = 0
+          last = n
+        }
+        q.id
+      } finally spark.streams.removeListener(listener)
+    val snap = rows.synchronized(rows.toSeq).collect { case (id, r) if id == qid => r }
+    require(snap.nonEmpty, s"no observation metrics '$name' reported by the drain")
+    snap.flatMap(r => r.schema.fieldNames.map(f => f -> r.getAs[Long](f)))
       .groupMapReduce(_._1)(_._2)(_ + _)
   }
 
@@ -235,8 +270,11 @@ object Streams {
    *  in-memory table and stop — used by tests to prove streaming ≡
    *  batch row-for-row (SURVEY §5.1(5)). `complete` mode for
    *  aggregations (append would withhold windows not yet past the
-   *  watermark at end-of-stream). */
-  def drainToMemory(df: DataFrame, table: String, mode: String = "append"): Unit = {
+   *  watermark at end-of-stream). Returns the completed query so
+   *  callers can assert drain-shape invariants
+   *  ([[assertSingleBatch]]). */
+  def drainToMemory(df: DataFrame, table: String,
+      mode: String = "append"): StreamingQuery = {
     val q = df.writeStream
       .format("memory")
       .queryName(table)
@@ -244,5 +282,6 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    q
   }
 }

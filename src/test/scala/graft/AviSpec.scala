@@ -62,6 +62,17 @@ class AviSpec extends SparkTestBase {
     Avi.demux(lying) // must not throw
   }
 
+  test("a frame truncated mid-payload is dropped, not emitted partially") {
+    val f1 = jpeg(21, 8, 8); val f2 = jpeg(22, 8, 8)
+    val avi = Avi.encode(Seq(f1, f2), 8, 8)
+    // cut inside the LAST frame's payload (truncate 10 bytes into it);
+    // also restore a consistent RIFF size so only the frame is short
+    val cut = avi.take(avi.length - f2.length + 10)
+    val out = Avi.demux(cut)
+    assert(out.length === 1)
+    assert(java.util.Arrays.equals(out.head, f1))
+  }
+
   test("demuxAviFrames samples every Nth frame with true header dims") {
     import spark.implicits._
     val docs = Seq((3L, 10L), (4L, 40L)).toDF("doc_id", "n_chars")

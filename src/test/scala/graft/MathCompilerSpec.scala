@@ -145,36 +145,42 @@ class MathCompilerSpec extends SparkTestBase {
 
   test("payload modes on MIXED-CASE keys: map/json case-insensitive, variant exact, variant-CI opt-in matches") {
     import spark.implicits._
-    // keys deliberately mis-cased vs the op's Field ("mem.USED")
+    // keys deliberately mis-cased vs the op's Field ("mem.USED");
+    // row 4 has keys that COLLIDE after lowering — the CI ingest must
+    // keep the LAST occurrence, not throw DUPLICATED_MAP_KEY
     val d = Seq(
       (1L, """{"MEM.Used": 476, "Mem.Total": 4050908}"""),
       (2L, """{"mem.used": 7}"""),
-      (3L, """{"unrelated": 1}""")
+      (3L, """{"unrelated": 1}"""),
+      (4L, """{"MEM.Used": 40, "mem.used": 2}""")
     ).toDF("id", "json")
     val op = MathOp("Operation" -> "sum", "Field" -> "mem.USED",
       "Constant" -> "100", "Output_field" -> "o")
     def outs(df: org.apache.spark.sql.DataFrame): Seq[Double] =
       df.orderBy("id").select("o").collect().map(_.getDouble(0)).toSeq
 
-    // map mode: reference-faithful case-insensitive scan
+    // map mode: reference-faithful case-insensitive FIRST-wins scan
+    // (row 4: "MEM.Used" appears first → 40)
     val asMap = d.withColumn("payload",
       from_json(col("json"), org.apache.spark.sql.types.MapType(
         org.apache.spark.sql.types.StringType,
         org.apache.spark.sql.types.DoubleType)))
     assert(outs(MathCompiler.applyToMap(asMap, op, "payload"))
-      == Seq(576.0, 107.0, 100.0))
-    // JSON byte-kernel mode: same case-insensitive semantics
+      == Seq(576.0, 107.0, 100.0, 140.0))
+    // JSON byte-kernel mode: same case-insensitive first-wins semantics
     assert(outs(MathCompiler.applyToJson(d, op, "json"))
-      == Seq(576.0, 107.0, 100.0))
+      == Seq(576.0, 107.0, 100.0, 140.0))
     // plain variant mode: exact-key — mis-cased keys MISS (documented)
     assert(outs(MathCompiler.applyToVariant(
         Sources.variantPayload(d, "json"), op, "payload"))
-      == Seq(100.0, 100.0, 100.0))
+      == Seq(100.0, 100.0, 100.0, 100.0))
     // variant-CI opt-in: lowered keys at ingest + lowered query key
-    // restore case-insensitive resolution on the variant path
+    // restore case-insensitive resolution; colliding keys keep the
+    // LAST occurrence (documented divergence from first-wins: row 4
+    // resolves 2, not 40)
     assert(outs(MathCompiler.applyToVariantCI(
         Sources.variantPayloadCI(d, "json"), op, "payload"))
-      == Seq(576.0, 107.0, 100.0))
+      == Seq(576.0, 107.0, 100.0, 102.0))
   }
 
   test("randomized model test: engine ≡ referenceEval (math.c:167-195)") {
