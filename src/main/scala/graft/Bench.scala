@@ -78,12 +78,16 @@ object Bench {
     println(line)
     // the driver's BENCH_r{N}.json tail truncates (r5 lost q1/q10-q24
     // for the judge) — ALSO persist the complete per-query map to a
-    // file in the repo so every round's numbers stay parseable
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_OUT", "bench_full.json")), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
+    // file in the repo so every round's numbers stay parseable.
+    // Filtered iteration runs (SPARK_GRAFT_ONLY) skip the write: a
+    // partial map must never clobber the committed full artifact.
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_OUT", "bench_full.json")), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }
