@@ -188,17 +188,20 @@ object Streams {
     // evict the earliest counters and under-report the gate. The
     // listener sees every progress event, which is also the shape a
     // production monitor uses.
-    // collected as (queryId, metricsRow) and filtered AFTER the drain:
-    // the query id is only known after start(), so filtering inside
-    // the listener would race the first progress event
-    val rows = new scala.collection.mutable.ArrayBuffer[(java.util.UUID, Row)]
+    // every progress event is collected as (queryId, maybeMetrics) and
+    // filtered AFTER the drain: the query id is only known after
+    // start(), so filtering inside the listener would race the first
+    // event; and counting ALL events (not just metric-bearing ones)
+    // gives an exact arrival target below
+    val events =
+      new scala.collection.mutable.ArrayBuffer[(java.util.UUID, Option[Row])]
     val spark = df.sparkSession
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit =
-        Option(e.progress.observedMetrics.get(name)).foreach { r =>
-          rows.synchronized { rows += ((e.progress.id, r)) }
+        events.synchronized {
+          events += ((e.progress.id, Option(e.progress.observedMetrics.get(name))))
         }
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     }
@@ -210,21 +213,32 @@ object Streams {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        // listener events arrive asynchronously on the event bus —
-        // poll until the count is stable (quiet for 400 ms) so late
-        // per-batch events of a multi-batch drain are not dropped
+        // listener events arrive asynchronously on the event bus.
+        // recentProgress holds EVERY progress entry when the drain ran
+        // fewer batches than its ring capacity (the common case) — an
+        // exact arrival target, reached within a few ms. Past the cap,
+        // fall back to a stability poll.
+        val expected = q.recentProgress.length
+        val capped = expected >=
+          spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
         val deadline = System.currentTimeMillis() + 30000
-        var last = -1
-        var quiet = 0
-        while (quiet < 2 && System.currentTimeMillis() < deadline) {
-          Thread.sleep(200)
-          val n = rows.synchronized(rows.size)
-          if (n == last && n > 0) quiet += 1 else quiet = 0
-          last = n
+        def arrived = events.synchronized(events.count(_._1 == q.id))
+        if (!capped) {
+          while (arrived < expected && System.currentTimeMillis() < deadline)
+            Thread.sleep(10)
+        } else {
+          var last = -1; var quiet = 0
+          while (quiet < 2 && System.currentTimeMillis() < deadline) {
+            Thread.sleep(100)
+            val n = arrived
+            if (n == last && n > 0) quiet += 1 else quiet = 0
+            last = n
+          }
         }
         q.id
       } finally spark.streams.removeListener(listener)
-    val snap = rows.synchronized(rows.toSeq).collect { case (id, r) if id == qid => r }
+    val snap = events.synchronized(events.toSeq)
+      .collect { case (id, Some(r)) if id == qid => r }
     require(snap.nonEmpty, s"no observation metrics '$name' reported by the drain")
     snap.flatMap(r => r.schema.fieldNames.map(f => f -> r.getAs[Long](f)))
       .groupMapReduce(_._1)(_._2)(_ + _)
