@@ -38,8 +38,12 @@ object Bench {
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_RUNS")
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(3))
     // iteration aid: bench only queries whose name contains a token of
-    // SPARK_GRAFT_ONLY (comma-separated); the driver never sets it
+    // SPARK_GRAFT_ONLY (comma-separated); the driver never sets it.
+    // SPARK_GRAFT_SKIP excludes by the same match — for scale sweeps
+    // where a deliberately-quadratic form (exact in-block all-pairs)
+    // is out of its documented operating range.
     val only = sys.env.get("SPARK_GRAFT_ONLY").toSeq.flatMap(_.split(','))
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").toSeq.flatMap(_.split(','))
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
@@ -60,6 +64,7 @@ object Bench {
     val results: Seq[(String, Double, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
+        .filterNot { case (name, _) => skip.exists(name.contains) }
         .map { case (name, fn) =>
         val ts = Seq.fill(runs)(timeOnce(name, fn))
         if (ts.exists(_ < 0)) (name, -1.0, -1.0)
