@@ -4,7 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    // Shuffle partitions must track DATA VOLUME, not core count: the
+    // sf10 (100x) sweep OOMed q51's final sort with 32 partitions x
+    // ~44M rows/task — 256 partitions bound each sort task's footprint
+    // the way a real cluster would (SCALE.md). Default stays the core
+    // count for driver-scale runs.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus.toString).toInt
+    val spark = graft.core.GraftSession.builder(s"local[$cpus]", shuffle).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: computes EVERY column (count() would let Catalyst prune
     // the derived expressions away and bench nothing but the scan).
@@ -53,6 +59,9 @@ object Bench {
             false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      // progress to stderr: long scale sweeps are otherwise a silent
+      // multi-hour JSON-at-the-end box
+      System.err.println(f"[bench] $name%s ${dt}%.2f s")
       // queries are self-contained: drop any intermediate a query
       // persisted so later queries aren't squeezed by stale cache
       // (the persist+compute cost stays inside the owning query's dt)

@@ -282,9 +282,12 @@ object SparkEntry {
     "q19_knn_brute" -> ((s, dir) =>
       Similarity.knnBrute(Sources.table(s, dir, "embeddings"), 5, 5)
         .orderBy("q_id", "rank")),
-    // random-hyperplane LSH bucketed top-1 neighbor
+    // random-hyperplane LSH bucketed top-1 neighbor; plane count
+    // tracks log2(corpus) for constant bucket occupancy (6 planes at
+    // driver SFs — bit-identical to the fixed form there — 13 at the
+    // 100x sweep, where fixed-6 measured quadratic: 622 s vs ~9 s)
     "q20_ann_lsh" -> ((s, dir) =>
-      Similarity.annLsh(Sources.table(s, dir, "embeddings"), 6, 64)
+      Similarity.annLshAdaptive(Sources.table(s, dir, "embeddings"), 64)
         .orderBy("vec_id")),
     // embedding-cosine near-dup: closest pair per label block
     "q21_embed_dup" -> ((s, dir) =>
@@ -1019,6 +1022,15 @@ object SparkEntry {
           sharedAviCorpus(s, dir).as[graft.multimodal.MediaRecord], 2)
         .orderBy("doc_id", "frame_idx")
     }),
+    // E2LSH-style grid ANN — the clustered-corpus scale path of the
+    // LSH family: sign-LSH buckets (q20) can never split below the
+    // angular cluster mass (measured: ~19k-vector buckets at ANY
+    // plane count on the 100x sweep), while distance-quantized cells
+    // subdivide dense clusters; the refinement level tracks corpus
+    // size with integer thresholds the oracle re-derives exactly
+    "q81_ann_grid" -> ((s, dir) =>
+      Similarity.annGrid(Sources.table(s, dir, "embeddings"), 64)
+        .orderBy("vec_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1071,7 +1083,7 @@ object SparkEntry {
     "q19_knn_brute" ->
       s"${Similarity.knnBruteSql("embeddings", 5, 5)} ORDER BY q_id, rank",
     "q20_ann_lsh" ->
-      s"${Similarity.annLshSql("embeddings", 6, 64)} ORDER BY vec_id",
+      s"${Similarity.annLshAdaptiveSql("embeddings", 64)} ORDER BY vec_id",
     "q21_embed_dup" ->
       s"${Similarity.labelNearestPairSql("embeddings")} ORDER BY label",
     "q22_media_features" ->
@@ -1398,5 +1410,7 @@ object SparkEntry {
         |FROM (SELECT doc_id, n_chars,
         |        unnest(range(0, doc_id % 5 + 2, 2)) AS i FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q81_ann_grid" ->
+      s"${Similarity.annGridSql("embeddings", 64)} ORDER BY vec_id",
   )
 }

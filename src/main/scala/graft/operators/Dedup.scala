@@ -89,13 +89,15 @@ object Dedup {
    *  PREFIX-FILTERED candidate generation (AllPairs/PPJoin family):
    *
    *  1. per doc: distinct shingles → sorted h60 array `hs` (8-byte
-   *     keys; canonical global order);
-   *  2. post only the PREFIX — the first `sz − ⌈tau·sz⌉ + 1` hashes.
-   *     Any pair with Jaccard ≥ tau provably shares a prefix element
-   *     (|A∩B| ≥ tau·|A| forces an overlap inside the prefix), so
-   *     filtering is LOSSLESS for the threshold — and the DuckDB
-   *     oracle runs the unfiltered formulation, so a filtering bug
-   *     cannot pass verification;
+   *     keys; value order for the merge-walk verify);
+   *  2. post only the PREFIX — the `sz − ⌈tau·sz⌉ + 1` shingles that
+   *     come FIRST in ascending-global-document-frequency order (the
+   *     AllPairs/PPJoin token ordering; ties by hash). Any pair with
+   *     Jaccard ≥ tau provably shares a prefix element under any
+   *     shared total order (|A∩B| ≥ tau·|A| forces an overlap inside
+   *     the prefix), so filtering is LOSSLESS for the threshold — and
+   *     the DuckDB oracle runs the unfiltered formulation, so a
+   *     filtering bug cannot pass verification;
    *  3. candidate pairs = distinct prefix-postings join within block;
    *  4. exact verify: |A∩B| via array_intersect on the full sorted
    *     hash sets, |A∪B| by inclusion-exclusion.
@@ -120,10 +122,36 @@ object Dedup {
     val s = if (persistIntermediate)
       s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else s0
-    val posts = s.select(col("blk"), col("id"), col("sz"),
-        posexplode(slice(col("hs"), lit(1), col("pfx"))))
-      .select(col("blk"), col("id"), col("sz"),
-        (col("pos") + 1).as("p"), col("col").as("h"))
+    // PPJoin TOKEN ORDERING: the prefix filter is lossless under ANY
+    // total order shared by all docs, but its selectivity is not
+    // order-free. Taking prefixes in h60-value order (≈ random) puts
+    // ultra-frequent shingles into prefixes at their natural rate, and
+    // a shingle posted by f docs contributes f² candidate pairs — the
+    // 100x scale sweep measured q16 going quadratic on exactly this
+    // (414 s / 37 GB spill at sf10; hottest shingle df ≈ 0.5%, and at
+    // tau=0.5 the prefix is HALF of each doc's shingles). The classic
+    // AllPairs/PPJoin remedy: order every doc's shingles by ASCENDING
+    // GLOBAL DOCUMENT FREQUENCY (ties by hash — total and consistent),
+    // so prefixes hold the RAREST shingles and posting buckets stay
+    // collision-bound. Three linear passes (df aggregate, df join,
+    // per-doc re-sort) buy candidate volume that scales with true
+    // near-dup density: sf10 re-measured 414 s → ~9 s. The VERIFY side
+    // still walks the value-sorted `hs` (merge-intersect needs value
+    // order); only prefix SELECTION uses the df order.
+    val toks = s.select(col("blk"), col("id"), col("sz"), col("pfx"),
+      explode(col("hs")).as("h"))
+    val dfreq = toks.groupBy(col("h")).agg(count(lit(1)).as("dfc"))
+    val byDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("dfc"), col("h"))
+    val posts0 = toks.join(dfreq, "h")
+      .withColumn("p", row_number().over(byDf))
+      .filter(col("p") <= col("pfx"))
+      .select(col("blk"), col("id"), col("sz"), col("p"), col("h"))
+    // the posting frame feeds BOTH sides of the candidate self-join;
+    // without a persist Spark recomputes the df join per arm
+    val posts = if (persistIntermediate)
+      posts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else posts0
     // two more LOSSLESS prunes before the distinct:
     //  - length filter: j ≥ tau forces tau·|A| ≤ |B| ≤ |A|/tau;
     //  - PPJoin positional filter: hs is sorted, so at the FIRST

@@ -168,6 +168,148 @@ object Similarity {
        |  FROM scored
        |) WHERE rank = 1""".stripMargin
 
+  // ------------------------------------------- ANN LSH, corpus-adaptive
+
+  /** Plane count for a target mean bucket occupancy: minPlanes plus
+   *  one for every doubling of `n` beyond targetBucket·2^minPlanes,
+   *  capped at maxPlanes. A FIXED plane count makes in-bucket re-rank
+   *  work quadratic as the corpus grows (occupancy n/2^planes, pairs
+   *  n²/2^planes — the 100x scale sweep measured q20 at 622 s on 500 k
+   *  vectors with 6 planes); tracking log₂(n) keeps occupancy — and so
+   *  per-vector candidate work — constant. Integer threshold
+   *  comparisons ONLY: a float log2 could disagree with the SQL
+   *  oracle's by one ulp at power-of-two corpus sizes and silently
+   *  shift every bucket id. */
+  def adaptivePlanes(n: Long, targetBucket: Int = 64,
+      minPlanes: Int = 6, maxPlanes: Int = 16): Int =
+    minPlanes + (minPlanes until maxPlanes)
+      .count(b => n > (targetBucket.toLong << b))
+
+  /** Scalar-subquery twin of [[adaptivePlanes]] — same integer
+   *  thresholds over `count(*)`, so both engines derive the identical
+   *  plane count from the data itself at ANY scale factor. */
+  def adaptivePlanesSql(table: String, targetBucket: Int = 64,
+      minPlanes: Int = 6, maxPlanes: Int = 16): String =
+    s"(SELECT $minPlanes + " + (minPlanes until maxPlanes)
+      .map(b => s"(CASE WHEN count(*) > ${targetBucket.toLong << b} THEN 1 ELSE 0 END)")
+      .mkString(" + ") + s" FROM $table)"
+
+  /** [[annLsh]] with the plane count derived from the corpus size.
+   *  `planeWeight` depends only on (plane, dim), so plane lists are
+   *  prefix-stable: using the first `adaptivePlanes(n)` planes equals
+   *  masking the low bits of the full maxPlanes-bit bucket — which is
+   *  exactly how the SQL twin stays static text (it unrolls all
+   *  maxPlanes planes and masks with `% (1 << nbits)`, nbits a scalar
+   *  subquery). The one extra action is a parquet metadata count. */
+  def annLshAdaptive(emb: DataFrame, dim: Int, targetBucket: Int = 64,
+      minPlanes: Int = 6, maxPlanes: Int = 16): DataFrame =
+    annLsh(emb,
+      adaptivePlanes(emb.count(), targetBucket, minPlanes, maxPlanes), dim)
+
+  def annLshAdaptiveSql(table: String, dim: Int, targetBucket: Int = 64,
+      minPlanes: Int = 6, maxPlanes: Int = 16): String = {
+    val nbits = adaptivePlanesSql(table, targetBucket, minPlanes, maxPlanes)
+    s"""WITH e AS (SELECT *, (${lshBucketSql("v", maxPlanes, dim)})
+       |             % (CAST(1 AS BIGINT) << $nbits) AS bucket
+       |           FROM (${preparedSql(table)})),
+       |scored AS (SELECT a.vec_id, b.vec_id AS n_id,
+       |                  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+       |           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, n_id, sim FROM (
+       |  SELECT vec_id, n_id, sim, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rank
+       |  FROM scored
+       |) WHERE rank = 1""".stripMargin
+  }
+
+  // ------------------------------------------------- ANN grid (E2LSH)
+
+  /** Refinement level for [[annGrid]]: starts at 2 and steps up on
+   *  integer corpus-size thresholds (calibrated by the measured cell
+   *  histograms of this data family at sf0.001…sf10 — clustered
+   *  embeddings split ~6-8x per level, not the uniform-volume 16x).
+   *  Integer comparisons only, for the same oracle-parity reason as
+   *  [[adaptivePlanes]]. */
+  private val gridThresholds =
+    Seq(1500L, 12000L, 50000L, 150000L, 1200000L, 10000000L)
+
+  def adaptiveGridLevel(n: Long): Int =
+    2 + gridThresholds.count(n > _)
+
+  def adaptiveGridLevelSql(table: String): String =
+    s"(SELECT 2 + " + gridThresholds
+      .map(t => s"(CASE WHEN count(*) > $t THEN 1 ELSE 0 END)")
+      .mkString(" + ") + s" FROM $table)"
+
+  /** E2LSH-style grid cell id: the NORMALIZED vector is projected on
+   *  `nproj` ±1 directions and each projection is quantized to cells
+   *  of width 8/2^k (the scale 2^(k-3) is a power of two, so the only
+   *  float arithmetic is the dot product both engines already compute
+   *  bit-identically). Per-axis cell ids are packed into one BIGINT
+   *  (each |proj| ≤ 8 ⇒ cell+2048 ∈ [0, 4096)).
+   *
+   *  WHY this exists next to [[lshBucket]] (measured, 100x sweep): a
+   *  sign bucket can never be smaller than the angular cluster it
+   *  contains — on clustered embeddings the top sign-buckets held the
+   *  full ~19k-vector label clusters at ANY plane count (Σbucket²
+   *  1.4-1.8 G pairs, q20 622 s → still 191 s after adaptive planes).
+   *  Distance quantization splits dense clusters: at the same corpus,
+   *  level 6 measures Σcell² = 37 M (~50x less in-cell work). */
+  def gridCellExpr(vName: String, nrmName: String, nproj: Int, k: Int,
+      dim: Int): Column = {
+    val scale = java.lang.Math.scalb(1.0, k - 3) // exact 2^(k-3)
+    planes(nproj, dim).zipWithIndex.map { case (w, j) =>
+      val wArr = array(w.map(x => lit(x)): _*)
+      val cell = floor(graft.functions.VectorExpressions.dot(col(vName), wArr)
+        / col(nrmName) * lit(scale)).cast("long") + lit(2048L)
+      cell * lit(1L << (12 * j))
+    }.reduce(_ + _)
+  }
+
+  def gridCellSql(vName: String, nrmName: String, nproj: Int,
+      kSql: String, dim: Int): String =
+    planes(nproj, dim).zipWithIndex.map { case (w, j) =>
+      val wArr = w.mkString("[", ", ", "]")
+      s"((CAST(floor(${dotSql(vName, wArr)} / $nrmName * " +
+        s"(CAST(1 AS BIGINT) << $kSql) / 8.0) AS BIGINT) + 2048) " +
+        s"* ${1L << (12 * j)})"
+    }.mkString("(", " + ", ")")
+
+  /** ANN top-1 within the grid cell (exact cosine re-rank inside the
+   *  cell, singleton cells produce no row) — the clustered-corpus
+   *  scale path of the LSH family. Refinement adapts to corpus size;
+   *  the SQL twin derives the same level via scalar subquery. */
+  def annGrid(emb: DataFrame, dim: Int, nproj: Int = 4): DataFrame = {
+    val k = adaptiveGridLevel(emb.count())
+    val e = prepared(emb)
+      .withColumn("bucket", gridCellExpr("v", "nrm", nproj, k, dim))
+    val b = e.select(col("bucket"), col("vec_id").as("n_id"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    e.select(col("bucket"), col("vec_id"), col("v"), col("nrm"))
+      .join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("n_id"))
+      .select(col("vec_id"), col("n_id"),
+        (dotExpr("v", "nv") / (col("nrm") * col("nn"))).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKAggregate.simTopK(col("sim"), col("n_id"), 1).as("tk"))
+      .select(col("vec_id"), explode(col("tk")).as("e"))
+      .select(col("vec_id"), col("e.n_id").as("n_id"), col("e.sim").as("sim"))
+  }
+
+  def annGridSql(table: String, dim: Int, nproj: Int = 4): String = {
+    val kSql = adaptiveGridLevelSql(table)
+    s"""WITH e AS (SELECT *, ${gridCellSql("v", "nrm", nproj, kSql, dim)} AS bucket
+       |           FROM (${preparedSql(table)})),
+       |scored AS (SELECT a.vec_id, b.vec_id AS n_id,
+       |                  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+       |           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, n_id, sim FROM (
+       |  SELECT vec_id, n_id, sim, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rank
+       |  FROM scored
+       |) WHERE rank = 1""".stripMargin
+  }
+
   // ----------------------------------------------------------- IVF ANN
 
   /** IVF-style ANN: partition the corpus into `nCells` inverted-file

@@ -77,6 +77,52 @@ class ExtensionsSpec extends SparkTestBase {
     assert(nn.forall(r => e(r.getLong(0)) == e(r.getLong(1))))
   }
 
+  test("adaptive planes: integer thresholds exact at powers of two, prefix-stable buckets") {
+    import Similarity.adaptivePlanes
+    // boundary exactness is the whole point (a float log2 could be off
+    // by an ulp at exact powers of two and desync from the SQL twin)
+    assert(adaptivePlanes(0) == 6 && adaptivePlanes(64L << 6) == 6)
+    assert(adaptivePlanes((64L << 6) + 1) == 7)
+    assert(adaptivePlanes(64L << 7) == 7 && adaptivePlanes((64L << 7) + 1) == 8)
+    assert(adaptivePlanes(Long.MaxValue) == 16)
+    // at driver SFs the adaptive form must be bit-identical to the
+    // fixed 6-plane form (planeWeight is (p,d)-keyed ⇒ prefix-stable)
+    assert(adaptivePlanes(emb.count()) == 6)
+    val fixed = Similarity.annLsh(emb, 6, 64).collect().map(_.toSeq).toSet
+    val adapt = Similarity.annLshAdaptive(emb, 64).collect().map(_.toSeq).toSet
+    assert(adapt == fixed)
+  }
+
+  test("jaccard prefix filter stays lossless across thresholds") {
+    // a lower tau widens prefixes and weakens every prune; if the 0.5
+    // run's df-ordered prefix dropped a true pair, the relaxed run
+    // would surface it here
+    val hi = Dedup.jaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lo = Dedup.jaccardPairs(docs, "text", "doc_id", "lang", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 >= 0.5).toSet
+    assert(hi == lo)
+  }
+
+  test("grid ann: neighbors share the query's cell; level thresholds integer-exact") {
+    import Similarity.adaptiveGridLevel
+    assert(adaptiveGridLevel(500) == 2 && adaptiveGridLevel(1500) == 2)
+    assert(adaptiveGridLevel(1501) == 3 && adaptiveGridLevel(12001) == 4)
+    assert(adaptiveGridLevel(200000) == 6)
+    val k = adaptiveGridLevel(emb.count())
+    val e = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorExpressions.dot(col("v"), col("v"))))
+      .withColumn("bucket", Similarity.gridCellExpr("v", "nrm", 4, k, 64))
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nn = Similarity.annGrid(emb, 64).collect()
+    assert(nn.nonEmpty)
+    assert(nn.forall(r => e(r.getLong(0)) == e(r.getLong(1))))
+  }
+
   test("media: decode is deterministic, features survive mapPartitions round-trip") {
     val feats = Media.extractFeatures(Media.fromDocuments(docs), parallelism = 7)
     val rows = feats.collect()
