@@ -51,18 +51,23 @@ object Sampling {
   def stratifiedCap(df: DataFrame, stratumCol: String, keyCol: String,
       n: Int, salt: String): DataFrame = {
     val hashed = df.withColumn("__h", splitHash(salt, col(keyCol)))
+    // winner columns are RENAMED before the join: both frames share a
+    // lineage, and `hashed(c) === winners(c)` can silently resolve
+    // both sides to the same attribute (Spark logs "trivially true
+    // equals predicate") — here that was masked by (hash, key) being
+    // globally unique, but a caller whose key repeats across strata
+    // would get cross-stratum matches
     val winners = hashed
       .groupBy(col(stratumCol))
       .agg(graft.functions.TopKAggregate.longMinK(
         col("__h"), col(keyCol).cast("long"), n).as("w"))
-      .select(col(stratumCol), explode(col("w")).as("e"))
-      .select(col(stratumCol), col("e.key").as("__h"),
-        col("e.tie").as("__k"))
+      .select(col(stratumCol).as("__ws"), explode(col("w")).as("e"))
+      .select(col("__ws"), col("e.key").as("__wh"), col("e.tie").as("__wk"))
     hashed.join(
         broadcast(winners),
-        hashed(stratumCol) === winners(stratumCol) &&
-          hashed("__h") === winners("__h") &&
-          col(keyCol).cast("long") === winners("__k"),
+        col(stratumCol) === col("__ws") &&
+          col("__h") === col("__wh") &&
+          col(keyCol).cast("long") === col("__wk"),
         "left_semi")
       .drop("__h")
   }
