@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.TextFunctions
 import graft.multimodal.Media
-import graft.operators.{AsOf, Curation, Decontamination, Dedup, Percentiles, Quality, RangeJoin, Sampling, Similarity, Skew, Sketches}
+import graft.operators.{AsOf, Curation, Decontamination, Dedup, Percentiles, Quality, RangeJoin, Retrieval, Sampling, Similarity, Skew, Sketches}
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1031,7 +1031,23 @@ object SparkEntry {
     "q81_ann_grid" -> ((s, dir) =>
       Similarity.annGrid(Sources.table(s, dir, "embeddings"), 64)
         .orderBy("vec_id")),
+    // lexical retrieval: BM25 top-5 per query via the fused TermCounts
+    // kernel — two corpus scans, zero corpus shuffle (no token
+    // explode, no posting join); idf data-derived per engine, scores
+    // 2^-20-quantized for cross-libm ln determinism. The third query
+    // carries an out-of-vocabulary term (contributes nothing) to
+    // exercise df=0.
+    "q82_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(documents(s, dir), "text", "doc_id",
+          bm25Queries, 5)
+        .orderBy("q_id", "rank")),
   )
+
+  /** Fixed literal query set for q82 (third query has an OOV term). */
+  val bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "join hash merge",
+    2L -> "slow scan big table",
+    3L -> "stream watermark zyzzyva")
 
   def oracleSql: Map[String, String] = Map(
     "q1_sum_fields" ->
@@ -1412,5 +1428,7 @@ object SparkEntry {
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q81_ann_grid" ->
       s"${Similarity.annGridSql("embeddings", 64)} ORDER BY vec_id",
+    "q82_bm25_topk" ->
+      s"${Retrieval.bm25TopKSql("documents", "text", "doc_id", bm25Queries, 5)} ORDER BY q_id, rank",
   )
 }

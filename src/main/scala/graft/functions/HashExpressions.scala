@@ -231,6 +231,31 @@ object HashOps {
    *  occurrence — the heaviest per-row work in the suite before this
    *  kernel existed. UTF8String keys wrap the lowercased byte buffer
    *  (no copy); struct rows are built only for the distinct survivors. */
+  /** Document length + per-term frequencies of `lower(text)`'s
+   *  whitespace tokens in ONE byte pass: out(0) = count of non-empty
+   *  tokens, out(i+1) = occurrences of terms(i). Terms must arrive
+   *  lowercased; matching is exact bytes. The BM25 feature kernel —
+   *  per-doc tf against a BOUNDED query vocabulary without the
+   *  explode + (doc, term) shuffle of the posting formulation. */
+  def termCounts(s: UTF8String, terms: Array[Array[Byte]]): ArrayData = {
+    val b = s.toLowerCase.getBytes
+    val out = new Array[Long](terms.length + 1)
+    forEachSplitToken(b) { (off, len) =>
+      if (len > 0) {
+        out(0) += 1L
+        var i = 0
+        while (i < terms.length) {
+          val t = terms(i)
+          if (t.length == len &&
+              java.util.Arrays.equals(b, off, off + len, t, 0, t.length))
+            out(i + 1) += 1L
+          i += 1
+        }
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   def tokenFreqs(s: UTF8String): ArrayData = {
     val b = s.toLowerCase.getBytes
     val m = new java.util.HashMap[UTF8String, Array[Long]](32)
@@ -409,6 +434,26 @@ case class TokenFrequencies(child: Expression)
     copy(child = newChild)
 }
 
+/** `TermCounts(string, terms) → array<long>` — fused lowercase +
+ *  tokenize + per-term counting against a bounded (broadcast-literal)
+ *  term list: [dl, tf(terms(0)), tf(terms(1)), …] in one byte pass
+ *  (see [[HashOps.termCounts]]). The retrieval/BM25 feature kernel. */
+case class TermCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression with StringInput {
+  @transient private lazy val termBytes: Array[Array[Byte]] =
+    terms.map(_.getBytes("UTF-8")).toArray
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.termCounts(input.asInstanceOf[UTF8String], termBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termBytes", termBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.termCounts($c, $ref);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
 /** `LangIdOf(string) → string` — single-pass tokenize + stopword-
  *  profile argmax; replaces the explode + 5-conditional-sums
  *  aggregation (and its shuffle) with a narrow projection. */
@@ -442,4 +487,6 @@ object HashExpressions {
     ColumnBridge.column(LangIdOf(ColumnBridge.expression(c)))
   def tokenFrequencies(c: Column): Column =
     ColumnBridge.column(TokenFrequencies(ColumnBridge.expression(c)))
+  def termCounts(c: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(TermCounts(ColumnBridge.expression(c), terms))
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashExpressions, TopKAggregate}
+
+/**
+ * Lexical retrieval (BM25 top-k) over a document corpus — the
+ * training-data-pipeline primitive behind retrieval-based quality
+ * filtering and lexical decontamination (find the corpus documents
+ * closest to an eval-set query before a fuzzy-match pass).
+ *
+ * Spark-first shape — TWO corpus scans, ZERO corpus shuffles beyond
+ * one bounded top-k exchange:
+ *
+ *  1. feature pass: the fused [[graft.functions.TermCounts]] kernel
+ *     emits `[dl, tf(t1), …, tf(tm)]` per document in one byte pass —
+ *     the query vocabulary is bounded (it rides the plan as a
+ *     literal), so there is NO token explode and NO (doc, term)
+ *     posting shuffle — the formulation that at 100 TB would shuffle
+ *     every token occurrence of the corpus;
+ *  2. stats pass: ONE aggregation over the kernel output (state =
+ *     m+2 longs, all integral ⇒ exact and order-free) collects N, Σdl
+ *     and per-term document frequencies to the driver;
+ *  3. score pass: a narrow per-row projection. Each query's score is
+ *     a LEFT-ASSOCIATIVE fold over its sorted terms, mirrored
+ *     token-for-token in the oracle — no aggregation-order float
+ *     hazard. idf comes from each engine's own `ln` over identical
+ *     rational inputs; `ln` is NOT correctly-rounded-identical across
+ *     libms (measured: 1/30 of this corpus's idf inputs differ in the
+ *     last bit between `java.lang.Math.log` and DuckDB), so the final
+ *     score is quantized to a 2⁻²⁰ grid on BOTH engines: a ≤1-ulp idf
+ *     wobble moves a score by ~2⁻⁴⁸ — 28 orders below the grid — and
+ *     ranking/hash comparison happen on the quantized value with
+ *     doc_id tiebreaks, making the result deterministic cross-engine.
+ *     (Residual boundary risk ≈ 2⁻²⁸ per value; a hit is a LOUD
+ *     verify failure, never silent corruption.)
+ *  4. rank: the bounded [[TopKAggregate.simTopK]] heap per query —
+ *     the exchange carries k×maps×queries heap entries, never the
+ *     scored corpus (the q19 contract: score DESC, doc_id ASC).
+ */
+object Retrieval {
+
+  /** Lowercased, sorted, distinct whitespace terms of a query. */
+  private def queryTerms(q: String): Seq[String] =
+    q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.sorted.toSeq
+
+  private val Grid = 1048576.0 // 2^20 score quantum
+
+  /** BM25 top-k per query. `queries` is a bounded literal set
+   *  (q_id, text); `k1`/`b` are the standard saturation / length
+   *  normalization knobs (Robertson idf with the +1 floor — strictly
+   *  positive, a term can never subtract relevance). Output:
+   *  (q_id, doc_id, score, rank ≤ k); zero-score documents drop. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Long, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queries.flatMap(q => queryTerms(q._2)).distinct.sorted
+    val counted = docs.select(col(idCol).as("doc_id"),
+      HashExpressions.termCounts(col(textCol), terms).as("tc"))
+
+    // ---- stats pass: N, Σdl, df per term (longs — exact, order-free)
+    val dfCols = terms.indices.map(i =>
+      sum(when(element_at(col("tc"), i + 2) > 0, 1L).otherwise(0L))
+        .as(s"df_$i"))
+    val aggCols = Seq(count(lit(1)).as("n"),
+      sum(element_at(col("tc"), 1)).as("tot")) ++ dfCols
+    val statsRow = counted
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()(0)
+    val n = statsRow.getLong(0)
+    val tot = statsRow.getLong(1)
+    val dfs = terms.indices.map(i => statsRow.getLong(2 + i))
+    val avgdl = tot.toDouble / n.toDouble
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    def idf(df: Long): Double =
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    // ---- score pass: per-row left fold over each query's sorted terms
+    def termScore(i: Int): Column = {
+      val tf = element_at(col("tc"), i + 2).cast("double")
+      val dl = element_at(col("tc"), 1).cast("double")
+      lit(idf(dfs(i))) * ((tf * lit(k1p1)) /
+        (tf + lit(k1) * (lit(oneMinusB) + lit(b) * dl / lit(avgdl))))
+    }
+    val perQuery = queries.map { case (qid, q) =>
+      val raw = queryTerms(q).map(t => termScore(terms.indexOf(t)))
+        .reduceLeft(_ + _)
+      struct(lit(qid).as("q_id"), raw.as("raw"))
+    }
+    val scored = counted
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("qs"))
+      .select(col("qs.q_id").as("q_id"), col("doc_id"),
+        (floor(col("qs.raw") * lit(Grid) + lit(0.5)).cast("double") / lit(Grid))
+          .as("score"))
+      .filter(col("score") > 0.0)
+
+    // ---- bounded top-k per query
+    scored.groupBy(col("q_id"))
+      .agg(TopKAggregate.simTopK(col("score"), col("doc_id"), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), col("col.n_id").as("doc_id"),
+        col("col.sim").as("score"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** DuckDB mirror: same rational idf inputs into DuckDB's own `ln`,
+   *  same fold order, same 2⁻²⁰ quantization, same (score DESC,
+   *  doc_id) rank — fully data-derived, so ONE static string is the
+   *  oracle at every scale factor. */
+  def bm25TopKSql(table: String, textCol: String, idCol: String,
+      queries: Seq[(Long, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val terms = queries.flatMap(q => queryTerms(q._2)).distinct.sorted
+    val k1p1 = (k1 + 1.0).toString
+    val oneMinusB = (1.0 - b).toString
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(length(list_filter(tk, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+    }.mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val idfSql = terms.indices.map(i =>
+      s"ln((n - df_$i + 0.5) / (df_$i + 0.5) + 1.0) AS idf_$i").mkString(",\n    ")
+    val scoreArms = queries.map { case (qid, q) =>
+      val fold = queryTerms(q).map { t =>
+        val i = terms.indexOf(t)
+        s"(idf_$i * ((tf_$i * $k1p1) / (tf_$i + $k1 * ($oneMinusB + $b * dl / avgdl))))"
+      }.mkString(" + ")
+      s"SELECT CAST($qid AS BIGINT) AS q_id, doc_id, CAST(floor(($fold) * 1048576.0 + 0.5) AS DOUBLE) / 1048576.0 AS score FROM feat CROSS JOIN stats"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH feat AS (
+       |  SELECT $idCol AS doc_id,
+       |    CAST(length(list_filter(tk, x -> x <> '')) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM (SELECT $idCol, regexp_split_to_array(trim(lower($textCol)), '\\s+') AS tk
+       |        FROM $table)),
+       |stats AS (
+       |  SELECT * , CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+       |    $idfSql
+       |  FROM (SELECT count(*) AS n, sum(CAST(dl AS BIGINT)) AS tot, $dfCols
+       |        FROM feat)),
+       |scored AS (
+       |  $scoreArms)
+       |SELECT q_id, doc_id, score, rank FROM (
+       |  SELECT q_id, doc_id, score, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored WHERE score > 0.0
+       |) WHERE rank <= $k""".stripMargin
+  }
+}

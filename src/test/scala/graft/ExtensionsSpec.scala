@@ -123,6 +123,34 @@ class ExtensionsSpec extends SparkTestBase {
     assert(nn.forall(r => e(r.getLong(0)) == e(r.getLong(1))))
   }
 
+  test("termCounts kernel ≡ builtin split/filter counts; bm25 shape is sane") {
+    import graft.operators.Retrieval
+    val terms = Seq("join", "hash", "zyzzyva")
+    // kernel vs the builtin formulation it fuses (same tokenizer contract)
+    val both = docs.select(
+      graft.functions.HashExpressions.termCounts(col("text"), terms).as("tc"),
+      expr("size(filter(split(trim(lower(text)), '\\\\s+'), x -> x <> ''))").as("dl"),
+      expr("size(filter(split(trim(lower(text)), '\\\\s+'), x -> x = 'join'))").as("c0"),
+      expr("size(filter(split(trim(lower(text)), '\\\\s+'), x -> x = 'hash'))").as("c1"),
+      expr("size(filter(split(trim(lower(text)), '\\\\s+'), x -> x = 'zyzzyva'))").as("c2"))
+      .collect()
+    both.foreach { r =>
+      val tc = r.getSeq[Long](0)
+      assert(tc == Seq(r.getInt(1).toLong, r.getInt(2).toLong,
+        r.getInt(3).toLong, r.getInt(4).toLong))
+    }
+    // operator shape: per query ≤ k rows, rank contiguous from 1,
+    // scores non-increasing; OOV-only query yields no rows
+    val out = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq(1L -> "join hash", 2L -> "zyzzyva"), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(1L))
+    val q1 = byQ(1L).sortBy(_._4)
+    assert(q1.map(_._4).toSeq == (1L to q1.length))
+    assert(q1.sliding(2).forall(p => p.length < 2 || p(0)._3 >= p(1)._3))
+  }
+
   test("media: decode is deterministic, features survive mapPartitions round-trip") {
     val feats = Media.extractFeatures(Media.fromDocuments(docs), parallelism = 7)
     val rows = feats.collect()
