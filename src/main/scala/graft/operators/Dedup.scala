@@ -154,12 +154,17 @@ object Dedup {
     else posts0
     // two more LOSSLESS prunes before the distinct:
     //  - length filter: j ≥ tau forces tau·|A| ≤ |B| ≤ |A|/tau;
-    //  - PPJoin positional filter: hs is sorted, so at the FIRST
-    //    common element (position p, 1-based) nothing earlier is
-    //    shared and |A∩B| ≤ 1 + min(sz_a−p_a, sz_b−p_b); j ≥ tau
-    //    needs |A∩B| ≥ tau/(1+tau)·(sz_a+sz_b). A pair's first
-    //    common posting always carries a valid bound, and the OR
-    //    across its other postings can only keep it — never drop it.
+    //  - PPJoin positional filter: p is the 1-based rank in the
+    //    SHARED (df, hash) total order, so at the FIRST common
+    //    element nothing earlier in that order is shared and
+    //    |A∩B| ≤ 1 + min(sz_a−p_a, sz_b−p_b); j ≥ tau needs
+    //    |A∩B| ≥ tau/(1+tau)·(sz_a+sz_b). A pair's first common
+    //    posting always carries a valid bound, and the OR across its
+    //    other postings can only keep it — never drop it. (The bound
+    //    holds for ANY shared total order — it does NOT require the
+    //    value-sorted hs; do not "simplify" back to slice(hs,1,pfx),
+    //    which is the quadratic hash-ordered prefix the 100x sweep
+    //    caught.)
     val minOverlap = (col("sz_a") + col("sz_b")) * lit(tau / (1.0 + tau))
     val cand = posts.select(col("blk"), col("h"), col("id").as("id_a"),
         col("sz").as("sz_a"), col("p").as("p_a"))

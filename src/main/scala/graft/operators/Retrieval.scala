@@ -42,9 +42,20 @@ import graft.functions.{HashExpressions, TopKAggregate}
  */
 object Retrieval {
 
-  /** Lowercased, sorted, distinct whitespace terms of a query. */
+  /** Lowercased, sorted, distinct whitespace terms of a query.
+   *  Locale.ROOT: a default-locale lowercase (e.g. Turkish dotless ı)
+   *  would mint terms the UTF8String-lowercased document tokens can
+   *  never match — consistent-wrong on both engines, invisible to the
+   *  oracle. */
   private def queryTerms(q: String): Seq[String] =
-    q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.sorted.toSeq
+    q.trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).distinct.sorted.toSeq
+
+  private def requireValidQueries(queries: Seq[(Long, String)]): Unit =
+    queries.foreach { case (qid, q) =>
+      require(queryTerms(q).nonEmpty,
+        s"query $qid has no terms after tokenization: '$q'")
+    }
 
   private val Grid = 1048576.0 // 2^20 score quantum
 
@@ -56,6 +67,7 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
       queries: Seq[(Long, String)], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    requireValidQueries(queries)
     val terms = queries.flatMap(q => queryTerms(q._2)).distinct.sorted
     val counted = docs.select(col(idCol).as("doc_id"),
       HashExpressions.termCounts(col(textCol), terms).as("tc"))
@@ -112,11 +124,15 @@ object Retrieval {
   def bm25TopKSql(table: String, textCol: String, idCol: String,
       queries: Seq[(Long, String)], k: Int,
       k1: Double = 1.2, b: Double = 0.75): String = {
+    requireValidQueries(queries)
     val terms = queries.flatMap(q => queryTerms(q._2)).distinct.sorted
     val k1p1 = (k1 + 1.0).toString
     val oneMinusB = (1.0 - b).toString
+    // '' doubling: a term containing a quote must not break (or
+    // steer) the oracle text
+    def esc(t: String): String = t.replace("'", "''")
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"CAST(length(list_filter(tk, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+      s"CAST(length(list_filter(tk, x -> x = '${esc(t)}')) AS DOUBLE) AS tf_$i"
     }.mkString(",\n    ")
     val dfCols = terms.indices.map(i =>
       s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")

@@ -136,16 +136,17 @@ object Similarity {
       s"(CASE WHEN (${dotSql(vName, planeArr)}) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** ANN: top-1 neighbor within the query's LSH bucket (exact cosine
-   *  re-rank inside the bucket). Vectors in singleton buckets produce
-   *  no row — the recall/occupancy knob is `nPlanes`. */
-  def annLsh(emb: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
-    val e = prepared(emb).withColumn("bucket", lshBucket("v", nPlanes, dim))
+  /** Top-1 exact cosine re-rank within a precomputed `bucket` column —
+   *  the shared tail of every ANN bucketing variant (sign-LSH,
+   *  adaptive sign-LSH, grid). Rank-1 rides the bounded top-k
+   *  aggregate: the exchange carries one (sim, n_id) per (vec_id, map
+   *  task), not every scored bucket pair. Singleton buckets produce
+   *  no row. Tie-break: (sim DESC, n_id ASC) — any change here MUST
+   *  land in [[top1InBucketSql]] too. */
+  private def top1InBucket(e: DataFrame): DataFrame = {
     val a = e.select(col("bucket"), col("vec_id"), col("v"), col("nrm"))
     val b = e.select(col("bucket"), col("vec_id").as("n_id"),
       col("v").as("nv"), col("nrm").as("nn"))
-    // rank-1 via the bounded top-k aggregate: the exchange carries one
-    // (sim, n_id) per (vec_id, map task), not every scored bucket pair
     a.join(b, Seq("bucket"))
       .filter(col("vec_id") =!= col("n_id"))
       .select(col("vec_id"), col("n_id"),
@@ -156,8 +157,10 @@ object Similarity {
       .select(col("vec_id"), col("e.n_id").as("n_id"), col("e.sim").as("sim"))
   }
 
-  def annLshSql(table: String, nPlanes: Int, dim: Int): String =
-    s"""WITH e AS (SELECT *, ${lshBucketSql("v", nPlanes, dim)} AS bucket
+  /** SQL twin of [[top1InBucket]], parameterized on the bucket
+   *  expression text. */
+  private def top1InBucketSql(table: String, bucketExpr: String): String =
+    s"""WITH e AS (SELECT *, $bucketExpr AS bucket
        |           FROM (${preparedSql(table)})),
        |scored AS (SELECT a.vec_id, b.vec_id AS n_id,
        |                  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
@@ -167,6 +170,16 @@ object Similarity {
        |    (PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rank
        |  FROM scored
        |) WHERE rank = 1""".stripMargin
+
+  /** ANN: top-1 neighbor within the query's LSH bucket (exact cosine
+   *  re-rank inside the bucket). Vectors in singleton buckets produce
+   *  no row — the recall/occupancy knob is `nPlanes`. */
+  def annLsh(emb: DataFrame, nPlanes: Int, dim: Int): DataFrame =
+    top1InBucket(prepared(emb)
+      .withColumn("bucket", lshBucket("v", nPlanes, dim)))
+
+  def annLshSql(table: String, nPlanes: Int, dim: Int): String =
+    top1InBucketSql(table, lshBucketSql("v", nPlanes, dim))
 
   // ------------------------------------------- ANN LSH, corpus-adaptive
 
@@ -209,17 +222,8 @@ object Similarity {
   def annLshAdaptiveSql(table: String, dim: Int, targetBucket: Int = 64,
       minPlanes: Int = 6, maxPlanes: Int = 16): String = {
     val nbits = adaptivePlanesSql(table, targetBucket, minPlanes, maxPlanes)
-    s"""WITH e AS (SELECT *, (${lshBucketSql("v", maxPlanes, dim)})
-       |             % (CAST(1 AS BIGINT) << $nbits) AS bucket
-       |           FROM (${preparedSql(table)})),
-       |scored AS (SELECT a.vec_id, b.vec_id AS n_id,
-       |                  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
-       |           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-       |SELECT vec_id, n_id, sim FROM (
-       |  SELECT vec_id, n_id, sim, row_number() OVER
-       |    (PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rank
-       |  FROM scored
-       |) WHERE rank = 1""".stripMargin
+    top1InBucketSql(table, s"((${lshBucketSql("v", maxPlanes, dim)}) " +
+      s"% (CAST(1 AS BIGINT) << $nbits))")
   }
 
   // ------------------------------------------------- ANN grid (E2LSH)
@@ -257,6 +261,11 @@ object Similarity {
    *  level 6 measures Σcell² = 37 M (~50x less in-cell work). */
   def gridCellExpr(vName: String, nrmName: String, nproj: Int, k: Int,
       dim: Int): Column = {
+    // 12 bits per axis in one BIGINT: axis 5 already shifts by 60, so
+    // nproj ≥ 6 would overflow — silently wrapping in Spark (ANSI off)
+    // while DuckDB RAISES on the same arithmetic. Fail construction.
+    require(nproj >= 1 && nproj <= 5,
+      s"gridCellExpr packs 12 bits/axis into one long: nproj must be 1..5, got $nproj")
     val scale = java.lang.Math.scalb(1.0, k - 3) // exact 2^(k-3)
     planes(nproj, dim).zipWithIndex.map { case (w, j) =>
       val wArr = array(w.map(x => lit(x)): _*)
@@ -281,34 +290,13 @@ object Similarity {
    *  the SQL twin derives the same level via scalar subquery. */
   def annGrid(emb: DataFrame, dim: Int, nproj: Int = 4): DataFrame = {
     val k = adaptiveGridLevel(emb.count())
-    val e = prepared(emb)
-      .withColumn("bucket", gridCellExpr("v", "nrm", nproj, k, dim))
-    val b = e.select(col("bucket"), col("vec_id").as("n_id"),
-      col("v").as("nv"), col("nrm").as("nn"))
-    e.select(col("bucket"), col("vec_id"), col("v"), col("nrm"))
-      .join(b, Seq("bucket"))
-      .filter(col("vec_id") =!= col("n_id"))
-      .select(col("vec_id"), col("n_id"),
-        (dotExpr("v", "nv") / (col("nrm") * col("nn"))).as("sim"))
-      .groupBy(col("vec_id"))
-      .agg(graft.functions.TopKAggregate.simTopK(col("sim"), col("n_id"), 1).as("tk"))
-      .select(col("vec_id"), explode(col("tk")).as("e"))
-      .select(col("vec_id"), col("e.n_id").as("n_id"), col("e.sim").as("sim"))
+    top1InBucket(prepared(emb)
+      .withColumn("bucket", gridCellExpr("v", "nrm", nproj, k, dim)))
   }
 
-  def annGridSql(table: String, dim: Int, nproj: Int = 4): String = {
-    val kSql = adaptiveGridLevelSql(table)
-    s"""WITH e AS (SELECT *, ${gridCellSql("v", "nrm", nproj, kSql, dim)} AS bucket
-       |           FROM (${preparedSql(table)})),
-       |scored AS (SELECT a.vec_id, b.vec_id AS n_id,
-       |                  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
-       |           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-       |SELECT vec_id, n_id, sim FROM (
-       |  SELECT vec_id, n_id, sim, row_number() OVER
-       |    (PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rank
-       |  FROM scored
-       |) WHERE rank = 1""".stripMargin
-  }
+  def annGridSql(table: String, dim: Int, nproj: Int = 4): String =
+    top1InBucketSql(table,
+      gridCellSql("v", "nrm", nproj, adaptiveGridLevelSql(table), dim))
 
   // ----------------------------------------------------------- IVF ANN
 

@@ -19,17 +19,25 @@ for k in sorted(qa):
     e1 = math.log10(t10 / t1) if t10 > 0 else float("nan")
     e2 = math.log10(t100 / t10) if t10 > 0 and t100 > 0 else float("nan")
     rows.append((k, t1, t10, t100, e1, e2))
-rows.sort(key=lambda r: -(r[5] if r[5] == r[5] else r[4]))
+# NaN-free sort key (NaN keys make the ordering comparison-inconsistent)
+rows.sort(key=lambda r: -(r[5] if r[5] == r[5] else
+                          (r[4] if r[4] == r[4] else float("-inf"))))
 print(f"{'query':30s} {'sf0.1':>7s} {'sf1':>8s} {'sf10':>9s} "
       f"{'exp1':>5s} {'exp2':>5s}")
 for k, t1, t10, t100, e1, e2 in rows:
     f = lambda x: f"{x:5.2f}" if x == x else "    -"
-    t = lambda x: f"{x:9.2f}" if x > 0 else "     skip"
-    print(f"{k:30s} {t1:7.2f} {t10:8.2f} {t(t100)} {f(e1)} {f(e2)}")
-ta = sum(t for t in qa.values() if t > 0)
-tb = sum(qb[k] for k in qa if qb.get(k, -1) > 0 and qa[k] > 0)
-tc = sum(qc[k] for k in qa if qc.get(k, -1) > 0 and qa[k] > 0)
-print(f"\ntotals (common queries) {ta:.1f}s -> {tb:.1f}s -> {tc:.1f}s; "
+    t = lambda x, w: f"{x:{w}.2f}" if x > 0 else " " * (w - 4) + "skip"
+    print(f"{k:30s} {t1:7.2f} {t(t10, 8)} {t(t100, 9)} {f(e1)} {f(e2)}")
+# totals over ONE shared key set — summing a different subset per SF
+# deflates the aggregate exponent whenever a query is skipped at the
+# larger scale (q21/q39 are skipped at sf10 by documented range)
+common = [k for k in qa
+          if qa[k] > 0 and qb.get(k, -1) > 0 and qc.get(k, -1) > 0]
+ta = sum(qa[k] for k in common)
+tb = sum(qb[k] for k in common)
+tc = sum(qc[k] for k in common)
+print(f"\ntotals ({len(common)} queries measured at all three points) "
+      f"{ta:.1f}s -> {tb:.1f}s -> {tc:.1f}s; "
       f"aggregate exponents {math.log10(tb/ta):.2f}, {math.log10(tc/tb):.2f}")
 sup = [k for k, *_, e1, e2 in rows if e2 == e2 and e2 > 1.15]
 print("superlinear second decade (exp2>1.15):", sup or "none")
