@@ -160,6 +160,29 @@ object SparkEntry {
       s.read.parquet(s"$path/shingles"), k, perms, bands)
   }
 
+  /** The q83 corpus lexicon (BM25 stats tables) built once per corpus
+   *  fingerprint — same rename-into-place + _DONE protocol as
+   *  [[sharedLshIndex]]: a repeated retrieval workload probes the
+   *  lexicon instead of re-scanning corpus text for statistics. */
+  private def sharedLexicon(s: SparkSession, dir: String): Retrieval.Lexicon = {
+    val path = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_shared_lexicon_" +
+        corpusFingerprint(dir))
+    this.synchronized {
+      if (!new java.io.File(path, "_DONE").exists()) {
+        val tmp = new java.io.File(path.getParent,
+          s"${path.getName}.tmp${ProcessHandle.current().pid()}")
+        Retrieval.materializeLexicon(documents(s, dir), "text", tmp.toString)
+        new java.io.File(tmp, "_DONE").createNewFile()
+        if (!tmp.renameTo(path)) {
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        }
+      }
+    }
+    Retrieval.Lexicon(s.read.parquet(s"$path/globals"),
+      s.read.parquet(s"$path/terms"))
+  }
+
   /** Apply a MathOp to events and project (event_id, out) sorted. */
   private def mathQ(op: MathOp)(s: SparkSession, dir: String): DataFrame =
     MathCompiler(events(s, dir), op)
@@ -1041,6 +1064,16 @@ object SparkEntry {
       Retrieval.bm25TopK(documents(s, dir), "text", "doc_id",
           bm25Queries, 5)
         .orderBy("q_id", "rank")),
+    // lexicon-backed BM25: the stats pass probes the materialized
+    // full-vocabulary lexicon (built once per corpus fingerprint)
+    // instead of re-scanning corpus text — the repeated-retrieval
+    // production shape; the oracle is the same fully-data-derived
+    // SQL, so the lexicon path must reproduce the inline scores
+    // exactly
+    "q83_bm25_lexicon" -> ((s, dir) =>
+      Retrieval.bm25TopKIndexed(documents(s, dir), "text", "doc_id",
+          sharedLexicon(s, dir), bm25LexiconQueries, 5)
+        .orderBy("q_id", "rank")),
   )
 
   /** Fixed literal query set for q82 (third query has an OOV term). */
@@ -1048,6 +1081,13 @@ object SparkEntry {
     1L -> "join hash merge",
     2L -> "slow scan big table",
     3L -> "stream watermark zyzzyva")
+
+  /** q83's query set (distinct from q82's; one query mixes an OOV
+   *  term with vocabulary terms to exercise the df=0 lexicon miss). */
+  val bm25LexiconQueries: Seq[(Long, String)] = Seq(
+    10L -> "scan join order",
+    11L -> "window batch stream",
+    12L -> "merge sort qqqzzz")
 
   def oracleSql: Map[String, String] = Map(
     "q1_sum_fields" ->
@@ -1430,5 +1470,7 @@ object SparkEntry {
       s"${Similarity.annGridSql("embeddings", 64)} ORDER BY vec_id",
     "q82_bm25_topk" ->
       s"${Retrieval.bm25TopKSql("documents", "text", "doc_id", bm25Queries, 5)} ORDER BY q_id, rank",
+    "q83_bm25_lexicon" ->
+      s"${Retrieval.bm25TopKSql("documents", "text", "doc_id", bm25LexiconQueries, 5)} ORDER BY q_id, rank",
   )
 }

@@ -151,6 +151,22 @@ class ExtensionsSpec extends SparkTestBase {
     assert(q1.sliding(2).forall(p => p.length < 2 || p(0)._3 >= p(1)._3))
   }
 
+  test("lexicon-backed bm25 ≡ inline bm25 (same stats from the materialized tables)") {
+    import graft.operators.Retrieval
+    val qs = Seq(1L -> "join hash", 2L -> "big slow qqqzzz")
+    val inline = Retrieval.bm25TopK(docs, "text", "doc_id", qs, 4)
+      .collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("lex").toString
+    val lex = Retrieval.materializeLexicon(docs, "text", dir)
+    val indexed = Retrieval.bm25TopKIndexed(docs, "text", "doc_id", lex, qs, 4)
+      .collect().map(_.toSeq).toSet
+    assert(indexed == inline)
+    // the lexicon covers the full corpus vocabulary; OOV terms miss
+    assert(lex.termDf.filter(col("t") === "qqqzzz").count() == 0)
+    assert(lex.termDf.count() > 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("media: decode is deterministic, features survive mapPartitions round-trip") {
     val feats = Media.extractFeatures(Media.fromDocuments(docs), parallelism = 7)
     val rows = feats.collect()
