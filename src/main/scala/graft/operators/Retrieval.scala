@@ -147,15 +147,22 @@ object Retrieval {
   def materializeLexicon(corpus: DataFrame, textCol: String,
       dir: String): Lexicon = {
     val spark = corpus.sparkSession
+    // persist across the two writes: the terms table and the globals
+    // row are different granularities of the SAME kernel projection,
+    // and without the pin each write job re-runs it — TWO corpus text
+    // passes for a build whose point is one (ScanOnceSpec pins this)
     val tfs = corpus.select(
-      HashExpressions.tokenFrequencies(col(textCol)).as("tfs"))
-    tfs.select(explode(col("tfs")).as("e"))
-      .select(col("e.t").as("t"), col("e.n").as("n"))
-      .groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$dir/terms")
-    tfs.agg(count(lit(1)).as("n"),
-        sum(expr("aggregate(tfs, 0L, (acc, x) -> acc + x.n)")).as("tot"))
-      .write.mode("overwrite").parquet(s"$dir/globals")
+        HashExpressions.tokenFrequencies(col(textCol)).as("tfs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      tfs.select(explode(col("tfs")).as("e"))
+        .select(col("e.t").as("t"), col("e.n").as("n"))
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$dir/terms")
+      tfs.agg(count(lit(1)).as("n"),
+          sum(expr("aggregate(tfs, 0L, (acc, x) -> acc + x.n)")).as("tot"))
+        .write.mode("overwrite").parquet(s"$dir/globals")
+    } finally tfs.unpersist()
     Lexicon(spark.read.parquet(s"$dir/globals"),
       spark.read.parquet(s"$dir/terms"))
   }

@@ -63,4 +63,34 @@ class ScanOnceSpec extends SparkTestBase {
       i % 10 < 5 && !dups.contains(i)).toSet,
       s"survivors wrong: $survivors")
   }
+
+  test("lexicon-backed bm25 scans corpus text once per batch; inline form twice") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val corpusRows = 40
+    val corpus0 = (0 until corpusRows).map(i =>
+      (i.toLong, s"alpha beta gamma token$i delta ${i % 5}")).toDF("doc_id", "text")
+    val scans = spark.sparkContext.longAccumulator("bm25_text_scans")
+    val touch = udf { (t: String) => scans.add(1); t }.asNondeterministic()
+    val corpus = corpus0.withColumn("text", touch(col("text")))
+    val qs = Seq(1L -> "alpha delta", 2L -> "gamma beta")
+
+    val dir = Streams.scratchDir("graft_lexonce_")
+    val lex = Retrieval.materializeLexicon(corpus, "text", dir)
+    val afterBuild = scans.value
+    assert(afterBuild == corpusRows,
+      s"lexicon build should be ONE corpus pass, measured $afterBuild row-reads")
+
+    Retrieval.bm25TopKIndexed(corpus, "text", "doc_id", lex, qs, 3).collect()
+    val indexedDelta = scans.value - afterBuild
+    assert(indexedDelta == corpusRows,
+      s"indexed form must scan text once per batch, measured $indexedDelta")
+
+    val beforeInline = scans.value
+    Retrieval.bm25TopK(corpus, "text", "doc_id", qs, 3).collect()
+    val inlineDelta = scans.value - beforeInline
+    assert(inlineDelta == 2L * corpusRows,
+      s"inline form pays stats + score passes (2x), measured $inlineDelta — " +
+        "if this drops to 1x the lexicon form's reason-to-exist changed; re-check")
+  }
 }
