@@ -167,6 +167,30 @@ class ExtensionsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("retrieval/grid edges: oversized k, tiny corpora, rejected empty query") {
+    import graft.operators.Retrieval
+    import spark.implicits._
+    // k far beyond the match count: every matching doc ranks, no pad rows
+    val tiny = Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "delta")).toDF("doc_id", "text")
+    val r = Retrieval.bm25TopK(tiny, "text", "doc_id", Seq(1L -> "alpha"), 100)
+      .collect()
+    assert(r.map(_.getLong(1)).toSet == Set(1L, 2L) && r.map(_.getLong(3)).toSet == Set(1L, 2L))
+    // empty / whitespace-only query is a loud construction error
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(tiny, "text", "doc_id", Seq(1L -> "   "), 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKSql("documents", "text", "doc_id", Seq(1L -> ""), 5)
+    }
+    // annGrid: single vector -> singleton cell -> no output row, no crash
+    val one = Seq((0L, 0L, Array.fill(64)(0.5f))).toDF("vec_id", "label", "embedding")
+    assert(graft.operators.Similarity.annGrid(one, 64).collect().isEmpty)
+    // nproj beyond the packing width is rejected at construction
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.gridCellExpr("v", "nrm", 6, 3, 64)
+    }
+  }
+
   test("media: decode is deterministic, features survive mapPartitions round-trip") {
     val feats = Media.extractFeatures(Media.fromDocuments(docs), parallelism = 7)
     val rows = feats.collect()
