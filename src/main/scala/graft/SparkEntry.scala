@@ -135,19 +135,26 @@ object SparkEntry {
    *  corpus fingerprint (same rename-into-place protocol as
    *  [[sharedTable]]): the streaming screen's production shape keeps
    *  the index durable and probes it per batch — re-deriving it per
-   *  query invocation would re-bill the corpus pass to every run. */
-  private def sharedLshIndex(s: SparkSession, dir: String, tag: String,
+   *  query invocation would re-bill the corpus pass to every run.
+   *  The cache tag is DERIVED from (k, perms, bands) — editing the
+   *  constants at a call site re-keys the cache by construction — and
+   *  the build parameters are ALSO persisted in a meta sidecar inside
+   *  the dir and validated on read, so a hand-copied or half-versioned
+   *  dir can never probe with misaligned band hashes. */
+  private def sharedLshIndexDir(s: SparkSession, dir: String,
       corpus: => DataFrame, textCol: String, idCol: String,
-      k: Int, perms: Int, bands: Int): Dedup.LshIndex = {
+      k: Int, perms: Int, bands: Int): java.io.File = {
+    val tag = s"lshix_k${k}_p${perms}_b${bands}_v1"
+    val fp = corpusFingerprint(dir)
     val path = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_shared_${tag}_" +
-        corpusFingerprint(dir))
+      s"${System.getProperty("java.io.tmpdir")}/graft_shared_${tag}_$fp")
     this.synchronized {
       if (!new java.io.File(path, "_DONE").exists()) {
         val tmp = new java.io.File(path.getParent,
           s"${path.getName}.tmp${ProcessHandle.current().pid()}")
         Dedup.materializeLshIndex(corpus, textCol, idCol, k, perms,
           bands, tmp.toString)
+        Dedup.writeLshIndexMeta(tmp.toString, k, perms, bands, fp)
         // _DONE marks the two-table build complete (each table has its
         // own _SUCCESS, but only the pair is a usable index)
         new java.io.File(tmp, "_DONE").createNewFile()
@@ -156,6 +163,18 @@ object SparkEntry {
         }
       }
     }
+    val meta = Dedup.readLshIndexMeta(path.toString)
+    require(meta.exists(m => m.k == k && m.perms == perms &&
+        m.bands == bands && m.fingerprint == fp),
+      s"shared LSH index at $path has meta $meta, expected " +
+        s"(k=$k perms=$perms bands=$bands fp=$fp) — stale or foreign dir")
+    path
+  }
+
+  private def sharedLshIndex(s: SparkSession, dir: String,
+      corpus: => DataFrame, textCol: String, idCol: String,
+      k: Int, perms: Int, bands: Int): Dedup.LshIndex = {
+    val path = sharedLshIndexDir(s, dir, corpus, textCol, idCol, k, perms, bands)
     Dedup.LshIndex(s.read.parquet(s"$path/banded"),
       s.read.parquet(s"$path/shingles"), k, perms, bands)
   }
@@ -982,7 +1001,7 @@ object SparkEntry {
       val out = graft.streaming.Streams.scratchDir("graft_q78_")
       // the corpus index is a durable lake table (built once per
       // corpus fingerprint) — the stream probes it, never rebuilds it
-      val index = sharedLshIndex(s, dir, "lshix90_k3_p16_b4_v1",
+      val index = sharedLshIndex(s, dir,
         documents(s, dir).filter(col("doc_id") % 10 =!= 0),
         "text", "doc_id", 3, 16, 4)
       val stream = graft.streaming.Streams
@@ -1074,7 +1093,83 @@ object SparkEntry {
       Retrieval.bm25TopKIndexed(documents(s, dir), "text", "doc_id",
           sharedLexicon(s, dir), bm25LexiconQueries, 5)
         .orderBy("q_id", "rank")),
+    // EVOLVING streaming ingest screen (X56, round-7 close of the
+    // survivor-evolution gap): TWO micro-batches in a pinned order
+    // (single-part files with 60s-apart mtimes + maxFilesPerTrigger=1;
+    // FileStreamSource triggers oldest-first). Batch 1 screens against
+    // the prebuilt corpus index; its SURVIVORS are appended to the
+    // durable index, so batch 2 is screened against corpus ∪ batch-1
+    // survivors — b2 deliberately carries derived near-dups of b1 docs
+    // (text || ' graft tail', jac ≥ (n−2)/n ≥ tau for the ≥10-word
+    // corpus) that only an EVOLVED index can catch, plus derived
+    // in-batch near-dups exercising the keep-first self-dedup. The
+    // shared immutable index is COPIED to a per-run scratch dir first:
+    // the run mutates its index (that is the operator under test); the
+    // shared base stays pristine for q78. Oracle: the same sequential
+    // semantics in SQL (Dedup.evolvingScreenSql).
+    "q84_evolving_ingest_screen" -> ((s0, dir) =>
+        graft.streaming.Streams.withStatePartitions(s0, 8) { s =>
+      val out = graft.streaming.Streams.scratchDir("graft_q84_")
+      val base = sharedLshIndexDir(s, dir,
+        documents(s, dir).filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", 3, 16, 4)
+      val ix = s"$out/index"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(base, "shingles"), new java.io.File(s"$ix/shingles/base"))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(base, "banded"), new java.io.File(s"$ix/banded/base"))
+      Dedup.writeLshIndexMeta(ix, 3, 16, 4, corpusFingerprint(dir))
+      val docs = documents(s, dir)
+      val tail = concat(col("text"), lit(" graft tail")).as("text")
+      val b1 = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text"))
+      val b2 = docs.filter(col("doc_id") % 20 === 10)
+        .select(col("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"), tail))
+        .union(docs.filter(col("doc_id") % 40 === 10)
+          .select((col("doc_id") + lit(2000000000L)).as("doc_id"), tail))
+      // fixed epoch mtimes pin batch order deterministically run-to-run
+      writeSingleParquet(b1, s"$out/stream", "b1.parquet", 1600000000000L)
+      writeSingleParquet(b2, s"$out/stream", "b2.parquet", 1600000060000L)
+      val stream = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/stream")
+      val q = graft.streaming.Streams
+        .screenIngestEvolving(stream, ix, "text", "doc_id", 0.8,
+          expectFingerprint = Some(corpusFingerprint(dir))) {
+          (survivors, batchId) => survivors.select(col("doc_id"))
+            .write.mode("overwrite").parquet(s"$out/data/batch=$batchId")
+        }
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batchDirs = Option(new java.io.File(s"$out/data").listFiles())
+        .map(_.filter(_.isDirectory).map(_.toString).sorted.toSeq)
+        .getOrElse(Seq.empty)
+      require(batchDirs.size >= 2,
+        s"q84: expected a 2-batch drain, got dirs=$batchDirs; recentProgress=" +
+          q.recentProgress.map(_.json).mkString("[", ",", "]"))
+      s.read.parquet(batchDirs: _*).orderBy("doc_id")
+    }),
   )
+
+  /** Write `df` as exactly ONE parquet part file named `name` under
+   *  `dir`, with a pinned mtime — the deterministic multi-batch
+   *  FileStreamSource layout (file order = mtime order). */
+  private def writeSingleParquet(df: DataFrame, dir: String, name: String,
+      mtime: Long): Unit = {
+    val tmp = s"$dir/.tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    val dest = new java.io.File(dir, name)
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    require(dest.setLastModified(mtime), s"could not set mtime on $dest")
+  }
 
   /** Fixed literal query set for q82 (third query has an OOV term). */
   val bm25Queries: Seq[(Long, String)] = Seq(
@@ -1472,5 +1567,18 @@ object SparkEntry {
       s"${Retrieval.bm25TopKSql("documents", "text", "doc_id", bm25Queries, 5)} ORDER BY q_id, rank",
     "q83_bm25_lexicon" ->
       s"${Retrieval.bm25TopKSql("documents", "text", "doc_id", bm25LexiconQueries, 5)} ORDER BY q_id, rank",
+    "q84_evolving_ingest_screen" -> {
+      val docsSql =
+        """SELECT doc_id AS id,
+          |       CASE WHEN doc_id % 10 <> 0 THEN 'corpus'
+          |            WHEN doc_id % 20 = 0 THEN 'b1' ELSE 'b2' END AS grp,
+          |       text FROM documents
+          |UNION ALL SELECT doc_id + 1000000000, 'b2', text || ' graft tail'
+          |  FROM documents WHERE doc_id % 40 = 0
+          |UNION ALL SELECT doc_id + 2000000000, 'b2', text || ' graft tail'
+          |  FROM documents WHERE doc_id % 40 = 10""".stripMargin
+      s"""${Dedup.evolvingScreenSql(docsSql, 3, 16, 4, 0.8, "doc_id")}
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -349,6 +349,213 @@ object Dedup {
     LshIndex(spark.read.parquet(s"$dir/banded"), sh, k, perms, bands)
   }
 
+  // ------------------------------------- durable EVOLVING index (X56+)
+
+  /** Layout + lifecycle of a durable, APPEND-ABLE LshIndex directory —
+   *  the production shape of a continuous-ingest screen, where each
+   *  admitted batch must JOIN the index so later batches are screened
+   *  against it (a near-dup arriving one batch after its survivor is a
+   *  duplicate too):
+   *
+   *  ```
+   *  dir/
+   *    lsh_index_meta.json        # (k, perms, bands, fingerprint)
+   *    shingles/<segment>/  — parquet part files
+   *    banded/<segment>/    — parquet part files
+   *  ```
+   *
+   *  Each table is a set of SEGMENT subdirectories ("base" from the
+   *  initial corpus build, "b<batchId>" per admitted batch). Reads
+   *  enumerate segments fresh each time, so an open index sees
+   *  appends; appends OVERWRITE their own segment dir, so an
+   *  at-least-once retry of a batch replaces its contribution instead
+   *  of duplicating it; [[compactLshIndex]] folds accumulated
+   *  segments back into one "base" (with set-semantics dedup, so even
+   *  a retry that raced a compaction only ever costs space until the
+   *  next compact, never correctness — screening reads the index as a
+   *  set). The meta sidecar travels WITH the data: build parameters
+   *  can never desync from the tables they describe, and a caller's
+   *  expected corpus fingerprint is validated before any probe —
+   *  a stale or foreign index fails loudly instead of silently
+   *  admitting duplicates as false negatives. */
+  final case class LshIndexMeta(k: Int, perms: Int, bands: Int,
+      fingerprint: String)
+
+  private val IndexMetaFile = "lsh_index_meta.json"
+
+  def writeLshIndexMeta(dir: String, k: Int, perms: Int, bands: Int,
+      fingerprint: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dir, IndexMetaFile).toPath,
+      s"""{"k":$k,"perms":$perms,"bands":$bands,"fingerprint":"$fingerprint"}"""
+        .getBytes("UTF-8"))
+    ()
+  }
+
+  def readLshIndexMeta(dir: String): Option[LshIndexMeta] = {
+    val f = new java.io.File(dir, IndexMetaFile)
+    if (!f.isFile) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      def num(key: String) =
+        s""""$key":(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      val fp = """"fingerprint":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+      for (k <- num("k"); p <- num("perms"); b <- num("bands"); f <- fp)
+        yield LshIndexMeta(k, p, b, f)
+    }
+  }
+
+  /** Segment subdirectories of one index table, sorted for
+   *  deterministic plans. Dot-prefixed names are in-flight compaction
+   *  scratch and never read. */
+  private def segmentDirs(table: String): Seq[String] =
+    Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      .map(_.toString).sorted.toSeq
+
+  /** Open a durable index dir with a FRESH segment listing — call per
+   *  probe (per micro-batch) so appends from earlier batches are
+   *  visible; a parquet DataFrame pins its file listing at read time,
+   *  so a frame built before an append would silently miss it. */
+  def loadLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      expectFingerprint: Option[String] = None): LshIndex = {
+    val meta = readLshIndexMeta(dir).getOrElse(throw new IllegalStateException(
+      s"no $IndexMetaFile in $dir — not an LSH index dir (or a half-built one)"))
+    expectFingerprint.foreach { fp =>
+      require(meta.fingerprint == fp,
+        s"LSH index at $dir was built from corpus ${meta.fingerprint}, " +
+          s"expected $fp — STALE index; rebuild instead of probing it " +
+          "(a stale index silently admits duplicates as false negatives)")
+    }
+    val banded = segmentDirs(s"$dir/banded")
+    val shingles = segmentDirs(s"$dir/shingles")
+    require(banded.nonEmpty && shingles.nonEmpty,
+      s"LSH index at $dir has no segments (banded=$banded shingles=$shingles)")
+    LshIndex(spark.read.parquet(banded: _*), spark.read.parquet(shingles: _*),
+      meta.k, meta.perms, meta.bands)
+  }
+
+  /** Build a NEW evolving index dir from a corpus: the same
+   *  single-corpus-scan build as [[materializeLshIndex]], written as
+   *  the "base" segment, plus the meta sidecar. */
+  def initLshIndexDir(corpus: DataFrame, textCol: String, idCol: String,
+      k: Int, perms: Int, bands: Int, dir: String,
+      fingerprint: String): LshIndex = {
+    require(perms % bands == 0)
+    val spark = corpus.sparkSession
+    shingled(corpus, textCol, idCol, idCol, k).drop("blk")
+      .select(col("id"), col("hs"), col("sz"))
+      .write.mode("overwrite").parquet(s"$dir/shingles/base")
+    val sh = spark.read.parquet(s"$dir/shingles/base")
+    bandedSig(sh, perms, bands)
+      .write.mode("overwrite").parquet(s"$dir/banded/base")
+    writeLshIndexMeta(dir, k, perms, bands, fingerprint)
+    loadLshIndex(spark, dir, Some(fingerprint))
+  }
+
+  /** Append an admitted batch to a durable index under segment name
+   *  `segment` (callers use "b<batchId>"): one narrow pass over the
+   *  BATCH text (the corpus is never touched), shingle projection
+   *  written first and the banded projection derived from the written
+   *  parquet — the batch text is scanned once, same as the corpus
+   *  build. mode=overwrite per segment makes a retried batch replace
+   *  its own contribution (idempotent under foreachBatch
+   *  at-least-once). */
+  def appendToLshIndex(dir: String, admitted: DataFrame, textCol: String,
+      idCol: String, segment: String): Unit = {
+    val meta = readLshIndexMeta(dir).getOrElse(throw new IllegalStateException(
+      s"appendToLshIndex: no $IndexMetaFile in $dir"))
+    val spark = admitted.sparkSession
+    shingled(admitted, textCol, idCol, idCol, meta.k).drop("blk")
+      .select(col("id"), col("hs"), col("sz"))
+      .write.mode("overwrite").parquet(s"$dir/shingles/$segment")
+    val sh = spark.read.parquet(s"$dir/shingles/$segment")
+    bandedSig(sh, meta.perms, meta.bands)
+      .write.mode("overwrite").parquet(s"$dir/banded/$segment")
+  }
+
+  /** Fold accumulated segments back into one "base" segment when more
+   *  than `maxSegments` have piled up — per-batch appends are small
+   *  files, and a long-lived ingest would otherwise degrade every
+   *  probe's scan into thousands of tiny reads. Set-semantics dedup
+   *  during the rewrite restores the index's logical content even if
+   *  a retry double-appended a batch. Single-writer contract: the
+   *  ingest's own foreachBatch calls this between batches (Structured
+   *  Streaming serializes batches), so no reader observes the swap
+   *  window; a multi-writer deployment needs a transactional table
+   *  format instead. Returns whether a compaction ran. */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxSegments: Int = 64): Boolean = {
+    if (segmentDirs(s"$dir/banded").size <= maxSegments) false
+    else {
+      for ((table, keys) <- Seq(
+          "shingles" -> Seq("id"),
+          "banded" -> Seq("band", "bh", "id"))) {
+        val segs = segmentDirs(s"$dir/$table")
+        spark.read.parquet(segs: _*).dropDuplicates(keys)
+          .write.mode("overwrite").parquet(s"$dir/$table/.compact")
+        val trash = new java.io.File(s"$dir/.trash_$table")
+        trash.mkdirs()
+        segs.foreach { sd =>
+          val f = new java.io.File(sd)
+          require(f.renameTo(new java.io.File(trash, f.getName)),
+            s"compactLshIndex: could not retire segment $sd")
+        }
+        require(new java.io.File(s"$dir/$table/.compact")
+            .renameTo(new java.io.File(s"$dir/$table/base")),
+          s"compactLshIndex: could not install compacted $table")
+        org.apache.commons.io.FileUtils.deleteDirectory(trash)
+      }
+      true
+    }
+  }
+
+  /** DuckDB oracle for the EVOLVING two-batch ingest screen
+   *  ([[graft.streaming.Streams.screenIngestEvolving]]): sequential
+   *  semantics spelled as SQL. `docsSql` must produce (id, grp, text)
+   *  with grp ∈ ('corpus','b1','b2') — corpus is the prebuilt index,
+   *  b1 arrives first, b2 second. A doc is DROPPED iff it near-dups
+   *  (LSH candidate + exact Jaccard ≥ tau, the same machinery as
+   *  [[minhashLshPairsAgainstSql]]) the index visible to its batch —
+   *  corpus for b1; corpus ∪ b1-SURVIVORS for b2 (the evolution under
+   *  test: b1 survivors joined the index) — or an EARLIER (lower-id)
+   *  doc of its own batch (in-batch keep-first self-dedup). Output:
+   *  surviving ids, both batches, sorted. */
+  def evolvingScreenSql(docsSql: String, k: Int, perms: Int, bands: Int,
+      tau: Double, idAlias: String): String = {
+    require(perms % bands == 0); val rows = perms / bands
+    val sh = TextFunctions.wordShinglesSql(TextFunctions.lowerTokensSql("text"), k)
+    val sigExprs = (0 until perms).map(i =>
+      s"list_aggregate(list_transform(hs, h -> (${Hashing.permA(i)} * h + ${Hashing.permB(i)}) % ${Hashing.P}), 'min')")
+      .mkString("[", ", ", "]")
+    val bandHash = Hashing.h60Sql(s"array_to_string(array_slice(sig, j * $rows + 1, j * $rows + $rows), ',')")
+    s"""WITH docs0 AS ($docsSql),
+       |s AS (SELECT id, grp, $sh AS sh FROM docs0),
+       |hs AS (SELECT id, grp, sh,
+       |         list_transform(sh, s -> ${Hashing.h60Sql("s")} % ${Hashing.P}) AS hs FROM s),
+       |sig AS (SELECT id, grp, sh, $sigExprs AS sig FROM hs),
+       |banded AS (SELECT id, grp, sh, j AS band, $bandHash AS bh
+       |           FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS j)),
+       |pairs AS (SELECT DISTINCT a.id AS ia, b.id AS ib, b.grp AS gb
+       |          FROM banded a JOIN banded b
+       |            ON a.band = b.band AND a.bh = b.bh AND a.id <> b.id
+       |          WHERE a.grp <> 'corpus'
+       |            AND ${jaccardSqlExpr("a.sh", "b.sh")} >= $tau),
+       |surv1 AS (SELECT id FROM s WHERE grp = 'b1'
+       |  AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.ia = s.id AND p.gb = 'corpus')
+       |  AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.ia = s.id AND p.gb = 'b1'
+       |                    AND p.ib < s.id)),
+       |surv2 AS (SELECT id FROM s WHERE grp = 'b2'
+       |  AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.ia = s.id AND p.gb = 'corpus')
+       |  AND NOT EXISTS (SELECT 1 FROM pairs p JOIN surv1 v ON p.ib = v.id
+       |                  WHERE p.ia = s.id)
+       |  AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.ia = s.id AND p.gb = 'b2'
+       |                    AND p.ib < s.id))
+       |SELECT id AS $idAlias FROM surv1
+       |UNION ALL SELECT id FROM surv2""".stripMargin
+  }
+
   /** One-shot convenience form of [[minhashLshPairsAgainstIndex]]:
    *  derives the corpus index inline. Right for a SINGLE screen; a
    *  repeated screen (a streaming ingest, a nightly admission job)

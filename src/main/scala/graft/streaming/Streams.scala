@@ -148,6 +148,58 @@ object Streams {
     screenIngestIndexed(stream, index, textCol, idCol, tau)(sink)
   }
 
+  /** EVOLVING continuous-ingest near-dup screen — [[screenIngestIndexed]]
+   *  plus the two semantics a FIXED index cannot give (the round-6 gap:
+   *  a near-dup arriving one batch after its survivor was admitted):
+   *
+   *   1. after `sink` accepts a batch's survivors, they are APPENDED to
+   *      the durable index ([[graft.operators.Dedup.appendToLshIndex]],
+   *      segment "b<batchId>"), so batch N+1 is screened against
+   *      corpus ∪ survivors(1..N);
+   *   2. each batch first self-dedups (keep-first: a doc with an
+   *      in-batch near-dup of LOWER id is dropped), so two copies
+   *      inside one micro-batch can't both be admitted.
+   *
+   *  The index is identified by its DIRECTORY, not a prebuilt frame:
+   *  every batch re-opens it ([[graft.operators.Dedup.loadLshIndex]] —
+   *  a fresh segment listing) because a parquet DataFrame pins its
+   *  file listing at construction and would never see the appends.
+   *  Per-batch cost stays O(batch): the corpus text is never re-read
+   *  (ScanOnceSpec pins this), probes scan the materialized index
+   *  only, and appends scan only the batch's own text. Both the sink
+   *  and the append are keyed by batchId (overwrite-per-segment), so
+   *  foreachBatch's at-least-once retries replace rather than
+   *  duplicate; [[graft.operators.Dedup.compactLshIndex]] folds
+   *  accumulated per-batch segments into "base" every
+   *  `compactAfterSegments` so a long-lived ingest's probe never
+   *  degrades into thousands of tiny file reads. */
+  def screenIngestEvolving(stream: DataFrame, indexDir: String,
+      textCol: String, idCol: String, tau: Double,
+      compactAfterSegments: Int = 64,
+      expectFingerprint: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import org.apache.spark.sql.functions.col
+      val spark = batch.sparkSession
+      val index = graft.operators.Dedup.loadLshIndex(
+        spark, indexDir, expectFingerprint)
+      val corpusDup = graft.operators.Dedup
+        .minhashLshPairsAgainstIndex(batch, index, textCol, idCol, tau)
+        .select(col("new_id").as(idCol))
+      val selfDup = graft.operators.Dedup
+        .minhashLshPairs(batch, textCol, idCol,
+          index.k, index.perms, index.bands, tau)
+        .select(col("id_b").as(idCol))
+      val survivors = batch.join(
+        corpusDup.union(selfDup).distinct(), Seq(idCol), "left_anti")
+      sink(survivors, batchId)
+      graft.operators.Dedup.appendToLshIndex(
+        indexDir, survivors, textCol, idCol, s"b$batchId")
+      graft.operators.Dedup.compactLshIndex(
+        spark, indexDir, compactAfterSegments)
+      ()
+    }
+
   /** Run `f` against a session CLONE whose shuffle-partition count —
    *  which for a NEW streaming query is also its state-store count,
    *  baked into the checkpoint at first start — is overridden to `n`.

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Dedup
+import graft.streaming.Streams
+
+/** The round-7 X56 contract: an EVOLVING ingest screen. A fixed-index
+ *  screen admits a near-dup that arrives one batch after its
+ *  survivor; the evolving screen must not — survivors join the
+ *  durable index after each batch, each batch self-dedups
+ *  (keep-first), retries are idempotent (overwrite-per-segment), and
+ *  compaction folds segments without changing screen results. */
+class EvolvingScreenSpec extends SparkTestBase {
+
+  private def doc(tag: String) =
+    s"unique content $tag alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
+  /** Write each batch as ONE parquet part file with an increasing
+   *  pinned mtime so FileStreamSource (maxFilesPerTrigger=1,
+   *  latestFirst=false) triggers them in order. */
+  private def writeBatches(dir: String,
+      batches: Seq[Seq[(Long, String)]]): Unit = {
+    import spark.implicits._
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$dir/.tmp_$i"
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      assert(dest.setLastModified(1600000000000L + i * 60000L))
+    }
+  }
+
+  private def runScreen(indexDir: String, streamDir: String,
+      compactAfter: Int): Map[Long, Set[Long]] = {
+    val schema = spark.read.parquet(s"$streamDir/b0.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val byBatch = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val q = Streams.screenIngestEvolving(stream, indexDir, "text", "doc_id",
+        0.8, compactAfterSegments = compactAfter) { (df, bid) =>
+      val ids = df.select("doc_id").collect().map(_.getLong(0)).toSet
+      byBatch.synchronized { byBatch(bid) = ids }
+    }.option("checkpointLocation", Streams.scratchDir("graft_evo_ckpt_"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    byBatch.toMap
+  }
+
+  test("survivors evolve the index: cross-batch near-dups are screened") {
+    import spark.implicits._
+    val corpus = (0L until 8L).map(i => (i, doc(s"corpus$i")))
+      .toDF("doc_id", "text")
+    val ixDir = Streams.scratchDir("graft_evo_ix_")
+    Dedup.initLshIndexDir(corpus, "text", "doc_id", 3, 16, 4, ixDir, "fp-test")
+
+    val streamDir = Streams.scratchDir("graft_evo_in_")
+    writeBatches(streamDir, Seq(
+      // batch 0: novel A survives; 101 is an exact corpus dup (dropped)
+      Seq(100L -> doc("novelA"), 101L -> doc("corpus3")),
+      // batch 1: 200 near-dups the batch-0 SURVIVOR A -> must be
+      // screened (the whole point); 201 novel B survives; 202/203 are
+      // an in-batch near-dup pair -> keep-first keeps 202 only
+      Seq(200L -> (doc("novelA") + " tail"), 201L -> doc("novelB"),
+        202L -> doc("novelC"), 203L -> (doc("novelC") + " tail")),
+      // batch 2: 300 near-dups batch-1 survivor B (screened);
+      // 301 near-dups the DROPPED batch-0 doc 101 == corpus3 text, so
+      // it is still caught — via the corpus segment
+      Seq(300L -> (doc("novelB") + " tail"), 301L -> doc("corpus3"),
+        302L -> doc("novelD"))))
+
+    // filter: a trailing empty micro-batch (harmless) reports an empty set
+    val got = runScreen(ixDir, streamDir, compactAfter = 64).filter(_._2.nonEmpty)
+    assert(got === Map(
+      0L -> Set(100L),
+      1L -> Set(201L, 202L),
+      2L -> Set(302L)), s"survivor sets wrong: $got")
+
+    // the index now holds base + one segment per batch
+    val segs = new java.io.File(s"$ixDir/banded").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(segs === Set("base", "b0", "b1", "b2"))
+    // and its content is probe-able as one set: all survivors present
+    val ix = Dedup.loadLshIndex(spark, ixDir, Some("fp-test"))
+    val ids = ix.shingles.select("id").as[Long].collect().toSet
+    assert(ids === (0L until 8L).toSet ++ Set(100L, 201L, 202L, 302L))
+  }
+
+  test("compaction folds segments; screen results unchanged; invalidation is loud") {
+    import spark.implicits._
+    val corpus = (0L until 6L).map(i => (i, doc(s"corp$i"))).toDF("doc_id", "text")
+    val mkStream = { () =>
+      val d = Streams.scratchDir("graft_evo_in2_")
+      writeBatches(d, Seq(
+        Seq(100L -> doc("nA"), 101L -> doc("corp2")),
+        Seq(200L -> (doc("nA") + " tail"), 201L -> doc("nB")),
+        Seq(300L -> (doc("nB") + " tail"), 301L -> doc("nE"))))
+      d
+    }
+    // run once WITHOUT compaction, once compacting after every batch
+    val ixA = Streams.scratchDir("graft_evo_ixA_")
+    Dedup.initLshIndexDir(corpus, "text", "doc_id", 3, 16, 4, ixA, "fpA")
+    val gotA = runScreen(ixA, mkStream(), compactAfter = 64).filter(_._2.nonEmpty)
+    val ixB = Streams.scratchDir("graft_evo_ixB_")
+    Dedup.initLshIndexDir(corpus, "text", "doc_id", 3, 16, 4, ixB, "fpB")
+    val gotB = runScreen(ixB, mkStream(), compactAfter = 1).filter(_._2.nonEmpty)
+    assert(gotA === gotB, s"compaction changed screen results: $gotA vs $gotB")
+    // aggressive compaction collapsed everything it exceeded into base
+    val segsB = new java.io.File(s"$ixB/banded").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(segsB.size <= 2, s"compaction left $segsB")
+    // compacted index content === uncompacted content (as sets)
+    def content(d: String) = Dedup.loadLshIndex(spark, d)
+      .banded.select("band", "bh", "id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(content(ixA) === content(ixB))
+    // a fingerprint mismatch must fail LOUDLY, not probe stale data
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadLshIndex(spark, ixA, Some("some-other-corpus"))
+    }
+    assert(e.getMessage.contains("STALE"))
+    // a non-index dir fails with a clear message
+    intercept[IllegalStateException] {
+      Dedup.loadLshIndex(spark, Streams.scratchDir("graft_evo_empty_"))
+    }
+  }
+
+  test("append is idempotent: re-appending a batch segment replaces, not duplicates") {
+    import spark.implicits._
+    val corpus = (0L until 4L).map(i => (i, doc(s"idem$i"))).toDF("doc_id", "text")
+    val ix = Streams.scratchDir("graft_evo_ixI_")
+    Dedup.initLshIndexDir(corpus, "text", "doc_id", 3, 16, 4, ix, "fpI")
+    val batch = Seq(50L -> doc("fresh1"), 51L -> doc("fresh2"))
+      .toDF("doc_id", "text")
+    Dedup.appendToLshIndex(ix, batch, "text", "doc_id", "b0")
+    val once = Dedup.loadLshIndex(spark, ix).banded.count()
+    Dedup.appendToLshIndex(ix, batch, "text", "doc_id", "b0") // the retry
+    val twice = Dedup.loadLshIndex(spark, ix).banded.count()
+    assert(once === twice, "a retried append must overwrite its own segment")
+  }
+}

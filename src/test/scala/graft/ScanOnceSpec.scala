@@ -64,6 +64,44 @@ class ScanOnceSpec extends SparkTestBase {
       s"survivors wrong: $survivors")
   }
 
+  test("EVOLVING screen also scans the corpus text exactly once — appends bill only batch text") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpusRows = 30
+    val corpus0 = (0 until corpusRows).map(i =>
+      (i.toLong, s"the quick brown fox number $i jumps over the lazy dog ${i % 7}"))
+      .toDF("doc_id", "text")
+    val scans = spark.sparkContext.longAccumulator("corpus_text_scans_evo")
+    val touch = udf { (t: String) => scans.add(1); t }.asNondeterministic()
+    val corpus = corpus0.withColumn("text", touch(col("text")))
+
+    val ixDir = Streams.scratchDir("graft_scanonce_ix_")
+    Dedup.initLshIndexDir(corpus, "text", "doc_id", 3, 16, 4, ixDir, "fp-scan")
+    assert(scans.value == corpusRows,
+      s"index init should be ONE corpus pass, measured ${scans.value}")
+
+    val inDir = Streams.scratchDir("graft_scanonce_evo_in_")
+    (0 until 3).foreach { b =>
+      (0 until 4).map { i =>
+        (2000L + b * 10 + i, s"fresh evolving content ${b}_$i nothing like the corpus")
+      }.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val batches = scala.collection.mutable.Set.empty[Long]
+    val q = Streams.screenIngestEvolving(stream, ixDir, "text", "doc_id", 0.8) {
+      (df, batchId) => df.count(); batches.synchronized { batches += batchId }; ()
+    }.option("checkpointLocation", Streams.scratchDir("graft_scanonce_evo_ckpt_"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches.size >= 3, s"expected a multi-batch drain, got $batches")
+    assert(scans.value == corpusRows,
+      s"corpus text scanned ${scans.value} row-reads across an evolving " +
+        s"multi-batch drain for $corpusRows rows — probes and appends must " +
+        "touch only the materialized index and the batch's own text")
+  }
+
   test("lexicon-backed bm25 scans corpus text once per batch; inline form twice") {
     import spark.implicits._
     import graft.operators.Retrieval
