@@ -324,16 +324,27 @@ object SparkEntry {
     "q19_knn_brute" -> ((s, dir) =>
       Similarity.knnBrute(Sources.table(s, dir, "embeddings"), 5, 5)
         .orderBy("q_id", "rank")),
-    // random-hyperplane LSH bucketed top-1 neighbor; plane count
-    // tracks log2(corpus) for constant bucket occupancy (6 planes at
-    // driver SFs — bit-identical to the fixed form there — 13 at the
-    // 100x sweep, where fixed-6 measured quadratic: 622 s vs ~9 s)
-    "q20_ann_lsh" -> ((s, dir) =>
-      Similarity.annLshAdaptive(Sources.table(s, dir, "embeddings"), 64)
+    // shape-ROUTED ANN top-1 (r7, closes the q20 weak): the entry
+    // point MEASURES the sign-LSH bucket skew (Σbucket², exact
+    // integers) and routes — ≤ n·256 → sign-LSH (uniform corpora;
+    // this data at driver SFs: Σb²/n ≈ 10-34), above → the
+    // distance-quantized grid (the sweep's clustered corpora measure
+    // Σb²/n ≈ 2800+, where sign buckets hold whole clusters and
+    // re-rank goes quadratic). The oracle re-derives the same route
+    // from the same counts, so the row is hash-green on WHICHEVER
+    // branch the data selects, at any scale factor.
+    "q20_ann_routed" -> ((s, dir) =>
+      Similarity.annRouted(Sources.table(s, dir, "embeddings"), 64)
         .orderBy("vec_id")),
-    // embedding-cosine near-dup: closest pair per label block
+    // embedding-cosine near-dup: EXACT closest pair per label block.
+    // r7: the blocked/broadcast formulation — bit-identical result to
+    // the join form, but the Σlabel² pair space is never materialized
+    // as rows (tight per-partition loops over a broadcast corpus, one
+    // best per (partition,label) into the final agg) — the r6 sweep
+    // measured the JOIN form's pair-row machinery, not arithmetic, as
+    // what made X11 superlinear (exp1 0.91, sf10 skipped).
     "q21_embed_dup" -> ((s, dir) =>
-      Similarity.labelNearestPair(Sources.table(s, dir, "embeddings"))
+      Similarity.labelNearestPairExact(Sources.table(s, dir, "embeddings"))
         .orderBy("label")),
 
     // ---- multimodal: binary payloads + batched decode plumbing ----
@@ -1152,6 +1163,25 @@ object SparkEntry {
           q.recentProgress.map(_.json).mkString("[", ",", "]"))
       s.read.parquet(batchDirs: _*).orderBy("doc_id")
     }),
+    // candidate-pruned EXACT per-label nearest pair (r7, closes the
+    // q21 weak's scale story in its real regime): the corpus is the
+    // embeddings table UNION a near-parallel twin per vector
+    // (x·(1+2⁻¹⁰), exact-power-of-two scale, float-rounded the same
+    // way in both engines) — the NEAR-DUP-bearing corpus shape X11
+    // exists for. Grid cells + the ±1-cell completeness certificate
+    // resolve every label WITHOUT touching the Σlabel² pair space;
+    // the oracle is the plain all-pairs SQL, because the pruned path
+    // is provably exact (certificate) — a pruning bug cannot pass.
+    "q85_embed_dup_pruned" -> ((s, dir) => {
+      val e = Sources.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val twins = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(embedding, x -> " +
+          "cast(cast(x as double) * 1.0009765625d as float))").as("embedding"),
+        col("label"))
+      Similarity.labelNearestPairPruned(e.union(twins), 64)
+        .orderBy("label")
+    }),
   )
 
   /** Write `df` as exactly ONE parquet part file named `name` under
@@ -1233,8 +1263,8 @@ object SparkEntry {
       s"${Dedup.simhashPairsSql("documents", "text", "doc_id", "lang", 2)} ORDER BY id_a, id_b",
     "q19_knn_brute" ->
       s"${Similarity.knnBruteSql("embeddings", 5, 5)} ORDER BY q_id, rank",
-    "q20_ann_lsh" ->
-      s"${Similarity.annLshAdaptiveSql("embeddings", 64)} ORDER BY vec_id",
+    "q20_ann_routed" ->
+      s"SELECT * FROM (${Similarity.annRoutedSql("embeddings", 64)}) ORDER BY vec_id",
     "q21_embed_dup" ->
       s"${Similarity.labelNearestPairSql("embeddings")} ORDER BY label",
     "q22_media_features" ->
@@ -1579,6 +1609,16 @@ object SparkEntry {
           |  FROM documents WHERE doc_id % 40 = 10""".stripMargin
       s"""${Dedup.evolvingScreenSql(docsSql, 3, 16, 4, 0.8, "doc_id")}
          |ORDER BY doc_id""".stripMargin
+    },
+    "q85_embed_dup_pruned" -> {
+      val dupTable =
+        """(SELECT vec_id, embedding, label FROM embeddings
+          | UNION ALL
+          | SELECT vec_id + 1000000,
+          |        list_transform(embedding,
+          |          x -> CAST(CAST(x AS DOUBLE) * 1.0009765625 AS FLOAT)),
+          |        label FROM embeddings)""".stripMargin
+      s"${Similarity.labelNearestPairSql(dupTable)} ORDER BY label"
     },
   )
 }

@@ -173,7 +173,17 @@ object Similarity {
 
   /** ANN: top-1 neighbor within the query's LSH bucket (exact cosine
    *  re-rank inside the bucket). Vectors in singleton buckets produce
-   *  no row — the recall/occupancy knob is `nPlanes`. */
+   *  no row — the recall/occupancy knob is `nPlanes`.
+   *
+   *  OPERATING RANGE — near-UNIFORM angular distributions only. A sign
+   *  bucket can never be smaller than the angular cluster it contains,
+   *  so on clustered corpora in-bucket re-rank grows with
+   *  cluster-mass² at ANY plane count (measured on the 100x sweep:
+   *  Σbucket² 1.4-4.1 G pairs, 6-16 planes). The DEFAULT entry point
+   *  is [[annRouted]], which measures the bucket skew and only takes
+   *  this path when the measurement says the corpus is uniform enough
+   *  to keep it linear; [[annGrid]]/[[ivfTopK]] are the clustered
+   *  paths. */
   def annLsh(emb: DataFrame, nPlanes: Int, dim: Int): DataFrame =
     top1InBucket(prepared(emb)
       .withColumn("bucket", lshBucket("v", nPlanes, dim)))
@@ -224,6 +234,63 @@ object Similarity {
     val nbits = adaptivePlanesSql(table, targetBucket, minPlanes, maxPlanes)
     top1InBucketSql(table, s"((${lshBucketSql("v", maxPlanes, dim)}) " +
       s"% (CAST(1 AS BIGINT) << $nbits))")
+  }
+
+  // ------------------------------------------------- shape-routed ANN
+
+  /** Measured candidate mass of the adaptive sign-LSH bucketing:
+   *  Σ bucket² over the corpus bucket histogram — EXACTLY the number
+   *  of scored rows the in-bucket re-rank would produce (within a
+   *  factor for self-pairs). One narrow pass + one tiny aggregation;
+   *  all integers, so the SQL twin computes the identical value. */
+  def signBucketSkew(emb: DataFrame, dim: Int, targetBucket: Int = 64,
+      minPlanes: Int = 6, maxPlanes: Int = 16): (Long, Long) = {
+    val n = emb.count()
+    val nPlanes = adaptivePlanes(n, targetBucket, minPlanes, maxPlanes)
+    val s2 = prepared(emb)
+      .select(lshBucket("v", nPlanes, dim).as("bucket"))
+      .groupBy(col("bucket")).count()
+      .agg(sum(col("count") * col("count"))).head.getLong(0)
+    (n, s2)
+  }
+
+  /** Shape-ROUTED ANN top-1 — the default entry point. Sign-LSH is
+   *  linear only while its buckets stay near target occupancy; on
+   *  clustered corpora a bucket holds its whole angular cluster and
+   *  the re-rank goes quadratic (measured: q20's exp2 2.33 on the
+   *  100x sweep). Rather than guess the corpus shape, MEASURE it:
+   *  Σbucket² ≤ n·skewFactor (a per-vector candidate budget; uniform
+   *  corpora at target occupancy 64 measure ~n·64, the sweep's
+   *  clustered corpora measure n·2800+) routes to sign-LSH, anything
+   *  above routes to the distance-quantized grid ([[annGrid]]), which
+   *  subdivides the clusters sign bits cannot (Σcell² 37 M vs 1.4 G
+   *  on the same 500 k-vector corpus). The decision is an INTEGER
+   *  comparison on exact counts, so the SQL oracle re-derives the
+   *  identical route from the data itself at any scale factor. */
+  def annRouted(emb: DataFrame, dim: Int, skewFactor: Long = 256): DataFrame = {
+    val (n, s2) = signBucketSkew(emb, dim)
+    if (s2 > n * skewFactor) annGrid(emb, dim)
+    else annLsh(emb, adaptivePlanes(n), dim)
+  }
+
+  /** SQL twin of [[annRouted]]: both branch results are gated by the
+   *  same integer skew flag (scalar subqueries), so exactly one
+   *  branch contributes rows — the identical route the Spark side
+   *  took on the identical counts. */
+  def annRoutedSql(table: String, dim: Int, skewFactor: Long = 256): String = {
+    val nbits = adaptivePlanesSql(table)
+    val bucketExpr = s"((${lshBucketSql("v", 16, dim)}) " +
+      s"% (CAST(1 AS BIGINT) << $nbits))"
+    val skew =
+      s"""(SELECT sum(c * c) FROM (
+         |  SELECT $bucketExpr AS bucket, count(*) AS c
+         |  FROM (${preparedSql(table)}) GROUP BY 1))""".stripMargin
+    val budget = s"((SELECT count(*) FROM $table) * $skewFactor)"
+    s"""SELECT * FROM (${annGridSql(table, dim)})
+       |WHERE ($skew) > $budget
+       |UNION ALL
+       |SELECT * FROM (${annLshAdaptiveSql(table, dim)})
+       |WHERE ($skew) <= $budget""".stripMargin
   }
 
   // ------------------------------------------------- ANN grid (E2LSH)
@@ -544,4 +611,168 @@ object Similarity {
        |    (PARTITION BY label ORDER BY sim DESC, id_a, id_b) AS rank
        |  FROM scored
        |) WHERE rank = 1""".stripMargin
+
+  /** EXACT per-label nearest pair, BLOCKED formulation — same result
+   *  as [[labelNearestPair]] (bit-identical sims: ascending-index
+   *  double accumulation, identical tie-break), reorganized so the
+   *  Σ label² pair space is never MATERIALIZED as rows. The join form
+   *  ships two 64-double arrays inside every scored pair row — at the
+   *  100x sweep that is ~2 G rows × ~1 KB through a join and an
+   *  aggregation, and it is the row machinery, not the arithmetic,
+   *  that made X11 superlinear (exp1 0.91, skipped at sf10). Here the
+   *  corpus is collected once into per-label primitive arrays,
+   *  broadcast, and each partition runs the tight dot-product loop
+   *  over (its rows) × (broadcast same-label rows with higher id),
+   *  keeping ONE best candidate per (partition, label) — the shuffle
+   *  carries ≤ labels × partitions tiny rows. Exact-by-spec cost is
+   *  still Σ label² FLOPs (that is what "exact" means on adversarial
+   *  data), but organized at memory-bandwidth speed.
+   *
+   *  The collect is bounded by the operator's own feasibility
+   *  envelope: exact all-pairs work is Σ label² arithmetic, so any
+   *  corpus where EXACT is runnable at all (≲10⁷ vectors) fits the
+   *  n×dim broadcast (~5 GB at 10⁷×64); beyond that the same loop
+   *  runs over C broadcast chunks (union of C plans) — the pair space
+   *  is what forbids exact there, not this organization. For the
+   *  near-dup regime, [[labelNearestPairPruned]] avoids most of the
+   *  pair space entirely. */
+  def labelNearestPairExact(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val e = prepared(emb).select(col("label"), col("vec_id"), col("v"), col("nrm"))
+    val byLabel: Map[Int, Array[(Long, Array[Double], Double)]] =
+      e.collect().map { r =>
+        (r.getInt(0), (r.getLong(1),
+          r.getSeq[Double](2).toArray, r.getDouble(3)))
+      }.groupBy(_._1).map { case (l, rows) =>
+        l -> rows.map(_._2).sortBy(_._1)
+      }
+    val bc = spark.sparkContext.broadcast(byLabel)
+    val partBest = e.mapPartitions { it =>
+      // per-label running best within this partition:
+      // (negSim, id_a, id_b, sim) with (sim DESC, id_a, id_b) order
+      val best = scala.collection.mutable.Map.empty[Int, (Double, Long, Long, Double)]
+      it.foreach { r =>
+        val label = r.getInt(0); val idA = r.getLong(1)
+        val va = r.getSeq[Double](2).toArray; val na = r.getDouble(3)
+        val peers = bc.value.getOrElse(label, Array.empty)
+        var j = 0
+        while (j < peers.length) {
+          val (idB, vb, nb) = peers(j)
+          if (idB > idA) {
+            var acc = 0.0; var i = 0; val n = math.min(va.length, vb.length)
+            while (i < n) { acc += va(i) * vb(i); i += 1 }
+            val sim = acc / (na * nb)
+            val cand = (-sim, idA, idB, sim)
+            val cur = best.get(label)
+            if (cur.isEmpty || Ordering[(Double, Long, Long)].lt(
+                (cand._1, cand._2, cand._3), (cur.get._1, cur.get._2, cur.get._3)))
+              best(label) = cand
+          }
+          j += 1
+        }
+      }
+      best.iterator.map { case (l, (_, a, b, s)) =>
+        org.apache.spark.sql.Row(l, a, b, s) }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("id_a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sim",
+          org.apache.spark.sql.types.DoubleType)))))
+    partBest.toDF()
+      .groupBy(col("label"))
+      .agg(min(struct((-col("sim")).as("neg"), col("id_a"), col("id_b"),
+        col("sim"))).as("best"))
+      .select(col("label"), col("best.id_a").as("id_a"),
+        col("best.id_b").as("id_b"), col("best.sim").as("sim"))
+  }
+
+  // ------------------------------- candidate-pruned EXACT nearest pair
+
+  /** Split of [[labelNearestPairPruned]] exposed for specs: grid
+   *  candidates + per-label exactness certificate. Returns (resolved
+   *  per-label bests — PROVABLY exact — and the labels the certificate
+   *  could not resolve, which must fall back to the exact path).
+   *
+   *  Completeness argument: each vector's per-axis cell is
+   *  floor(proj_j / w) with proj_j = ⟨v/|v|, p_j⟩ and w = 8/2^level;
+   *  the candidate join probes all 3^nproj ±1-adjacent cells. The ±1
+   *  ±1-vector planes have |p_j|₂ = √dim, so a pair at normalized
+   *  Euclidean distance d has per-axis |Δproj| ≤ √dim·d; if
+   *  d ≤ w/√dim the pair lands within ±1 cells on EVERY axis and IS a
+   *  candidate. Hence if the best candidate's distance satisfies
+   *  2 − 2·sim ≤ margin·(w/√dim)², every strictly-better pair would
+   *  also be a candidate — contradiction — so the candidate best is
+   *  the TRUE best. `margin` < 1 absorbs float rounding in the
+   *  projections (the certificate gates only ROUTING; both routes are
+   *  exact, so a margin miss costs work, never correctness). */
+  private[graft] def prunedPairPhase(emb: DataFrame, dim: Int, nproj: Int,
+      level: Int, margin: Double): (DataFrame, Seq[Int]) = {
+    require(nproj >= 1 && nproj <= 5,
+      s"cell packing is 12 bits/axis in one long: nproj must be 1..5, got $nproj")
+    val e = prepared(emb)
+    val scale = java.lang.Math.scalb(1.0, level - 3) // exact 2^(level-3)
+    val cells = (0 until nproj).map { j =>
+      val wArr = array(planes(nproj, dim)(j).map(x => lit(x)): _*)
+      floor(graft.functions.VectorExpressions.dot(col("v"), wArr)
+        / col("nrm") * lit(scale)).cast("long").as(s"c$j")
+    }
+    val ec = e.select(Seq(col("label"), col("vec_id"), col("v"), col("nrm")) ++ cells: _*)
+    def pack(off: Seq[Long]): Column =
+      (0 until nproj).map(j =>
+        (col(s"c$j") + lit(off(j)) + lit(2048L)) * lit(1L << (12 * j)))
+        .reduce(_ + _)
+    val offsets = Seq.fill(nproj)(Seq(-1L, 0L, 1L))
+      .foldLeft(Seq(Seq.empty[Long]))((acc, ax) =>
+        for (p <- acc; o <- ax) yield p :+ o)
+    // a-side posts all 3^nproj shifted keys; b-side posts its own cell:
+    // a pair matches on exactly ONE offset (= its cell difference), so
+    // no candidate dedup is needed
+    val a = ec.select(col("label"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"),
+      explode(array(offsets.map(pack): _*)).as("ck"))
+    val b = ec.select(col("label"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"), pack(Seq.fill(nproj)(0L)).as("ck"))
+    val bestCand = a.join(b, Seq("label", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        (dotExpr("va", "vb") / (col("na") * col("nb"))).as("sim"))
+      .groupBy(col("label"))
+      .agg(min(struct((-col("sim")).as("neg"), col("id_a"), col("id_b"),
+        col("sim"))).as("best"))
+      .select(col("label"), col("best.id_a").as("id_a"),
+        col("best.id_b").as("id_b"), col("best.sim").as("sim"))
+    val w = 8.0 / java.lang.Math.scalb(1.0, level) // cell width
+    val rg = w / math.sqrt(dim.toDouble)           // guaranteed radius
+    val certBound = margin * rg * rg
+    val resolved = bestCand.filter(lit(2.0) - lit(2.0) * col("sim") <= lit(certBound))
+    val unresolvedLabels = e.select(col("label")).distinct()
+      .join(resolved.select(col("label")), Seq("label"), "left_anti")
+      .collect().map(_.getInt(0)).toSeq.sorted
+    (resolved, unresolvedLabels)
+  }
+
+  /** Candidate-pruned EXACT per-label nearest pair — X11's scale path
+   *  in the NEAR-DUP regime, where it provably avoids most of the
+   *  Σ label² pair space: grid cells bucket the corpus, the best
+   *  in-±1-cell candidate per label is checked against the exactness
+   *  certificate (see [[prunedPairPhase]]), and only the labels whose
+   *  best pair is too FAR for the certificate (no tight dup exists)
+   *  fall back to the blocked exact scan — so corpora whose labels
+   *  contain genuine near-duplicates resolve with candidate work
+   *  ~ Σ dup-group², never Σ label². Identical output to
+   *  [[labelNearestPair]] by construction: both routes are exact and
+   *  compute bit-identical sims, so the oracle is the SAME all-pairs
+   *  SQL. */
+  def labelNearestPairPruned(emb: DataFrame, dim: Int, nproj: Int = 3,
+      level: Int = 3, margin: Double = 0.98): DataFrame = {
+    val (resolved, unresolved) = prunedPairPhase(emb, dim, nproj, level, margin)
+    if (unresolved.isEmpty) resolved
+    else resolved.union(labelNearestPairExact(
+      emb.filter(col("label").isin(unresolved: _*))))
+  }
 }

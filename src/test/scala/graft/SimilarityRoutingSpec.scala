@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Round-7 ANN routing + exact-pair contracts:
+ *   - the shape router picks sign-LSH on near-uniform corpora and the
+ *     grid on clustered ones, from MEASURED bucket skew;
+ *   - the blocked exact nearest pair is row-for-row identical
+ *     (including float sims) to the join formulation;
+ *   - the pruned exact path's certificate resolves dup-bearing labels
+ *     without the fallback, falls back on loose labels, and both
+ *     routes agree with the exact answer. */
+class SimilarityRoutingSpec extends SparkTestBase {
+
+  private val dim = 16
+
+  /** Deterministic pseudo-random vector from (id, salt) — a real hash
+   *  per coordinate (a linear-congruential formula here once produced
+   *  accidental near-parallel pairs: id deltas that shift every
+   *  coordinate by the same amount). */
+  private def vec(id: Long, salt: Int): Seq[Float] =
+    (0 until dim).map { d =>
+      val h = scala.util.hashing.MurmurHash3
+        .productHash((id, d, salt)) & 0xffff
+      (h.toFloat / 65536.0f) * 2.0f - 1.0f
+    }
+
+  private def embDF(rows: Seq[(Long, Seq[Float], Int)]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("router: uniform corpus measures low skew and takes the sign-LSH branch") {
+    val uniform = embDF((0L until 400L).map(i => (i, vec(i, 1), (i % 4).toInt)))
+    val (n, s2) = Similarity.signBucketSkew(uniform, dim)
+    assert(s2 <= n * 256, s"uniform corpus measured skew $s2 for n=$n")
+    val routed = Similarity.annRouted(uniform, dim).collect().toSet
+    val sign = Similarity.annLsh(uniform,
+      Similarity.adaptivePlanes(n), dim).collect().toSet
+    assert(routed === sign, "low-skew corpus must take the sign-LSH branch")
+  }
+
+  test("router: clustered corpus measures high skew and takes the grid branch") {
+    // 4 tight angular clusters: all vectors of a cluster share sign
+    // buckets by construction, so Σbucket² ~ n²/4 >> n·256
+    val base = (0 until 4).map(c => vec(c * 1000L + 7L, 2))
+    val clustered = embDF((0L until 1200L).map { i =>
+      val c = (i % 4).toInt
+      val b = base(c)
+      (i, b.zipWithIndex.map { case (x, d) =>
+        x + 0.001f * (((i * 31 + d) % 7) - 3) }, c)
+    })
+    val (n, s2) = Similarity.signBucketSkew(clustered, dim)
+    assert(s2 > n * 256, s"clustered corpus measured skew only $s2 for n=$n")
+    val routed = Similarity.annRouted(clustered, dim).collect().toSet
+    val grid = Similarity.annGrid(clustered, dim).collect().toSet
+    assert(routed === grid, "high-skew corpus must take the grid branch")
+  }
+
+  test("blocked exact nearest pair == join formulation, sims bit-identical") {
+    val e = embDF((0L until 300L).map(i => (i, vec(i, 3), (i % 5).toInt)))
+    val joinForm = Similarity.labelNearestPair(e).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val blocked = Similarity.labelNearestPairExact(e).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(blocked === joinForm)
+  }
+
+  test("pruned exact: certificate resolves dup-bearing labels, falls back on loose ones") {
+    // loose corpus: no tight pairs -> certificate resolves nothing
+    val loose = embDF((0L until 200L).map(i => (i, vec(i, 4), (i % 3).toInt)))
+    val (resolvedL, unresolvedL) =
+      Similarity.prunedPairPhase(loose, dim, nproj = 3, level = 3, margin = 0.98)
+    assert(resolvedL.count() == 0 && unresolvedL.nonEmpty,
+      "loose labels must fail the certificate and fall back")
+    // twin corpus: every vector has a near-parallel twin -> every
+    // label's best pair passes the certificate, no fallback needed
+    val twins = embDF((0L until 200L).flatMap { i =>
+      val v = vec(i, 4)
+      Seq((i, v, (i % 3).toInt),
+        (i + 100000L, v.map(x => x * 1.0009765625f), (i % 3).toInt))
+    })
+    val (resolvedT, unresolvedT) =
+      Similarity.prunedPairPhase(twins, dim, nproj = 3, level = 3, margin = 0.98)
+    assert(unresolvedT.isEmpty,
+      s"twin corpus labels must ALL resolve via certificate, got fallback $unresolvedT")
+    assert(resolvedT.count() == 3)
+    // and on BOTH corpora the pruned op equals the exact join answer
+    for (e <- Seq(loose, twins)) {
+      val exact = Similarity.labelNearestPair(e).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+      val pruned = Similarity.labelNearestPairPruned(e, dim).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+      assert(pruned === exact)
+    }
+  }
+}
