@@ -601,9 +601,15 @@ object SparkEntry {
         .select(col("event_id"), col("last_purchase_value"))
         .orderBy("event_id")
     }),
-    // unblocked SimHash near-dup via the multi-index pigeonhole
+    // unblocked SimHash near-dup via the multi-index pigeonhole.
+    // r7: WIDTH-ADAPTIVE — the simhash width tracks log2(corpus) by
+    // integer thresholds (32 bits at driver SFs, bit-identical to the
+    // old fixed form there; 45 at the 10x sweep, 45/60 beyond), so
+    // segment buckets never saturate and the row sweeps at every SF
+    // without a skip flag; the oracle derives the same width from
+    // count(*)
     "q39_simhash_multiindex" -> ((s, dir) =>
-      Dedup.simhashPairsMultiIndex(documents(s, dir), "text", "doc_id", 2)
+      Dedup.simhashPairsMultiIndexAdaptive(documents(s, dir), "text", "doc_id", 2)
         .orderBy("id_a", "id_b")),
     // the scale-width variant: 60-bit simhash, hamming <= 3 across 4
     // disjoint 15-bit segments — the index shape for corpora where 32
@@ -1182,6 +1188,28 @@ object SparkEntry {
       Similarity.labelNearestPairPruned(e.union(twins), 64)
         .orderBy("label")
     }),
+    // LARGE-BATCH BM25 (r7): 1000 queries derived from the corpus's
+    // own top-df vocabulary (rank formula over the lexicon — zero
+    // literals, so the same static oracle holds at every SF) scored
+    // through the POSTING-JOIN formulation: per-doc distinct-term
+    // postings ⋈ broadcast query terms, per-(query,doc) ordered fold.
+    // The TermCounts-kernel form explodes |corpus|×|queries| score
+    // structs — right for eval screens, measured wrong at 10³ queries
+    // (see PLANS.md crossover) — while posting rows scale with actual
+    // term matches.
+    "q86_bm25_batch" -> ((s, dir) => {
+      val lex = sharedLexicon(s, dir)
+      val ranked = lex.termDf.orderBy(col("df").desc, col("t"))
+        .limit(4096).collect().map(_.getString(0))
+      val v = ranked.length
+      val queries = (0L until 1000L).map { q =>
+        val ts = (0 until 3).map(j => ranked(((q * 7 + j * 13) % v).toInt)).distinct
+        q -> ts.mkString(" ")
+      }
+      Retrieval.bm25TopKPostings(documents(s, dir), "text", "doc_id",
+          lex, queries, 3)
+        .orderBy("q_id", "rank")
+    }),
   )
 
   /** Write `df` as exactly ONE parquet part file named `name` under
@@ -1393,7 +1421,8 @@ object SparkEntry {
         |    ON e.user_id = r.user_id AND e.ts >= r.ts)
         |ORDER BY event_id""".stripMargin,
     "q39_simhash_multiindex" ->
-      s"${Dedup.simhashPairsMultiIndexSql("documents", "text", "doc_id", 2)} ORDER BY id_a, id_b",
+      s"""${Dedup.simhashPairsMultiIndexSqlExpr("documents", "text", "doc_id", 2,
+             Dedup.adaptiveSimhashBitsSql("documents"))} ORDER BY id_a, id_b""",
     "q53_simhash_wide" ->
       s"${Dedup.simhashPairsMultiIndexSql("documents", "text", "doc_id", 3, bits = 60)} ORDER BY id_a, id_b",
     "q55_salted_agg" ->
@@ -1620,5 +1649,8 @@ object SparkEntry {
           |        label FROM embeddings)""".stripMargin
       s"${Similarity.labelNearestPairSql(dupTable)} ORDER BY label"
     },
+    "q86_bm25_batch" ->
+      s"""${Retrieval.bm25BatchDerivedSql("documents", "text", "doc_id",
+             1000, 4096, 3)} ORDER BY q_id, rank""",
   )
 }

@@ -750,12 +750,37 @@ object Dedup {
 
   def simhash32Sql(toksExpr: String): String = simhashBitsSql(toksExpr, 32)
 
-  def simhashBitsSql(toksExpr: String, bits: Int): String = {
+  def simhashBitsSql(toksExpr: String, bits: Int): String =
+    simhashBitsSqlExpr(toksExpr, bits.toString)
+
+  /** `bitsSql` may be a literal or a scalar subquery — the adaptive
+   *  form derives the width from `count(*)` so both engines compute
+   *  the identical simhash at any scale factor. */
+  def simhashBitsSqlExpr(toksExpr: String, bitsSql: String): String = {
     val h = Hashing.h60Sql("t")
-    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(0, $bits), b -> " +
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(0, $bitsSql), b -> " +
       s"CASE WHEN list_sum(list_transform($toksExpr, t -> ((($h >> b) & 1) * 2 - 1))) > 0 " +
       s"THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (acc, x) -> acc + x)"
   }
+
+  /** Simhash width for the multi-index pigeonhole, derived from the
+   *  corpus size with INTEGER thresholds (oracle-parity: a float log2
+   *  could desync one ulp from the SQL twin at powers of two).
+   *  Candidates per segment scale as n²/2^width(segment); keeping the
+   *  posting join linear needs segment width ≳ log₂(n) − 6 (64-doc
+   *  collision budget). With maxHamming=2 (3 segments) the widths are
+   *  32→(11,11,10), 45→(15,15,15), 60→(20,20,20): the 10-bit worst
+   *  segment of the 32-bit form saturates at ~64·2^10 ≈ 65 k docs —
+   *  exactly the measured sf10 skip of round 6 — so the width steps
+   *  there and at 2 M. 60 bits is the ceiling (bigint simhash);
+   *  beyond ~64·2^20 ≈ 67 M docs per hamming family, compose with
+   *  blocking ([[simhashPairs]]). */
+  def adaptiveSimhashBits(n: Long): Int =
+    32 + (if (n > 65536L) 13 else 0) + (if (n > 2097152L) 15 else 0)
+
+  def adaptiveSimhashBitsSql(table: String): String =
+    s"(SELECT 32 + (CASE WHEN count(*) > 65536 THEN 13 ELSE 0 END) + " +
+      s"(CASE WHEN count(*) > 2097152 THEN 15 ELSE 0 END) FROM $table)"
 
   /** (id, blk, sh32) as ONE narrow projection: the fused
    *  [[graft.functions.SimHash32]] kernel hashes every token and
@@ -826,12 +851,34 @@ object Dedup {
         graft.functions.HashExpressions.simhashBits(col(textCol), bits).as("sh32")),
       Seq.empty, maxHamming, bits)
 
+  /** WIDTH-ADAPTIVE multi-index SimHash pairs (r7, removes X36's sf10
+   *  skip): [[simhashPairsMultiIndex]] with the simhash width derived
+   *  from the corpus size ([[adaptiveSimhashBits]]) so segment
+   *  buckets track log₂(corpus) and the posting join stays linear at
+   *  every scale factor — the fixed-32-bit form's 10-bit worst
+   *  segment measured saturating at ~10⁵ docs. One extra count
+   *  action; the SQL twin derives the identical width via scalar
+   *  subquery. NOTE the OUTPUT is width-dependent by design (hamming
+   *  distance over more bits) — the oracle derives the same width, so
+   *  the contract is "adaptive simhash pairs", not "32-bit pairs". */
+  def simhashPairsMultiIndexAdaptive(df: DataFrame, textCol: String,
+      idCol: String, maxHamming: Int): DataFrame =
+    simhashPairsMultiIndex(df, textCol, idCol, maxHamming,
+      adaptiveSimhashBits(df.count()))
+
   /** Oracle for [[simhashPairsMultiIndex]]: the UNFILTERED all-pairs
    *  formulation — a multi-index bug (a dropped candidate) cannot pass
    *  verification. */
   def simhashPairsMultiIndexSql(table: String, textCol: String,
-      idCol: String, maxHamming: Int, bits: Int = 32): String = {
-    val sh = simhashBitsSql(TextFunctions.lowerTokensSql(textCol), bits)
+      idCol: String, maxHamming: Int, bits: Int = 32): String =
+    simhashPairsMultiIndexSqlExpr(table, textCol, idCol, maxHamming,
+      bits.toString)
+
+  /** [[simhashPairsMultiIndexSql]] with the width as a SQL expression —
+   *  the adaptive oracle passes [[adaptiveSimhashBitsSql]]. */
+  def simhashPairsMultiIndexSqlExpr(table: String, textCol: String,
+      idCol: String, maxHamming: Int, bitsSql: String): String = {
+    val sh = simhashBitsSqlExpr(TextFunctions.lowerTokensSql(textCol), bitsSql)
     s"""WITH s AS (SELECT $idCol AS id, $sh AS sh32 FROM $table)
        |SELECT * FROM (
        |  SELECT a.id AS id_a, b.id AS id_b,
