@@ -334,6 +334,14 @@ object Similarity {
     require(nproj >= 1 && nproj <= 5,
       s"gridCellExpr packs 12 bits/axis into one long: nproj must be 1..5, got $nproj")
     val scale = java.lang.Math.scalb(1.0, k - 3) // exact 2^(k-3)
+    // per-axis range check: |proj| ≤ √dim (Cauchy-Schwarz, ±1 plane of
+    // norm √dim against the normalized vector), so cell+2048 ∈ [0,4096)
+    // needs √dim·2^(k-3) ≤ 2048 — beyond it an axis silently bleeds
+    // into its neighbor's bits (wrong buckets, no error in non-ANSI
+    // Spark). Fail construction instead.
+    require(math.sqrt(dim.toDouble) * scale <= 2048.0,
+      s"gridCellExpr 12-bit axis range: sqrt(dim)*2^(k-3) must be <= 2048, " +
+        s"got dim=$dim k=$k (${math.sqrt(dim.toDouble) * scale})")
     planes(nproj, dim).zipWithIndex.map { case (w, j) =>
       val wArr = array(w.map(x => lit(x)): _*)
       val cell = floor(graft.functions.VectorExpressions.dot(col(vName), wArr)
@@ -716,6 +724,10 @@ object Similarity {
       s"cell packing is 12 bits/axis in one long: nproj must be 1..5, got $nproj")
     val e = prepared(emb)
     val scale = java.lang.Math.scalb(1.0, level - 3) // exact 2^(level-3)
+    // same 12-bit axis-range bound as gridCellExpr (±1 shift adds 1)
+    require(math.sqrt(dim.toDouble) * scale + 1.0 <= 2048.0,
+      s"12-bit axis range: sqrt(dim)*2^(level-3)+1 must be <= 2048, " +
+        s"got dim=$dim level=$level")
     val cells = (0 until nproj).map { j =>
       val wArr = array(planes(nproj, dim)(j).map(x => lit(x)): _*)
       floor(graft.functions.VectorExpressions.dot(col("v"), wArr)

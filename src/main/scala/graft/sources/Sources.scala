@@ -54,7 +54,16 @@ object Sources {
    *  re-enter the variant as strings and resolve through numeric
    *  casts; duplicate keys that collide after lowering keep the last
    *  occurrence — use the map/JSON-kernel modes when the reference's
-   *  first-numeric-wins duplicate scan matters). */
+   *  first-numeric-wins duplicate scan matters).
+   *
+   *  TOP-LEVEL SCALAR FIELDS ONLY: the map<string,string> round-trip
+   *  stringifies non-scalar top-level values, so a nested object or
+   *  array re-enters the variant as an ESCAPED JSON STRING — any
+   *  nested-path access through the CI payload (e.g.
+   *  `payload:a.b`) returns null. The engine's reference surface only
+   *  reads top-level numerics (math.c operand resolution), which is
+   *  why this trade is acceptable here; if nested access must
+   *  survive, use [[variantPayload]] (case-sensitive) instead. */
   def variantPayloadCI(df: DataFrame, jsonCol: String, payloadCol: String = "payload"): DataFrame = {
     // keep-last must be explicit: transform_keys on a map whose keys
     // COLLIDE after lowering throws DUPLICATED_MAP_KEY under the
