@@ -136,15 +136,17 @@ object SparkEntry {
    *  [[sharedTable]]): the streaming screen's production shape keeps
    *  the index durable and probes it per batch — re-deriving it per
    *  query invocation would re-bill the corpus pass to every run.
-   *  The cache tag is DERIVED from (k, perms, bands) — editing the
-   *  constants at a call site re-keys the cache by construction — and
+   *  The cache tag is DERIVED from (slice, k, perms, bands) — editing
+   *  the constants at a call site re-keys the cache by construction;
+   *  `slice` names WHICH corpus subset was indexed (the params alone
+   *  cannot distinguish two filters of the same documents dir) — and
    *  the build parameters are ALSO persisted in a meta sidecar inside
    *  the dir and validated on read, so a hand-copied or half-versioned
    *  dir can never probe with misaligned band hashes. */
-  private def sharedLshIndexDir(s: SparkSession, dir: String,
+  private def sharedLshIndexDir(s: SparkSession, dir: String, slice: String,
       corpus: => DataFrame, textCol: String, idCol: String,
       k: Int, perms: Int, bands: Int): java.io.File = {
-    val tag = s"lshix_k${k}_p${perms}_b${bands}_v1"
+    val tag = s"lshix_${slice}_k${k}_p${perms}_b${bands}_v1"
     val fp = corpusFingerprint(dir)
     val path = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_shared_${tag}_$fp")
@@ -171,10 +173,10 @@ object SparkEntry {
     path
   }
 
-  private def sharedLshIndex(s: SparkSession, dir: String,
+  private def sharedLshIndex(s: SparkSession, dir: String, slice: String,
       corpus: => DataFrame, textCol: String, idCol: String,
       k: Int, perms: Int, bands: Int): Dedup.LshIndex = {
-    val path = sharedLshIndexDir(s, dir, corpus, textCol, idCol, k, perms, bands)
+    val path = sharedLshIndexDir(s, dir, slice, corpus, textCol, idCol, k, perms, bands)
     Dedup.LshIndex(s.read.parquet(s"$path/banded"),
       s.read.parquet(s"$path/shingles"), k, perms, bands)
   }
@@ -1018,7 +1020,7 @@ object SparkEntry {
       val out = graft.streaming.Streams.scratchDir("graft_q78_")
       // the corpus index is a durable lake table (built once per
       // corpus fingerprint) — the stream probes it, never rebuilds it
-      val index = sharedLshIndex(s, dir,
+      val index = sharedLshIndex(s, dir, "c90",
         documents(s, dir).filter(col("doc_id") % 10 =!= 0),
         "text", "doc_id", 3, 16, 4)
       val stream = graft.streaming.Streams
@@ -1127,7 +1129,7 @@ object SparkEntry {
     "q84_evolving_ingest_screen" -> ((s0, dir) =>
         graft.streaming.Streams.withStatePartitions(s0, 8) { s =>
       val out = graft.streaming.Streams.scratchDir("graft_q84_")
-      val base = sharedLshIndexDir(s, dir,
+      val base = sharedLshIndexDir(s, dir, "c90",
         documents(s, dir).filter(col("doc_id") % 10 =!= 0),
         "text", "doc_id", 3, 16, 4)
       val ix = s"$out/index"
@@ -1135,7 +1137,12 @@ object SparkEntry {
         new java.io.File(base, "shingles"), new java.io.File(s"$ix/shingles/base"))
       org.apache.commons.io.FileUtils.copyDirectory(
         new java.io.File(base, "banded"), new java.io.File(s"$ix/banded/base"))
-      Dedup.writeLshIndexMeta(ix, 3, 16, 4, corpusFingerprint(dir))
+      // the meta sidecar is COPIED with the tables it describes (not
+      // re-stated here), so the scratch index can never carry params
+      // that desync from its data
+      java.nio.file.Files.copy(
+        new java.io.File(base, "lsh_index_meta.json").toPath,
+        new java.io.File(ix, "lsh_index_meta.json").toPath)
       val docs = documents(s, dir)
       val tail = concat(col("text"), lit(" graft tail")).as("text")
       val b1 = docs.filter(col("doc_id") % 20 === 0)
@@ -1185,7 +1192,11 @@ object SparkEntry {
         expr("transform(embedding, x -> " +
           "cast(cast(x as double) * 1.0009765625d as float))").as("embedding"),
         col("label"))
-      Similarity.labelNearestPairPruned(e.union(twins), 64)
+      // level 5 (cell width 1/4): the twin pairs sit at d ≈ 1e-7, so
+      // the certificate passes at ANY level — a finer grid only
+      // shrinks candidate volume (coarse cells on clustered sweeps
+      // would re-admit most of the within-cluster pair space)
+      Similarity.labelNearestPairPruned(e.union(twins), 64, level = 5)
         .orderBy("label")
     }),
     // LARGE-BATCH BM25 (r7): 1000 queries derived from the corpus's

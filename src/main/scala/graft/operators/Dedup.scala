@@ -475,16 +475,28 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/banded/$segment")
   }
 
-  /** Fold accumulated segments back into one "base" segment when more
+  /** Fold accumulated segments back into one segment when more
    *  than `maxSegments` have piled up — per-batch appends are small
    *  files, and a long-lived ingest would otherwise degrade every
    *  probe's scan into thousands of tiny reads. Set-semantics dedup
    *  during the rewrite restores the index's logical content even if
-   *  a retry double-appended a batch. Single-writer contract: the
-   *  ingest's own foreachBatch calls this between batches (Structured
-   *  Streaming serializes batches), so no reader observes the swap
-   *  window; a multi-writer deployment needs a transactional table
-   *  format instead. Returns whether a compaction ran. */
+   *  a retry double-appended a batch.
+   *
+   *  CRASH-SAFE ordering (index is a correct superset at EVERY step):
+   *  the compacted rewrite is first written to an invisible dot-dir,
+   *  then INSTALLED as a fresh visible segment (one rename — the old
+   *  segments are still present, so a reader between these steps sees
+   *  every row twice, and screening reads the index as a SET), and
+   *  only then are the old segments deleted one by one. A crash at
+   *  any point leaves a probe-correct index — worst case with
+   *  duplicate rows that the NEXT compaction folds away; there is no
+   *  window where data is only in a trash dir, and a retried
+   *  compaction cannot wedge on leftovers (the dot-dir is rewritten
+   *  mode=overwrite; the install name is chosen fresh). Single-writer
+   *  contract: the ingest's own foreachBatch calls this between
+   *  batches (Structured Streaming serializes batches); a
+   *  multi-writer deployment needs a transactional table format
+   *  instead. Returns whether a compaction ran. */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       maxSegments: Int = 64): Boolean = {
     if (segmentDirs(s"$dir/banded").size <= maxSegments) false
@@ -495,17 +507,15 @@ object Dedup {
         val segs = segmentDirs(s"$dir/$table")
         spark.read.parquet(segs: _*).dropDuplicates(keys)
           .write.mode("overwrite").parquet(s"$dir/$table/.compact")
-        val trash = new java.io.File(s"$dir/.trash_$table")
-        trash.mkdirs()
-        segs.foreach { sd =>
-          val f = new java.io.File(sd)
-          require(f.renameTo(new java.io.File(trash, f.getName)),
-            s"compactLshIndex: could not retire segment $sd")
-        }
+        val taken = segs.map(new java.io.File(_).getName).toSet
+        val target = (0 to segs.size).map {
+          case 0 => "base"; case i => s"base$i"
+        }.find(!taken.contains(_)).get
         require(new java.io.File(s"$dir/$table/.compact")
-            .renameTo(new java.io.File(s"$dir/$table/base")),
-          s"compactLshIndex: could not install compacted $table")
-        org.apache.commons.io.FileUtils.deleteDirectory(trash)
+            .renameTo(new java.io.File(s"$dir/$table/$target")),
+          s"compactLshIndex: could not install compacted $table/$target")
+        segs.foreach(sd =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sd)))
       }
       true
     }

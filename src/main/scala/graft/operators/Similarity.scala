@@ -273,24 +273,27 @@ object Similarity {
     else annLsh(emb, adaptivePlanes(n), dim)
   }
 
-  /** SQL twin of [[annRouted]]: both branch results are gated by the
-   *  same integer skew flag (scalar subqueries), so exactly one
-   *  branch contributes rows — the identical route the Spark side
-   *  took on the identical counts. */
+  /** SQL twin of [[annRouted]]: ONE bucketed query whose bucket
+   *  expression is selected per the same integer skew flag (scalar
+   *  subqueries over identical counts) — the un-taken branch's bucket
+   *  arithmetic is never evaluated into a join, so the oracle does
+   *  not pay the quadratic sign-bucket pair space on exactly the
+   *  clustered corpora the router exists to avoid (a two-branch
+   *  UNION gated by WHERE would compute both self-joins and discard
+   *  one). The flag is row-independent, so every row buckets under
+   *  the same scheme — the identical route the Spark side took. */
   def annRoutedSql(table: String, dim: Int, skewFactor: Long = 256): String = {
     val nbits = adaptivePlanesSql(table)
-    val bucketExpr = s"((${lshBucketSql("v", 16, dim)}) " +
+    val signBucket = s"((${lshBucketSql("v", 16, dim)}) " +
       s"% (CAST(1 AS BIGINT) << $nbits))"
     val skew =
       s"""(SELECT sum(c * c) FROM (
-         |  SELECT $bucketExpr AS bucket, count(*) AS c
+         |  SELECT $signBucket AS bucket, count(*) AS c
          |  FROM (${preparedSql(table)}) GROUP BY 1))""".stripMargin
     val budget = s"((SELECT count(*) FROM $table) * $skewFactor)"
-    s"""SELECT * FROM (${annGridSql(table, dim)})
-       |WHERE ($skew) > $budget
-       |UNION ALL
-       |SELECT * FROM (${annLshAdaptiveSql(table, dim)})
-       |WHERE ($skew) <= $budget""".stripMargin
+    val gridBucket = gridCellSql("v", "nrm", 4, adaptiveGridLevelSql(table), dim)
+    top1InBucketSql(table,
+      s"(CASE WHEN ($skew) > $budget THEN ($gridBucket) ELSE ($signBucket) END)")
   }
 
   // ------------------------------------------------- ANN grid (E2LSH)
@@ -336,11 +339,12 @@ object Similarity {
     val scale = java.lang.Math.scalb(1.0, k - 3) // exact 2^(k-3)
     // per-axis range check: |proj| ≤ √dim (Cauchy-Schwarz, ±1 plane of
     // norm √dim against the normalized vector), so cell+2048 ∈ [0,4096)
-    // needs √dim·2^(k-3) ≤ 2048 — beyond it an axis silently bleeds
-    // into its neighbor's bits (wrong buckets, no error in non-ANSI
-    // Spark). Fail construction instead.
-    require(math.sqrt(dim.toDouble) * scale <= 2048.0,
-      s"gridCellExpr 12-bit axis range: sqrt(dim)*2^(k-3) must be <= 2048, " +
+    // needs √dim·2^(k-3) < 2048 — STRICT: at equality a vector parallel
+    // to a plane floors to cell 2048 and carries into the next axis's
+    // bits (wrong buckets, no error in non-ANSI Spark). Fail
+    // construction instead.
+    require(math.sqrt(dim.toDouble) * scale < 2048.0,
+      s"gridCellExpr 12-bit axis range: sqrt(dim)*2^(k-3) must be < 2048, " +
         s"got dim=$dim k=$k (${math.sqrt(dim.toDouble) * scale})")
     planes(nproj, dim).zipWithIndex.map { case (w, j) =>
       val wArr = array(w.map(x => lit(x)): _*)
@@ -724,10 +728,13 @@ object Similarity {
       s"cell packing is 12 bits/axis in one long: nproj must be 1..5, got $nproj")
     val e = prepared(emb)
     val scale = java.lang.Math.scalb(1.0, level - 3) // exact 2^(level-3)
-    // same 12-bit axis-range bound as gridCellExpr (±1 shift adds 1)
-    require(math.sqrt(dim.toDouble) * scale + 1.0 <= 2048.0,
-      s"12-bit axis range: sqrt(dim)*2^(level-3)+1 must be <= 2048, " +
-        s"got dim=$dim level=$level")
+    // same 12-bit axis-range bound as gridCellExpr, tightened one more
+    // cell for the ±1 offset probe: √dim·scale < 2047 keeps every
+    // SHIFTED key inside [0, 4096) (cell ≤ 2046 ⇒ +1+2048 ≤ 4095;
+    // cell ≥ −2047 ⇒ −1+2048 ≥ 0)
+    require(math.sqrt(dim.toDouble) * scale < 2047.0,
+      s"12-bit axis range with ±1 probe: sqrt(dim)*2^(level-3) must be " +
+        s"< 2047, got dim=$dim level=$level")
     val cells = (0 until nproj).map { j =>
       val wArr = array(planes(nproj, dim)(j).map(x => lit(x)): _*)
       floor(graft.functions.VectorExpressions.dot(col("v"), wArr)
@@ -749,7 +756,11 @@ object Similarity {
       explode(array(offsets.map(pack): _*)).as("ck"))
     val b = ec.select(col("label"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("nrm").as("nb"), pack(Seq.fill(nproj)(0L)).as("ck"))
-    val bestCand = a.join(b, Seq("label", "ck"))
+    // the candidate join is the operator's dominant cost — run it ONCE:
+    // per-label bests are ≤ |labels| rows, so collect them and decide
+    // resolved/unresolved on the driver (the returned resolved frame is
+    // a literal re-materialization, not a second run of the join)
+    val bests = a.join(b, Seq("label", "ck"))
       .filter(col("id_a") < col("id_b"))
       .select(col("label"), col("id_a"), col("id_b"),
         (dotExpr("va", "vb") / (col("na") * col("nb"))).as("sim"))
@@ -758,13 +769,19 @@ object Similarity {
         col("sim"))).as("best"))
       .select(col("label"), col("best.id_a").as("id_a"),
         col("best.id_b").as("id_b"), col("best.sim").as("sim"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val w = 8.0 / java.lang.Math.scalb(1.0, level) // cell width
     val rg = w / math.sqrt(dim.toDouble)           // guaranteed radius
     val certBound = margin * rg * rg
-    val resolved = bestCand.filter(lit(2.0) - lit(2.0) * col("sim") <= lit(certBound))
-    val unresolvedLabels = e.select(col("label")).distinct()
-      .join(resolved.select(col("label")), Seq("label"), "left_anti")
-      .collect().map(_.getInt(0)).toSeq.sorted
+    val certified = bests.filter { case (_, _, _, sim) =>
+      2.0 - 2.0 * sim <= certBound }
+    val certifiedLabels = certified.map(_._1).toSet
+    val allLabels = e.select(col("label")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val unresolvedLabels = allLabels.filterNot(certifiedLabels).sorted
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val resolved = certified.toSeq.toDF("label", "id_a", "id_b", "sim")
     (resolved, unresolvedLabels)
   }
 

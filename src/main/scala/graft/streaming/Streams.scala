@@ -190,11 +190,17 @@ object Streams {
         .minhashLshPairs(batch, textCol, idCol,
           index.k, index.perms, index.bands, tau)
         .select(col("id_b").as(idCol))
+      // persisted: the survivor plan (index probe + in-batch self-join
+      // + anti join) feeds BOTH the sink and the index append —
+      // without the pin the whole screen executes twice per batch
       val survivors = batch.join(
         corpusDup.union(selfDup).distinct(), Seq(idCol), "left_anti")
-      sink(survivors, batchId)
-      graft.operators.Dedup.appendToLshIndex(
-        indexDir, survivors, textCol, idCol, s"b$batchId")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        sink(survivors, batchId)
+        graft.operators.Dedup.appendToLshIndex(
+          indexDir, survivors, textCol, idCol, s"b$batchId")
+      } finally survivors.unpersist()
       graft.operators.Dedup.compactLshIndex(
         spark, indexDir, compactAfterSegments)
       ()
