@@ -650,7 +650,14 @@ object Similarity {
    *  pair space entirely. */
   def labelNearestPairExact(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
-    val e = prepared(emb).select(col("label"), col("vec_id"), col("v"), col("nrm"))
+    val e0 = prepared(emb).select(col("label"), col("vec_id"), col("v"), col("nrm"))
+    // the scan side carries the O(n²/labels) loop: parquet splits
+    // follow BYTES, but this operator's cost follows ROWS² — a 4-part
+    // corpus would run the whole pair space ≤4-wide (measured 106 s vs
+    // ~15 s at the 100x sweep). Same rule as the media decoders:
+    // repartition the loop side up to the cluster's parallelism.
+    val par = spark.sparkContext.defaultParallelism
+    val e = if (e0.rdd.getNumPartitions < par) e0.repartition(par) else e0
     val byLabel: Map[Int, Array[(Long, Array[Double], Double)]] =
       e.collect().map { r =>
         (r.getInt(0), (r.getLong(1),
