@@ -1221,6 +1221,77 @@ object SparkEntry {
           lex, queries, 3)
         .orderBy("q_id", "rank")
     }),
+    // Unicode text normalization (X59): every doc gets a deterministic
+    // "dirty" suffix — DECOMPOSED accent sequences (e+U+0301,
+    // n+U+0303, A+U+030A), a BEL and a VT control, tab/newline runs,
+    // edge spaces — then the NFC + control-strip + whitespace-collapse
+    // + trim chain cleans it. The oracle rebuilds the same bytes via
+    // chr() and reruns the chain through utf8proc NFC + RE2:
+    // byte-identical output proves both engines compose the same NFC
+    // and read the patterns identically.
+    "q87_normalize_text" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        lit(" cafe\u0301 \t nin\u0303o\u0007 \n  A\u030Aland \u000B end "))
+      documents(s, dir)
+        .select(col("doc_id"), TextFunctions.normalizeText(dirty).as("clean"))
+        .orderBy("doc_id")
+    }),
+    // URL/domain curation (X60): deterministic synthetic URLs per doc
+    // (a content domain keyed by doc_id%7 and a blocklist-family
+    // domain keyed by doc_id%5), extracted and reduced to per-domain
+    // URL/doc counts minus a 3-domain blocklist — so the anti join
+    // does real work (blocked3/4.net survive, blocked0/1/2.net
+    // don't).
+    "q88_url_domains" -> ((s, dir) => {
+      val d = col("doc_id")
+      val dirty = concat(col("text"),
+        lit(" see https://www.site"), (d % 20).cast("string"),
+        lit(".example"), (d % 7).cast("string"), lit(".com/p/"),
+        d.cast("string"),
+        lit(" and http://blocked"), (d % 5).cast("string"), lit(".net/x"))
+      Curation.domainStats(
+          documents(s, dir).select(d, dirty.as("text")), "text", "doc_id",
+          blocklist = Seq("blocked0.net", "blocked1.net", "blocked2.net"))
+        .orderBy("domain")
+    }),
+    // CDC merge / MERGE INTO (X61): a change log derived from orders
+    // (two competing updates for %10==0 keys — latest-wins proof —,
+    // one update for %10∈{1,2}, a delete for %10==3, an insert at a
+    // fresh key for %10==4) folded into the base table: one max_by
+    // hash agg over the log + one full-outer join, no window sort.
+    "q89_cdc_merge" -> ((s, dir) => {
+      val orders = Sources.table(s, dir, "orders")
+      val base = orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val k = col("o_orderkey")
+      def change(filterMod: Seq[Int], seqOff: Int, op: String,
+          keyShift: Long, status: Column, price: Column) =
+        orders.filter((k % 10).isin(filterMod: _*))
+          .select((k + keyShift).as("o_orderkey"),
+            (k * 10 + seqOff).as("seq"), lit(op).as("op"),
+            col("o_custkey"), status.as("o_orderstatus"),
+            price.as("o_totalprice"))
+      val changes =
+        change(Seq(0, 1, 2), 1, "u", 0L, lit("U1"), col("o_totalprice") + 1000.0)
+          .unionAll(change(Seq(0), 2, "u", 0L, lit("U2"),
+            col("o_totalprice") + 2000.0))
+          .unionAll(change(Seq(3), 1, "d", 0L,
+            lit(null).cast("string"), lit(null).cast("double")))
+          .unionAll(change(Seq(4), 1, "u", 100000000L, lit("N"),
+            col("o_totalprice")))
+      graft.operators.Cdc.applyChanges(base, changes,
+          "o_orderkey", "seq", "op")
+        .orderBy("o_orderkey")
+    }),
+    // int8-quantized ANN with exact re-rank (X62): candidate top-20
+    // per query on bit-exact integer dot products over
+    // floor(x·127+0.5) codes (the 4×-compressed corpus scan), then
+    // full-precision cosine on candidates only. Integer scores make
+    // the candidate cut deterministic, so the approximate result is
+    // reproducible and the oracle re-derives it exactly.
+    "q90_sq8_ann" -> ((s, dir) =>
+      Similarity.sq8TopK(Sources.table(s, dir, "embeddings"), 8, 5, 4)
+        .orderBy("q_id", "rank")),
   )
 
   /** Write `df` as exactly ONE parquet part file named `name` under
@@ -1663,5 +1734,46 @@ object SparkEntry {
     "q86_bm25_batch" ->
       s"""${Retrieval.bm25BatchDerivedSql("documents", "text", "doc_id",
              1000, 4096, 3)} ORDER BY q_id, rank""",
+    "q87_normalize_text" -> {
+      // byte-for-byte the q87 dirty suffix: decomposed accents
+      // (chr(769)=U+0301, chr(771)=U+0303, chr(778)=U+030A), BEL,
+      // VT, tab/newline runs, edge spaces
+      val dirty = "text || ' cafe' || chr(769) || ' ' || chr(9) || " +
+        "' nin' || chr(771) || 'o' || chr(7) || ' ' || chr(10) || " +
+        "'  A' || chr(778) || 'land ' || chr(11) || ' end '"
+      s"SELECT doc_id, ${TextFunctions.normalizeTextSql(dirty)} AS clean " +
+        "FROM documents ORDER BY doc_id"
+    },
+    "q88_url_domains" -> {
+      val dirty = "text || ' see https://www.site' || (doc_id % 20) || " +
+        "'.example' || (doc_id % 7) || '.com/p/' || doc_id || " +
+        "' and http://blocked' || (doc_id % 5) || '.net/x'"
+      s"SELECT * FROM (${Curation.domainStatsSql("documents", dirty, "doc_id",
+          Seq("blocked0.net", "blocked1.net", "blocked2.net"))}) ORDER BY domain"
+    },
+    "q89_cdc_merge" -> {
+      val base = "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "o_totalprice FROM orders"
+      val changes =
+        """SELECT o_orderkey AS k, o_orderkey * 10 + 1 AS seq, 'u' AS op,
+          |  o_custkey, 'U1' AS o_orderstatus,
+          |  o_totalprice + 1000.0 AS o_totalprice
+          |FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)
+          |UNION ALL
+          |SELECT o_orderkey, o_orderkey * 10 + 2, 'u', o_custkey, 'U2',
+          |  o_totalprice + 2000.0 FROM orders WHERE o_orderkey % 10 = 0
+          |UNION ALL
+          |SELECT o_orderkey, o_orderkey * 10 + 1, 'd', NULL, NULL, NULL
+          |FROM orders WHERE o_orderkey % 10 = 3
+          |UNION ALL
+          |SELECT o_orderkey + 100000000, o_orderkey * 10 + 1, 'u',
+          |  o_custkey, 'N', o_totalprice
+          |FROM orders WHERE o_orderkey % 10 = 4""".stripMargin
+      s"SELECT * FROM (${graft.operators.Cdc.applyChangesSql(base, changes,
+          "o_orderkey", Seq("o_custkey", "o_orderstatus", "o_totalprice"))}) " +
+        "ORDER BY o_orderkey"
+    },
+    "q90_sq8_ann" ->
+      s"${Similarity.sq8TopKSql("embeddings", 8, 5, 4)} ORDER BY q_id, rank",
   )
 }

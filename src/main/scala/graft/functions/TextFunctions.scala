@@ -241,4 +241,40 @@ object TextFunctions {
     s"regexp_replace(regexp_replace(regexp_replace($c, " +
       s"'$emailPat', '<EMAIL>', 'g'), '$ipv4Pat', '<IP>', 'g'), " +
       s"'$phonePat', '<PHONE>', 'g')"
+
+  // ------------------------------------------------- text normalization
+
+  /** Control characters to STRIP: the C0 block minus the whitespace
+   *  the collapse step handles (\t \n \r), plus DEL. Hex escapes are
+   *  interpreted identically by Java regex and RE2. */
+  val ctrlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Whitespace runs to COLLAPSE to one space. Spelled as an explicit
+   *  class because Java's `\s` includes \x0B where RE2's does not —
+   *  \x0B and \f are already gone after the control strip, so the
+   *  explicit class is exactly the whitespace that can remain. */
+  val wsRunPattern = "[ \\t\\n\\r]+"
+
+  /** Canonical text normalization (X59) — the standard first pass of
+   *  a training-data pipeline: Unicode NFC composition (decomposed
+   *  accent sequences → composed code points, so dedup/fingerprint/
+   *  tokenize see ONE spelling per grapheme), control-character strip,
+   *  whitespace-run collapse, edge trim. Order matters and is fixed:
+   *  NFC first (it never creates control or whitespace characters
+   *  from non-whitespace), strip, collapse, trim.
+   *
+   *  One narrow codegen'd projection — the NFC step is the custom
+   *  [[NfcNormalize]] expression (no UDF), the rest is Spark's own
+   *  `regexp_replace`/`trim`; embarrassingly parallel at any scale. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(NfcNormalize(c), ctrlPattern, ""),
+      wsRunPattern, " "))
+
+  /** DuckDB oracle twin: utf8proc NFC + the same RE2-safe patterns.
+   *  Both regex strings contain no quotes, so plain interpolation
+   *  into a SQL literal is safe. */
+  def normalizeTextSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(nfc_normalize($c), " +
+      s"'$ctrlPattern', '', 'g'), '$wsRunPattern', ' ', 'g'))"
 }

@@ -191,3 +191,52 @@ object TokenCounts {
   def apply(c: Column): Column =
     ColumnBridge.column(TokenCounts(ColumnBridge.expression(c)))
 }
+
+/** Unicode NFC canonical composition (X59), the first step of the
+ *  text-normalization operator. Pure JVM intrinsic
+ *  (`java.text.Normalizer`) emitted into whole-stage codegen — the
+ *  `isNormalized` quick-check skips the composition allocation for
+ *  the (dominant, in real corpora) already-composed rows, so the
+ *  common case is a scan, not a rebuild.
+ *
+ *  Cross-engine note: the DuckDB oracle's `nfc_normalize` (utf8proc)
+ *  and the JDK implement the same Unicode canonical-composition
+ *  algorithm; NFC is stability-guaranteed for assigned code points,
+ *  so both engines compose identical output (spec-asserted on
+ *  combining sequences, oracle-verified corpus-wide). */
+object NfcNormalizeUtil {
+  def compute(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+}
+
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize expects string, got ${dt.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalizeUtil.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalizeUtil.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def apply(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+}

@@ -172,6 +172,66 @@ object Curation {
           col("pos") * lit(stride) + lit(1), lit(width))).as("chunk_text"))
   }
 
+  // ------------------------------------------------- URL/domain stats
+
+  /** URL matcher, Java∩RE2 common subset (no lookaround, no
+   *  backrefs): scheme + one run of host/path characters. Terminates
+   *  at whitespace/quotes/brackets like real crawl pipelines. */
+  val urlPattern = "https?://[A-Za-z0-9./_-]+"
+
+  /** Host capture out of a matched URL. */
+  val hostPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /** Registered domain = the last two dot-labels of the host
+   *  (`www.a.example.com` → `example.com`). */
+  val domainPattern = "[A-Za-z0-9-]+\\.[A-Za-z0-9-]+$"
+
+  /** Per-domain URL statistics with a blocklist screen (X60) — the
+   *  crawl-curation primitive: which registered domains does the
+   *  corpus cite, how often, in how many documents, minus the domains
+   *  policy removes. Common Crawl-style pipelines run exactly this
+   *  to build domain-level quality/spam priors.
+   *
+   *  Shape at 100 TB: URL extraction is a narrow 1→few
+   *  `regexp_extract_all` + explode (no shuffle), the blocklist —
+   *  small by definition — broadcasts into a LEFT ANTI join (never a
+   *  row-multiplying join), and the only exchange is the final
+   *  hash aggregation on `domain`. Domain keys are naturally skewed
+   *  (a few giant domains); the count/count-distinct agg is
+   *  partial-aggregated map-side so hot domains cost one merged row
+   *  per task, and the X24 salted-agg tools apply unchanged if a
+   *  single domain ever dominates a task. */
+  def domainStats(df: DataFrame, textCol: String, idCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val urls = df.select(col(idCol),
+        explode(expr(s"regexp_extract_all(`$textCol`, '$urlPattern', 0)")).as("url"))
+      .select(col(idCol),
+        regexp_extract(regexp_extract(col("url"), hostPattern, 1),
+          domainPattern, 0).as("domain"))
+    val block = spark.createDataFrame(
+      blocklist.map(Tuple1(_))).toDF("domain")
+    urls.join(broadcast(block), Seq("domain"), "left_anti")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(idCol)).as("n_docs"))
+  }
+
+  /** DuckDB oracle twin: same extraction patterns (RE2 interprets
+   *  them identically), blocklist as NOT IN, same aggregation. */
+  def domainStatsSql(table: String, textExpr: String, idCol: String,
+      blocklist: Seq[String]): String = {
+    val blockList = blocklist.map(b => s"'$b'").mkString(", ")
+    s"""SELECT domain, count(*) AS n_urls,
+       |  count(DISTINCT $idCol) AS n_docs FROM (
+       |  SELECT $idCol, regexp_extract(regexp_extract(u.url, '$hostPattern', 1),
+       |    '$domainPattern', 0) AS domain
+       |  FROM (SELECT $idCol, unnest(regexp_extract_all($textExpr, '$urlPattern'))
+       |          AS url FROM $table) u
+       |) WHERE domain NOT IN ($blockList)
+       |GROUP BY domain""".stripMargin
+  }
+
   def chunkByTokensSql(table: String, textCol: String, idCol: String,
       width: Int, stride: Int): String =
     s"""SELECT $idCol, CAST(i AS INT) AS chunk_idx,

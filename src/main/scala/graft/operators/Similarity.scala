@@ -811,4 +811,81 @@ object Similarity {
     else resolved.union(labelNearestPairExact(
       emb.filter(col("label").isin(unresolved: _*))))
   }
+
+  // ------------------------------------- scalar-quantized (int8) ANN
+
+  /** Symmetric int8 scalar quantization (X62): component →
+   *  `floor(x·127 + 0.5)` — exact double arithmetic + exact floor in
+   *  both engines, so the quantized vectors (and therefore the
+   *  integer candidate scores) are BIT-IDENTICAL cross-engine with no
+   *  float-fold quantization tricks. Valid because the embedding
+   *  corpus is unit-normalized: |x| ≤ 1 ⇒ codes in [−127, 127]. The
+   *  codes are carried as integral doubles so the fused [[DotProduct]]
+   *  kernel scores candidates unchanged (|dot| ≤ 127²·dim < 2⁵³ —
+   *  every value exact). */
+  private def sq8Expr(vName: String): Column =
+    expr(s"transform(`$vName`, x -> cast(floor(x * 127.0D + 0.5D) as double))")
+
+  private def sq8Sql(vExpr: String): String =
+    s"list_transform($vExpr, x -> CAST(floor(x * 127.0 + 0.5) AS DOUBLE))"
+
+  /** ANN top-k via int8 candidate generation + exact re-rank — the
+   *  compressed-corpus scale path: at 100 TB of float32 embeddings
+   *  the quantized corpus is 4× smaller (16× vs the double form), so
+   *  the scan that touches EVERY vector reads int8 codes, and full-
+   *  precision vectors are read only for the ≤ k·`rerank` candidates
+   *  per query that survive. Candidate pass = one narrow corpus scan
+   *  against broadcast quantized queries with the bounded `SimTopK`
+   *  heap (k·rerank per query per map task on the exchange, never the
+   *  scored rows); re-rank = corpus ⋈ broadcast candidate ids (a
+   *  filter, no row multiplication) scored in exact double cosine.
+   *  Integer candidate scores make the cut deterministic (ties break
+   *  on vec_id), so recall is reproducible, not seed-dependent.
+   *  Approximate by design: a true neighbor can quantize below the
+   *  candidate cut; `rerank` is the recall knob. */
+  def sq8TopK(emb: DataFrame, nQueries: Int, k: Int,
+      rerank: Int = 4): DataFrame = {
+    val e = prepared(emb).withColumn("qv8", sq8Expr("v"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv8").as("qq8"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    // candidate pass: integer dots on the quantized codes
+    val cand = topKPerQuery(
+      e.crossJoin(broadcast(q.select(col("q_id"), col("qq8"))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          dotExpr("qq8", "qv8").as("sim")),
+      k * rerank)
+      .select(col("q_id"), col("n_id"))
+    // exact re-rank: full-precision cosine on the candidates only
+    val scored = e.join(broadcast(cand), e("vec_id") === cand("n_id"))
+      .join(broadcast(q.select(col("q_id").as("qid2"), col("qv"), col("qn"))),
+        col("q_id") === col("qid2"))
+      .select(col("q_id"), col("n_id"),
+        (dotExpr("qv", "v") / (col("qn") * col("nrm"))).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  def sq8TopKSql(table: String, nQueries: Int, k: Int,
+      rerank: Int = 4): String =
+    s"""WITH e AS (SELECT vec_id, label, v, ${normSql("v")} AS nrm,
+       |             ${sq8Sql("v")} AS qv8 FROM
+       |             (SELECT vec_id, label, $toDoubleSql AS v FROM $table)),
+       |q AS (SELECT vec_id AS q_id, qv8 AS qq8, v AS qv, nrm AS qn
+       |      FROM e WHERE vec_id < $nQueries),
+       |cand AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, e.vec_id AS n_id, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY ${dotSql("qq8", "qv8")} DESC,
+       |     e.vec_id) AS crank
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id
+       |) WHERE crank <= ${k * rerank}),
+       |scored AS (SELECT cand.q_id, cand.n_id,
+       |             ${dotSql("qv", "v")} / (qn * nrm) AS sim
+       |           FROM cand JOIN e ON e.vec_id = cand.n_id
+       |                JOIN q ON q.q_id = cand.q_id)
+       |SELECT * FROM (
+       |  SELECT q_id, n_id, sim, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k""".stripMargin
 }

@@ -96,7 +96,10 @@ class PlanAuditSpec extends SparkTestBase {
     // purpose: the kNN/IVF scoring passes fan a BOUNDED query/probe
     // set across the corpus (SCALE.md documents why that's the right
     // plan there). Anywhere else it means a join degenerated.
-    val boundedBroadcastOk = Set("q19_knn_brute", "q31_ivf_topk")
+    // q90's candidate pass broadcasts the bounded quantized-query set
+    // (and its re-rank broadcasts ≤ k·rerank candidate ids) — the q19
+    // shape over int8 codes
+    val boundedBroadcastOk = Set("q19_knn_brute", "q31_ivf_topk", "q90_sq8_ann")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = executed(name).toString
       assert(!plan.contains("CartesianProduct"), s"$name planned a cartesian join")
