@@ -1292,6 +1292,23 @@ object SparkEntry {
     "q90_sq8_ann" -> ((s, dir) =>
       Similarity.sq8TopK(Sources.table(s, dir, "embeddings"), 8, 5, 4)
         .orderBy("q_id", "rank")),
+    // EXACT cosine near-dup pairs at threshold 0.99 (X63): the corpus
+    // is augmented with a deterministic perturbed twin per vector
+    // (component vec_id%64 doubled — exact in any precision; twin
+    // cosines spread 0.94-0.9999, so the threshold discriminates).
+    // The lossless grid level guarantees every qualifying pair is a
+    // ±1-cell candidate; the ORACLE is the UNPRUNED all-pairs SQL, so
+    // a single lost pair is a missing row, not a matching hash.
+    "q91_cosine_pairs" -> ((s, dir) => {
+      val base = Sources.table(s, dir, "embeddings")
+      val bumped = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "cast(cast(x as double) * (case when i = cast(vec_id % 64 as int) " +
+          "then 2.0D else 1.0D end) as float))").as("embedding"),
+        col("label"))
+      Similarity.cosineNearDupPairs(base.unionByName(bumped), 64, 0.99, 4)
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   /** Write `df` as exactly ONE parquet part file named `name` under
@@ -1775,5 +1792,21 @@ object SparkEntry {
     },
     "q90_sq8_ann" ->
       s"${Similarity.sq8TopKSql("embeddings", 8, 5, 4)} ORDER BY q_id, rank",
+    "q91_cosine_pairs" -> {
+      // the same augmented corpus, byte-identical: doubling is exact
+      // in double, and the cast back to FLOAT is exact (value range
+      // unchanged up to a factor 2)
+      val aug =
+        """(SELECT vec_id, embedding, label FROM embeddings
+          | UNION ALL
+          | SELECT vec_id + 1000000,
+          |   list_transform(range(1, 65), i ->
+          |     CAST(CAST(embedding[i] AS DOUBLE) *
+          |       (CASE WHEN i - 1 = vec_id % 64 THEN 2.0 ELSE 1.0 END)
+          |       AS FLOAT)),
+          |   label FROM embeddings)""".stripMargin
+      s"SELECT * FROM (${Similarity.cosineNearDupPairsSql(aug, 0.99)}) " +
+        "ORDER BY id_a, id_b"
+    },
   )
 }

@@ -812,6 +812,82 @@ object Similarity {
       emb.filter(col("label").isin(unresolved: _*))))
   }
 
+  // --------------------------------- exact cosine threshold pairs
+
+  /** The COARSEST grid level whose ±1-cell probe is LOSSLESS at
+   *  cosine threshold `tau`: pairs with cos ≥ tau sit within
+   *  Euclidean distance d = √(2−2τ) (unit vectors), per-axis
+   *  |Δproj| ≤ d·‖±1-plane‖ = d·√dim (Cauchy-Schwarz), and cells of
+   *  width w ≥ d·√dim put such pairs at most one cell apart on every
+   *  axis. w = 8/2^level ⇒ level = ⌊log₂(8/(d·√dim))⌋ (clamped ≥ 0).
+   *  A pure function of (tau, dim) — no data dependence, so both
+   *  engines embed the same literal. */
+  def losslessGridLevel(tau: Double, dim: Int): Int = {
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1), got $tau")
+    val d = math.sqrt(2.0 - 2.0 * tau)
+    math.max(0, math.floor(
+      math.log(8.0 / (d * math.sqrt(dim.toDouble))) / math.log(2.0)).toInt)
+  }
+
+  /** EXACT embedding near-dup pairs at a cosine threshold (X63): every
+   *  (id_a < id_b) pair with cos ≥ `tau`, found without the n²/2 pair
+   *  space. Grid cells at [[losslessGridLevel]] guarantee every
+   *  qualifying pair lands within ±1 cell per axis, so the candidate
+   *  set (a-side posts its 3^nproj shifted keys, b-side its own cell —
+   *  each pair matches on exactly ONE offset, no dedup join needed) is
+   *  PROVABLY complete; exact cosine verifies candidates and applies
+   *  the threshold. Unlike the LSH near-dup family there is no recall
+   *  knob to tune and no false-negative risk to argue about — the
+   *  completeness bound is arithmetic.
+   *
+   *  Scale posture: cost is Σ(per-cell-neighborhood occupancy²), i.e.
+   *  the near-dup cluster mass — never corpus². The 3^nproj key
+   *  explosion is the multiprobe price (nproj caps at 5; 243×
+   *  8-byte keys), traded against cell selectivity. */
+  def cosineNearDupPairs(emb: DataFrame, dim: Int, tau: Double,
+      nproj: Int = 4): DataFrame = {
+    require(nproj >= 1 && nproj <= 5,
+      s"cell packing is 12 bits/axis in one long: nproj must be 1..5, got $nproj")
+    val level = losslessGridLevel(tau, dim)
+    val scale = java.lang.Math.scalb(1.0, level - 3)
+    require(math.sqrt(dim.toDouble) * scale < 2047.0,
+      s"12-bit axis range with ±1 probe: dim=$dim level=$level")
+    val e = prepared(emb)
+    val cells = (0 until nproj).map { j =>
+      val wArr = array(planes(nproj, dim)(j).map(x => lit(x)): _*)
+      floor(graft.functions.VectorExpressions.dot(col("v"), wArr)
+        / col("nrm") * lit(scale)).cast("long").as(s"c$j")
+    }
+    val ec = e.select(Seq(col("vec_id"), col("v"), col("nrm")) ++ cells: _*)
+    def pack(off: Seq[Long]): Column =
+      (0 until nproj).map(j =>
+        (col(s"c$j") + lit(off(j)) + lit(2048L)) * lit(1L << (12 * j)))
+        .reduce(_ + _)
+    val offsets = Seq.fill(nproj)(Seq(-1L, 0L, 1L))
+      .foldLeft(Seq(Seq.empty[Long]))((acc, ax) =>
+        for (p <- acc; o <- ax) yield p :+ o)
+    val a = ec.select(col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"),
+      explode(array(offsets.map(pack): _*)).as("ck"))
+    val b = ec.select(col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"), pack(Seq.fill(nproj)(0L)).as("ck"))
+    a.join(b, Seq("ck"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dotExpr("va", "vb") / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
+  /** Oracle: the UNPRUNED all-pairs formulation — the strongest
+   *  possible check on the candidate pruning (a lost pair is a
+   *  missing row, not a matching hash). */
+  def cosineNearDupPairsSql(table: String, tau: Double): String =
+    s"""WITH e AS (${preparedSql(table)})
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $tau""".stripMargin
+
   // ------------------------------------- scalar-quantized (int8) ANN
 
   /** Symmetric int8 scalar quantization (X62): component →

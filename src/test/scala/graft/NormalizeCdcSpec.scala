@@ -128,6 +128,51 @@ class NormalizeCdcSpec extends SparkTestBase {
     assert(sq8.toSeq == exact.toSeq)
   }
 
+  // ----------------------------------- X63 cosine threshold pairs
+
+  test("losslessGridLevel: coarsest level whose cell width covers d·sqrt(dim)") {
+    // tau=0.99, dim=64: d=0.1414, d·8=1.131, 8/1.131=7.07 → level 2
+    assert(Similarity.losslessGridLevel(0.99, 64) == 2)
+    // tau=0.5: d=1, d·8=8 → exactly one cell of width 8 → level 0
+    assert(Similarity.losslessGridLevel(0.5, 64) == 0)
+    // very tight threshold → finer cells
+    assert(Similarity.losslessGridLevel(0.9999, 64) == 6)
+    // the guarantee itself: w = 8/2^level ≥ d·sqrt(dim) at the chosen
+    // level (unless clamped to 0)
+    for (tau <- Seq(0.6, 0.9, 0.99, 0.999); dim <- Seq(16, 64)) {
+      val lvl = Similarity.losslessGridLevel(tau, dim)
+      val d = math.sqrt(2.0 - 2.0 * tau)
+      if (lvl > 0)
+        assert(8.0 / math.pow(2.0, lvl) >= d * math.sqrt(dim.toDouble),
+          s"tau=$tau dim=$dim lvl=$lvl")
+    }
+  }
+
+  test("cosineNearDupPairs equals the unpruned all-pairs result") {
+    val aug = emb.unionByName(emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> " +
+        "cast(cast(x as double) * (case when i = cast(vec_id % 64 as int) " +
+        "then 2.0D else 1.0D end) as float))").as("embedding"),
+      col("label")))
+    val pruned = Similarity.cosineNearDupPairs(aug, 64, 0.99, 4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    // brute force over the same corpus — the completeness check
+    val e = aug.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorExpressions.dot(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (graft.functions.VectorExpressions.dot(col("va"), col("vb"))
+          / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= 0.99)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(brute.nonEmpty, "fixture produced no qualifying pairs")
+    assert(pruned == brute)
+  }
+
   test("sq8TopK default rerank keeps high recall on the real corpus") {
     val exact = Similarity.knnBrute(emb, 8, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
