@@ -1309,6 +1309,21 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(base.unionByName(bumped), 64, 0.99, 4)
         .orderBy("id_a", "id_b")
     }),
+    // Paragraph-level exact dedup (X64), the C4/Dolma boilerplate
+    // removal: every doc gets a corpus-wide shared footer paragraph
+    // plus a doc_id%5-keyed copyright paragraph appended; after the
+    // keep-first-occurrence pass exactly ONE doc retains the footer
+    // and five retain their copyright line, while duplicate document
+    // BODIES (the corpus has exact-dup groups — q15) dedup too.
+    "q92_paragraph_dedup" -> ((s, dir) => {
+      val d = col("doc_id")
+      val dirty = concat(col("text"),
+        lit("\n\nSubscribe to our newsletter!\n\nCopyright "),
+        (d % 5).cast("string"))
+      Dedup.dedupParagraphs(
+          documents(s, dir).select(d, dirty.as("text")), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
   )
 
   /** Write `df` as exactly ONE parquet part file named `name` under
@@ -1807,6 +1822,13 @@ object SparkEntry {
           |   label FROM embeddings)""".stripMargin
       s"SELECT * FROM (${Similarity.cosineNearDupPairsSql(aug, 0.99)}) " +
         "ORDER BY id_a, id_b"
+    },
+    "q92_paragraph_dedup" -> {
+      val nl = "chr(10) || chr(10)"
+      val dirty = s"text || $nl || 'Subscribe to our newsletter!' || $nl || " +
+        "'Copyright ' || (doc_id % 5)"
+      s"SELECT * FROM (${Dedup.dedupParagraphsSql("documents", dirty,
+          "doc_id", nl)}) ORDER BY doc_id"
     },
   )
 }

@@ -907,4 +907,69 @@ object Dedup {
        |  FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
        |) WHERE hamming <= $maxHamming""".stripMargin
   }
+
+  // ----------------------------------------------- paragraph dedup
+
+  /** Paragraph-level exact dedup (X64) — the C4/Dolma boilerplate
+   *  removal step: split every document on `sep`, keep only the FIRST
+   *  corpus-wide occurrence of each paragraph (first = min (doc, pos)
+   *  lexicographically — deterministic, replay-stable), and
+   *  reassemble the surviving paragraphs in their original order.
+   *  Repeated footers/headers/navigation chrome vanish everywhere but
+   *  their first sighting; a fully-boilerplate document collapses to
+   *  the empty string (and is a candidate for a length gate
+   *  downstream).
+   *
+   *  Scale shape: the global winner election aggregates on the
+   *  64-bit h60 CONTENT HASH of the paragraph — the exchange carries
+   *  (hash, doc, pos), never paragraph text; one more hash join
+   *  filters occurrences to winners, and reassembly is a per-document
+   *  bounded aggregation (collect_list state ≤ the document's own
+   *  paragraph count — the same bounded-by-row-size argument as
+   *  chunking/media). Both Spark's `split` (limit −1) and DuckDB's
+   *  `string_split` KEEP trailing empty fields, so the two engines
+   *  see identical paragraph lists. */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .withColumn("h", Hashing.h60(col("para")))
+    val winners = paras.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+      .select(col("h"), col(s"w.$idCol").as("w_id"), col("w.pos").as("w_pos"))
+    val kept = paras.join(winners, Seq("h"))
+      .filter(col(idCol) === col("w_id") && col("pos") === col("w_pos"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(pos, para))), " +
+        "x -> x.para)"), sep).as(textCol))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .na.fill(Map(textCol -> ""))
+  }
+
+  /** DuckDB oracle twin: same h60 winner election (md5-derived, both
+   *  engines), window row_number as the min-(doc,pos) tie-break,
+   *  ORDER BY pos inside string_agg for the reassembly. */
+  def dedupParagraphsSql(table: String, textExpr: String, idCol: String,
+      sepSql: String): String =
+    s"""SELECT t.$idCol, coalesce(r.txt, '') AS text FROM $table t
+       |LEFT JOIN (
+       |  SELECT $idCol, string_agg(para, $sepSql ORDER BY pos) AS txt FROM (
+       |    SELECT $idCol, pos, para FROM (
+       |      SELECT $idCol, pos, para, row_number() OVER (
+       |        PARTITION BY ${Hashing.h60Sql("para")}
+       |        ORDER BY $idCol, pos) AS rn
+       |      FROM (
+       |        SELECT $idCol, (u.s).pos AS pos, (u.s).para AS para FROM (
+       |          SELECT $idCol, unnest(list_transform(
+       |            range(1, length(parts) + 1),
+       |            i -> {'pos': i - 1, 'para': parts[i]})) AS s
+       |          FROM (SELECT $idCol, string_split($textExpr, $sepSql)
+       |                  AS parts FROM $table)
+       |        ) u
+       |      )
+       |    ) WHERE rn = 1
+       |  ) GROUP BY $idCol
+       |) r USING ($idCol)""".stripMargin
 }

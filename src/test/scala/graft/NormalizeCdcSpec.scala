@@ -128,6 +128,32 @@ class NormalizeCdcSpec extends SparkTestBase {
     assert(sq8.toSeq == exact.toSeq)
   }
 
+  // ------------------------------------------ X64 paragraph dedup
+
+  test("dedupParagraphs keeps first corpus-wide occurrence, reassembles in order") {
+    val docs = Seq(
+      (1L, "body one\n\nFOOTER\n\nmore one"),
+      (2L, "body two\n\nFOOTER"),
+      (3L, "FOOTER\n\nbody three"),
+      (4L, "FOOTER")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupParagraphs(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // FOOTER's first occurrence is (doc 1, pos 1); everywhere else gone
+    assert(out(1L) == "body one\n\nFOOTER\n\nmore one")
+    assert(out(2L) == "body two")
+    assert(out(3L) == "body three")
+    assert(out(4L) == "") // fully-boilerplate doc collapses to empty
+  }
+
+  test("dedupParagraphs winner election shuffles hashes, not paragraph text") {
+    val docs = Seq((1L, "a\n\nb")).toDF("doc_id", "text")
+    val plan = graft.operators.Dedup.dedupParagraphs(docs, "text", "doc_id")
+      .queryExecution.optimizedPlan.toString
+    // the winner aggregate's grouping expressions must be the h60
+    // hash, never the para string itself
+    assert(plan.contains("Aggregate [h#") || plan.contains("Aggregate [h "), plan)
+  }
+
   // ----------------------------------- X63 cosine threshold pairs
 
   test("losslessGridLevel: coarsest level whose cell width covers d·sqrt(dim)") {
