@@ -1292,13 +1292,14 @@ object SparkEntry {
     "q90_sq8_ann" -> ((s, dir) =>
       Similarity.sq8TopK(Sources.table(s, dir, "embeddings"), 8, 5, 4)
         .orderBy("q_id", "rank")),
-    // EXACT cosine near-dup pairs at threshold 0.99 (X63): the corpus
+    // EXACT cosine near-dup pairs at threshold 0.999 (X63): the corpus
     // is augmented with a deterministic perturbed twin per vector
     // (component vec_id%64 doubled — exact in any precision; twin
     // cosines spread 0.94-0.9999, so the threshold discriminates).
-    // The lossless grid level guarantees every qualifying pair is a
-    // ±1-cell candidate; the ORACLE is the UNPRUNED all-pairs SQL, so
-    // a single lost pair is a missing row, not a matching hash.
+    // τ=0.999 is the operator's design regime (tight-threshold
+    // near-dup, where the lossless cells actually prune); the ORACLE
+    // is the UNPRUNED all-pairs SQL, so a single lost pair is a
+    // missing row, not a matching hash.
     "q91_cosine_pairs" -> ((s, dir) => {
       val base = Sources.table(s, dir, "embeddings")
       val bumped = base.select((col("vec_id") + 1000000L).as("vec_id"),
@@ -1306,7 +1307,7 @@ object SparkEntry {
           "cast(cast(x as double) * (case when i = cast(vec_id % 64 as int) " +
           "then 2.0D else 1.0D end) as float))").as("embedding"),
         col("label"))
-      Similarity.cosineNearDupPairs(base.unionByName(bumped), 64, 0.99, 4)
+      Similarity.cosineNearDupPairs(base.unionByName(bumped), 64, 0.999, 5)
         .orderBy("id_a", "id_b")
     }),
     // Paragraph-level exact dedup (X64), the C4/Dolma boilerplate
@@ -1820,7 +1821,7 @@ object SparkEntry {
           |       (CASE WHEN i - 1 = vec_id % 64 THEN 2.0 ELSE 1.0 END)
           |       AS FLOAT)),
           |   label FROM embeddings)""".stripMargin
-      s"SELECT * FROM (${Similarity.cosineNearDupPairsSql(aug, 0.99)}) " +
+      s"SELECT * FROM (${Similarity.cosineNearDupPairsSql(aug, 0.999)}) " +
         "ORDER BY id_a, id_b"
     },
     "q92_paragraph_dedup" -> {

@@ -840,12 +840,22 @@ object Similarity {
    *  knob to tune and no false-negative risk to argue about — the
    *  completeness bound is arithmetic.
    *
-   *  Scale posture: cost is Σ(per-cell-neighborhood occupancy²), i.e.
-   *  the near-dup cluster mass — never corpus². The 3^nproj key
-   *  explosion is the multiprobe price (nproj caps at 5; 243×
-   *  8-byte keys), traded against cell selectivity. */
+   *  Scale posture: the multiprobe explode carries (id, cell-key)
+   *  ONLY — 16 bytes × 3^nproj per vector, never the embedding (an
+   *  early form shipped the 64-double array through the explode:
+   *  ~130 GB of exchange at 10⁶ vectors; the id-only form is ~4 GB
+   *  at nproj=5) — and vectors join back by id for the exact verify,
+   *  so the heavy rows move once per side, not per probe key.
+   *  Candidate work is Σ(cell-neighborhood occupancy²) — the
+   *  τ-neighborhood mass. Per-axis selectivity is governed by
+   *  d/σ (Cauchy-Schwarz is tight for ±1 planes), so the operator's
+   *  regime is TIGHT thresholds (τ ≳ 0.999 on spread-out corpora, or
+   *  any τ on genuinely clustered near-dup data); for loose
+   *  thresholds relative to the corpus spread, exactness is
+   *  inherently near-quadratic — reach for the approximate family
+   *  (X7 MinHash, X57 grid ANN) instead. */
   def cosineNearDupPairs(emb: DataFrame, dim: Int, tau: Double,
-      nproj: Int = 4): DataFrame = {
+      nproj: Int = 5): DataFrame = {
     require(nproj >= 1 && nproj <= 5,
       s"cell packing is 12 bits/axis in one long: nproj must be 1..5, got $nproj")
     val level = losslessGridLevel(tau, dim)
@@ -866,13 +876,19 @@ object Similarity {
     val offsets = Seq.fill(nproj)(Seq(-1L, 0L, 1L))
       .foldLeft(Seq(Seq.empty[Long]))((acc, ax) =>
         for (p <- acc; o <- ax) yield p :+ o)
+    // candidate generation on (id, key) rows only
     val a = ec.select(col("vec_id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"),
       explode(array(offsets.map(pack): _*)).as("ck"))
     val b = ec.select(col("vec_id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"), pack(Seq.fill(nproj)(0L)).as("ck"))
-    a.join(b, Seq("ck"))
-      .filter(col("id_a") < col("id_b"))
+      pack(Seq.fill(nproj)(0L)).as("ck"))
+    val cand = a.join(b, Seq("ck")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    // exact verify: vectors join back by id (heavy rows move once)
+    val va = ec.select(col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val vb = ec.select(col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (dotExpr("va", "vb") / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= tau)

@@ -181,7 +181,10 @@ class NormalizeCdcSpec extends SparkTestBase {
         "cast(cast(x as double) * (case when i = cast(vec_id % 64 as int) " +
         "then 2.0D else 1.0D end) as float))").as("embedding"),
       col("label")))
+    // both configurations: loose/4-probe and the q91 tight/5-probe
     val pruned = Similarity.cosineNearDupPairs(aug, 64, 0.99, 4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val pruned5 = Similarity.cosineNearDupPairs(aug, 64, 0.999, 5)
       .orderBy("id_a", "id_b").collect().toSeq
     // brute force over the same corpus — the completeness check
     val e = aug.select(col("vec_id"),
@@ -197,6 +200,9 @@ class NormalizeCdcSpec extends SparkTestBase {
       .orderBy("id_a", "id_b").collect().toSeq
     assert(brute.nonEmpty, "fixture produced no qualifying pairs")
     assert(pruned == brute)
+    val brute999 = brute.filter(_.getDouble(2) >= 0.999)
+    assert(brute999.nonEmpty, "no pairs at the tight threshold")
+    assert(pruned5 == brute999)
   }
 
   test("sq8TopK default rerank keeps high recall on the real corpus") {
