@@ -1279,8 +1279,14 @@ object SparkEntry {
             lit(null).cast("string"), lit(null).cast("double")))
           .unionAll(change(Seq(4), 1, "u", 100000000L, lit("N"),
             col("o_totalprice")))
+      // The merged table is as big as base (16.5 M rows at sf10) and
+      // the deterministic-output sort consumes it TWICE (range-boundary
+      // sampling + the sort itself) — persist so the scan+agg+join
+      // child runs once, not twice (measured 16.6 s → ~8 s at sf10;
+      // bench/verify clear the cache after each query).
       graft.operators.Cdc.applyChanges(base, changes,
           "o_orderkey", "seq", "op")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .orderBy("o_orderkey")
     }),
     // int8-quantized ANN with exact re-rank (X62): candidate top-20
@@ -1323,6 +1329,39 @@ object SparkEntry {
         (d % 5).cast("string"))
       Dedup.dedupParagraphs(
           documents(s, dir).select(d, dirty.as("text")), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // Epoch-weighted source mixing (X65): per-source mixture weights
+    // 0.2–2.6 epochs (derived arithmetically from the source id so
+    // both engines reconstruct the identical weight table — a real
+    // recipe would broadcast-join a weights table) materialized as
+    // deterministic copies: floor(e) full passes + one hash-gated
+    // fractional pass per doc. Pure narrow explode — no shuffle.
+    "q93_mix_epochs" -> ((s, dir) => {
+      val src = documents(s, dir).select(col("doc_id"), col("source"))
+      val et = substring(col("source"), 4, 10).cast("long") * 7 % 25 + 2
+      Sampling.mixEpochs(src, et / lit(10.0), col("doc_id"), "mix93")
+        .orderBy("doc_id", "epoch")
+    }),
+    // Unigram-LM quality score (X66): mean log₁₀-bucketed corpus
+    // frequency of each doc's tokens — the CCNet/Gopher LM-filter
+    // shape with an integer-exact surprisal so the oracle hash holds
+    // (see Quality.unigramSurprisal scaladoc).
+    "q94_unigram_quality" -> ((s, dir) =>
+      Quality.unigramSurprisal(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // Cross-doc repeated-substring screen (X67): share of each doc's
+    // word 8-windows whose exact text recurs in ≥2 documents (the
+    // suffix-array dedup criterion, relationally). Docs %3==0 get a
+    // shared 12-word footer so corpus-wide duplicated spans exist at
+    // every scale factor and the threshold discriminates.
+    "q95_repeated_windows" -> ((s, dir) => {
+      val d = col("doc_id")
+      val dirty = when(d % 3 === 0, concat(col("text"),
+          lit(" subscribe now for daily updates curated by our award winning editorial team")))
+        .otherwise(col("text"))
+      Dedup.repeatedWindowShare(
+          documents(s, dir).select(d, dirty.as("text")), "doc_id", "text", 8)
         .orderBy("doc_id")
     }),
   )
@@ -1830,6 +1869,24 @@ object SparkEntry {
         "'Copyright ' || (doc_id % 5)"
       s"SELECT * FROM (${Dedup.dedupParagraphsSql("documents", dirty,
           "doc_id", nl)}) ORDER BY doc_id"
+    },
+    "q93_mix_epochs" -> {
+      // same integer basis-point weight derivation as the Spark side:
+      // (srcN's N * 7 % 25 + 2) / 10 epochs in [0.2, 2.6]
+      val e = "(CAST(substring(source, 4, 10) AS BIGINT) * 7 % 25 + 2) / 10.0"
+      s"SELECT * FROM (${Sampling.mixEpochsSql("documents",
+          Seq("doc_id", "source"), e, "doc_id", "mix93")}) " +
+        "ORDER BY doc_id, epoch"
+    },
+    "q94_unigram_quality" ->
+      s"SELECT * FROM (${Quality.unigramSurprisalSql("documents",
+          "doc_id", "text")}) ORDER BY doc_id",
+    "q95_repeated_windows" -> {
+      val dirty = "CASE WHEN doc_id % 3 = 0 THEN text || " +
+        "' subscribe now for daily updates curated by our award winning editorial team' " +
+        "ELSE text END"
+      s"SELECT * FROM (${Dedup.repeatedWindowShareSql("documents",
+          "doc_id", dirty, 8)}) ORDER BY doc_id"
     },
   )
 }

@@ -207,6 +207,20 @@ object TextFunctions {
     s"list_distinct(list_transform(range(1, greatest(length($toksExpr) - ${k - 1}, 1) + 1), " +
       s"i -> array_to_string(array_slice($toksExpr, i, i + ${k - 1}), ' ')))"
 
+  /** ALL word k-windows (positional, WITH duplicates — unlike
+   *  [[wordShingles]]): one window per token position, so window
+   *  counts measure text volume, not vocabulary. Texts shorter than
+   *  k yield their single whole-text window (same no-silent-drop
+   *  rule as [[shingles]]). Takes a column NAME holding
+   *  array<string>. */
+  def wordWindows(toksName: String, k: Int): Column =
+    expr(s"transform(sequence(1, greatest(size(`$toksName`) - ${k - 1}, 1)), " +
+      s"i -> array_join(slice(`$toksName`, i, $k), ' '))")
+
+  def wordWindowsSql(toksExpr: String, k: Int): String =
+    s"list_transform(range(1, greatest(length($toksExpr) - ${k - 1}, 1) + 1), " +
+      s"i -> array_to_string(array_slice($toksExpr, i, i + ${k - 1}), ' '))"
+
   /** Lowercased whitespace tokens — the shared tokenizer for
    *  shingling/SimHash (column name variant for expr composition). */
   def lowerTokens(c: Column): Column = split(trim(lower(c)), "\\s+")

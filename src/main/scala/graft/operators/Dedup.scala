@@ -948,6 +948,65 @@ object Dedup {
       .na.fill(Map(textCol -> ""))
   }
 
+  /** Cross-document repeated-substring screen — the relational form
+   *  of the suffix-array dedup criterion ("Deduplicating Training
+   *  Data Makes Language Models Better", Lee et al. 2022: flag long
+   *  token spans that recur verbatim across the corpus). Every doc is
+   *  cut into ALL word k-windows (positional, overlapping — one per
+   *  token position, so the share weighs text volume); a window is
+   *  CONTAMINATED iff its exact text occurs in ≥ 2 distinct
+   *  documents. Output per doc: total windows, contaminated windows,
+   *  and the contaminated share in integer micro-units — the score a
+   *  curation pipeline thresholds to drop template/boilerplate-heavy
+   *  docs that per-doc dedup (X5–X8 operate on whole docs,
+   *  [[dedupParagraphs]] on separator-delimited blocks) cannot see.
+   *
+   *  Shape at 100 TB: windows are h60-hashed INSIDE the per-doc
+   *  projection ([[graft.functions.HashExpressions.h60Array]] on the
+   *  window array), so the explode — and both downstream exchanges —
+   *  carry (doc_id, 8-byte hash) only, never window text. The
+   *  exploded frame is persisted (it feeds the global occurrence agg
+   *  AND the scoring join); the occurrence agg is a two-phase
+   *  count-distinct on the window key (partial per partition);
+   *  scoring is a posting join back on the same key, then one
+   *  per-doc fold. Work is linear in total corpus tokens — the
+   *  window multiset is k× the token count, constant factor. */
+  def repeatedWindowShare(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val wh = df
+      .select(col(idCol), TextFunctions.lowerTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(graft.functions.HashExpressions
+        .h60Array(TextFunctions.wordWindows("__toks", k))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = wh.groupBy(col("w"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    wh.join(occ, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+      .select(col(idCol), col("n_windows"), col("dup_windows"),
+        expr("(dup_windows * 1000000) div n_windows").as("dup_share_micro"))
+  }
+
+  /** DuckDB oracle twin: same lowered-whitespace windows, same h60
+   *  window key (md5-derived, bit-equal both engines), same ≥2
+   *  distinct docs rule and integer micro-share. */
+  def repeatedWindowShareSql(table: String, idCol: String,
+      textExpr: String, k: Int): String = {
+    val windows = TextFunctions.wordWindowsSql(
+      TextFunctions.lowerTokensSql(textExpr), k)
+    s"""WITH wh AS (
+       |  SELECT $idCol, ${Hashing.h60Sql("w")} AS w FROM (
+       |    SELECT $idCol, unnest($windows) AS w FROM $table)),
+       |occ AS (SELECT w, count(DISTINCT $idCol) AS nd FROM wh GROUP BY w)
+       |SELECT $idCol, count(*) AS n_windows,
+       |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dup_windows,
+       |  CAST((sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000) //
+       |    count(*) AS BIGINT) AS dup_share_micro
+       |FROM wh JOIN occ USING (w) GROUP BY $idCol""".stripMargin
+  }
+
   /** DuckDB oracle twin: same h60 winner election (md5-derived, both
    *  engines), window row_number as the min-(doc,pos) tie-break,
    *  ORDER BY pos inside string_agg for the reassembly. */

@@ -152,4 +152,60 @@ object Quality {
           col(s"nn_$i"), col(s"nd_$i"), col(s"mn_$i"), col(s"mx_$i"))): _*)
       .as(Seq("col_name", "n", "n_null", "n_distinct", "min_d", "max_d")))
   }
+
+  /** Unigram language-model quality score (the CCNet/Gopher "LM
+   *  filter" shape): score every document by the mean corpus
+   *  frequency of its tokens, low scores = rare-token-heavy docs
+   *  (boilerplate, code dumps, mojibake) that an LM-perplexity
+   *  filter would also flag. The per-token weight is the DECIMAL
+   *  DIGIT COUNT of the token's corpus count — i.e. ⌊log₁₀ n⌋+1, a
+   *  log-frequency bucketed surprisal computed in pure integer/string
+   *  ops so the score is bit-identical cross-engine (a float `ln`
+   *  here would hostage the oracle hash to libm rounding; a
+   *  production deployment can swap in `ln(n/total)` — the plan shape
+   *  is unchanged). Output: (id, n_tokens, mean_logfreq_micro) where
+   *  mean_logfreq_micro = ⌊10⁶·Σ tf·digits(n) / Σ tf⌋.
+   *
+   *  Shape at 100 TB: ONE corpus text scan through the fused
+   *  [[graft.functions.HashExpressions.tokenFrequencies]] kernel
+   *  (per-doc distinct (token, count) pairs — the explode carries one
+   *  row per distinct token per doc, not per instance), persisted
+   *  because it feeds both the unigram table (hash agg on token) and
+   *  the scoring join; the unigram table is vocab-sized and
+   *  materializable exactly like the q83 retrieval lexicon when the
+   *  corpus is static. The scoring join is a standard posting join on
+   *  the token key; the final agg folds back to one row per doc. */
+  def unigramSurprisal(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol), explode(
+        graft.functions.HashExpressions.tokenFrequencies(col(textCol)))
+        .as("tf"))
+      .select(col(idCol), col("tf.t").as("t"), col("tf.n").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = tf.groupBy(col("t")).agg(sum(col("n")).as("cnt"))
+    tf.join(uni, Seq("t"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * length(col("cnt").cast("string"))).as("__num"))
+      .select(col(idCol), col("n_tokens"),
+        expr("(__num * 1000000) div n_tokens").as("mean_logfreq_micro"))
+  }
+
+  /** DuckDB oracle twin: same tokenization (lowered whitespace split,
+   *  empties dropped — the [[graft.functions.HashExpressions.tokenFrequencies]]
+   *  contract), same digit-count weight via VARCHAR length, same
+   *  integer micro-unit floor. */
+  def unigramSurprisalSql(table: String, idCol: String,
+      textExpr: String): String = {
+    val toks = graft.functions.TextFunctions.lowerTokensSql(textExpr)
+    s"""WITH tok AS (
+       |  SELECT $idCol, t, count(*) AS n FROM (
+       |    SELECT $idCol, unnest($toks) AS t FROM $table)
+       |  WHERE t <> '' GROUP BY 1, 2),
+       |uni AS (SELECT t, CAST(sum(n) AS BIGINT) AS cnt FROM tok GROUP BY 1)
+       |SELECT $idCol, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  CAST((sum(n * length(CAST(cnt AS VARCHAR))) * 1000000) // sum(n)
+       |    AS BIGINT) AS mean_logfreq_micro
+       |FROM tok JOIN uni USING (t) GROUP BY $idCol""".stripMargin
+  }
 }

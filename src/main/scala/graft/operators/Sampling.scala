@@ -71,4 +71,54 @@ object Sampling {
         "left_semi")
       .drop("__h")
   }
+
+  /** Epoch-weighted dataset mixing — the training-recipe primitive
+   *  that turns per-source mixture weights into a materialized
+   *  training set. `epochsCol` is the row's target repetition count
+   *  (possibly fractional, possibly > 1: "2.6 epochs of wiki, 0.3 of
+   *  crawl"): every row is emitted `floor(e)` times, plus one more
+   *  iff h60(salt‖key) mod 10⁴ < frac(e)·10⁴ — so a source converges
+   *  to EXACTLY its weight in expectation with 0.01%-granular,
+   *  content-deterministic rounding (rerun/reshuffle/engine-stable,
+   *  same property as [[hashSample]]; a fractional epoch keeps a
+   *  hash-random SUBSET of the source, never a prefix). Output adds
+   *  an `epoch` column (0-based copy index) so downstream shuffles
+   *  can spread the copies and loaders can interleave by epoch.
+   *
+   *  Shape at 100 TB: one narrow projection + a 1→⌈e⌉ explode — no
+   *  shuffle, no driver state; upsampling never materializes on one
+   *  executor because copies ride the source partitioning. The
+   *  epochs column typically arrives from a broadcast-joined
+   *  per-source weight table (q93 derives it arithmetically).
+   *
+   *  All comparisons are integer (basis-points of an epoch): the one
+   *  double op is `round(e·10⁴)`, absorbing the representation error
+   *  of decimal weight literals identically in both engines. */
+  def mixEpochs(df: DataFrame, epochsCol: Column, keyCol: Column,
+      salt: String): DataFrame = {
+    val bps = round(epochsCol * 10000).cast("long")
+    val frac = pmod(bps, lit(10000L))
+    val whole = ((bps - frac) / 10000).cast("long") // exact: numerator is a multiple
+    val extra = when(splitHash(salt, keyCol) % 10000L < frac, 1L).otherwise(0L)
+    df.withColumn("__copies", whole + extra)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(expr("sequence(0, __copies - 1)")))
+      .drop("__copies")
+  }
+
+  /** DuckDB oracle twin: emits `SELECT <cols>, unnest(range(copies))
+   *  AS epoch` over the same integer basis-point arithmetic
+   *  (`range(0)` is empty, so zero-copy rows vanish exactly like the
+   *  Spark filter). `epochsExpr`/`keyExpr` are SQL fragments over
+   *  `from`'s columns. */
+  def mixEpochsSql(from: String, cols: Seq[String], epochsExpr: String,
+      keyExpr: String, salt: String): String = {
+    val h = Hashing.h60Sql(s"'$salt' || CAST($keyExpr AS VARCHAR)")
+    s"""SELECT ${cols.mkString(", ")}, unnest(range(copies)) AS epoch FROM (
+       |  SELECT *, (bps // 10000) +
+       |      (CASE WHEN $h % 10000 < bps % 10000 THEN 1 ELSE 0 END) AS copies
+       |  FROM (SELECT *, CAST(round(($epochsExpr) * 10000) AS BIGINT) AS bps
+       |        FROM $from)
+       |)""".stripMargin
+  }
 }
