@@ -1364,6 +1364,33 @@ object SparkEntry {
           documents(s, dir).select(d, dirty.as("text")), "doc_id", "text", 8)
         .orderBy("doc_id")
     }),
+    // WARC web-archive ingestion (X68), end-to-end like q60's msgpack
+    // twin: documents render into Common-Crawl-layout .warc.gz blobs
+    // on executors (one gzip member per record, ~50 records/chunk),
+    // decode through the pure-JVM Warc codec, and the round-tripped
+    // payloads must reproduce byte lengths and token counts computed
+    // straight off the parquet rows.
+    "q96_warc_roundtrip" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val chunks = documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.grouped(50).map { group =>
+          graft.sources.Warc.encodeGz(
+            group.map { case (id, text) =>
+              (s"http://corpus.invalid/doc/$id", text.getBytes("UTF-8"))
+            }, i => group(i)._1)
+        })
+      Sources.warcRecords(chunks)
+        .select(
+          regexp_extract(col("uri"), "/doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          length(col("payload")).cast("long").as("content_length"),
+          graft.functions.TokenCounts(col("payload").cast("string"))
+            .getField("tok_ws").as("tok_ws"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Write `df` as exactly ONE parquet part file named `name` under
@@ -1888,5 +1915,10 @@ object SparkEntry {
       s"SELECT * FROM (${Dedup.repeatedWindowShareSql("documents",
           "doc_id", dirty, 8)}) ORDER BY doc_id"
     },
+    "q96_warc_roundtrip" ->
+      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
+         |    AS content_length,
+         |  ${graft.functions.TextFunctions.tokenCountWsSql("text")} AS tok_ws
+         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

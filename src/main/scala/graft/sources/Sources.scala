@@ -93,6 +93,22 @@ object Sources {
       .select(col("ts"), map_from_entries(col("payload")).as("payload"))
   }
 
+  /** WARC web-archive ingestion (ISO 28500 — the Common Crawl
+   *  container): each element of `chunks` is a `.warc.gz` byte blob
+   *  (one gzip member per record, members concatenated). Decoding is
+   *  per-partition via the pure-JVM [[Warc]] codec — a narrow 1→N
+   *  flatMap, so chunk/file parallelism IS the source partitioning
+   *  and no shuffle precedes the first real operator, exactly the
+   *  posture of [[msgpackEvents]]. Payload bytes surface raw
+   *  (`binary`); text extraction is the caller's typed decision. */
+  def warcRecords(chunks: org.apache.spark.sql.Dataset[Array[Byte]]): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.flatMap(Warc.decode(_).map(r =>
+        (r.uri, r.recordType, r.contentType, r.payload)))
+      .toDF("uri", "record_type", "content_type", "payload")
+  }
+
   /** Permissive delimited/JSON file ingestion with the reference's
    *  malformed-record tolerance (math.c:349-352: undecodable records
    *  pass through, never abort the stream): PERMISSIVE mode keeps bad
