@@ -25,8 +25,12 @@ import graft.sources.Sources
  */
 object SparkEntry {
 
+  /** Events with `ts` normalized to epoch-micros BIGINT
+   *  (Sources.withTsMicros) — every consumer below does integer
+   *  event-time math on that contract, independent of the lake's
+   *  physical timestamp encoding. */
   private def events(s: SparkSession, dir: String): DataFrame =
-    Sources.table(s, dir, "events")
+    Sources.withTsMicros(Sources.table(s, dir, "events"))
 
   private def documents(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "documents")
@@ -550,7 +554,7 @@ object SparkEntry {
       val gapUs = 30L * 60 * 1000 * 1000
       val w = Window.partitionBy("user_id").orderBy("t")
       events(s, dir)
-        .select(col("user_id"), expr("ts div 1000").as("t"))
+        .select(col("user_id"), col("ts").as("t"))
         .withColumn("new_sess",
           when(lag(col("t"), 1).over(w).isNull ||
             col("t") - lag(col("t"), 1).over(w) > gapUs, 1L).otherwise(0L))
@@ -561,14 +565,14 @@ object SparkEntry {
         .orderBy("user_id")
     }),
     // tumbling-window time aggregation (streaming-shaped, batch-verified;
-    // ts arrives as raw nanos under nanosAsLong — truncate to micros).
+    // ts arrives as epoch micros from events()).
     // The window start is emitted as a formatted UTC string: Spark
     // writes timestamps as MICROS, the oracle's parquet reader yields
     // NANOS, and the driver's hash distinguishes the two physical
     // representations (round-1 mismatch); a string is canonical.
     "q30_time_window" -> ((s, dir) => events(s, dir)
       .select(
-        date_format(date_trunc("hour", timestamp_micros(expr("ts div 1000"))),
+        date_format(date_trunc("hour", timestamp_micros(col("ts"))),
           "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("value"))
       .groupBy(col("hour"), col("event_type"))
@@ -677,7 +681,9 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
         .as[(Long, Long, Long, Double)]
         .mapPartitions(_.grouped(100).map(_.flatMap { case (id, ts, u, v) =>
-          graft.sources.Msgpack.encodeEvent(ts,
+          // events() serves micros; the fluent-bit wire carries full
+          // nanos in the ext-type event time, so widen on encode
+          graft.sources.Msgpack.encodeEvent(ts * 1000L,
             Seq("event_id" -> id, "user_id" -> u, "value" -> v))
         }.toArray))
       val decoded = Sources.msgpackEvents(chunks)
@@ -836,7 +842,7 @@ object SparkEntry {
         graft.streaming.Streams.parquetStream(s, s"$dir/events.parquet")
           .filter(col("event_id") % 2 === parity)
           .select(col("event_id").as(idN), col("user_id").as(kN),
-            timestamp_micros(expr("ts div 1000")).as(tsN))
+            timestamp_micros(col("ts")).as(tsN))
       val joined = graft.streaming.Streams.intervalJoin(
           side(0, "l_id", "k_l", "l_ts"), side(1, "r_id", "k_r", "r_ts"),
           "k_l", "k_r", "l_ts", "r_ts", "10 minutes", "6 hours")
@@ -863,7 +869,7 @@ object SparkEntry {
       val out = graft.streaming.Streams.scratchDir("graft_q68_")
       val evs = graft.streaming.Streams
         .parquetStream(s, s"$dir/events.parquet")
-        .select(col("user_id"), expr("ts div 1000").as("ets_us"))
+        .select(col("user_id"), col("ts").as("ets_us"))
         .as[graft.streaming.SessionEvent]
       val sessions = graft.streaming.Sessionize
         .sessions(evs, 30L * 60 * 1000 * 1000)
@@ -929,7 +935,7 @@ object SparkEntry {
         graft.streaming.Streams.withStatePartitions(s0, 8) { s =>
       val stream = graft.streaming.Streams
         .parquetStream(s, s"$dir/events.parquet")
-        .select(timestamp_micros(expr("ts div 1000")).as("t"),
+        .select(timestamp_micros(col("ts")).as("t"),
           col("event_type"), col("value"))
         .withWatermark("t", "1 hour")
         .groupBy(window(col("t"), "1 hour"), col("event_type"))

@@ -4,11 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** One place for engine session config so Verify/Bench/tests agree.
  *
- *  - `nanosAsLong`: driver testdata carries TIMESTAMP(NANOS) parquet
- *    columns, which Spark's vectorized reader rejects by default. The
- *    reference treats the event timestamp as opaque (repacked verbatim,
- *    filter_math/math.c:239), so reading it as a raw nanosecond long is
- *    semantically faithful.
+ *  - `nanosAsLong`: earlier driver testdata generations carried
+ *    TIMESTAMP(NANOS) parquet columns, which Spark's vectorized reader
+ *    rejects by default; current generations write TIMESTAMP(MICROS)
+ *    (read as TIMESTAMP_NTZ). Both normalize to the engine's
+ *    epoch-micros BIGINT event-time contract in
+ *    `Sources.withTsMicros`; the conf stays so nanos-era lakes still
+ *    read. The reference treats the event timestamp as opaque
+ *    (repacked verbatim, filter_math/math.c:239), so an integer
+ *    carrier is semantically faithful.
  *  - UTC session TZ: deterministic timestamp rendering vs the oracle.
  *  - shuffle.partitions sized to local core count (the 200 default
  *    would fragment tiny local shuffles; on a real cluster this is

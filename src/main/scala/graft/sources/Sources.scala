@@ -23,6 +23,27 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Event-time normalization at the source boundary. The engine
+   *  contract downstream is `ts` = epoch MICROS as BIGINT (the
+   *  reference treats event time as an opaque scalar it repacks
+   *  verbatim, math.c:239 — integer micros is the engine's canonical
+   *  carrier). The lake has served two physical encodings across
+   *  driver generations: TIMESTAMP(NANOS) parquet (read as raw
+   *  nanosecond longs under `nanosAsLong`) and TIMESTAMP(MICROS)
+   *  parquet (read as TIMESTAMP_NTZ). Both normalize here; the
+   *  session is pinned UTC so the NTZ→LTZ cast is offset-free and
+   *  `unix_micros` is exact. Absent or already-BIGINT-micros columns
+   *  pass through untouched (a micros long is detected as NOT nanos
+   *  only by generation: LongType from this lake is always nanos). */
+  def withTsMicros(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema.fields.find(_.name == c).map(_.dataType) match {
+      case Some(LongType)         => df.withColumn(c, expr(s"$c div 1000"))
+      case Some(TimestampNTZType) =>
+        df.withColumn(c, unix_micros(col(c).cast(TimestampType)))
+      case Some(TimestampType)    => df.withColumn(c, unix_micros(col(c)))
+      case _                      => df
+    }
+
   val payloadType: MapType = MapType(StringType, DoubleType)
 
   /** Schemaless ingestion: a column of JSON objects → `payload`

@@ -5,6 +5,7 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
 import org.apache.spark.sql.Row
 
 import graft.core.{MathOp, MathCompiler, Pipelines}
+import graft.sources.Sources
 
 /**
  * Structured Streaming surface (SURVEY §2.2 H1–H5, §3.2).
@@ -40,7 +41,9 @@ object Streams {
           d.resolve(f.getName), f.toPath.toAbsolutePath)
         d.toString
       }
-    spark.readStream.schema(schema).parquet(dir)
+    // same event-time contract as the batch reader: any `ts` column
+    // is normalized to epoch-micros BIGINT at the source boundary
+    Sources.withTsMicros(spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Apply one math filter to a (streaming or batch) frame. */

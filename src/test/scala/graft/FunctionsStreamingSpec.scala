@@ -46,8 +46,9 @@ class FunctionsStreamingSpec extends SparkTestBase {
   }
 
   test("watermarked tumbling-window agg: streaming AvailableNow ≡ batch") {
-    val toTs = timestamp_micros(expr("ts div 1000"))
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val toTs = timestamp_micros(col("ts"))  // ts = epoch micros (withTsMicros)
+    val batch = graft.sources.Sources.withTsMicros(
+      spark.read.parquet(s"$dir/events.parquet"))
       .select(toTs.as("ets"), col("event_type"))
       .groupBy(window(col("ets"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))

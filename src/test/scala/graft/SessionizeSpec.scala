@@ -25,8 +25,9 @@ class SessionizeSpec extends SparkTestBase {
 
   private def load() = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("ets_us"))
+    graft.sources.Sources.withTsMicros(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), col("ts").as("ets_us"))
       .as[SessionEvent]
   }
 
@@ -49,7 +50,7 @@ class SessionizeSpec extends SparkTestBase {
     import spark.implicits._
     val batch = Sessionize.sessions(load(), gapUs).collect().toSet
     val stream = Streams.parquetStream(spark, s"$dir/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("ets_us"))
+      .select(col("user_id"), col("ts").as("ets_us"))
       .as[SessionEvent]
     Streams.drainToMemory(Sessionize.sessions(stream, gapUs).toDF(), "sess_stream")
     val streamed = spark.table("sess_stream").as[UserSession].collect().toSet

@@ -18,11 +18,12 @@ class StreamingParitySpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** events with a real TimestampType event-time column (testdata ts
-   *  is raw nanos under nanosAsLong). */
+  /** events with a real TimestampType event-time column (ts is
+   *  normalized to epoch micros at the source boundary). */
   private def eventsWithTime(): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Sources.withTsMicros(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .withColumn("tts", timestamp_micros(col("ts")))
 
   private def drainToParquet(df: DataFrame): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_parity_out_")
@@ -39,7 +40,7 @@ class StreamingParitySpec extends SparkTestBase {
 
   test("streaming exact dedup over lake files ≡ batch distinct-by-content") {
     val stream = Streams.parquetStream(spark, s"$dir/events.parquet")
-      .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("tts", timestamp_micros(col("ts")))
     // watermark wide enough that nothing in the bounded file is "late":
     // state semantics (one survivor per content hash) are what's under
     // test, and they must hold regardless of the eviction horizon
@@ -66,7 +67,7 @@ class StreamingParitySpec extends SparkTestBase {
     // streaming: flatMapGroupsWithState emits sessions CLOSED by a
     // later event; each user's trailing session stays in state
     val stream = Streams.parquetStream(spark, s"$dir/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("ets_us")).as[SessionEvent]
+      .select(col("user_id"), col("ts").as("ets_us")).as[SessionEvent]
     val got = {
       val out = java.nio.file.Files.createTempDirectory("graft_sess_out_")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt_")
@@ -82,8 +83,9 @@ class StreamingParitySpec extends SparkTestBase {
     // minus each user's LAST session — the one streaming keeps open
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("t")
-    val sessions = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("t"))
+    val sessions = graft.sources.Sources.withTsMicros(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), col("ts").as("t"))
       .withColumn("new_sess", when(lag(col("t"), 1).over(w).isNull ||
         col("t") - lag(col("t"), 1).over(w) > gapUs, 1L).otherwise(0L))
       .withColumn("sess_id", sum("new_sess").over(
@@ -103,10 +105,10 @@ class StreamingParitySpec extends SparkTestBase {
   test("stream-stream interval join over lake files ≡ the batch interval join") {
     val lookback = "1 hour"
     val left = Streams.parquetStream(spark, s"$dir/events.parquet")
-      .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("tts", timestamp_micros(col("ts")))
       .select(col("event_id"), col("user_id"), col("tts"))
     val right = Streams.parquetStream(spark, s"$dir/events.parquet")
-      .withColumn("pts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("pts", timestamp_micros(col("ts")))
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("pts"), col("value").as("pv"))
     val joined = Streams.intervalJoin(left, right,
