@@ -27,5 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The ContextCleaner periodic GC (GraftSession: 1min) calls
+  // System.gc(), which under G1 is a stop-the-world FULL collection —
+  // multi-second on a 64 GB heap, landing on whichever query straddles
+  // the tick (measured at sf1/64 GB: scattered 3-11x medians, e.g.
+  // q89 12.6 s vs 1.1 s, with no plan difference). Concurrent explicit
+  // GC keeps the ref-drain benefit without the pause.
+  "-XX:+ExplicitGCInvokesConcurrent",
 )
 scalacOptions ++= Seq("-deprecation")
