@@ -34,14 +34,21 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       // ContextCleaner drains broadcast/shuffle/accumulator refs only
-      // when driver GC collects them; on a large heap (the 64 GB scale
-      // sweeps) GC can go many minutes between cycles and the backlog
-      // measurably strangles later queries (sf1 full-set run at 64 GB:
-      // q23 group-agg 32 s vs 0.8 s at 8 GB, q22 6.3 s vs 0.3 s —
-      // same code, same data). The stock default (30min) never fires
-      // within a bench JVM's lifetime; 1min is the cluster-honest
-      // setting for memory-generous drivers.
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      // when driver GC collects them; on a heap far larger than the
+      // working set (64 GB over sf1-sized data) GC simply never fires
+      // and the backlog measurably strangles later queries (sf1
+      // full-set run at 64 GB: q23 group-agg 32 s vs 0.8 s at 8 GB,
+      // q22 6.3 s vs 0.3 s — same code, same data); the stock 30min
+      // default never fires within a bench JVM's lifetime. The tick
+      // is env-tunable because the OPPOSITE regime is also measured:
+      // when the heap is sized TO the data (64 GB at sf10), natural
+      // allocation pressure already drives GC — the cleaner rides it —
+      // and a 1min explicit tick only adds concurrent-cycle CPU tax
+      // on a busy 32-thread JVM (scattered 2-6x medians across the
+      // sf10 sweep). Rule: 1min when heap >> data, stock when heap
+      // tracks data.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "1min"))
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()

@@ -710,6 +710,29 @@ object Similarity {
         col("best.id_b").as("id_b"), col("best.sim").as("sim"))
   }
 
+  /** The 3^nproj ±1-multiprobe key DELTAS as one literal array: the
+   *  12-bit-per-axis pack is linear in the offsets, so probing every
+   *  adjacent cell is `baseKey + delta` with delta = Σ off_j·2^(12j) —
+   *  a compile-time Long per offset combination. Inlining 3^nproj full
+   *  pack() expression copies under one explode instead grew the
+   *  generated projection past the JVM's 64 KB method limit at
+   *  nproj=5 ("Code grows beyond 64 KB"), silently dropping the whole
+   *  STAGE — including the exact-verify join it fed — out of
+   *  whole-stage codegen (measured on q91: interpreted eval on the
+   *  hottest loop). Callers explode `transform(probeDeltas(n), _ +
+   *  baseKey)` — the add happens inside the generator's lambda (one
+   *  compact loop, no post-Generate projection re-copying the carried
+   *  columns: an explicit ck0+dk projection after the Generate
+   *  measured 3x on the q85 path, whose probe rows carry the
+   *  embedding). */
+  private def probeDeltas(nproj: Int): Column = {
+    val offsets = Seq.fill(nproj)(Seq(-1L, 0L, 1L))
+      .foldLeft(Seq(Seq.empty[Long]))((acc, ax) =>
+        for (p <- acc; o <- ax) yield p :+ o)
+    array(offsets.map(off => lit((0 until nproj)
+      .map(j => off(j) * (1L << (12 * j))).sum)): _*)
+  }
+
   // ------------------------------- candidate-pruned EXACT nearest pair
 
   /** Split of [[labelNearestPairPruned]] exposed for specs: grid
@@ -752,15 +775,13 @@ object Similarity {
       (0 until nproj).map(j =>
         (col(s"c$j") + lit(off(j)) + lit(2048L)) * lit(1L << (12 * j)))
         .reduce(_ + _)
-    val offsets = Seq.fill(nproj)(Seq(-1L, 0L, 1L))
-      .foldLeft(Seq(Seq.empty[Long]))((acc, ax) =>
-        for (p <- acc; o <- ax) yield p :+ o)
     // a-side posts all 3^nproj shifted keys; b-side posts its own cell:
     // a pair matches on exactly ONE offset (= its cell difference), so
     // no candidate dedup is needed
+    val base = pack(Seq.fill(nproj)(0L))
     val a = ec.select(col("label"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"),
-      explode(array(offsets.map(pack): _*)).as("ck"))
+      explode(transform(probeDeltas(nproj), _ + base)).as("ck"))
     val b = ec.select(col("label"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("nrm").as("nb"), pack(Seq.fill(nproj)(0L)).as("ck"))
     // the candidate join is the operator's dominant cost — run it ONCE:
@@ -856,6 +877,27 @@ object Similarity {
    *  (X7 MinHash, X57 grid ANN) instead. */
   def cosineNearDupPairs(emb: DataFrame, dim: Int, tau: Double,
       nproj: Int = 5): DataFrame = {
+    val (ec, a, b) = pairProbeFrames(emb, dim, tau, nproj)
+    val cand = a.join(b, Seq("ck")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    // exact verify: vectors join back by id (heavy rows move once)
+    val va = ec.select(col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val vb = ec.select(col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dotExpr("va", "vb") / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
+  /** The [[cosineNearDupPairs]] candidate machinery, exposed for mass
+   *  probing: (prepared+celled corpus, a-side 3^nproj probe-key frame,
+   *  b-side own-cell frame). Candidate mass = the (a ⋈ b on ck)
+   *  row count — computable from per-key occupancies without
+   *  materializing a pair. */
+  private[graft] def pairProbeFrames(emb: DataFrame, dim: Int,
+      tau: Double, nproj: Int): (DataFrame, DataFrame, DataFrame) = {
     require(nproj >= 1 && nproj <= 5,
       s"cell packing is 12 bits/axis in one long: nproj must be 1..5, got $nproj")
     val level = losslessGridLevel(tau, dim)
@@ -873,25 +915,13 @@ object Similarity {
       (0 until nproj).map(j =>
         (col(s"c$j") + lit(off(j)) + lit(2048L)) * lit(1L << (12 * j)))
         .reduce(_ + _)
-    val offsets = Seq.fill(nproj)(Seq(-1L, 0L, 1L))
-      .foldLeft(Seq(Seq.empty[Long]))((acc, ax) =>
-        for (p <- acc; o <- ax) yield p :+ o)
     // candidate generation on (id, key) rows only
+    val base = pack(Seq.fill(nproj)(0L))
     val a = ec.select(col("vec_id").as("id_a"),
-      explode(array(offsets.map(pack): _*)).as("ck"))
+      explode(transform(probeDeltas(nproj), _ + base)).as("ck"))
     val b = ec.select(col("vec_id").as("id_b"),
       pack(Seq.fill(nproj)(0L)).as("ck"))
-    val cand = a.join(b, Seq("ck")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    // exact verify: vectors join back by id (heavy rows move once)
-    val va = ec.select(col("vec_id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val vb = ec.select(col("vec_id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (dotExpr("va", "vb") / (col("na") * col("nb"))).as("sim"))
-      .filter(col("sim") >= tau)
+    (ec, a, b)
   }
 
   /** Oracle: the UNPRUNED all-pairs formulation — the strongest
