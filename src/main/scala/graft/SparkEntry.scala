@@ -35,6 +35,35 @@ object SparkEntry {
   private def documents(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "documents")
 
+  /** The embeddings corpus augmented with a deterministic perturbed
+   *  twin per vector (component vec_id%64 doubled — exact in any
+   *  precision; twin cosines spread 0.94-0.9999, so a 0.999
+   *  threshold discriminates). Shared by the exact-pair (q91) and
+   *  SemDeDup-apply (q97) rows; [[twinnedEmbeddingsSql]] is the
+   *  byte-identical DuckDB mirror. */
+  private def twinnedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val base = Sources.table(s, dir, "embeddings")
+    val bumped = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> " +
+        "cast(cast(x as double) * (case when i = cast(vec_id % 64 as int) " +
+        "then 2.0D else 1.0D end) as float))").as("embedding"),
+      col("label"))
+    base.unionByName(bumped)
+  }
+
+  /** DuckDB mirror of [[twinnedEmbeddings]]: doubling is exact in
+   *  double, and the cast back to FLOAT is exact (value range
+   *  unchanged up to a factor 2). */
+  private val twinnedEmbeddingsSql: String =
+    """(SELECT vec_id, embedding, label FROM embeddings
+      | UNION ALL
+      | SELECT vec_id + 1000000,
+      |   list_transform(range(1, 65), i ->
+      |     CAST(CAST(embedding[i] AS DOUBLE) *
+      |       (CASE WHEN i - 1 = vec_id % 64 THEN 2.0 ELSE 1.0 END)
+      |       AS FLOAT)),
+      |   label FROM embeddings)""".stripMargin
+
   /** The MinHash-LSH pair list three queries share (q17 pairs, q32
    *  apply, q42 clusters), MATERIALIZED ONCE per corpus to a lake
    *  path and read back — what a real pipeline does with an
@@ -1334,16 +1363,20 @@ object SparkEntry {
     // near-dup, where the lossless cells actually prune); the ORACLE
     // is the UNPRUNED all-pairs SQL, so a single lost pair is a
     // missing row, not a matching hash.
-    "q91_cosine_pairs" -> ((s, dir) => {
-      val base = Sources.table(s, dir, "embeddings")
-      val bumped = base.select((col("vec_id") + 1000000L).as("vec_id"),
-        expr("transform(embedding, (x, i) -> " +
-          "cast(cast(x as double) * (case when i = cast(vec_id % 64 as int) " +
-          "then 2.0D else 1.0D end) as float))").as("embedding"),
-        col("label"))
-      Similarity.cosineNearDupPairs(base.unionByName(bumped), 64, 0.999, 5)
-        .orderBy("id_a", "id_b")
-    }),
+    "q91_cosine_pairs" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(twinnedEmbeddings(s, dir), 64, 0.999, 5)
+        .orderBy("id_a", "id_b")),
+    // SemDeDup survivor set (X69): the APPLY step over the same
+    // twinned corpus — every vector with a smaller-id ≥ 0.999 cosine
+    // neighbor drops (so the near-identical twins vanish, keeping
+    // their originals), everything else survives as the training
+    // corpus. The grid candidates are lossless at τ, making the
+    // survivor set EXACT; the oracle recomputes it from unpruned
+    // all-pairs SQL, so a candidate lost by the pruning shows up as
+    // an extra surviving row, not a matching hash.
+    "q97_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedupSurvivors(twinnedEmbeddings(s, dir), 64, 0.999, 5)
+        .orderBy("vec_id")),
     // Paragraph-level exact dedup (X64), the C4/Dolma boilerplate
     // removal: every doc gets a corpus-wide shared footer paragraph
     // plus a doc_id%5-keyed copyright paragraph appended; after the
@@ -1412,6 +1445,20 @@ object SparkEntry {
             .getField("tok_ws").as("tok_ws"))
         .orderBy("doc_id")
     }),
+    // BPE merge-step pair counts (X70): corpus-wide frequencies of
+    // adjacent whitespace-token pairs — the statistic a byte-pair-
+    // encoding merge step maximizes (Sennrich et al. 2016), over the
+    // whitespace pre-tokenization. NARROW-FIRST like q46: the fused
+    // BigramFrequencies kernel folds each doc to its distinct
+    // (pair, count) rows in one byte pass, explode + map-side
+    // partial sum combine across docs, and the top-30 is a
+    // TakeOrdered — the shuffle carries per-partition partials of
+    // distinct pairs, never pair occurrences.
+    "q98_bpe_pair_counts" -> ((s, dir) => documents(s, dir)
+      .select(explode(graft.functions.HashExpressions
+        .bigramFrequencies(col("text"))).as("bf"))
+      .groupBy(col("bf.t").as("pair")).agg(sum(col("bf.n")).as("n"))
+      .orderBy(desc("n"), asc("pair")).limit(30)),
   )
 
   /** Write `df` as exactly ONE parquet part file named `name` under
@@ -1895,22 +1942,14 @@ object SparkEntry {
     },
     "q90_sq8_ann" ->
       s"${Similarity.sq8TopKSql("embeddings", 8, 5, 4)} ORDER BY q_id, rank",
-    "q91_cosine_pairs" -> {
-      // the same augmented corpus, byte-identical: doubling is exact
-      // in double, and the cast back to FLOAT is exact (value range
-      // unchanged up to a factor 2)
-      val aug =
-        """(SELECT vec_id, embedding, label FROM embeddings
-          | UNION ALL
-          | SELECT vec_id + 1000000,
-          |   list_transform(range(1, 65), i ->
-          |     CAST(CAST(embedding[i] AS DOUBLE) *
-          |       (CASE WHEN i - 1 = vec_id % 64 THEN 2.0 ELSE 1.0 END)
-          |       AS FLOAT)),
-          |   label FROM embeddings)""".stripMargin
-      s"SELECT * FROM (${Similarity.cosineNearDupPairsSql(aug, 0.999)}) " +
-        "ORDER BY id_a, id_b"
-    },
+    "q91_cosine_pairs" ->
+      (s"SELECT * FROM (${Similarity.cosineNearDupPairsSql(
+          twinnedEmbeddingsSql, 0.999)}) " +
+        "ORDER BY id_a, id_b"),
+    "q97_semantic_dedup" ->
+      (s"SELECT * FROM (${Similarity.semanticDedupSurvivorsSql(
+          twinnedEmbeddingsSql, 0.999)}) " +
+        "ORDER BY vec_id"),
     "q92_paragraph_dedup" -> {
       val nl = "chr(10) || chr(10)"
       val dirty = s"text || $nl || 'Subscribe to our newsletter!' || $nl || " +
@@ -1941,5 +1980,17 @@ object SparkEntry {
          |    AS content_length,
          |  ${graft.functions.TextFunctions.tokenCountWsSql("text")} AS tok_ws
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // pairs over the empty-filtered token list == the kernel's
+    // consecutive-non-empty-token pairs (empties only occur at the
+    // string's edges); range() is end-exclusive, so i runs 1..len-1
+    // and tk[i+1] tops out at tk[len] (len<2 → empty range → no rows)
+    "q98_bpe_pair_counts" ->
+      s"""SELECT pair, count(*) AS n FROM (
+         |  SELECT unnest(list_transform(range(1, greatest(length(tk), 1)),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS pair FROM (
+         |    SELECT list_filter(
+         |      ${graft.functions.TextFunctions.lowerTokensSql("text")},
+         |      x -> x <> '') AS tk FROM documents))
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
   )
 }

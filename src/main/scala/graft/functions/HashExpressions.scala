@@ -266,6 +266,43 @@ object HashOps {
         if (cur == null) m.put(t, Array(1L)) else cur(0) += 1L
       }
     }
+    sortedFreqRows(m)
+  }
+
+  /** Per-doc distinct ADJACENT-PAIR counts of `lower(text)`'s
+   *  non-empty whitespace tokens, keys `"left right"` (single-space
+   *  joined), sorted by key — the tokenizer-training twin of
+   *  [[tokenFreqs]]: corpus-wide pair counts are the statistic one
+   *  BPE merge step maximizes (Sennrich et al. 2016, arXiv:
+   *  1508.07909), here over the whitespace pre-tokenization. Empty
+   *  boundary tokens only ever occur at the string's edges, so
+   *  pairing consecutive non-empty tokens equals pairing over the
+   *  empty-filtered token list — the oracle's formulation. */
+  def bigramFreqs(s: UTF8String): ArrayData = {
+    val b = s.toLowerCase.getBytes
+    val m = new java.util.HashMap[UTF8String, Array[Long]](32)
+    var prevOff = 0
+    var prevLen = 0
+    forEachSplitToken(b) { (off, len) =>
+      if (len > 0) {
+        if (prevLen > 0) {
+          val key = new Array[Byte](prevLen + 1 + len)
+          System.arraycopy(b, prevOff, key, 0, prevLen)
+          key(prevLen) = 0x20
+          System.arraycopy(b, off, key, prevLen + 1, len)
+          val t = UTF8String.fromBytes(key)
+          val cur = m.get(t)
+          if (cur == null) m.put(t, Array(1L)) else cur(0) += 1L
+        }
+        prevOff = off
+        prevLen = len
+      }
+    }
+    sortedFreqRows(m)
+  }
+
+  private def sortedFreqRows(
+      m: java.util.HashMap[UTF8String, Array[Long]]): ArrayData = {
     val keys = m.keySet().toArray(new Array[UTF8String](m.size()))
     java.util.Arrays.sort(keys,
       (a: UTF8String, b: UTF8String) => a.compareTo(b))
@@ -434,6 +471,26 @@ case class TokenFrequencies(child: Expression)
     copy(child = newChild)
 }
 
+/** `BigramFrequencies(string) → array<struct<t:string,n:bigint>>` —
+ *  fused lowercase + tokenize + per-doc ADJACENT-PAIR frequency map,
+ *  keys single-space joined, sorted (see [[HashOps.bigramFreqs]]).
+ *  Same narrow-first shape as [[TokenFrequencies]]: exploding it
+ *  emits one row per distinct pair per document, not per pair
+ *  occurrence. */
+case class BigramFrequencies(child: Expression)
+    extends UnaryExpression with StringInput {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t", StringType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.bigramFreqs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.bigramFreqs($c);")
+  override protected def withNewChildInternal(newChild: Expression): BigramFrequencies =
+    copy(child = newChild)
+}
+
 /** `TermCounts(string, terms) → array<long>` — fused lowercase +
  *  tokenize + per-term counting against a bounded (broadcast-literal)
  *  term list: [dl, tf(terms(0)), tf(terms(1)), …] in one byte pass
@@ -487,6 +544,8 @@ object HashExpressions {
     ColumnBridge.column(LangIdOf(ColumnBridge.expression(c)))
   def tokenFrequencies(c: Column): Column =
     ColumnBridge.column(TokenFrequencies(ColumnBridge.expression(c)))
+  def bigramFrequencies(c: Column): Column =
+    ColumnBridge.column(BigramFrequencies(ColumnBridge.expression(c)))
   def termCounts(c: Column, terms: Seq[String]): Column =
     ColumnBridge.column(TermCounts(ColumnBridge.expression(c), terms))
 }

@@ -934,6 +934,47 @@ object Similarity {
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $tau""".stripMargin
 
+  // --------------------------------------- semantic dedup (SemDeDup)
+
+  /** Semantic-dedup survivor set (X69) — the APPLY step of
+   *  embedding-space near-dup removal, the curation pass SemDeDup
+   *  (Abbas et al., 2023, arXiv:2303.09540) runs before training:
+   *  drop every vector that has a semantically-duplicate neighbor
+   *  with a smaller id (the deterministic keep-one rule — survivors
+   *  are exactly the vectors with no ≥ τ cosine neighbor earlier in
+   *  id order), keep the rest as the training corpus.
+   *
+   *  Where the paper bounds the O(n²) pairwise pass with k-means
+   *  clusters and accepts the recall loss of cross-cluster pairs,
+   *  here the candidate blocks are [[cosineNearDupPairs]]'s lossless
+   *  grid cells: every ≥ τ pair IS a candidate (arithmetic bound, no
+   *  recall knob), so the survivor set is EXACT for the rule — which
+   *  is what lets the unpruned all-pairs SQL act as the oracle.
+   *  Same operating regime as the pair list: tight thresholds, or
+   *  genuinely clustered near-dup corpora.
+   *
+   *  Scale posture: the pair machinery's posture (id-only multiprobe
+   *  explode, vectors move once for the verify join) plus ONE
+   *  left-anti join of the corpus against the distinct dominated-id
+   *  set — the q32 dedup-apply shape. The anti join's build side is
+   *  the dominated ids (≤ corpus, typically ≪), broadcast-able at
+   *  real duplicate rates. */
+  def semanticDedupSurvivors(emb: DataFrame, dim: Int, tau: Double,
+      nproj: Int = 5): DataFrame = {
+    val dominated = cosineNearDupPairs(emb, dim, tau, nproj)
+      .select(col("id_b").as("vec_id")).distinct()
+    emb.select(col("vec_id"), col("label"))
+      .join(dominated, Seq("vec_id"), "left_anti")
+  }
+
+  /** Oracle: survivors under the UNPRUNED all-pairs dominated set —
+   *  a candidate lost by the grid would resurface here as an extra
+   *  surviving row. */
+  def semanticDedupSurvivorsSql(table: String, tau: Double): String =
+    s"""SELECT vec_id, label FROM $table sem_t
+       |WHERE vec_id NOT IN (
+       |  SELECT id_b FROM (${cosineNearDupPairsSql(table, tau)}))""".stripMargin
+
   // ------------------------------------- scalar-quantized (int8) ANN
 
   /** Symmetric int8 scalar quantization (X62): component →
