@@ -165,7 +165,16 @@ object SparkEntry {
    *  exact. The corpus fingerprint is part of the path, so a
    *  regenerated table can never serve stale data. */
   private def sharedTable(s: SparkSession, dir: String, tag: String)(
-      build: => DataFrame): DataFrame = {
+      build: => DataFrame): DataFrame =
+    s.read.parquet(sharedArtifactPath(dir, tag)(p =>
+      build.write.mode("overwrite").parquet(p)))
+
+  /** Format-agnostic core of [[sharedTable]]: run `write(tmpPath)`
+   *  ONCE per (corpus, tag) and return the final path. The writer
+   *  must leave a Hadoop `_SUCCESS` marker (every Spark file sink
+   *  does). */
+  private def sharedArtifactPath(dir: String, tag: String)(
+      write: String => Unit): String = {
     val path = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_shared_${tag}_" +
         corpusFingerprint(dir))
@@ -177,13 +186,13 @@ object SparkEntry {
         // racing a writer mid-write across JVMs)
         val tmp = new java.io.File(path.getParent,
           s"${path.getName}.tmp${ProcessHandle.current().pid()}")
-        build.write.mode("overwrite").parquet(tmp.toString)
+        write(tmp.toString)
         if (!tmp.renameTo(path)) { // lost the race: someone else won
           org.apache.commons.io.FileUtils.deleteDirectory(tmp)
         }
       }
     }
-    s.read.parquet(path.toString)
+    path.toString
   }
 
   /** The q78 corpus's LSH index as a LAKE TABLE, built once per
@@ -1459,6 +1468,54 @@ object SparkEntry {
         .bigramFrequencies(col("text"))).as("bf"))
       .groupBy(col("bf.t").as("pair")).agg(sum(col("bf.n")).as("n"))
       .orderBy(desc("n"), asc("pair")).limit(30)),
+    // Gzipped-JSONL ingestion (X71) — the interchange format LLM text
+    // corpora actually ship in (C4/Pile/Dolma distribute .jsonl.gz
+    // shards): the documents table round-trips through Spark's native
+    // json source with gzip codec (written once per corpus, same
+    // rename-into-place protocol as every lake artifact), is read
+    // back with an EXPLICIT schema — inference would bill a second
+    // full pass over 100 TB — and aggregates per source. Summing the
+    // round-tripped text's length proves payload fidelity through
+    // JSON escaping, not just row counts. Gzip is not splittable:
+    // one shard per input partition keeps parallelism (each ~task-
+    // sized), which is exactly how the public corpora shard too.
+    "q99_jsonl_ingest" -> ((s, dir) => {
+      val path = sharedArtifactPath(dir, "jsonlgz_v1")(p =>
+        documents(s, dir).select("doc_id", "source", "text")
+          .write.mode("overwrite").option("compression", "gzip").json(p))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).json(path)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
+    }),
+    // ORC interchange (X72): the other columnar lake format Spark
+    // ships a native vectorized reader for. The documents table
+    // round-trips through ORC once per corpus; the read-back path
+    // must prove the SAME scan hygiene as parquet — the n_chars
+    // predicate reaches the ORC reader as a pushed-down SearchArgument
+    // and the projection prunes to 3 of 5 columns (PlanAuditSpec
+    // pins both). Text length re-summed after the round-trip proves
+    // payload fidelity.
+    "q100_orc_interchange" -> ((s, dir) => {
+      val path = sharedArtifactPath(dir, "orc_v1")(p =>
+        documents(s, dir).write.mode("overwrite").orc(p))
+      s.read.orc(path)
+        .filter(col("n_chars") >= 200)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_chars"))
+        .orderBy("lang")
+    }),
   )
 
   /** Write `df` as exactly ONE parquet part file named `name` under
@@ -1992,5 +2049,19 @@ object SparkEntry {
          |      ${graft.functions.TextFunctions.lowerTokensSql("text")},
          |      x -> x <> '') AS tk FROM documents))
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+    // round-trip oracles read the ORIGINAL parquet: any row lost or
+    // byte mangled by the jsonl.gz / ORC interchange shows up as a
+    // count or length delta
+    "q99_jsonl_ingest" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q100_orc_interchange" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_chars
+        |FROM documents WHERE n_chars >= 200
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -77,6 +77,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"), plan)
   }
 
+  test("q100 predicate and projection reach the ORC scan") {
+    // the round-tripped ORC table must keep parquet-grade scan
+    // hygiene: n_chars >= 200 pushed into the reader, projection
+    // pruned to the 3 referenced columns (doc_id/source never read)
+    val plan = executed("q100_orc_interchange").toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"), plan)
+    assert(!plan.contains("doc_id"), plan)
+  }
+
   test("q24 joins both dimension tables via broadcast") {
     val plan = executed("q24_join_agg").toString
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
