@@ -955,16 +955,28 @@ object Similarity {
    *
    *  Scale posture: the pair machinery's posture (id-only multiprobe
    *  explode, vectors move once for the verify join) plus ONE
-   *  left-anti join of the corpus against the distinct dominated-id
-   *  set — the q32 dedup-apply shape. The anti join's build side is
+   *  subtraction join of the corpus against the distinct
+   *  dominated-id set — the q32 dedup-apply shape; the probe side is
    *  the dominated ids (≤ corpus, typically ≪), broadcast-able at
-   *  real duplicate rates. */
+   *  real duplicate rates. The subtraction is a LEFT OUTER + IS NULL
+   *  filter rather than a left-anti join DELIBERATELY: when `emb` is
+   *  a Union (multi-shard corpora, or this repo's twinned test
+   *  frame), Catalyst's PushdownLeftSemiAntiJoin duplicates the anti
+   *  join's RIGHT subtree into every union branch — re-running the
+   *  whole candidate join per branch (measured: the q97 plan carried
+   *  two full copies of the dominated-set aggregate). Outer joins
+   *  are not subject to that rewrite, so the expensive subtree is
+   *  planned exactly once; `dominated` is distinct, so the outer
+   *  join cannot multiply rows. */
   def semanticDedupSurvivors(emb: DataFrame, dim: Int, tau: Double,
       nproj: Int = 5): DataFrame = {
     val dominated = cosineNearDupPairs(emb, dim, tau, nproj)
       .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("graft_dominated", lit(1))
     emb.select(col("vec_id"), col("label"))
-      .join(dominated, Seq("vec_id"), "left_anti")
+      .join(dominated, Seq("vec_id"), "left")
+      .filter(col("graft_dominated").isNull)
+      .select(col("vec_id"), col("label"))
   }
 
   /** Oracle: survivors under the UNPRUNED all-pairs dominated set —
