@@ -1329,22 +1329,7 @@ object SparkEntry {
       val orders = Sources.table(s, dir, "orders")
       val base = orders.select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"))
-      val k = col("o_orderkey")
-      def change(filterMod: Seq[Int], seqOff: Int, op: String,
-          keyShift: Long, status: Column, price: Column) =
-        orders.filter((k % 10).isin(filterMod: _*))
-          .select((k + keyShift).as("o_orderkey"),
-            (k * 10 + seqOff).as("seq"), lit(op).as("op"),
-            col("o_custkey"), status.as("o_orderstatus"),
-            price.as("o_totalprice"))
-      val changes =
-        change(Seq(0, 1, 2), 1, "u", 0L, lit("U1"), col("o_totalprice") + 1000.0)
-          .unionAll(change(Seq(0), 2, "u", 0L, lit("U2"),
-            col("o_totalprice") + 2000.0))
-          .unionAll(change(Seq(3), 1, "d", 0L,
-            lit(null).cast("string"), lit(null).cast("double")))
-          .unionAll(change(Seq(4), 1, "u", 100000000L, lit("N"),
-            col("o_totalprice")))
+      val changes = ordersChangeLog(s, dir)
       // The merged table is as big as base (16.5 M rows at sf10) and
       // the deterministic-output sort consumes it TWICE (range-boundary
       // sampling + the sort itself) — persist so the scan+agg+join
@@ -1516,7 +1501,122 @@ object SparkEntry {
           sum(length(col("text"))).as("sum_text_chars"))
         .orderBy("lang")
     }),
+    // Deterministic global training-order shuffle (X73): every doc's
+    // 0-based position in the seeded pseudo-random permutation —
+    // reproducible data order is part of a training recipe. The
+    // oracle runs the one-reducer row_number() window this operator
+    // exists to avoid; the engine range-exchanges on the hash key and
+    // assigns positions with O(partitions) driver offsets.
+    "q101_corpus_shuffle" -> ((s, dir) =>
+      Sampling.deterministicShuffle(documents(s, dir), "doc_id", "ep0|")
+        .orderBy("doc_id")),
+    // Hashed linear classifier score (X74): the fastText/CCNet
+    // model-based quality-filter shape — mean hashed-bucket weight
+    // over the doc's tokens, weights derived arithmetically so both
+    // engines reconstruct the table (a real deployment broadcasts
+    // trained weights; the plan is identical). One narrow codegen
+    // pass over the fused tokenFrequencies kernel, no shuffle.
+    "q102_classifier_score" -> ((s, dir) =>
+      Quality.hashedClassifierScore(documents(s, dir), "doc_id", "text",
+          4096, "w7")
+        .orderBy("doc_id")),
+    // SCD2 history build (X75): the q89 change log (base folded in as
+    // seq-0 inserts) versioned into validity intervals — one row per
+    // (key, version) with [valid_from, valid_to) and is_current, the
+    // lake audit-table / time-travel shape. One hash exchange on the
+    // key; per-key sorts are each key's own handful of changes.
+    "q103_scd2_history" -> ((s, dir) => {
+      val base = Sources.table(s, dir, "orders")
+        .select(col("o_orderkey"), lit(0L).as("seq"), lit("u").as("op"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.operators.Cdc.scd2History(
+          base.unionAll(ordersChangeLog(s, dir)), "o_orderkey", "seq", "op",
+          Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey", "valid_from")
+    }),
+    // CSV interchange (X76): the third interchange format (classic
+    // TSV/CSV corpora) through Spark's native csv source with gzip
+    // codec — written once per corpus, read back with an EXPLICIT
+    // schema (inference would bill a second full pass AND parse
+    // every field twice), RFC-4180 double-quote escaping on both
+    // sides of the trip. Same fidelity proof as q99: re-summed text
+    // lengths catch any byte mangled by quoting. (Embedded newlines
+    // need .option("multiLine", true) — that trades away in-file
+    // split parallelism, which gzip already forecloses here.)
+    "q104_csv_interchange" -> ((s, dir) => {
+      val path = sharedArtifactPath(dir, "csvgz_v1")(p =>
+        documents(s, dir).select("doc_id", "source", "text")
+          .write.mode("overwrite").option("compression", "gzip")
+          .option("header", "true").option("escape", "\"").csv(p))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).option("header", "true").option("escape", "\"")
+        .csv(path)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
+    }),
+    // Distributed Gram matrix (X77): the d×d second-moment matrix of
+    // the embedding corpus as (i, j, Σ q_i·q_j) upper-triangle rows —
+    // what PCA/whitening of an embedding table starts from. Fixed-
+    // point quantization makes the sums exact BIGINT (order- and
+    // partitioning-independent, so the oracle hash can exist at all);
+    // the exchange carries ≤ 2 080 partial rows per task regardless
+    // of corpus size. Similarity.pcaBasis eigensolves the collected
+    // result driver-side (spec-verified; not oracle-able — DuckDB has
+    // no eigensolver).
+    "q105_gram_matrix" -> ((s, dir) =>
+      Similarity.gramMatrix(Sources.table(s, dir, "embeddings"),
+          "embedding", 64)
+        .orderBy("i", "j")),
   )
+
+  /** The 4-way derived change stream q89 (MERGE apply) and q103 (SCD2
+   *  history) share: competing updates on %10∈{0,1,2} (a second
+   *  winner on %10=0), a delete on %10=3, an insert (key+10⁸) on
+   *  %10=4; seq = key·10 + offset keeps (key, seq) unique. */
+  private def ordersChangeLog(s: SparkSession, dir: String): DataFrame = {
+    val orders = Sources.table(s, dir, "orders")
+    val k = col("o_orderkey")
+    def change(filterMod: Seq[Int], seqOff: Int, op: String,
+        keyShift: Long, status: Column, price: Column) =
+      orders.filter((k % 10).isin(filterMod: _*))
+        .select((k + keyShift).as("o_orderkey"),
+          (k * 10 + seqOff).as("seq"), lit(op).as("op"),
+          col("o_custkey"), status.as("o_orderstatus"),
+          price.as("o_totalprice"))
+    change(Seq(0, 1, 2), 1, "u", 0L, lit("U1"), col("o_totalprice") + 1000.0)
+      .unionAll(change(Seq(0), 2, "u", 0L, lit("U2"),
+        col("o_totalprice") + 2000.0))
+      .unionAll(change(Seq(3), 1, "d", 0L,
+        lit(null).cast("string"), lit(null).cast("double")))
+      .unionAll(change(Seq(4), 1, "u", 100000000L, lit("N"),
+        col("o_totalprice")))
+  }
+
+  /** [[ordersChangeLog]]'s DuckDB mirror (key exposed as `k`). */
+  private val ordersChangeLogSql: String =
+    """SELECT o_orderkey AS k, o_orderkey * 10 + 1 AS seq, 'u' AS op,
+      |  o_custkey, 'U1' AS o_orderstatus,
+      |  o_totalprice + 1000.0 AS o_totalprice
+      |FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)
+      |UNION ALL
+      |SELECT o_orderkey, o_orderkey * 10 + 2, 'u', o_custkey, 'U2',
+      |  o_totalprice + 2000.0 FROM orders WHERE o_orderkey % 10 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_orderkey * 10 + 1, 'd', NULL, NULL, NULL
+      |FROM orders WHERE o_orderkey % 10 = 3
+      |UNION ALL
+      |SELECT o_orderkey + 100000000, o_orderkey * 10 + 1, 'u',
+      |  o_custkey, 'N', o_totalprice
+      |FROM orders WHERE o_orderkey % 10 = 4""".stripMargin
 
   /** Write `df` as exactly ONE parquet part file named `name` under
    *  `dir`, with a pinned mtime — the deterministic multi-batch
@@ -1978,22 +2078,8 @@ object SparkEntry {
     "q89_cdc_merge" -> {
       val base = "SELECT o_orderkey, o_custkey, o_orderstatus, " +
         "o_totalprice FROM orders"
-      val changes =
-        """SELECT o_orderkey AS k, o_orderkey * 10 + 1 AS seq, 'u' AS op,
-          |  o_custkey, 'U1' AS o_orderstatus,
-          |  o_totalprice + 1000.0 AS o_totalprice
-          |FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)
-          |UNION ALL
-          |SELECT o_orderkey, o_orderkey * 10 + 2, 'u', o_custkey, 'U2',
-          |  o_totalprice + 2000.0 FROM orders WHERE o_orderkey % 10 = 0
-          |UNION ALL
-          |SELECT o_orderkey, o_orderkey * 10 + 1, 'd', NULL, NULL, NULL
-          |FROM orders WHERE o_orderkey % 10 = 3
-          |UNION ALL
-          |SELECT o_orderkey + 100000000, o_orderkey * 10 + 1, 'u',
-          |  o_custkey, 'N', o_totalprice
-          |FROM orders WHERE o_orderkey % 10 = 4""".stripMargin
-      s"SELECT * FROM (${graft.operators.Cdc.applyChangesSql(base, changes,
+      s"SELECT * FROM (${graft.operators.Cdc.applyChangesSql(base,
+          ordersChangeLogSql,
           "o_orderkey", Seq("o_custkey", "o_orderstatus", "o_totalprice"))}) " +
         "ORDER BY o_orderkey"
     },
@@ -2063,5 +2149,33 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_text_chars
         |FROM documents WHERE n_chars >= 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q101_corpus_shuffle" ->
+      (s"SELECT * FROM (${Sampling.deterministicShuffleSql("documents",
+          "doc_id", "ep0|")}) ORDER BY doc_id"),
+    "q102_classifier_score" ->
+      (s"SELECT * FROM (${Quality.hashedClassifierScoreSql("documents",
+          "doc_id", "text", 4096, "w7")}) ORDER BY doc_id"),
+    // base rows fold in as seq-0 inserts, exactly like the Spark side
+    "q103_scd2_history" -> {
+      val log = "SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS seq, " +
+        "'u' AS op, o_custkey, o_orderstatus, o_totalprice FROM orders " +
+        s"UNION ALL $ordersChangeLogSql"
+      "SELECT k AS o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+        "valid_from, valid_to, is_current " +
+        s"FROM (${graft.operators.Cdc.scd2HistorySql(log,
+          Seq("o_custkey", "o_orderstatus", "o_totalprice"))}) " +
+        "ORDER BY o_orderkey, valid_from"
+    },
+    // round-trip oracle reads the ORIGINAL parquet (like q99/q100):
+    // any row lost or byte mangled by csv quoting shows up as a count
+    // or length delta
+    "q104_csv_interchange" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q105_gram_matrix" ->
+      (s"SELECT * FROM (${Similarity.gramMatrixSql("embeddings",
+          "embedding", 64)}) ORDER BY i, j"),
   )
 }

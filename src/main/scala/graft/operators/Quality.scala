@@ -208,4 +208,65 @@ object Quality {
        |    AS BIGINT) AS mean_logfreq_micro
        |FROM tok JOIN uni USING (t) GROUP BY $idCol""".stripMargin
   }
+
+  /** Model-based quality score, the fastText/CCNet linear-classifier
+   *  shape: score = mean over the doc's tokens of a weight looked up
+   *  by HASHED feature bucket — the "hashing trick" (Weinberger et
+   *  al. 2009) that lets a classifier with a fixed-width weight
+   *  vector score an unbounded vocabulary. Here the weight table is
+   *  DERIVED (weight(b) = h60(salt‖b) mod 2001 − 1000 ∈ [−1000,
+   *  1000]) so both engines reconstruct it arithmetically; a real
+   *  deployment broadcasts trained weights as a `buckets`-row map —
+   *  the plan is identical because the lookup is per-token compute,
+   *  not a join.
+   *
+   *  Shape at 100 TB: ONE narrow codegen projection — the fused
+   *  [[graft.functions.HashExpressions.tokenFrequencies]] kernel
+   *  folds each doc to distinct (token, count) pairs (the weight is
+   *  hashed once per DISTINCT token, not per occurrence), and two
+   *  `aggregate` higher-order folds produce Σ tf·w and Σ tf without
+   *  an explode, a shuffle, or a driver round-trip. All arithmetic
+   *  before the final division is exact BIGINT; the division itself
+   *  is one IEEE double op on integers ≪ 2⁵³ (exactly representable),
+   *  so the score is bit-identical cross-engine. Output: (id, n_tok,
+   *  score), score NULL for token-free docs. */
+  def hashedClassifierScore(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int, salt: String): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    def weight(t: Column): Column =
+      graft.functions.Hashing.h60(concat(lit(salt + "|"),
+        (graft.functions.Hashing.h60(t) % buckets).cast("string"))) %
+        2001L - 1000L
+    docs.select(col(idCol),
+        graft.functions.HashExpressions.tokenFrequencies(col(textCol))
+          .as("__tf"))
+      .select(col(idCol),
+        aggregate(transform(col("__tf"), x => x.getField("n")),
+          lit(0L), (a, b) => a + b).as("n_tok"),
+        aggregate(
+          transform(col("__tf"),
+            x => x.getField("n") * weight(x.getField("t"))),
+          lit(0L), (a, b) => a + b).as("__wsum"))
+      .select(col(idCol), col("n_tok"),
+        when(col("n_tok") === 0L, lit(null).cast("double"))
+          .otherwise(col("__wsum").cast("double") / col("n_tok").cast("double"))
+          .as("score"))
+  }
+
+  /** DuckDB oracle twin: per-OCCURRENCE weight sum over the same
+   *  token model — Σ_occurrences w(tok) ≡ Σ_distinct tf·w(tok), so
+   *  the list formulation needs no grouping. */
+  def hashedClassifierScoreSql(table: String, idCol: String,
+      textExpr: String, buckets: Int, salt: String): String = {
+    val toks = graft.functions.TextFunctions.lowerTokensSql(textExpr)
+    val bucket = s"CAST(${graft.functions.Hashing.h60Sql("t")} % $buckets AS VARCHAR)"
+    val w = s"${graft.functions.Hashing.h60Sql(s"'$salt|' || $bucket")} % 2001 - 1000"
+    s"""SELECT $idCol, CAST(length(toks) AS BIGINT) AS n_tok,
+       |  CASE WHEN length(toks) = 0 THEN NULL
+       |       ELSE CAST(CAST(list_sum(list_transform(toks, t -> $w))
+       |              AS BIGINT) AS DOUBLE)
+       |            / CAST(length(toks) AS BIGINT) END AS score
+       |FROM (SELECT $idCol, list_filter($toks, x -> x <> '') AS toks
+       |      FROM $table)""".stripMargin
+  }
 }

@@ -121,4 +121,55 @@ object Sampling {
        |        FROM $from)
        |)""".stripMargin
   }
+
+  // -------------------------------------- deterministic global shuffle
+
+  /** The seeded-order key [[deterministicShuffle]] sorts by: the 15
+   *  hex chars of md5(salt‖key) (string sort ≡ numeric sort of the
+   *  60-bit hash) with the zero-padded key appended as a tiebreak, so
+   *  the key is UNIQUE per row even under h60 collisions — the
+   *  contract [[Curation.withRunningTotal]] requires. `key` must
+   *  stringify to a non-negative integer of ≤ 12 digits. */
+  private def shuffleKey(salt: String, key: Column): Column =
+    concat(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15),
+      lit("|"), lpad(key.cast("string"), 12, "0"))
+
+  /** Deterministic global training-order shuffle: assign every row its
+   *  0-based position in the seeded pseudo-random permutation of the
+   *  corpus — the "shuffle the training set, reproducibly" step every
+   *  pretraining run needs (data order is part of the training recipe;
+   *  a rerun, a different cluster, or a different engine must produce
+   *  the SAME order). The order is a pure function of (salt, key):
+   *  content-deterministic like [[hashSample]], and a new salt draws an
+   *  independent permutation per epoch.
+   *
+   *  Shape at 100 TB: `row_number() OVER (ORDER BY hash)` computes
+   *  this on ONE reducer (a global order has a single window
+   *  partition); this formulation never does — it range-exchanges on
+   *  the hash key (the same exchange a global sort pays, uniform by
+   *  construction because the leading 60 bits are a hash), then
+   *  assigns positions with [[Curation.withRunningTotal]]'s
+   *  O(partitions) driver offsets. Emitting (key, position) rather
+   *  than reordered rows lets the loader join or bucket-write by
+   *  `pos` without moving document payloads through the sort.
+   *  Output: (key, pos), pos ∈ [0, n). */
+  def deterministicShuffle(df: DataFrame, keyCol: String,
+      salt: String): DataFrame =
+    Curation.withRunningTotal(
+        df.select(col(keyCol), shuffleKey(salt, col(keyCol)).as("__sk"),
+          lit(1L).as("__one")),
+        "__sk", "__one", "pos")
+      .select(col(keyCol), col("pos"))
+
+  /** DuckDB oracle twin: the one-reducer window formulation this
+   *  operator exists to avoid is CORRECT at oracle scale — same key,
+   *  same order, `row_number() − 1`. */
+  def deterministicShuffleSql(from: String, keyExpr: String,
+      salt: String): String = {
+    val k = s"substr(md5('$salt' || CAST($keyExpr AS VARCHAR)), 1, 15) " +
+      s"|| '|' || lpad(CAST($keyExpr AS VARCHAR), 12, '0')"
+    s"""SELECT $keyExpr, CAST(row_number() OVER (ORDER BY $k) - 1 AS BIGINT)
+       |    AS pos
+       |FROM $from""".stripMargin
+  }
 }

@@ -1063,4 +1063,106 @@ object Similarity {
        |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
        |  FROM scored
        |) WHERE rank <= $k""".stripMargin
+
+  // ------------------------------------------------ gram / covariance
+
+  /** Distributed Gram matrix of the embedding corpus: the upper
+   *  triangle of Σ x·xᵀ as (i, j, s) rows — the one-pass statistic
+   *  PCA / whitening / low-rank analysis of an embedding table starts
+   *  from (the d×d second-moment matrix; subtract the mean outer
+   *  product for covariance). Components are quantized to fixed-point
+   *  BEFORE summing (q = ⌊x·2¹⁰ + ½⌋, exact double arithmetic on a
+   *  power-of-two scale) so the sum is exact BIGINT arithmetic —
+   *  order-independent, hence partitioning-independent and
+   *  bit-identical cross-engine, where a double Σ x_i·x_j would hash
+   *  differently under every shuffle schedule. s = Σ q_i·q_j, so
+   *  gram ≈ s / 2²⁰.
+   *
+   *  Shape at 100 TB: ONE narrow codegen projection emits each row's
+   *  d(d+1)/2 upper-triangle products as (i, j, p) structs (nested
+   *  `transform` over constant index `sequence`s — all builtins, no
+   *  UDF), the explode stays inside the same stage, and the hash agg
+   *  on (i, j) partial-aggregates map-side — the exchange carries at
+   *  most d(d+1)/2 partial rows PER TASK (2 080 longs at d = 64),
+   *  independent of corpus size. No driver state; the d×d result is
+   *  trivially collectable for the eigensolve step ([[pcaBasis]]).
+   *  Overflow headroom: |q| ≤ 2¹⁰·max|x|, so Σ|q_i·q_j| stays under
+   *  2⁶³ for any corpus within ~2⁴⁰ rows at max|x| ≤ 8. */
+  def gramMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * 1024d + 0.5d).cast("long"))
+    val tri = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("__q"), i + 1) * element_at(col("__q"), j + 1))
+            .as("p")))))
+    df.select(q.as("__q"))
+      .select(explode(tri).as("e"))
+      .groupBy(col("e.i").cast("long").as("i"),
+        col("e.j").cast("long").as("j"))
+      .agg(sum(col("e.p")).as("s"))
+  }
+
+  /** DuckDB oracle twin: same quantization, same exact integer sums,
+   *  index pairs from a cross join of two unnested ranges. */
+  def gramMatrixSql(from: String, vecExpr: String, dim: Int): String =
+    s"""SELECT i, j, CAST(sum(q[i + 1] * q[j + 1]) AS BIGINT) AS s
+       |FROM (SELECT list_transform($vecExpr, x ->
+       |        CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS q
+       |      FROM $from),
+       |  (SELECT unnest(range(0, $dim)) AS i),
+       |  (SELECT unnest(range(0, $dim)) AS j)
+       |WHERE j >= i GROUP BY i, j""".stripMargin
+
+  /** Principal-component basis off a collected [[gramMatrix]] result:
+   *  cyclic Jacobi eigendecomposition of the symmetric d×d matrix
+   *  (driver-side — the input is d(d+1)/2 longs, NOT data-sized;
+   *  classic dense eigensolve, converges quadratically for symmetric
+   *  matrices). Returns (eigenvalues descending, row-major
+   *  eigenvector matrix V with V(k) the k-th component), descaled by
+   *  2⁻²⁰ back to embedding units. The 100 TB split: the corpus-sized
+   *  pass is [[gramMatrix]]'s one scan; this step is O(d³) on one
+   *  machine regardless of corpus size — projection onto the basis is
+   *  then a narrow broadcast-constant `transform`. */
+  def pcaBasis(gram: Seq[(Int, Int, Long)], dim: Int): (Array[Double], Array[Array[Double]]) = {
+    val a = Array.ofDim[Double](dim, dim)
+    gram.foreach { case (i, j, s) =>
+      a(i)(j) = s / 1048576.0; a(j)(i) = a(i)(j)
+    }
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-12) {
+      off = 0.0
+      for (p <- 0 until dim; qi <- (p + 1) until dim) {
+        off += a(p)(qi) * a(p)(qi)
+        if (math.abs(a(p)(qi)) > 1e-18) {
+          val theta = (a(qi)(qi) - a(p)(p)) / (2.0 * a(p)(qi))
+          val t = math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+              case 0.0 => 1.0 // theta == 0 → 45° rotation
+              case x => x
+            }
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until dim) {
+            val akp = a(k)(p); val akq = a(k)(qi)
+            a(k)(p) = c * akp - s * akq; a(k)(qi) = s * akp + c * akq
+          }
+          for (k <- 0 until dim) {
+            val apk = a(p)(k); val aqk = a(qi)(k)
+            a(p)(k) = c * apk - s * aqk; a(qi)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until dim) {
+            val vkp = v(k)(p); val vkq = v(k)(qi)
+            v(k)(p) = c * vkp - s * vkq; v(k)(qi) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until dim).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => (0 until dim).map(k => v(k)(i)).toArray).toArray)
+  }
 }
