@@ -1078,29 +1078,35 @@ object Similarity {
    *  differently under every shuffle schedule. s = Σ q_i·q_j, so
    *  gram ≈ s / 2²⁰.
    *
-   *  Shape at 100 TB: ONE narrow codegen projection emits each row's
-   *  d(d+1)/2 upper-triangle products as (i, j, p) structs (nested
-   *  `transform` over constant index `sequence`s — all builtins, no
-   *  UDF), the explode stays inside the same stage, and the hash agg
-   *  on (i, j) partial-aggregates map-side — the exchange carries at
-   *  most d(d+1)/2 partial rows PER TASK (2 080 longs at d = 64),
-   *  independent of corpus size. No driver state; the d×d result is
-   *  trivially collectable for the eigensolve step ([[pcaBasis]]).
+   *  Shape at 100 TB: ONE narrow pass through the fixed-width
+   *  [[graft.functions.GramAggregate.gramSum]] aggregate — each map
+   *  task folds its slice into a dense local long[d(d+1)/2] (the
+   *  bounded-state [[graft.functions.TopKAggregate]] shape applied to
+   *  a dense accumulator), and the exchange carries ONE 2 080-long
+   *  buffer per task, independent of corpus size. (The explode
+   *  formulation this replaces pushed |corpus|·d(d+1)/2 struct rows
+   *  through Generate + hash-agg probing: measured 1.9 s at sf0.1 and
+   *  ≈ 1.25 G agg rows at sf10; the dense fold is the same exact sums
+   *  at multiply-add speed.) The final (i, j) unpack explodes the ONE
+   *  merged buffer row — 2 080 rows total, not corpus-sized. No
+   *  driver state; the d×d result is trivially collectable for the
+   *  eigensolve step ([[pcaBasis]]).
    *  Overflow headroom: |q| ≤ 2¹⁰·max|x|, so Σ|q_i·q_j| stays under
    *  2⁶³ for any corpus within ~2⁴⁰ rows at max|x| ≤ 8. */
   def gramMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     val q = transform(col(vecCol),
       x => floor(x.cast("double") * 1024d + 0.5d).cast("long"))
-    val tri = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-      transform(sequence(i, lit(dim - 1)), j =>
-        struct(i.as("i"), j.as("j"),
-          (element_at(col("__q"), i + 1) * element_at(col("__q"), j + 1))
-            .as("p")))))
+    // pos → (i, j): literal triangular index tables, applied to the
+    // single merged-buffer row (2 080 entries, never corpus-sized)
+    val iIdx = (0 until dim).flatMap(i => (i until dim).map(_ => i.toLong))
+    val jIdx = (0 until dim).flatMap(i => (i until dim).map(_.toLong))
     df.select(q.as("__q"))
-      .select(explode(tri).as("e"))
-      .groupBy(col("e.i").cast("long").as("i"),
-        col("e.j").cast("long").as("j"))
-      .agg(sum(col("e.p")).as("s"))
+      .agg(graft.functions.GramAggregate.gramSum(col("__q"), dim).as("g"))
+      .select(posexplode(col("g")).as(Seq("pos", "s")))
+      .select(
+        element_at(typedlit(iIdx), col("pos") + 1).as("i"),
+        element_at(typedlit(jIdx), col("pos") + 1).as("j"),
+        col("s"))
   }
 
   /** DuckDB oracle twin: same quantization, same exact integer sums,

@@ -188,12 +188,19 @@ class ShuffleScd2GramSpec extends SparkTestBase {
     }
   }
 
-  test("gramMatrix's exchange carries (i,j) partials, not corpus rows") {
+  test("gramMatrix's exchange carries one dense buffer per task, not corpus rows") {
     val plan = Similarity.gramMatrix(emb, "embedding", 64)
       .queryExecution.executedPlan.toString
-    // partial aggregation before the exchange: HashAggregate appears
-    // below Exchange hashpartitioning(i, j)
-    assert(plan.contains("HashAggregate"), plan)
-    assert(plan.contains("Exchange hashpartitioning"), plan)
+    // the dense gramSum aggregate partial-folds per task; the ONLY
+    // exchange is the single-partition buffer merge — no per-entry
+    // (i,j) hash exchange, and the posexplode unpack sits ABOVE the
+    // aggregate (one merged row), never below it on corpus rows
+    assert(plan.contains("graft_gram_sum"), plan)
+    assert(plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    val genAt = plan.indexOf("Generate")
+    val aggAt = plan.lastIndexOf("Aggregate")
+    assert(genAt >= 0 && genAt < aggAt,
+      s"posexplode must sit above the aggregate in the plan tree:\n$plan")
   }
 }
