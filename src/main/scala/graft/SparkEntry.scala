@@ -580,11 +580,19 @@ object SparkEntry {
           Seq("p50" -> 0.5, "p95" -> 0.95))
         .orderBy("l_returnflag")),
     // rollup subtotals (grouping-sets family)
+    // grouping sets over a PRE-AGGREGATED base: Expand multiplies every
+    // input row by the grouping-set count and evaluates the aggregate
+    // update per copy — pre-reducing on the FULL grouping key first
+    // (≤ |flag|×|status| ≈ 9 rows) makes the Expand trivial. Exact by
+    // construction: count re-sums as a long and the decimal partial
+    // sums re-add exactly (the reason the measure is decimal, not
+    // double — double re-association would break the oracle hash).
+    // Measured 0.77 → ~0.3 s at sf0.1; the win scales with data.
     "q35_rollup" -> ((s, dir) =>
-      Sources.table(s, dir, "lineitem")
+      lineitemPreAgg(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .agg(sum(col("__n")).as("n"),
+          sum(col("__s")).cast("double").as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
     // set operation: nations present on BOTH customer and supplier sides
     "q36_intersect" -> ((s, dir) =>
@@ -601,11 +609,12 @@ object SparkEntry {
           .select(col("o_custkey").as("ck")))
         .orderBy("ck")),
     // full grouping-sets lattice (CUBE) with canonicalized aggregates
+    // same pre-aggregated grouping-sets shape as q35 (see there)
     "q45_cube" -> ((s, dir) =>
-      Sources.table(s, dir, "lineitem")
+      lineitemPreAgg(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .agg(sum(col("__n")).as("n"),
+          sum(col("__s")).cast("double").as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
     // SQL-expressible sessionization (lag/cumsum windows) — the
     // batch twin of streaming/Sessionize.scala, oracle-verified
@@ -1576,7 +1585,34 @@ object SparkEntry {
       Similarity.gramMatrix(Sources.table(s, dir, "embeddings"),
           "embedding", 64)
         .orderBy("i", "j")),
+    // Tokenizer vocabulary coverage (X78): per-doc OOV occurrence
+    // count + rate against the top-300 corpus tokens — the "does this
+    // vocab serve this corpus / is this doc vocabulary-alien" check.
+    // One corpus scan (persisted kernel postings feed the vocab cut
+    // AND the coverage join); vocab broadcasts.
+    "q106_vocab_coverage" -> ((s, dir) =>
+      Curation.vocabCoverage(documents(s, dir), "text", "doc_id", 300)
+        .orderBy("doc_id")),
+    // Training-shard manifest (X79): contiguous-range shards over the
+    // q101 seeded permutation (shard = ⌊pos·S/n⌋), with the per-shard
+    // doc counts, payload weight, and position ranges a loader plans
+    // from. The composition step that turns "shuffled corpus" into
+    // "fixed shard files".
+    "q107_shard_manifest" -> ((s, dir) =>
+      Sampling.shardManifest(documents(s, dir), "doc_id", "n_chars",
+          "ep0|", 16)
+        .orderBy("shard")),
   )
+
+  /** q35/q45's shared pre-aggregation: lineitem reduced on the FULL
+   *  grouping key before the grouping-sets Expand. sum of longs and
+   *  of decimal partials re-associate exactly, so rollup/cube over
+   *  this frame is value-identical to grouping the raw table. */
+  private def lineitemPreAgg(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("__s"))
 
   /** The 4-way derived change stream q89 (MERGE apply) and q103 (SCD2
    *  history) share: competing updates on %10∈{0,1,2} (a second
@@ -2177,5 +2213,11 @@ object SparkEntry {
     "q105_gram_matrix" ->
       (s"SELECT * FROM (${Similarity.gramMatrixSql("embeddings",
           "embedding", 64)}) ORDER BY i, j"),
+    "q106_vocab_coverage" ->
+      (s"SELECT * FROM (${Curation.vocabCoverageSql("documents",
+          "doc_id", "text", 300)}) ORDER BY doc_id"),
+    "q107_shard_manifest" ->
+      (s"SELECT * FROM (${Sampling.shardManifestSql("documents",
+          "doc_id", "n_chars", "ep0|", 16)}) ORDER BY shard"),
   )
 }

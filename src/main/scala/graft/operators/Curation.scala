@@ -232,6 +232,69 @@ object Curation {
        |GROUP BY domain""".stripMargin
   }
 
+  // --------------------------------------------- vocabulary coverage
+
+  /** Tokenizer-vocabulary coverage / OOV-rate scoring (the
+   *  "will this tokenizer serve this corpus" and "is this doc
+   *  vocabulary-alien" check run before committing to a vocab):
+   *  vocab = the top-`vocabSize` corpus tokens by (count DESC, token
+   *  ASC — a total order, so the cut is deterministic in both
+   *  engines); per doc, `n_oov` = token OCCURRENCES outside the
+   *  vocab and `oov_rate` = n_oov / n_tok. High-OOV docs are
+   *  mojibake/code/foreign-language candidates the quality gates
+   *  (X2/X66/X74) compose with; a real deployment passes its actual
+   *  tokenizer vocab as the frame instead of deriving top-V.
+   *
+   *  Shape at 100 TB: ONE corpus text scan through the fused
+   *  [[graft.functions.HashExpressions.tokenFrequencies]] kernel,
+   *  persisted to feed (a) the vocab-sized corpus unigram table —
+   *  top-V via TakeOrdered, never a global sort — and (b) the
+   *  per-doc coverage join, in which the vocab (small by definition)
+   *  BROADCASTS into the posting stream; two hash aggs on doc id.
+   *  Token-free docs are absent from the output (no tokens → no
+   *  coverage question), the X66 contract. */
+  def vocabCoverage(docs: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val tf = docs.select(col(idCol), explode(
+        HashExpressions.tokenFrequencies(col(textCol))).as("tf"))
+      .select(col(idCol), col("tf.t").as("t"), col("tf.n").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tf.groupBy(col("t")).agg(sum(col("n")).as("cnt"))
+      .orderBy(desc("cnt"), asc("t")).limit(vocabSize)
+      .select(col("t"))
+    val covered = tf.join(broadcast(vocab), Seq("t"))
+      .groupBy(col(idCol)).agg(sum(col("n")).as("__in"))
+    val oov = col("n_tok") - coalesce(col("__in"), lit(0L))
+    tf.groupBy(col(idCol)).agg(sum(col("n")).as("n_tok"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"), oov.as("n_oov"),
+        (oov.cast("double") / col("n_tok").cast("double")).as("oov_rate"))
+  }
+
+  /** DuckDB oracle twin: same token model, same (cnt DESC, t) vocab
+   *  cut, same integer arithmetic before the one exact division. */
+  def vocabCoverageSql(table: String, idCol: String, textExpr: String,
+      vocabSize: Int): String = {
+    val toks = TextFunctions.lowerTokensSql(textExpr)
+    s"""WITH tok AS (
+       |  SELECT $idCol, t, count(*) AS n FROM (
+       |    SELECT $idCol, unnest($toks) AS t FROM $table)
+       |  WHERE t <> '' GROUP BY 1, 2),
+       |vocab AS (SELECT t FROM (
+       |    SELECT t, CAST(sum(n) AS BIGINT) AS cnt FROM tok GROUP BY 1)
+       |  ORDER BY cnt DESC, t LIMIT $vocabSize),
+       |tot AS (SELECT $idCol, CAST(sum(n) AS BIGINT) AS n_tok
+       |        FROM tok GROUP BY 1),
+       |cov AS (SELECT $idCol, CAST(sum(n) AS BIGINT) AS __in
+       |        FROM tok JOIN vocab USING (t) GROUP BY 1)
+       |SELECT $idCol, n_tok,
+       |  n_tok - coalesce(__in, 0) AS n_oov,
+       |  CAST(n_tok - coalesce(__in, 0) AS DOUBLE)
+       |    / CAST(n_tok AS DOUBLE) AS oov_rate
+       |FROM tot LEFT JOIN cov USING ($idCol)""".stripMargin
+  }
+
   def chunkByTokensSql(table: String, textCol: String, idCol: String,
       width: Int, stride: Int): String =
     s"""SELECT $idCol, CAST(i AS INT) AS chunk_idx,

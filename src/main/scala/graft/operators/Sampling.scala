@@ -172,4 +172,59 @@ object Sampling {
        |    AS pos
        |FROM $from""".stripMargin
   }
+
+  // ------------------------------------------------ training shards
+
+  /** Contiguous-range shard assignment over the seeded permutation:
+   *  `shard = ⌊pos · shards / n⌋` — shard sizes differ by at most one,
+   *  each shard is a contiguous slice of the shuffled order, and the
+   *  whole assignment is a pure function of (salt, key, shards) — the
+   *  step that turns a shuffled corpus into the fixed shard files a
+   *  training run streams. Returns (key, pos, shard).
+   *
+   *  Shape at 100 TB: [[deterministicShuffle]]'s one range exchange;
+   *  the shard id is a narrow integer projection on top (n comes from
+   *  the already-materialized position frame — a metadata-cheap
+   *  count, no extra corpus scan). A writer then partitions output
+   *  by `shard` and range-writes each slice. */
+  def shardAssign(df: DataFrame, keyCol: String, salt: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val pos = deterministicShuffle(df, keyCol, salt)
+    val n = pos.count()
+    pos.select(col(keyCol), col("pos"),
+      expr(s"(pos * $shards) div ${math.max(n, 1L)}").as("shard"))
+  }
+
+  /** Per-shard manifest: doc count, payload weight, and the position
+   *  range each shard covers — the sidecar a loader reads to plan a
+   *  run without opening shards. `weightCol` is any integral payload
+   *  measure on `df` (chars, tokens, bytes). The weight join is on
+   *  the shuffle key (skinny assignment frame ⋈ (key, weight)); at
+   *  scale both sides hash-partition on the key, or the assignment
+   *  broadcasts when it fits. */
+  def shardManifest(df: DataFrame, keyCol: String, weightCol: String,
+      salt: String, shards: Int): DataFrame =
+    shardAssign(df, keyCol, salt, shards)
+      .join(df.select(col(keyCol), col(weightCol)), Seq(keyCol))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).as("sum_weight"),
+        min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
+
+  /** DuckDB oracle twin of [[shardManifest]] (window-formulated
+   *  positions, same integer shard arithmetic). */
+  def shardManifestSql(from: String, keyExpr: String, weightExpr: String,
+      salt: String, shards: Int): String =
+    s"""SELECT (pos * $shards) // c AS shard, count(*) AS n_docs,
+       |  CAST(sum(w) AS BIGINT) AS sum_weight,
+       |  min(pos) AS min_pos, max(pos) AS max_pos
+       |FROM (SELECT pos, $weightExpr AS w FROM (
+       |        SELECT *, CAST(row_number() OVER (ORDER BY
+       |          substr(md5('$salt' || CAST($keyExpr AS VARCHAR)), 1, 15)
+       |          || '|' || lpad(CAST($keyExpr AS VARCHAR), 12, '0')) - 1
+       |          AS BIGINT) AS pos
+       |        FROM $from)),
+       |  (SELECT count(*) AS c FROM $from)
+       |GROUP BY 1""".stripMargin
 }

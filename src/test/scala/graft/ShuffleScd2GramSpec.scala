@@ -142,6 +142,58 @@ class ShuffleScd2GramSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  // ------------------------------------------- X78 vocabulary coverage
+
+  test("vocabCoverage counts OOV occurrences against the top-V cut") {
+    val df = Seq(
+      (1L, "a a a b b c"),    // a:3 b:2 c:1
+      (2L, "a b c d"),        // d is rare
+      (3L, "d d")).toDF("doc_id", "text")
+    // corpus counts: a=4, b=3, d=3, c=2 → top-2 vocab (cnt DESC, t
+    // ASC tiebreak): {a, b} — b beats d on the tie
+    val out = graft.operators.Curation.vocabCoverage(df, "text", "doc_id", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((6L, 1L, 1.0 / 6.0)))  // c OOV
+    assert(out(2L) == ((4L, 2L, 0.5)))        // c, d OOV
+    assert(out(3L) == ((2L, 2L, 1.0)))        // all OOV
+  }
+
+  test("vocabCoverage broadcasts the vocab into the posting join") {
+    val plan = graft.operators.Curation.vocabCoverage(docs, "text", "doc_id", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  // --------------------------------------------- X79 shard assignment
+
+  test("shardAssign slices the permutation into contiguous near-equal shards") {
+    val out = Sampling.shardAssign(docs, "doc_id", "s1|", 7)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val n = out.length
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet == (0L until 7L).toSet)
+    // sizes differ by at most one
+    val sizes = byShard.values.map(_.size).toSeq
+    assert(sizes.max - sizes.min <= 1, sizes.toString)
+    // contiguous position ranges, in shard order, covering 0..n-1
+    val ranges = byShard.toSeq.sortBy(_._1)
+      .map { case (s, xs) => (s, xs.map(_._1).min, xs.map(_._1).max) }
+    assert(ranges.head._2 == 0L && ranges.last._3 == n - 1)
+    ranges.sliding(2).foreach { case Seq((_, _, hi), (_, lo, _)) =>
+      assert(lo == hi + 1, s"shards must tile the position range: $ranges")
+    case _ => ()
+    }
+  }
+
+  test("shardManifest totals reconcile with the corpus") {
+    val m = Sampling.shardManifest(docs, "doc_id", "n_chars", "s1|", 5)
+      .collect()
+    assert(m.map(_.getLong(1)).sum == docs.count())
+    val chars = docs.agg(sum(col("n_chars"))).head().getLong(0)
+    assert(m.map(_.getLong(2)).sum == chars)
+  }
+
   // ------------------------------------------------- X77 gram matrix / PCA
 
   private lazy val emb =
