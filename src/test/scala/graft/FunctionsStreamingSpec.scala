@@ -45,6 +45,20 @@ class FunctionsStreamingSpec extends SparkTestBase {
     assert(e.getMessage.contains("at least 2 operands"))
   }
 
+  test("classifier scoring is stateless: streaming AvailableNow ≡ batch") {
+    // the X74 scorer is one narrow projection, so it applies to a
+    // readStream frame verbatim — literal batch/streaming plan parity
+    val docsPath = s"$dir/documents.parquet"
+    val batch = graft.operators.Quality.hashedClassifierScore(
+        spark.read.parquet(docsPath), "doc_id", "text", 4096, "w7")
+      .orderBy("doc_id").collect().toSeq
+    val stream = graft.operators.Quality.hashedClassifierScore(
+      Streams.parquetStream(spark, docsPath), "doc_id", "text", 4096, "w7")
+    Streams.drainToMemory(stream, "cls_stream")
+    val streamed = spark.table("cls_stream").orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("watermarked tumbling-window agg: streaming AvailableNow ≡ batch") {
     val toTs = timestamp_micros(col("ts"))  // ts = epoch micros (withTsMicros)
     val batch = graft.sources.Sources.withTsMicros(
