@@ -1564,8 +1564,12 @@ object SparkEntry {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("text",
           org.apache.spark.sql.types.StringType)))
+      // multiLine on the read: quoted embedded newlines must not split
+      // a record (the corpus has none TODAY, but the read must not
+      // depend on that); the in-file parallelism it trades away is
+      // already foreclosed by gzip
       s.read.schema(schema).option("header", "true").option("escape", "\"")
-        .csv(path)
+        .option("multiLine", "true").csv(path)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("sum_chars"),

@@ -1110,12 +1110,16 @@ object Similarity {
   }
 
   /** DuckDB oracle twin: same quantization, same exact integer sums,
-   *  index pairs from a cross join of two unnested ranges. */
+   *  index pairs from a cross join of two unnested ranges. NULL
+   *  vectors are filtered here exactly as [[GramSum]] skips null
+   *  input — without the filter, a corpus whose every embedding is
+   *  NULL would emit d(d+1)/2 NULL-sum rows where the aggregate's
+   *  empty-buffer path emits zero rows. */
   def gramMatrixSql(from: String, vecExpr: String, dim: Int): String =
     s"""SELECT i, j, CAST(sum(q[i + 1] * q[j + 1]) AS BIGINT) AS s
        |FROM (SELECT list_transform($vecExpr, x ->
        |        CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS q
-       |      FROM $from),
+       |      FROM $from WHERE $vecExpr IS NOT NULL),
        |  (SELECT unnest(range(0, $dim)) AS i),
        |  (SELECT unnest(range(0, $dim)) AS j)
        |WHERE j >= i GROUP BY i, j""".stripMargin
