@@ -240,6 +240,58 @@ class ShuffleScd2GramSpec extends SparkTestBase {
     }
   }
 
+  test("gramMatrix randomized: naive-equal, null-safe, partitioning-invariant") {
+    val dim = 8
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(30)
+      val rows: Seq[Option[Seq[Float]]] = (0 until n).map { i =>
+        if (i % 11 == 10) None // null vectors must be skipped, not crash
+        else Some(Seq.fill(dim)((rnd.nextDouble() * 8 - 4).toFloat))
+      }
+      val df = rows.toDF("embedding")
+      val out = Similarity.gramMatrix(df.repartition(7), "embedding", dim)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val out1 = Similarity.gramMatrix(df.repartition(1), "embedding", dim)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(out == out1, "partitioning must not change exact sums")
+      val qs = rows.flatten.map(_.map(x =>
+        math.floor(x.toDouble * 1024.0 + 0.5).toLong).toArray)
+      for (i <- 0 until dim; j <- i until dim)
+        assert(out((i.toLong, j.toLong)) == qs.map(v => v(i) * v(j)).sum,
+          s"seed=$seed gram($i,$j)")
+    }
+  }
+
+  test("scd2History randomized: interval chains partition each key's timeline") {
+    for (seed <- Seq(3, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val log = (0 until 120).map { i =>
+        val k = rnd.nextInt(12).toLong
+        val op = if (rnd.nextInt(4) == 0) "d" else "u"
+        (k, i.toLong, op, s"p$i", rnd.nextDouble())
+      }
+      val df = log.toDF("k", "seq", "op", "s", "v")
+      val out = Cdc.scd2History(df, "k", "seq", "op", Seq("s", "v"))
+        .collect().map(r => (r.getLong(0), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+      assert(out.length == log.count(_._3 != "d"))
+      for ((k, changes) <- log.groupBy(_._1)) {
+        val seqs = changes.map(_._2).sorted
+        val next = seqs.zip(seqs.drop(1).map(Option(_)) :+ None).toMap
+        val mine = out.filter(_._1 == k)
+        for ((_, vf, vt, cur) <- mine) {
+          assert(vt == next(vf), s"seed=$seed key=$k version at $vf")
+          assert(cur == vt.isEmpty)
+        }
+        // exactly one current version iff the key's LAST op is not a delete
+        val lastIsDelete = changes.maxBy(_._2)._3 == "d"
+        assert(mine.count(_._4) == (if (lastIsDelete) 0 else 1),
+          s"seed=$seed key=$k currents")
+      }
+    }
+  }
+
   test("gramMatrix's exchange carries one dense buffer per task, not corpus rows") {
     val plan = Similarity.gramMatrix(emb, "embedding", 64)
       .queryExecution.executedPlan.toString
