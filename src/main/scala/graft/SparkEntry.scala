@@ -1606,6 +1606,44 @@ object SparkEntry {
       Sampling.shardManifest(documents(s, dir), "doc_id", "n_chars",
           "ep0|", 16)
         .orderBy("shard")),
+    // HTML-to-text extraction (X80): every doc wrapped in a
+    // deterministic page shell (title, style/script blocks with
+    // code-looking payloads, entity-encoded prose, a footer) and
+    // extracted back — script/style contents must VANISH, tags strip
+    // to boundaries, the five XML entities + &nbsp;/&#39; decode in
+    // the fixed order (&amp; last), whitespace collapses. The crawl
+    // pipeline's first content step.
+    "q108_html_extract" -> ((s, dir) => {
+      val dirty = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p {margin: 0}</style>" +
+          "<script src=\"a.js\">var i = 1 < 2 &amp;&amp; 3;</script>" +
+          "</head><body>\n<h1>Heading &amp; More</h1>\n<p>"),
+        col("text"),
+        lit("</p>\n<p>She said &quot;hi&quot; &amp; left&nbsp;early " +
+          "&#39;today&#39;.</p>\n" +
+          "<div class=\"footer\">&copy; 2024</div></body></html>"))
+      documents(s, dir).select(col("doc_id"),
+          graft.functions.TextFunctions.htmlToText(dirty).as("text_clean"))
+        .orderBy("doc_id")
+    }),
+    // C4 line-level cleaning (X81): each doc gains a nav line (no
+    // terminal punctuation), a lorem-ipsum line, a code line ({), and
+    // a too-short line — all four must drop while the punctuated
+    // prose lines survive in order. The Raffel et al. 2020 rules,
+    // line-scoped, between HTML extraction and the document gates.
+    "q109_c4_line_clean" -> ((s, dir) => {
+      val dirty = concat(col("text"), lit(".\nHome | About | Contact\n" +
+        "lorem ipsum dolor sit amet consectetur adipiscing elit.\n" +
+        "function f() { return 1; }\n" +
+        "Short.\n" +
+        "This properly punctuated sentence stays right here."))
+      documents(s, dir).select(col("doc_id"),
+          Curation.c4LineClean(dirty, 3).as("text_clean"))
+        .select(col("doc_id"), col("text_clean"),
+          length(col("text_clean")).cast("long").as("n_chars_clean"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q35/q45's shared pre-aggregation: lineitem reduced on the FULL
@@ -2223,5 +2261,29 @@ object SparkEntry {
     "q107_shard_manifest" ->
       (s"SELECT * FROM (${Sampling.shardManifestSql("documents",
           "doc_id", "n_chars", "ep0|", 16)}) ORDER BY shard"),
+    "q108_html_extract" -> {
+      val dirty = "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || " +
+        "'</title><style>p {margin: 0}</style>" +
+        "<script src=\"a.js\">var i = 1 < 2 &amp;&amp; 3;</script>" +
+        "</head><body>' || chr(10) || '<h1>Heading &amp; More</h1>' || " +
+        "chr(10) || '<p>' || text || '</p>' || chr(10) || " +
+        "'<p>She said &quot;hi&quot; &amp; left&nbsp;early " +
+        "&#39;today&#39;.</p>' || chr(10) || " +
+        "'<div class=\"footer\">&copy; 2024</div></body></html>'"
+      s"SELECT doc_id, ${graft.functions.TextFunctions.htmlToTextSql(
+          s"($dirty)")} AS text_clean FROM documents ORDER BY doc_id"
+    },
+    "q109_c4_line_clean" -> {
+      val dirty = "text || '.' || chr(10) || 'Home | About | Contact' || " +
+        "chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing " +
+        "elit.' || chr(10) || 'function f() { return 1; }' || chr(10) || " +
+        "'Short.' || chr(10) || " +
+        "'This properly punctuated sentence stays right here.'"
+      s"""SELECT doc_id, text_clean,
+         |  CAST(length(text_clean) AS BIGINT) AS n_chars_clean
+         |FROM (SELECT doc_id, ${Curation.c4LineCleanSql(s"($dirty)", 3)}
+         |        AS text_clean FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

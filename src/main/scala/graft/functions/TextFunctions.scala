@@ -291,4 +291,58 @@ object TextFunctions {
   def normalizeTextSql(c: String): String =
     s"trim(regexp_replace(regexp_replace(nfc_normalize($c), " +
       s"'$ctrlPattern', '', 'g'), '$wsRunPattern', ' ', 'g'))"
+
+  // ------------------------------------------------- HTML text extraction
+
+  /** `<script>`/`<style>` blocks drop WITH their contents ((?s) makes
+   *  `.` span newlines; lazy `.*?` stops at the first close tag —
+   *  both Java-regex and RE2 semantics). Case-insensitive to catch
+   *  `<SCRIPT>`. */
+  val scriptStylePattern = "(?is)<(script|style)[^>]*>.*?</(script|style)>"
+
+  /** Any remaining tag (open, close, comment-free) — replaced by ONE
+   *  space so `word<br>word` keeps its boundary; the whitespace
+   *  collapse folds the extras. */
+  val tagPattern = "<[^>]*>"
+
+  /** HTML-to-text extraction (X80), the crawl pipeline's very first
+   *  content step (the trafilatura/jusText job, reduced to its
+   *  relational core): drop script/style WITH contents, strip every
+   *  remaining tag to a space, decode the five XML entities plus
+   *  `&nbsp;` and numeric `&#39;`, collapse whitespace, trim. Entity
+   *  order is fixed and load-bearing: `&amp;` decodes LAST, so
+   *  `&amp;lt;` yields the literal text `&lt;` rather than
+   *  double-decoding to `<` — the standard single-pass contract.
+   *
+   *  One narrow chain of builtin `regexp_replace`/`replace` calls —
+   *  whole-stage codegen, no parser state, embarrassingly parallel;
+   *  patterns live in the Java∩RE2 common subset so the DuckDB twin
+   *  is byte-identical. (A production extractor adds boilerplate
+   *  heuristics on top — [[graft.operators.Curation.c4LineFilter]]
+   *  is that next stage.) */
+  /** The fixed entity table, decode order load-bearing (see above). */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  def htmlToText(c: Column): Column = {
+    val untagged = regexp_replace(
+      regexp_replace(c, scriptStylePattern, " "), tagPattern, " ")
+    val decoded = htmlEntities.foldLeft(untagged) { case (col0, (e, r)) =>
+      replace(col0, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, wsRunPattern, " "))
+  }
+
+  /** DuckDB oracle twin — same patterns, same entity order, literal
+   *  `replace` on both sides (no regex in the entity step). */
+  def htmlToTextSql(c: String): String = {
+    val untagged = s"regexp_replace(regexp_replace($c, " +
+      s"'$scriptStylePattern', ' ', 'g'), '$tagPattern', ' ', 'g')"
+    val decoded = htmlEntities.foldLeft(untagged) { case (sql, (e, r)) =>
+      val lit = if (r == "'") "''" else r
+      s"replace($sql, '$e', '$lit')"
+    }
+    s"trim(regexp_replace($decoded, '$wsRunPattern', ' ', 'g'))"
+  }
 }

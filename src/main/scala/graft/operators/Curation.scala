@@ -232,6 +232,47 @@ object Curation {
        |GROUP BY domain""".stripMargin
   }
 
+  // ----------------------------------------------- C4 line-level clean
+
+  /** Terminal-punctuation rule: a kept line must end in `.`, `!`,
+   *  `?`, or a closing quote. Java∩RE2 common subset. */
+  val terminalPunctPattern = "[.!?\"]$"
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, the famous
+   *  "Colossal Clean Crawled Corpus" rules, line-scoped): keep a line
+   *  iff it (a) has ≥ `minWords` whitespace words, (b) ends in
+   *  terminal punctuation, (c) does not contain "lorem ipsum"
+   *  (case-insensitive), (d) does not contain `{` (code/markup
+   *  leak). Dropped lines vanish; survivors reassemble in order —
+   *  the page-level nav/footer/code shrapnel filter that sits
+   *  between [[graft.functions.TextFunctions.htmlToText]] and the
+   *  document-level gates (X2/X66/X74).
+   *
+   *  One narrow builtin HOF chain (split → filter lambda →
+   *  array_join) — per-doc bounded, no shuffle, applies to a stream
+   *  verbatim. Both engines keep trailing empty splits (the q92
+   *  contract) and count words by the non-empty-token model. */
+  def c4LineClean(text: Column, minWords: Int): Column = {
+    val kept = filter(split(text, "\n", -1), l => {
+      val t = trim(l)
+      val words = size(filter(split(t, "\\s+"), w => w =!= ""))
+      words >= minWords &&
+        t.rlike(terminalPunctPattern) &&
+        !contains(lower(t), lit("lorem ipsum")) &&
+        !contains(t, lit("{"))
+    })
+    array_join(kept, "\n")
+  }
+
+  /** DuckDB oracle twin — same split/trim/word model, same rules. */
+  def c4LineCleanSql(textExpr: String, minWords: Int): String =
+    s"""array_to_string(list_filter(string_split($textExpr, chr(10)), l ->
+       |  length(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+       |    w -> w <> '')) >= $minWords
+       |  AND regexp_matches(trim(l), '$terminalPunctPattern')
+       |  AND NOT contains(lower(trim(l)), 'lorem ipsum')
+       |  AND NOT contains(l, '{')), chr(10))""".stripMargin
+
   // --------------------------------------------- vocabulary coverage
 
   /** Tokenizer-vocabulary coverage / OOV-rate scoring (the

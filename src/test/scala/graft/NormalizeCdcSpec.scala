@@ -41,6 +41,44 @@ class NormalizeCdcSpec extends SparkTestBase {
     assert(rows(2L).contains("a b c d"))
   }
 
+  // --------------------------------------------------- X80 html extract
+
+  test("htmlToText drops script/style contents, strips tags, decodes entities") {
+    val html = "<html><style>p {x}</style><script>if (1 < 2) alert(1)" +
+      "</script><body><h1>Title</h1><p>a&nbsp;b &quot;q&quot; " +
+      "&#39;s&#39; 5 &lt; 6 &amp; 7</p><br>tail</body></html>"
+    val out = Seq(html).toDF("t")
+      .select(TextFunctions.htmlToText(col("t")).as("c"))
+      .head().getString(0)
+    assert(out == "Title a b \"q\" 's' 5 < 6 & 7 tail", out)
+  }
+
+  test("htmlToText: &amp;lt; single-decodes to literal &lt;, never to <") {
+    // &amp; decodes LAST, so the pre-decoded &lt; fragment must
+    // survive as text — the single-pass contract
+    val out = Seq("<p>x &amp;lt; y</p>").toDF("t")
+      .select(TextFunctions.htmlToText(col("t")).as("c"))
+      .head().getString(0)
+    assert(out == "x &lt; y", out)
+  }
+
+  // --------------------------------------------------- X81 C4 line clean
+
+  test("c4LineClean applies each rule; survivors keep document order") {
+    val doc = Seq(
+      "A first proper sentence stays.",
+      "Home | About | Contact",              // no terminal punctuation
+      "Nice!",                               // < 3 words
+      "this page uses Lorem Ipsum filler.",  // lorem ipsum (ci)
+      "if (x) { return; }",                  // brace
+      "And a second proper sentence stays?").mkString("\n")
+    val out = Seq(doc).toDF("t")
+      .select(graft.operators.Curation.c4LineClean(col("t"), 3).as("c"))
+      .head().getString(0)
+    assert(out == "A first proper sentence stays.\n" +
+      "And a second proper sentence stays?", out)
+  }
+
   // ----------------------------------------------------- X60 url/domain
 
   test("domainStats extracts registered domains and honors the blocklist") {
