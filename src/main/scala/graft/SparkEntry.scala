@@ -1627,6 +1627,16 @@ object SparkEntry {
           graft.functions.TextFunctions.htmlToText(dirty).as("text_clean"))
         .orderBy("doc_id")
     }),
+    // Blocked SemDeDup (X82), the paper's own k-means-block algorithm
+    // and the SCALE path for the q97 exact rule (whose lossless-grid
+    // candidate volume is range-excluded at the 100× sweep —
+    // measured, SCALE.md): cluster with ⌈√n⌉ fixed-point Lloyd
+    // centroids, drop within-cluster smaller-id ≥ τ neighbors via a
+    // streaming tight loop (no pair rows), keep the rest. The oracle
+    // replays the identical training chain + NOT EXISTS rule.
+    "q110_semantic_blocked" -> ((s, dir) =>
+      Similarity.semanticDedupBlocked(twinnedEmbeddings(s, dir), 0.999, 2)
+        .orderBy("vec_id")),
     // C4 line-level cleaning (X81): each doc gains a nav line (no
     // terminal punctuation), a lorem-ipsum line, a code line ({), and
     // a too-short line — all four must drop while the punctuated
@@ -2273,6 +2283,9 @@ object SparkEntry {
       s"SELECT doc_id, ${graft.functions.TextFunctions.htmlToTextSql(
           s"($dirty)")} AS text_clean FROM documents ORDER BY doc_id"
     },
+    "q110_semantic_blocked" ->
+      (s"SELECT * FROM (${Similarity.semanticDedupBlockedSql(
+          twinnedEmbeddingsSql, 0.999, 2)}) ORDER BY vec_id"),
     "q109_c4_line_clean" -> {
       val dirty = "text || '.' || chr(10) || 'Home | About | Contact' || " +
         "chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing " +

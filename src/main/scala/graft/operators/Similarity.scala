@@ -987,6 +987,193 @@ object Similarity {
        |WHERE vec_id NOT IN (
        |  SELECT id_b FROM (${cosineNearDupPairsSql(table, tau)}))""".stripMargin
 
+  // ----------------------------------- SemDeDup, k-means-blocked (scale)
+
+  /** SemDeDup APPLY, the paper's OWN blocked algorithm (Abbas et al.
+   *  2023 §2: k-means-cluster the embeddings, dedup within clusters):
+   *  drop every vector whose CLUSTER holds a smaller-id ≥ τ cosine
+   *  neighbor, keep the rest. APPROXIMATE by construction — a
+   *  cross-cluster near-dup survives, the recall trade the paper
+   *  itself accepts (its reported results all run this form) — where
+   *  [[semanticDedupSurvivors]] is the exact rule via lossless grid
+   *  candidates, whose candidate volume on clustered corpora is
+   *  pair-mass-bound (measured at the 100× sweep: 21.6 G candidate
+   *  pairs, 938 s, then ENOSPC from the candidate-join spill — the
+   *  same range exclusion as q91).
+   *
+   *  Cost model, honest: with k clusters over n vectors, assignment
+   *  is n·k·d FLOPs and the within-cluster apply is ~(n²/k)·d, so the
+   *  balanced k = ⌈√n⌉ (the default) gives **n^1.5·d total — the
+   *  algorithm's inherent brute-within-blocks cost**, not an
+   *  implementation artifact (the paper pays the same shape on
+   *  GPUs). The engine's LINEAR paths for the same curation goal are
+   *  X7 MinHash (text) and X57 grid / X21 IVF ANN (embeddings).
+   *
+   *  Shape at scale: Lloyd training is the q43 machinery with the
+   *  assignment loop over BROADCAST centroids (k up to ~10⁵ — the
+   *  literal-projection form caps at ~64) and the exact fixed-point
+   *  integer mean aggregation (order-free, cross-engine identical);
+   *  the apply co-locates each cluster with ONE hash exchange on the
+   *  cell, sorts (cell, vec_id) within partitions, and streams each
+   *  cell through a tight dot loop holding ONLY the current cell's
+   *  vectors (O(max-cell·d) task memory) with early exit on the
+   *  first dominating neighbor — no pair row ever materializes.
+   *  Returns (vec_id, label) survivors. */
+  def semanticDedupBlocked(emb: DataFrame, tau: Double, iters: Int = 2,
+      kOverride: Long = 0L): DataFrame = {
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1), got $tau")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = emb.sparkSession
+    val e0 = prepared(emb).select(col("vec_id"), col("label"), col("v"),
+      col("nrm"))
+    // rows², not bytes, is the cost driver — same rule as the exact
+    // pair loop: spread the corpus to cluster parallelism
+    val par = spark.sparkContext.defaultParallelism
+    val e = (if (e0.rdd.getNumPartitions < par) e0.repartition(par) else e0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = e.count()
+      val k = if (kOverride > 0) kOverride
+        else math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      // init = the k lowest vec_ids (no RNG), the q43 contract
+      var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        .sortBy(_._1)
+      for (_ <- 0 until iters) {
+        val means = cellDimMeans(
+          assignCellBroadcast(e, cents).select(col("cell"), col("v")))
+          .collect()
+        val byCell: Map[Long, Seq[Double]] = means.groupBy(_.getLong(0)).map {
+          case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+        cents = cents.map { case (cid, cv) => (cid, byCell.getOrElse(cid, cv)) }
+      }
+      val assigned = assignCellBroadcast(e, cents)
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell", "vec_id")
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType)))
+      val survivors = assigned.rdd.mapPartitions { it =>
+        var curCell = Long.MinValue
+        // current cell's already-seen (smaller-id) vectors + norms —
+        // the ONLY loop state; cleared at each cell boundary
+        val seenV = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val seenN = scala.collection.mutable.ArrayBuffer.empty[Double]
+        it.flatMap { r =>
+          val cell = r.getLong(4)
+          if (cell != curCell) { curCell = cell; seenV.clear(); seenN.clear() }
+          val v = r.getSeq[Double](2).toArray
+          val nrm = r.getDouble(3)
+          var dominated = false
+          var j = 0
+          while (j < seenV.length && !dominated) {
+            val pv = seenV(j)
+            var acc = 0.0; var i = 0
+            val d = math.min(v.length, pv.length)
+            while (i < d) { acc += pv(i) * v(i); i += 1 }
+            if (acc / (seenN(j) * nrm) >= tau) dominated = true
+            j += 1
+          }
+          seenV += v; seenN += nrm
+          if (dominated) None
+          else Some(org.apache.spark.sql.Row(r.getLong(0), r.getInt(1)))
+        }
+      }
+      // materialize while `e` is still persisted: the plan reads the
+      // cached corpus through two jobs (count/train happened above) —
+      // returning lazily and unpersisting in finally would recompute
+      spark.createDataFrame(survivors, outSchema)
+        .localCheckpoint(eager = true)
+    } finally { e.unpersist(blocking = false); () }
+  }
+
+  /** Nearest-centroid assignment over BROADCAST centroids — the
+   *  large-k twin of the literal-projection assignment (same score
+   *  `−2·⟨v,c⟩ + |c|²`, same ascending-index fold, same lowest-c_id
+   *  tie-break — ascending iteration + strict `<`), as a per-row
+   *  loop so k is bounded by broadcast memory (k·d doubles), not by
+   *  codegen size. Appends `cell`. */
+  private def assignCellBroadcast(e: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val spark = e.sparkSession
+    val bc = spark.sparkContext.broadcast(cents.sortBy(_._1).map {
+      case (cid, cv) => (cid, cv.toArray, dotLocal(cv, cv))
+    }.toArray)
+    val schema = e.schema.add("cell",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val vIdx = e.schema.fieldIndex("v")
+    val rdd = e.rdd.mapPartitions { it =>
+      val cs = bc.value
+      it.map { r =>
+        val v = r.getSeq[Double](vIdx).toArray
+        var bestScore = Double.PositiveInfinity
+        var bestCid = Long.MaxValue
+        var ci = 0
+        while (ci < cs.length) {
+          val c = cs(ci)
+          val cv = c._2
+          var acc = 0.0; var i = 0
+          val d = math.min(v.length, cv.length)
+          while (i < d) { acc += v(i) * cv(i); i += 1 }
+          val score = acc * -2.0 + c._3
+          if (score < bestScore) { bestScore = score; bestCid = c._1 }
+          ci += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bestCid)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** DuckDB oracle twin of [[semanticDedupBlocked]]: k from the same
+   *  ⌈√n⌉ rule (scalar subquery), the q43-proven fixed-point Lloyd
+   *  CTE chain, window-ranked assignment (ties → lower c_id), and a
+   *  NOT EXISTS dominated test within the final cells. */
+  def semanticDedupBlockedSql(table: String, tau: Double,
+      iters: Int = 2): String = {
+    def assignSql(cents: String, out: String): String =
+      s"""$out AS (SELECT vec_id, v, c_id FROM (
+         |  SELECT e.vec_id, e.v, c.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      (${dotSql("e.v", "c.cv")}) * -2.0 + c.cn2 ASC, c.c_id) AS r
+         |  FROM e CROSS JOIN
+         |    (SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2 FROM $cents) c
+         |) WHERE r = 1)""".stripMargin
+    val iterCtes = (0 until iters).map { i =>
+      s"""${assignSql(s"c$i", s"a$i")},
+         |m$i AS (SELECT c_id, pos,
+         |          (CAST(sum(CAST(floor(x * 1073741824.0 + 0.5) AS BIGINT))
+         |                AS DOUBLE)
+         |           / CAST(count(*) AS DOUBLE)) / 1073741824.0 AS m
+         |        FROM (SELECT c_id, generate_subscripts(v, 1) AS pos,
+         |                unnest(v) AS x FROM a$i)
+         |        GROUP BY c_id, pos),
+         |c${i + 1} AS (SELECT c.c_id, COALESCE(mm.cv, c.cv) AS cv
+         |        FROM c$i c LEFT JOIN (SELECT c_id, list(m ORDER BY pos) AS cv
+         |                              FROM m$i GROUP BY c_id) mm
+         |          ON c.c_id = mm.c_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, label, v, nrm FROM (${preparedSql(table)})),
+       |kk AS (SELECT greatest(2, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
+       |         AS BIGINT)) AS k FROM e),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e
+       |       WHERE vec_id < (SELECT k FROM kk)),
+       |$iterCtes,
+       |${assignSql(s"c$iters", "afin")},
+       |j AS (SELECT a.vec_id, a.c_id, e.label, e.v, e.nrm
+       |      FROM afin a JOIN e USING (vec_id)),
+       |dom AS (SELECT DISTINCT b.vec_id FROM j a JOIN j b
+       |        ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+       |        WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $tau)
+       |SELECT vec_id, label FROM j
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dom)""".stripMargin
+  }
+
   // ------------------------------------- scalar-quantized (int8) ANN
 
   /** Symmetric int8 scalar quantization (X62): component →

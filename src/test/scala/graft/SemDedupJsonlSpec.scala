@@ -48,6 +48,28 @@ class SemDedupJsonlSpec extends SparkTestBase {
     assert(dominated.forall(_ >= 1000000L))
   }
 
+  test("blocked SemDeDup: superset of exact survivors, partition-invariant, high recall") {
+    val exact = Similarity.semanticDedupSurvivors(twinned, 64, 0.999, 5)
+      .collect().map(_.getLong(0)).toSet
+    val blocked = Similarity.semanticDedupBlocked(twinned, 0.999, 2)
+      .collect().map(_.getLong(0)).toSet
+    // blocking can only MISS dominations (cross-cluster pairs), so the
+    // blocked survivor set contains every exact survivor
+    assert(exact.subsetOf(blocked),
+      s"exact-only survivors leaked: ${(exact -- blocked).take(5)}")
+    // recall sanity on the twinned fixture: twins sit ~cosine 0.94-0.9999
+    // from their originals, so the clusters catch nearly all of the
+    // tau-dominated twins
+    val exactDropped = twinned.count() - exact.size
+    val blockedDropped = twinned.count() - blocked.size
+    assert(exactDropped > 0, "fixture produced no dominated vectors")
+    assert(blockedDropped.toDouble / exactDropped >= 0.9,
+      s"blocked recall too low: $blockedDropped of $exactDropped")
+    val repart = Similarity.semanticDedupBlocked(twinned.repartition(13), 0.999, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(repart == blocked, "result must not depend on input partitioning")
+  }
+
   test("jsonl.gz round-trip is byte-faithful through JSON escaping") {
     val gnarly = Seq(
       (1L, "plain text"),
