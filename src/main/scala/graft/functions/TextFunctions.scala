@@ -297,13 +297,24 @@ object TextFunctions {
   /** `<script>`/`<style>` blocks drop WITH their contents ((?s) makes
    *  `.` span newlines; lazy `.*?` stops at the first close tag —
    *  both Java-regex and RE2 semantics). Case-insensitive to catch
-   *  `<SCRIPT>`. */
-  val scriptStylePattern = "(?is)<(script|style)[^>]*>.*?</(script|style)>"
+   *  `<SCRIPT>`. Two PAIRED alternatives, not `<(script|style)>...
+   *  </(script|style)>`: the mixed form would let a `</style>` inside
+   *  script text (`document.write('<style>…</style>')` is common
+   *  inline JS) terminate the `<script>` block and leak code into the
+   *  extracted text. */
+  val scriptStylePattern =
+    "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
 
   /** Any remaining tag (open, close, comment-free) — replaced by ONE
    *  space so `word<br>word` keeps its boundary; the whitespace
    *  collapse folds the extras. */
   val tagPattern = "<[^>]*>"
+
+  /** The fixed entity table, decode order load-bearing (see
+   *  [[htmlToText]]). */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
   /** HTML-to-text extraction (X80), the crawl pipeline's very first
    *  content step (the trafilatura/jusText job, reduced to its
@@ -318,13 +329,8 @@ object TextFunctions {
    *  whole-stage codegen, no parser state, embarrassingly parallel;
    *  patterns live in the Java∩RE2 common subset so the DuckDB twin
    *  is byte-identical. (A production extractor adds boilerplate
-   *  heuristics on top — [[graft.operators.Curation.c4LineFilter]]
+   *  heuristics on top — [[graft.operators.Curation.c4LineClean]]
    *  is that next stage.) */
-  /** The fixed entity table, decode order load-bearing (see above). */
-  val htmlEntities: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-    "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-
   def htmlToText(c: Column): Column = {
     val untagged = regexp_replace(
       regexp_replace(c, scriptStylePattern, " "), tagPattern, " ")

@@ -235,8 +235,13 @@ object Curation {
   // ----------------------------------------------- C4 line-level clean
 
   /** Terminal-punctuation rule: a kept line must end in `.`, `!`,
-   *  `?`, or a closing quote. Java∩RE2 common subset. */
-  val terminalPunctPattern = "[.!?\"]$"
+   *  `?`, or a closing quote, allowing a trailing SPACE run (the
+   *  exact tolerance `trim` — which strips spaces only in both
+   *  engines — would give). Anchored with `\z`, NOT `$`: Java's `$`
+   *  matches before a final `\r`/` ` where RE2's matches
+   *  end-of-text only, so `$` would silently diverge the engines on
+   *  CRLF corpora; `\z` is end-of-text in BOTH. */
+  val terminalPunctPattern = "[.!?\"] *\\z"
 
   /** C4-style line-level cleaning (Raffel et al. 2020, the famous
    *  "Colossal Clean Crawled Corpus" rules, line-scoped): keep a line
@@ -251,26 +256,28 @@ object Curation {
    *  One narrow builtin HOF chain (split → filter lambda →
    *  array_join) — per-doc bounded, no shuffle, applies to a stream
    *  verbatim. Both engines keep trailing empty splits (the q92
-   *  contract) and count words by the non-empty-token model. */
+   *  contract) and count words by the non-empty-token model. No
+   *  `trim` in any rule: the word count drops empty split tokens
+   *  anyway, `contains` is position-independent, and the punct
+   *  anchor tolerates a trailing space run directly — each line is
+   *  examined in ONE pass per predicate instead of re-trimming per
+   *  rule. */
   def c4LineClean(text: Column, minWords: Int): Column = {
-    val kept = filter(split(text, "\n", -1), l => {
-      val t = trim(l)
-      val words = size(filter(split(t, "\\s+"), w => w =!= ""))
-      words >= minWords &&
-        t.rlike(terminalPunctPattern) &&
-        !contains(lower(t), lit("lorem ipsum")) &&
-        !contains(t, lit("{"))
-    })
+    val kept = filter(split(text, "\n", -1), l =>
+      size(filter(split(l, "\\s+"), w => w =!= "")) >= minWords &&
+        l.rlike(terminalPunctPattern) &&
+        !contains(lower(l), lit("lorem ipsum")) &&
+        !contains(l, lit("{")))
     array_join(kept, "\n")
   }
 
-  /** DuckDB oracle twin — same split/trim/word model, same rules. */
+  /** DuckDB oracle twin — same split/word model, same rules. */
   def c4LineCleanSql(textExpr: String, minWords: Int): String =
     s"""array_to_string(list_filter(string_split($textExpr, chr(10)), l ->
-       |  length(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+       |  length(list_filter(regexp_split_to_array(l, '\\s+'),
        |    w -> w <> '')) >= $minWords
-       |  AND regexp_matches(trim(l), '$terminalPunctPattern')
-       |  AND NOT contains(lower(trim(l)), 'lorem ipsum')
+       |  AND regexp_matches(l, '$terminalPunctPattern')
+       |  AND NOT contains(lower(l), 'lorem ipsum')
        |  AND NOT contains(l, '{')), chr(10))""".stripMargin
 
   // --------------------------------------------- vocabulary coverage

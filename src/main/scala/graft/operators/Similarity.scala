@@ -484,11 +484,28 @@ object Similarity {
   private def trainedCentroids(emb: DataFrame, k: Int,
       iters: Int): Seq[(Long, Seq[Double])] = {
     val e = prepared(emb).select(col("vec_id"), col("v"))
-    var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    lloydIterate(e, initCentroids(e, k), iters, assignByLiterals)
+  }
+
+  /** Lloyd init: the k lowest vec_ids (no RNG — the q43 contract). */
+  private def initCentroids(e: DataFrame, k: Long): Seq[(Long, Seq[Double])] =
+    e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
       .sortBy(_._1)
+
+  /** The shared Lloyd iteration chain — ONE implementation for both
+   *  assignment strategies (literal projection for small k, broadcast
+   *  loop for large k), so a change to the update rule (quantization
+   *  constant, empty-cell carry-over) can never diverge the two
+   *  k-means paths from each other or from the q43 oracle. */
+  private def lloydIterate(e: DataFrame, init: Seq[(Long, Seq[Double])],
+      iters: Int,
+      assign: (DataFrame, Seq[(Long, Seq[Double])]) => DataFrame): Seq[(Long, Seq[Double])] = {
+    var cents = init
     for (_ <- 0 until iters) {
-      val means = cellDimMeans(assignByLiterals(e, cents)).collect()
+      val means = cellDimMeans(assign(e, cents).select(col("cell"), col("v")))
+        .collect()
       val byCell: Map[Long, Seq[Double]] = means.groupBy(_.getLong(0)).map {
         case (cid, rows) => cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
       }
@@ -1035,21 +1052,17 @@ object Similarity {
       val n = e.count()
       val k = if (kOverride > 0) kOverride
         else math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
-      // init = the k lowest vec_ids (no RNG), the q43 contract
-      var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
-        .select(col("vec_id"), col("v")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
-        .sortBy(_._1)
-      for (_ <- 0 until iters) {
-        val means = cellDimMeans(
-          assignCellBroadcast(e, cents).select(col("cell"), col("v")))
-          .collect()
-        val byCell: Map[Long, Seq[Double]] = means.groupBy(_.getLong(0)).map {
-          case (cid, rows) =>
-            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
-        cents = cents.map { case (cid, cv) => (cid, byCell.getOrElse(cid, cv)) }
-      }
+      val init = initCentroids(e, k)
+      // unlike q43 (caller-chosen k), k here is COUNT-derived, so the
+      // dense-from-0 id contract the init rule assumes must be checked:
+      // a sparse/offset id space would yield too few (or zero)
+      // centroids — degenerate cells on the Spark side and an EMPTY
+      // assignment chain in the oracle. Fail loudly instead.
+      require(init.size == k,
+        s"semanticDedupBlocked inits centroids from vec_id < k=$k and " +
+          s"found ${init.size} — the operator requires ids dense from 0 " +
+          "(re-key the corpus, or pass kOverride within the id range)")
+      val cents = lloydIterate(e, init, iters, assignCellBroadcast)
       val assigned = assignCellBroadcast(e, cents)
         .repartition(col("cell"))
         .sortWithinPartitions("cell", "vec_id")

@@ -53,6 +53,17 @@ class NormalizeCdcSpec extends SparkTestBase {
     assert(out == "Title a b \"q\" 's' 5 < 6 & 7 tail", out)
   }
 
+  test("htmlToText: a </style> inside script text does not leak script code") {
+    // the common document.write('<style>…</style>') idiom: with a
+    // mixed <(script|style)>…</(script|style)> pattern the inner
+    // close tag would terminate the script block early and leak
+    // the trailing JS into the text
+    val out = Seq("<script>document.write('<style>x</style>')</script>ok")
+      .toDF("t").select(TextFunctions.htmlToText(col("t")).as("c"))
+      .head().getString(0)
+    assert(out == "ok", out)
+  }
+
   test("htmlToText: &amp;lt; single-decodes to literal &lt;, never to <") {
     // &amp; decodes LAST, so the pre-decoded &lt; fragment must
     // survive as text — the single-pass contract
