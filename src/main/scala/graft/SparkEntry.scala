@@ -1627,6 +1627,50 @@ object SparkEntry {
           graft.functions.TextFunctions.htmlToText(dirty).as("text_clean"))
         .orderBy("doc_id")
     }),
+    // Streaming CDC apply (X83): the q89 change log split into TWO
+    // pinned micro-batches (first-wave updates/deletes/inserts, then
+    // the second-wave winners) folded into a versioned state table —
+    // continuous MERGE INTO through real MicroBatchExecution, with
+    // the per-batchId version chain making at-least-once retries
+    // idempotent. Latest-wins is associative across batches, so the
+    // drained state must equal the one-shot apply (the q89 oracle
+    // verbatim) — batch 2 overriding batch-1 state is the payload.
+    "q111_stream_cdc_apply" -> ((s0, dir) =>
+        graft.streaming.Streams.withStatePartitions(s0, 8) { s =>
+      val out = graft.streaming.Streams.scratchDir("graft_q111_")
+      Sources.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .write.parquet(s"$out/state/v-1")
+      val log = ordersChangeLog(s, dir)
+      val b1 = log.filter(col("seq") % 10 === 1)
+      val b2 = log.filter(col("seq") % 10 === 2)
+      writeSingleParquet(b1, s"$out/stream", "b1.parquet", 1600000000000L)
+      writeSingleParquet(b2, s"$out/stream", "b2.parquet", 1600000060000L)
+      val stream = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/stream")
+      val q = graft.streaming.Streams
+        .applyChangesStream(stream, s"$out/state", "o_orderkey", "seq", "op")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val fin = graft.streaming.Streams
+        .latestStateVersion(s"$out/state", Long.MaxValue)
+      require(fin == "v1",
+        s"q111: expected a 2-batch drain ending at state v1, got $fin")
+      s.read.parquet(s"$out/state/$fin").orderBy("o_orderkey")
+    }),
+    // Cluster-representative election (X84): keep each near-dup
+    // cluster's most complete copy (max n_chars, ties to the lower
+    // id) — the refinement between X38 clustering and the X28 apply.
+    // One skinny join + one bounded-state argmax aggregation; the
+    // oracle runs the rank-window formulation over the same clusters.
+    "q112_elect_representatives" -> ((s, dir) =>
+      Dedup.electRepresentatives(
+          Dedup.clusters(documents(s, dir), "doc_id", sharedLshPairs(s, dir)),
+          documents(s, dir), "doc_id", "n_chars")
+        .orderBy("cluster_id")),
     // Blocked SemDeDup (X82), the paper's own k-means-block algorithm
     // and the SCALE path for the q97 exact rule (whose lossless-grid
     // candidate volume is range-excluded at the 100× sweep —
@@ -2286,6 +2330,21 @@ object SparkEntry {
     "q110_semantic_blocked" ->
       (s"SELECT * FROM (${Similarity.semanticDedupBlockedSql(
           twinnedEmbeddingsSql, 0.999, 2)}) ORDER BY vec_id"),
+    // sequential latest-wins ≡ one-shot apply (associativity), so the
+    // streaming fold shares q89's oracle verbatim
+    "q111_stream_cdc_apply" -> {
+      val base = "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "o_totalprice FROM orders"
+      s"SELECT * FROM (${graft.operators.Cdc.applyChangesSql(base,
+          ordersChangeLogSql,
+          "o_orderkey", Seq("o_custkey", "o_orderstatus", "o_totalprice"))}) " +
+        "ORDER BY o_orderkey"
+    },
+    "q112_elect_representatives" ->
+      (s"SELECT * FROM (${Dedup.electRepresentativesSql(
+          Dedup.clustersSql("documents", "doc_id",
+            Dedup.minhashLshPairsSql("documents", "text", "doc_id", 3, 16, 4, 0.8)),
+          "documents", "doc_id", "n_chars")}) ORDER BY cluster_id"),
     "q109_c4_line_clean" -> {
       val dirty = "text || '.' || chr(10) || 'Home | About | Contact' || " +
         "chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing " +

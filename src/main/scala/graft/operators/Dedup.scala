@@ -1031,4 +1031,47 @@ object Dedup {
        |    ) WHERE rn = 1
        |  ) GROUP BY $idCol
        |) r USING ($idCol)""".stripMargin
+
+  // ------------------------------------------- representative election
+
+  /** Duplicate-cluster representative election: for each near-dup
+   *  cluster, KEEP the best member — highest `weightCol` (longest /
+   *  highest-quality copy), ties to the lowest id — instead of the
+   *  arbitrary keep-first the plain apply step uses. This is the
+   *  curation refinement real pipelines run between clustering (X38)
+   *  and the apply anti-join (X28): near-dup groups usually contain
+   *  one most-complete copy worth keeping. Output:
+   *  (cluster_id, rep_id, rep_weight, n_members).
+   *
+   *  Shape at 100 TB: one skinny join (cluster assignment ⋈ the
+   *  weight column) + ONE hash aggregation with O(1) state per
+   *  cluster — the argmax is a lexicographic min(struct), never a
+   *  cluster-partitioned rank window (clusters can be huge and few,
+   *  the q25 lesson); map-side partials reduce each task to one
+   *  candidate per cluster before the exchange. Integral weights
+   *  keep the election exact cross-engine. */
+  def electRepresentatives(clusters: DataFrame, meta: DataFrame,
+      idCol: String, weightCol: String): DataFrame =
+    clusters.join(meta.select(col(idCol), col(weightCol)), Seq(idCol))
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col(weightCol)).as("negw"), col(idCol).as("id")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("best.id").as("rep_id"),
+        (-col("best.negw")).as("rep_weight"), col("n_members"))
+
+  /** DuckDB oracle twin over a clusters relation exposing
+   *  ($idCol, cluster_id): the window formulation — correct at
+   *  oracle scale, the one-reducer-per-cluster shape the aggregate
+   *  form avoids. */
+  def electRepresentativesSql(clustersSql: String, table: String,
+      idCol: String, weightCol: String): String =
+    s"""SELECT cluster_id, $idCol AS rep_id, $weightCol AS rep_weight,
+       |  n_members FROM (
+       |  SELECT c.cluster_id, d.$idCol, d.$weightCol,
+       |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY d.$weightCol DESC, d.$idCol) AS r
+       |  FROM ($clustersSql) c JOIN $table d USING ($idCol))
+       |WHERE r = 1""".stripMargin
 }

@@ -209,6 +209,49 @@ object Streams {
       ()
     }
 
+  /** Streaming CDC apply — continuous MERGE INTO: each micro-batch of
+   *  changes folds into a durable keyed state table via
+   *  [[graft.operators.Cdc.applyChanges]], so after batch N the table
+   *  is base + changes(1..N) under latest-wins. Cross-batch
+   *  correctness is free because latest-wins is ASSOCIATIVE across
+   *  batches (max-seq of max-seqs = max-seq), so the drained state
+   *  equals the one-shot batch apply over the concatenated log — the
+   *  parity the q111 oracle checks.
+   *
+   *  Idempotency is the q78/q84 per-batchId contract applied to TABLE
+   *  STATE: versions live at `stateDir/v<batchId>` (seed the base as
+   *  `v-1`), and each batch reads the latest version with id < its
+   *  own batchId then OVERWRITES its own version — an at-least-once
+   *  redelivery re-reads the same predecessor and converges. At lake
+   *  scale the same loop lands on a table format's MERGE (the version
+   *  chain is what Delta/Iceberg commit logs encode); the per-batch
+   *  cost is one [[graft.operators.Cdc.applyChanges]] join against
+   *  current state — broadcastable when the batch is small. */
+  def applyChangesStream(changes: DataFrame, stateDir: String,
+      key: String, seqCol: String, opCol: String): DataStreamWriter[Row] =
+    changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val prev = spark.read.parquet(
+        s"$stateDir/${latestStateVersion(stateDir, batchId)}")
+      graft.operators.Cdc.applyChanges(prev, batch, key, seqCol, opCol)
+        .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+      ()
+    }
+
+  /** The newest `v<id>` state version with id < `beforeBatchId`
+   *  (pass `Long.MaxValue` to read the final drained state). */
+  def latestStateVersion(stateDir: String, beforeBatchId: Long): String = {
+    val versions = Option(new java.io.File(stateDir).listFiles())
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
+        .filter(_ < beforeBatchId))
+      .getOrElse(Seq.empty)
+    require(versions.nonEmpty,
+      s"no state version before batch $beforeBatchId under $stateDir — " +
+        "seed the base table at <stateDir>/v-1 first")
+    s"v${versions.max}"
+  }
+
   /** Run `f` against a session CLONE whose shuffle-partition count —
    *  which for a NEW streaming query is also its state-store count,
    *  baked into the checkpoint at first start — is overridden to `n`.
