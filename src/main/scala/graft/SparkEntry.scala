@@ -1638,10 +1638,11 @@ object SparkEntry {
     "q111_stream_cdc_apply" -> ((s0, dir) =>
         graft.streaming.Streams.withStatePartitions(s0, 8) { s =>
       val out = graft.streaming.Streams.scratchDir("graft_q111_")
-      Sources.table(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("o_orderstatus"), col("o_totalprice"))
-        .write.parquet(s"$out/state/v-1")
+      graft.streaming.Streams.seedCdcState(
+        Sources.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice")),
+        s"$out/state")
       val log = ordersChangeLog(s, dir)
       val b1 = log.filter(col("seq") % 10 === 1)
       val b2 = log.filter(col("seq") % 10 === 2)
@@ -1659,7 +1660,8 @@ object SparkEntry {
         .latestStateVersion(s"$out/state", Long.MaxValue)
       require(fin == "v1",
         s"q111: expected a 2-batch drain ending at state v1, got $fin")
-      s.read.parquet(s"$out/state/$fin").orderBy("o_orderkey")
+      graft.streaming.Streams.readCdcState(s, s"$out/state")
+        .orderBy("o_orderkey")
     }),
     // Cluster-representative election (X84): keep each near-dup
     // cluster's most complete copy (max n_chars, ties to the lower
@@ -1750,22 +1752,11 @@ object SparkEntry {
       |  o_custkey, 'N', o_totalprice
       |FROM orders WHERE o_orderkey % 10 = 4""".stripMargin
 
-  /** Write `df` as exactly ONE parquet part file named `name` under
-   *  `dir`, with a pinned mtime — the deterministic multi-batch
-   *  FileStreamSource layout (file order = mtime order). */
+  /** The shared pinned-mtime single-part writer
+   *  ([[graft.streaming.Streams.writeSinglePartFile]]). */
   private def writeSingleParquet(df: DataFrame, dir: String, name: String,
-      mtime: Long): Unit = {
-    val tmp = s"$dir/.tmp_$name"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .getOrElse(sys.error(s"no part file written under $tmp"))
-    val dest = new java.io.File(dir, name)
-    java.nio.file.Files.move(part.toPath, dest.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-    require(dest.setLastModified(mtime), s"could not set mtime on $dest")
-  }
+      mtime: Long): Unit =
+    graft.streaming.Streams.writeSinglePartFile(df, dir, name, mtime)
 
   /** Fixed literal query set for q82 (third query has an OOV term). */
   val bm25Queries: Seq[(Long, String)] = Seq(

@@ -1049,10 +1049,16 @@ object Dedup {
    *  cluster-partitioned rank window (clusters can be huge and few,
    *  the q25 lesson); map-side partials reduce each task to one
    *  candidate per cluster before the exchange. Integral weights
-   *  keep the election exact cross-engine. */
+   *  keep the election exact cross-engine; NULL-weight members are
+   *  excluded from candidacy (Spark's struct ordering sorts a NULL
+   *  first field SMALLEST, so an unfiltered NULL row would win the
+   *  min(-w) and elect the one member with no weight — the opposite
+   *  of the contract and of the oracle's NULLS LAST ranking). A
+   *  cluster whose every member lacks a weight elects nobody. */
   def electRepresentatives(clusters: DataFrame, meta: DataFrame,
       idCol: String, weightCol: String): DataFrame =
     clusters.join(meta.select(col(idCol), col(weightCol)), Seq(idCol))
+      .filter(col(weightCol).isNotNull)
       .groupBy(col("cluster_id"))
       .agg(min(struct((-col(weightCol)).as("negw"), col(idCol).as("id")))
           .as("best"),
@@ -1063,7 +1069,7 @@ object Dedup {
   /** DuckDB oracle twin over a clusters relation exposing
    *  ($idCol, cluster_id): the window formulation — correct at
    *  oracle scale, the one-reducer-per-cluster shape the aggregate
-   *  form avoids. */
+   *  form avoids. Same NULL-weight exclusion as the engine. */
   def electRepresentativesSql(clustersSql: String, table: String,
       idCol: String, weightCol: String): String =
     s"""SELECT cluster_id, $idCol AS rep_id, $weightCol AS rep_weight,
@@ -1072,6 +1078,7 @@ object Dedup {
        |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
        |    row_number() OVER (PARTITION BY c.cluster_id
        |      ORDER BY d.$weightCol DESC, d.$idCol) AS r
-       |  FROM ($clustersSql) c JOIN $table d USING ($idCol))
+       |  FROM ($clustersSql) c JOIN $table d USING ($idCol)
+       |  WHERE d.$weightCol IS NOT NULL)
        |WHERE r = 1""".stripMargin
 }

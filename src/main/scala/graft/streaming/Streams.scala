@@ -210,45 +210,100 @@ object Streams {
     }
 
   /** Streaming CDC apply — continuous MERGE INTO: each micro-batch of
-   *  changes folds into a durable keyed state table via
-   *  [[graft.operators.Cdc.applyChanges]], so after batch N the table
-   *  is base + changes(1..N) under latest-wins. Cross-batch
-   *  correctness is free because latest-wins is ASSOCIATIVE across
-   *  batches (max-seq of max-seqs = max-seq), so the drained state
-   *  equals the one-shot batch apply over the concatenated log — the
-   *  parity the q111 oracle checks.
+   *  changes folds into a durable keyed state table, so after batch N
+   *  the table is base + changes(1..N) under LATEST-SEQ-wins. The
+   *  state carries `__seq` — the sequence number that produced each
+   *  current row — and every fold re-enters state rows as changes at
+   *  their stored seq, so a LOWER-seq change arriving in a LATER
+   *  micro-batch loses to newer state (out-of-order delivery is
+   *  normal for at-least-once CDC sources): the drained state equals
+   *  the one-shot batch apply over the concatenated log regardless of
+   *  how the log was batched — the parity the q111 oracle and the
+   *  out-of-order spec case check.
    *
    *  Idempotency is the q78/q84 per-batchId contract applied to TABLE
-   *  STATE: versions live at `stateDir/v<batchId>` (seed the base as
-   *  `v-1`), and each batch reads the latest version with id < its
-   *  own batchId then OVERWRITES its own version — an at-least-once
-   *  redelivery re-reads the same predecessor and converges. At lake
-   *  scale the same loop lands on a table format's MERGE (the version
-   *  chain is what Delta/Iceberg commit logs encode); the per-batch
-   *  cost is one [[graft.operators.Cdc.applyChanges]] join against
-   *  current state — broadcastable when the batch is small. */
+   *  STATE: versions live at `stateDir/v<batchId>` (seed the base via
+   *  [[seedCdcState]]), and each batch reads the latest COMMITTED
+   *  version (`_SUCCESS`-marked — a torn, crash-interrupted write is
+   *  never selected) with id < its own batchId then OVERWRITES its
+   *  own version — an at-least-once redelivery re-reads the same
+   *  predecessor and converges to value-equal state (spec-pinned). At
+   *  lake scale the same loop lands on a table format's MERGE (the
+   *  version chain is what Delta/Iceberg commit logs encode); the
+   *  per-batch cost is one max_by fold + anti-filter over
+   *  state ∪ batch — broadcastable when the batch is small. */
   def applyChangesStream(changes: DataFrame, stateDir: String,
       key: String, seqCol: String, opCol: String): DataStreamWriter[Row] =
     changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      val prev = spark.read.parquet(
-        s"$stateDir/${latestStateVersion(stateDir, batchId)}")
-      graft.operators.Cdc.applyChanges(prev, batch, key, seqCol, opCol)
-        .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-      ()
+      foldCdcBatch(batch, batchId, stateDir, key, seqCol, opCol)
     }
 
-  /** The newest `v<id>` state version with id < `beforeBatchId`
-   *  (pass `Long.MaxValue` to read the final drained state). */
+  /** One micro-batch's fold — exposed (package-private) so the spec
+   *  can replay a batch as an at-least-once redelivery. State rows
+   *  re-enter as changes AT THEIR STORED SEQ AND OP, so the max_by
+   *  fold arbitrates state-vs-batch by sequence, not arrival order.
+   *  Deleted keys persist as TOMBSTONES (__op 'd'): without them, a
+   *  later batch delivering an OLDER update for a deleted key would
+   *  resurrect it — [[readCdcState]] filters tombstones at read time
+   *  (a production compactor expires them once the source's max
+   *  delivery lag has passed). */
+  private[graft] def foldCdcBatch(batch: DataFrame, batchId: Long,
+      stateDir: String, key: String, seqCol: String, opCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = batch.sparkSession
+    val payload = batch.columns.filterNot(
+      Set(key, seqCol, opCol).contains).toSeq
+    val prev = spark.read.parquet(
+      s"$stateDir/${latestStateVersion(stateDir, batchId)}")
+    val stateAsChanges = prev.select(
+      col(key) +: col("__seq").as(seqCol) +: col("__op").as(opCol) +:
+        payload.map(col): _*)
+    val all = stateAsChanges.unionByName(
+      batch.select(col(key) +: col(seqCol) +: col(opCol) +:
+        payload.map(col): _*))
+    graft.operators.Cdc
+      .latestChanges(all, key, seqCol, opCol, payload :+ seqCol)
+      .select(col(key) +: payload.map(col) :+
+        col(seqCol).as("__seq") :+ col(opCol).as("__op"): _*)
+      .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    ()
+  }
+
+  /** Seed [[applyChangesStream]]'s version chain: the base table
+   *  becomes `v-1` with `__seq = Long.MinValue` (every real change
+   *  outranks an initial-load row) and `__op = 'u'`. */
+  def seedCdcState(base: DataFrame, stateDir: String): Unit = {
+    import org.apache.spark.sql.functions.lit
+    base.withColumn("__seq", lit(Long.MinValue))
+      .withColumn("__op", lit("u"))
+      .write.parquet(s"$stateDir/v-1")
+  }
+
+  /** The consumer view of the drained CDC state: latest committed
+   *  version, tombstones filtered, bookkeeping columns dropped. */
+  def readCdcState(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read
+      .parquet(s"$stateDir/${latestStateVersion(stateDir, Long.MaxValue)}")
+      .filter(col("__op") =!= "d")
+      .drop("__seq", "__op")
+  }
+
+  /** The newest COMMITTED (`_SUCCESS`-marked) `v<id>` state version
+   *  with id < `beforeBatchId` (pass `Long.MaxValue` to read the
+   *  final drained state). A crash mid-overwrite leaves a torn dir
+   *  with no marker — it is skipped, so readers see the last
+   *  committed state, never partial files. */
   def latestStateVersion(stateDir: String, beforeBatchId: Long): String = {
     val versions = Option(new java.io.File(stateDir).listFiles())
-      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v") &&
+          new java.io.File(f, "_SUCCESS").exists())
         .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
         .filter(_ < beforeBatchId))
       .getOrElse(Seq.empty)
     require(versions.nonEmpty,
-      s"no state version before batch $beforeBatchId under $stateDir — " +
-        "seed the base table at <stateDir>/v-1 first")
+      s"no committed state version before batch $beforeBatchId under " +
+        s"$stateDir — seed the base table first (seedCdcState)")
     s"v${versions.max}"
   }
 
@@ -363,6 +418,26 @@ object Streams {
       s"$what: batch-oracle parity needs a single-micro-batch drain, " +
         s"got $dataBatches data-carrying batches — a source option " +
         "(e.g. maxFilesPerTrigger) or input layout change broke the assumption")
+  }
+
+  /** Write `df` as exactly ONE parquet part file named `name` under
+   *  `dir`, with a pinned mtime — the deterministic multi-batch
+   *  FileStreamSource layout (file order = mtime order,
+   *  maxFilesPerTrigger=1, latestFirst=false). The shared helper
+   *  behind every pinned-order streaming fixture (q84/q111 and their
+   *  specs). */
+  def writeSinglePartFile(df: DataFrame, dir: String, name: String,
+      mtime: Long): Unit = {
+    val tmp = s"$dir/.tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    val dest = new java.io.File(dir, name)
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    require(dest.setLastModified(mtime), s"could not set mtime on $dest")
   }
 
   /** Temp dir for a one-shot drain's sink + checkpoint, swept

@@ -24,15 +24,8 @@ class EvolvingScreenSpec extends SparkTestBase {
       batches: Seq[Seq[(Long, String)]]): Unit = {
     import spark.implicits._
     batches.zipWithIndex.foreach { case (rows, i) =>
-      val tmp = s"$dir/.tmp_$i"
-      rows.toDF("doc_id", "text").coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(dir, s"b$i.parquet")
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      assert(dest.setLastModified(1600000000000L + i * 60000L))
+      Streams.writeSinglePartFile(rows.toDF("doc_id", "text"), dir,
+        s"b$i.parquet", 1600000000000L + i * 60000L)
     }
   }
 

@@ -10,29 +10,25 @@ class StreamCdcRepSpec extends SparkTestBase {
 
   import spark.implicits._
 
-  test("applyChangesStream: drained state == one-shot apply; retries idempotent") {
+  test("applyChangesStream: drained == one-shot, out-of-order safe, retries converge") {
     val out = Streams.scratchDir("graft_cdcstream_spec_")
-    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
-      .toDF("k", "s", "v")
-    base.write.parquet(s"$out/state/v-1")
-    // batch 1: update k=1, delete k=2; batch 2: k=1 updated AGAIN
-    // (must override batch-1 state), k=9 inserted
-    val b1 = Seq((1L, 11L, "u", "a1", 11.0), (2L, 12L, "d", null, 0.0))
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v")
+    Streams.seedCdcState(base, s"$out/state")
+    // batch 1: k=1 updated at seq 20 (the NEWER change arrives FIRST),
+    // k=2 deleted at seq 30; batch 2 carries LATE, lower-seq changes:
+    // a stale update for k=1 (seq 10 — must lose to batch-1 state), a
+    // stale update for the DELETED k=2 (seq 12 — the tombstone must
+    // keep it dead), plus an insert and a genuine newer update for k=4
+    val b1 = Seq((1L, 20L, "u", "a-new", 11.0), (2L, 30L, "d", null, 0.0))
       .toDF("k", "seq", "op", "s", "v")
-    val b2 = Seq((1L, 21L, "u", "a2", 12.0), (9L, 22L, "u", "ins", 90.0))
+    val b2 = Seq((1L, 10L, "u", "a-stale", 99.0), (2L, 12L, "u", "zombie", 66.0),
+      (9L, 22L, "u", "ins", 90.0), (4L, 41L, "u", "d2", 44.0))
       .toDF("k", "seq", "op", "s", "v")
-    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, t: Long): Unit = {
-      val tmp = s"$out/.tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(s"$out/stream", name)
-      dest.getParentFile.mkdirs()
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      assert(dest.setLastModified(t))
-    }
-    writeOne(b1, "b1.parquet", 1600000000000L)
-    writeOne(b2, "b2.parquet", 1600000060000L)
+    Streams.writeSinglePartFile(b1, s"$out/stream", "b1.parquet",
+      1600000000000L)
+    Streams.writeSinglePartFile(b2, s"$out/stream", "b2.parquet",
+      1600000060000L)
     val stream = spark.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$out/stream")
     val q = Streams.applyChangesStream(stream, s"$out/state", "k", "seq", "op")
@@ -41,18 +37,22 @@ class StreamCdcRepSpec extends SparkTestBase {
       .start()
     q.awaitTermination()
     assert(Streams.latestStateVersion(s"$out/state", Long.MaxValue) == "v1")
-    val drained = spark.read.parquet(s"$out/state/v1")
+    val drained = Streams.readCdcState(spark, s"$out/state")
+    // one-shot apply over the CONCATENATED log is the contract —
+    // batching (and the out-of-order deliveries) must not change it
     val oneShot = Cdc.applyChanges(base, b1.unionAll(b2), "k", "seq", "op")
     assert(drained.exceptAll(oneShot).isEmpty && oneShot.exceptAll(drained).isEmpty)
-    // at-least-once retry: re-fold batch 1 (id 1) against its
-    // predecessor exactly as a redelivery would — v1 must converge to
-    // the same bytes-equal result, not duplicate
-    val prev = spark.read.parquet(
-      s"$out/state/${Streams.latestStateVersion(s"$out/state", 1L)}")
-    Cdc.applyChanges(prev, b2, "k", "seq", "op")
-      .write.mode("overwrite").parquet(s"$out/state/v1")
-    val refolded = spark.read.parquet(s"$out/state/v1")
+    val byKey = drained.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byKey(1L) == "a-new", "stale lower-seq update must lose to state")
+    assert(!byKey.contains(2L), "tombstone must keep a late update dead")
+    // at-least-once retry: replay batch 1's fold exactly as a
+    // redelivery would — v1 must converge to value-equal state
+    Streams.foldCdcBatch(b2, 1L, s"$out/state", "k", "seq", "op")
+    val refolded = Streams.readCdcState(spark, s"$out/state")
     assert(refolded.exceptAll(oneShot).isEmpty && oneShot.exceptAll(refolded).isEmpty)
+    // a torn (uncommitted) version is never selected as latest state
+    new java.io.File(s"$out/state/v7").mkdirs()
+    assert(Streams.latestStateVersion(s"$out/state", Long.MaxValue) == "v1")
   }
 
   test("electRepresentatives: max weight wins, ties to lower id, counts right") {
