@@ -1637,31 +1637,31 @@ object SparkEntry {
     // verbatim) — batch 2 overriding batch-1 state is the payload.
     "q111_stream_cdc_apply" -> ((s0, dir) =>
         graft.streaming.Streams.withStatePartitions(s0, 8) { s =>
-      val out = graft.streaming.Streams.scratchDir("graft_q111_")
-      graft.streaming.Streams.seedCdcState(
-        Sources.table(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus"), col("o_totalprice")),
-        s"$out/state")
-      val log = ordersChangeLog(s, dir)
-      val b1 = log.filter(col("seq") % 10 === 1)
-      val b2 = log.filter(col("seq") % 10 === 2)
-      writeSingleParquet(b1, s"$out/stream", "b1.parquet", 1600000000000L)
-      writeSingleParquet(b2, s"$out/stream", "b2.parquet", 1600000060000L)
-      val stream = s.readStream.schema(b1.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$out/stream")
-      val q = graft.streaming.Streams
-        .applyChangesStream(stream, s"$out/state", "o_orderkey", "seq", "op")
-        .option("checkpointLocation", s"$out/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val fin = graft.streaming.Streams
-        .latestStateVersion(s"$out/state", Long.MaxValue)
-      require(fin == "v1",
-        s"q111: expected a 2-batch drain ending at state v1, got $fin")
-      graft.streaming.Streams.readCdcState(s, s"$out/state")
+      graft.streaming.Streams
+        .readCdcState(s, drainOrdersCdc(s, dir))
         .orderBy("o_orderkey")
+    }),
+    // Streamed SCD2 audit history (X83 ∘ X75, the round-7 item-3
+    // composition): the SAME drained CDC run feeds TWO consumers —
+    // q111 reads the folded latest-wins state; this row reads the
+    // change-data-feed the folds journaled (Streams.streamedChangeFeed
+    // — the Delta-CDF analog, committed per batchId so at-least-once
+    // redeliveries overwrite rather than duplicate) and versions it
+    // with Cdc.scd2History into validity intervals. Because the feed
+    // is the raw concatenated log, the streamed audit table equals
+    // the batch build EXACTLY — q103's oracle verbatim.
+    "q113_stream_scd2" -> ((s0, dir) =>
+        graft.streaming.Streams.withStatePartitions(s0, 8) { s =>
+      val state = drainOrdersCdc(s, dir)
+      val base = Sources.table(s, dir, "orders")
+        .select(col("o_orderkey"), lit(0L).as("seq"), lit("u").as("op"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.operators.Cdc.scd2History(
+          base.unionByName(
+            graft.streaming.Streams.streamedChangeFeed(s, state)),
+          "o_orderkey", "seq", "op",
+          Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey", "valid_from")
     }),
     // Cluster-representative election (X84): keep each near-dup
     // cluster's most complete copy (max n_chars, ties to the lower
@@ -1733,6 +1733,39 @@ object SparkEntry {
         lit(null).cast("string"), lit(null).cast("double")))
       .unionAll(change(Seq(4), 1, "u", 100000000L, lit("N"),
         col("o_totalprice")))
+  }
+
+  /** The q111/q113 streaming CDC drain: the q89 change log split into
+   *  TWO pinned micro-batches (first-wave updates/deletes/inserts,
+   *  then the second-wave winners) folded through real
+   *  MicroBatchExecution into a bucketed versioned state table.
+   *  Returns the state dir; q111 reads the folded state, q113 the
+   *  journaled change feed — one stream, two consumers. */
+  private def drainOrdersCdc(s: SparkSession, dir: String): String = {
+    val out = graft.streaming.Streams.scratchDir("graft_cdcdrain_")
+    graft.streaming.Streams.seedCdcState(
+      Sources.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice")),
+      s"$out/state", "o_orderkey")
+    val log = ordersChangeLog(s, dir)
+    val b1 = log.filter(col("seq") % 10 === 1)
+    val b2 = log.filter(col("seq") % 10 === 2)
+    writeSingleParquet(b1, s"$out/stream", "b1.parquet", 1600000000000L)
+    writeSingleParquet(b2, s"$out/stream", "b2.parquet", 1600000060000L)
+    val stream = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$out/stream")
+    val q = graft.streaming.Streams
+      .applyChangesStream(stream, s"$out/state", "o_orderkey", "seq", "op")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fin = graft.streaming.Streams
+      .latestStateVersion(s"$out/state", Long.MaxValue)
+    require(fin == "v1",
+      s"cdc drain: expected a 2-batch drain ending at state v1, got $fin")
+    s"$out/state"
   }
 
   /** [[ordersChangeLog]]'s DuckDB mirror (key exposed as `k`). */
@@ -2330,6 +2363,18 @@ object SparkEntry {
           ordersChangeLogSql,
           "o_orderkey", Seq("o_custkey", "o_orderstatus", "o_totalprice"))}) " +
         "ORDER BY o_orderkey"
+    },
+    // the journaled change feed is the raw concatenated log, so the
+    // streamed SCD2 build shares q103's batch oracle verbatim
+    "q113_stream_scd2" -> {
+      val log = "SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS seq, " +
+        "'u' AS op, o_custkey, o_orderstatus, o_totalprice FROM orders " +
+        s"UNION ALL $ordersChangeLogSql"
+      "SELECT k AS o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+        "valid_from, valid_to, is_current " +
+        s"FROM (${graft.operators.Cdc.scd2HistorySql(log,
+          Seq("o_custkey", "o_orderstatus", "o_totalprice"))}) " +
+        "ORDER BY o_orderkey, valid_from"
     },
     "q112_elect_representatives" ->
       (s"SELECT * FROM (${Dedup.electRepresentativesSql(

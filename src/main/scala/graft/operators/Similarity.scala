@@ -377,6 +377,158 @@ object Similarity {
     top1InBucketSql(table,
       gridCellSql("v", "nrm", nproj, adaptiveGridLevelSql(table), dim))
 
+  // ------------------------------------ persist-once routed ANN index
+
+  /** Meta sidecar of a materialized ANN index: the measured route
+   *  ([[annRouted]]'s Σbucket² decision, with the counts that made
+   *  it), the bucketing parameters, and the corpus fingerprint — the
+   *  q84 pattern for vectors: parameters travel WITH the data, and a
+   *  stale or foreign index fails loudly at probe time instead of
+   *  silently returning wrong neighbors. */
+  final case class AnnIndexMeta(dim: Int, nproj: Int, route: String,
+      bits: Int, n: Long, s2: Long, fingerprint: String)
+
+  private val AnnMetaFile = "ann_index_meta.json"
+
+  def writeAnnIndexMeta(dir: String, m: AnnIndexMeta): Unit = {
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dir, AnnMetaFile).toPath,
+      (s"""{"dim":${m.dim},"nproj":${m.nproj},"route":"${m.route}",""" +
+        s""""bits":${m.bits},"n":${m.n},"s2":${m.s2},""" +
+        s""""fingerprint":"${m.fingerprint}"}""").getBytes("UTF-8"))
+    ()
+  }
+
+  def readAnnIndexMeta(dir: String): Option[AnnIndexMeta] = {
+    val f = new java.io.File(dir, AnnMetaFile)
+    if (!f.isFile) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      def num(key: String) =
+        s""""$key":(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+      def str(key: String) =
+        s""""$key":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+      for (d <- num("dim"); np <- num("nproj"); r <- str("route");
+           b <- num("bits"); n <- num("n"); s2 <- num("s2");
+           fp <- str("fingerprint"))
+        yield AnnIndexMeta(d.toInt, np.toInt, r, b.toInt, n, s2, fp)
+    }
+  }
+
+  /** Materialize [[annRouted]]'s bucketing ONCE as a lake table: one
+   *  corpus scan measures Σbucket², picks the route, computes every
+   *  vector's bucket under it, and writes (bucket, vec_id, label, v,
+   *  nrm) CLUSTERED by bucket (repartition + in-partition sort ⇒
+   *  parquet row-group min/max on `bucket` are tight, so a probe's
+   *  bucket-join scans stay narrow). Repeated query batches then
+   *  probe the written table and NEVER rescan or re-project the
+   *  corpus embeddings — the q83-lexicon / q84-LSH "materialize once
+   *  per corpus fingerprint" pattern, closing round-7 residual 3
+   *  (q81/q20 recomputed grid cells per run). */
+  def materializeAnnIndex(emb: DataFrame, dim: Int, dir: String,
+      fingerprint: String, skewFactor: Long = 256,
+      nproj: Int = 4): AnnIndexMeta = {
+    val (n, s2) = signBucketSkew(emb, dim)
+    val (route, bits) =
+      if (s2 > n * skewFactor) ("grid", adaptiveGridLevel(n))
+      else ("sign", adaptivePlanes(n))
+    val meta = AnnIndexMeta(dim, nproj, route, bits, n, s2, fingerprint)
+    prepared(emb)
+      .withColumn("bucket", indexBucketExpr(meta, "v", "nrm"))
+      .select(col("bucket"), col("vec_id"), col("label"), col("v"), col("nrm"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"))
+      .write.mode("overwrite").parquet(s"$dir/data")
+    writeAnnIndexMeta(dir, meta)
+    meta
+  }
+
+  /** The routed bucket expression a meta describes — used for BOTH
+   *  the corpus write and every query probe, so a build/probe
+   *  parameter mismatch is impossible by construction. */
+  def indexBucketExpr(m: AnnIndexMeta, vName: String, nrmName: String): Column =
+    m.route match {
+      case "grid" => gridCellExpr(vName, nrmName, m.nproj, m.bits, m.dim)
+      case "sign" => lshBucket(vName, m.bits, m.dim)
+      case other => sys.error(s"unknown ANN index route '$other'")
+    }
+
+  /** Open a materialized ANN index, validating the corpus fingerprint
+   *  (a stale index silently returns wrong neighbors — fail loudly
+   *  instead). Returns the data frame (a plain parquet scan — cheap
+   *  to re-plan per batch, immune to clearCache) plus its meta. */
+  def loadAnnIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      expectFingerprint: Option[String] = None): (DataFrame, AnnIndexMeta) = {
+    val meta = readAnnIndexMeta(dir).getOrElse(throw new IllegalStateException(
+      s"no $AnnMetaFile in $dir — not an ANN index dir (or a half-built one)"))
+    expectFingerprint.foreach { fp =>
+      require(meta.fingerprint == fp,
+        s"ANN index at $dir was built from corpus ${meta.fingerprint}, " +
+          s"expected $fp — STALE index; rebuild instead of probing it")
+    }
+    (spark.read.parquet(s"$dir/data"), meta)
+  }
+
+  /** Top-k neighbors for a query batch against a MATERIALIZED index:
+   *  queries (q_id, embedding) are bucketed with the index's own
+   *  routed expression (meta-driven — no corpus pass, no re-measured
+   *  route), BROADCAST, and joined to the index on bucket equality;
+   *  exact cosine re-rank inside the bucket, bounded top-k aggregate.
+   *  Per-batch cost is one index scan + |queries|·occupancy scores —
+   *  the corpus embeddings are never read ([[AnnIndexSpec]] pins zero
+   *  corpus rescans across repeated batches). Same recall contract as
+   *  the underlying route: neighbors outside the query's bucket are
+   *  not seen. */
+  def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int,
+      expectFingerprint: Option[String] = None): DataFrame = {
+    val (data, meta) = loadAnnIndex(spark, dir, expectFingerprint)
+    val q = queries
+      .select(col("q_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("qv"))
+      .withColumn("qn", normExpr("qv"))
+      .withColumn("bucket", indexBucketExpr(meta, "qv", "qn"))
+    topKPerQuery(
+      data.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (dotExpr("qv", "v") / (col("qn") * col("nrm"))).as("sim")),
+      k)
+  }
+
+  /** SQL twin of one [[annTopKIndexed]] batch: the oracle re-derives
+   *  the route from the same exact counts ([[annRoutedSql]]'s gating),
+   *  buckets corpus and queries (`qFilter` over the corpus) with the
+   *  routed expression, and re-ranks in-bucket with the identical
+   *  tie-break. */
+  def annTopKIndexedSql(table: String, qFilter: String, k: Int,
+      dim: Int, skewFactor: Long = 256): String = {
+    val nbits = adaptivePlanesSql(table)
+    val signBucket = s"((${lshBucketSql("v", 16, dim)}) " +
+      s"% (CAST(1 AS BIGINT) << $nbits))"
+    val skew =
+      s"""(SELECT sum(c * c) FROM (
+         |  SELECT $signBucket AS bucket, count(*) AS c
+         |  FROM (${preparedSql(table)}) GROUP BY 1))""".stripMargin
+    val budget = s"((SELECT count(*) FROM $table) * $skewFactor)"
+    val gridBucket = gridCellSql("v", "nrm", 4, adaptiveGridLevelSql(table), dim)
+    val bucket =
+      s"(CASE WHEN ($skew) > $budget THEN ($gridBucket) ELSE ($signBucket) END)"
+    s"""WITH e AS (SELECT *, $bucket AS bucket
+       |           FROM (${preparedSql(table)})),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket
+       |      FROM e WHERE $qFilter),
+       |scored AS (SELECT q_id, e.vec_id AS n_id,
+       |                  ${dotSql("qv", "e.v")} / (qn * e.nrm) AS sim
+       |           FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id)
+       |SELECT q_id, n_id, sim, rank FROM (
+       |  SELECT q_id, n_id, sim, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k""".stripMargin
+  }
+
   // ----------------------------------------------------------- IVF ANN
 
   /** IVF-style ANN: partition the corpus into `nCells` inverted-file

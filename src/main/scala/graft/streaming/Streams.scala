@@ -221,22 +221,51 @@ object Streams {
    *  how the log was batched — the parity the q111 oracle and the
    *  out-of-order spec case check.
    *
+   *  The state table is HASH-BUCKETED by key (`pmod(hash(key), n)`,
+   *  `n` fixed at [[seedCdcState]] time), and a fold touches ONLY the
+   *  buckets its batch's keys land in: per-batch I/O is
+   *  O(|batch| + |touched buckets|), NOT O(|state|) — the cost a lake
+   *  MERGE pays per touched file, never per table. A version is a
+   *  manifest (bucket → the version whose write holds that bucket's
+   *  current rows) plus data for just the rewritten buckets; untouched
+   *  buckets are carried BY REFERENCE to their prior version — exactly
+   *  what a Delta/Iceberg snapshot encodes as its data-file list.
+   *
    *  Idempotency is the q78/q84 per-batchId contract applied to TABLE
-   *  STATE: versions live at `stateDir/v<batchId>` (seed the base via
-   *  [[seedCdcState]]), and each batch reads the latest COMMITTED
-   *  version (`_SUCCESS`-marked — a torn, crash-interrupted write is
-   *  never selected) with id < its own batchId then OVERWRITES its
-   *  own version — an at-least-once redelivery re-reads the same
-   *  predecessor and converges to value-equal state (spec-pinned). At
-   *  lake scale the same loop lands on a table format's MERGE (the
-   *  version chain is what Delta/Iceberg commit logs encode); the
-   *  per-batch cost is one max_by fold + anti-filter over
-   *  state ∪ batch — broadcastable when the batch is small. */
+   *  STATE: versions live at `stateDir/v<batchId>`, and each batch
+   *  reads the latest COMMITTED version (root `_SUCCESS`-marked,
+   *  written LAST after data + manifest — a torn, crash-interrupted
+   *  write is never selected) with id < its own batchId, then
+   *  overwrites its own version — an at-least-once redelivery
+   *  re-reads the same predecessor and converges to value-equal state
+   *  (spec-pinned; the fold drops any stale commit marker before
+   *  rewriting so a crash MID-redelivery can't leave a marked torn
+   *  version). Each committed batch also journals its RAW changes at
+   *  `stateDir/changes/b<batchId>` — the change-data-feed a
+   *  downstream SCD2 builder consumes ([[streamedChangeFeed]]),
+   *  outside the version chain so state GC never eats the audit
+   *  trail. Unbounded-stream storage is bounded two ways:
+   *  [[gcCdcVersions]] keeps `retainVersions` committed versions plus
+   *  whatever older versions their manifests still reference, and
+   *  tombstones expire once `maxSeq - tombstoneSeqLag` passes their
+   *  seq (safe exactly when the source's delivery lag is bounded by
+   *  `tombstoneSeqLag`; `None` keeps them forever). */
   def applyChangesStream(changes: DataFrame, stateDir: String,
-      key: String, seqCol: String, opCol: String): DataStreamWriter[Row] =
+      key: String, seqCol: String, opCol: String,
+      retainVersions: Int = 8,
+      tombstoneSeqLag: Option[Long] = None): DataStreamWriter[Row] =
     changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      foldCdcBatch(batch, batchId, stateDir, key, seqCol, opCol)
+      foldCdcBatch(batch, batchId, stateDir, key, seqCol, opCol,
+        retainVersions, tombstoneSeqLag)
     }
+
+  /** The bucket a key's state row lives in. Murmur3 `hash` is stable
+   *  within an engine version, which is all bucketing needs — the
+   *  layout is physical, never part of a result. */
+  def cdcBucket(key: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    pmod(hash(key), lit(nBuckets))
+  }
 
   /** One micro-batch's fold — exposed (package-private) so the spec
    *  can replay a batch as an at-least-once redelivery. State rows
@@ -244,50 +273,192 @@ object Streams {
    *  fold arbitrates state-vs-batch by sequence, not arrival order.
    *  Deleted keys persist as TOMBSTONES (__op 'd'): without them, a
    *  later batch delivering an OLDER update for a deleted key would
-   *  resurrect it — [[readCdcState]] filters tombstones at read time
-   *  (a production compactor expires them once the source's max
-   *  delivery lag has passed). */
+   *  resurrect it — [[readCdcState]] filters tombstones at read time,
+   *  and the fold itself expires those older than the delivery-lag
+   *  bound. Only the TOUCHED buckets are read and rewritten; the
+   *  distinct-bucket probe is one tiny job over the batch, bounded by
+   *  the bucket count. */
   private[graft] def foldCdcBatch(batch: DataFrame, batchId: Long,
-      stateDir: String, key: String, seqCol: String, opCol: String): Unit = {
-    import org.apache.spark.sql.functions.col
+      stateDir: String, key: String, seqCol: String, opCol: String,
+      retainVersions: Int = 8,
+      tombstoneSeqLag: Option[Long] = None): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max}
     val spark = batch.sparkSession
     val payload = batch.columns.filterNot(
       Set(key, seqCol, opCol).contains).toSeq
-    val prev = spark.read.parquet(
-      s"$stateDir/${latestStateVersion(stateDir, batchId)}")
-    val stateAsChanges = prev.select(
-      col(key) +: col("__seq").as(seqCol) +: col("__op").as(opCol) +:
-        payload.map(col): _*)
-    val all = stateAsChanges.unionByName(
-      batch.select(col(key) +: col(seqCol) +: col(opCol) +:
-        payload.map(col): _*))
-    graft.operators.Cdc
+    val prevVer = latestStateVersion(stateDir, batchId)
+    val m = readCdcManifest(s"$stateDir/$prevVer")
+    val verDir = new java.io.File(s"$stateDir/v$batchId")
+    // a redelivery (or a crashed first attempt) may have left this
+    // version behind — drop its commit marker FIRST so no reader can
+    // select it while its data is being rewritten
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(verDir, "_SUCCESS").toPath)
+    val touched = batch
+      .select(cdcBucket(col(key), m.nBuckets).as("__bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val prevPaths = touched
+      .map(b => s"$stateDir/v${m.buckets.getOrElse(b, -1L)}/data/__bucket=$b")
+      .filter(p => new java.io.File(p).exists())
+    val batchChanges = batch.select(
+      col(key) +: col(seqCol) +: col(opCol) +: payload.map(col): _*)
+    val all =
+      if (prevPaths.isEmpty) batchChanges
+      else spark.read.parquet(prevPaths: _*)
+        .select(col(key) +: col("__seq").as(seqCol) +:
+          col("__op").as(opCol) +: payload.map(col): _*)
+        .unionByName(batchChanges)
+    val batchMaxSeq = Option(
+      batch.agg(max(col(seqCol).cast("long"))).first().get(0)) match {
+      case Some(v: Long) => v
+      case _ => Long.MinValue // empty batch
+    }
+    val newMaxSeq = math.max(m.maxSeq, batchMaxSeq)
+    val folded = graft.operators.Cdc
       .latestChanges(all, key, seqCol, opCol, payload :+ seqCol)
       .select(col(key) +: payload.map(col) :+
         col(seqCol).as("__seq") :+ col(opCol).as("__op"): _*)
-      .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    ()
+    val expired = tombstoneSeqLag match {
+      case Some(lag) if newMaxSeq != Long.MinValue =>
+        folded.filter(!(col("__op") === "d" &&
+          col("__seq") < lit(newMaxSeq - lag)))
+      case _ => folded
+    }
+    expired
+      .withColumn("__bucket", cdcBucket(col(key), m.nBuckets))
+      .write.partitionBy("__bucket").mode("overwrite")
+      .parquet(s"$stateDir/v$batchId/data")
+    // journal the RAW batch — the change-data-feed (keyed by batchId
+    // ⇒ a redelivery overwrites its own entry, never duplicates)
+    batchChanges.write.mode("overwrite")
+      .parquet(s"$stateDir/changes/b$batchId")
+    writeCdcManifest(s"$stateDir/v$batchId", m.nBuckets, newMaxSeq,
+      m.buckets ++ touched.map(_ -> batchId))
+    require(new java.io.File(verDir, "_SUCCESS").createNewFile(),
+      s"could not commit $verDir")
+    gcCdcVersions(stateDir, retainVersions)
   }
 
   /** Seed [[applyChangesStream]]'s version chain: the base table
    *  becomes `v-1` with `__seq = Long.MinValue` (every real change
-   *  outranks an initial-load row) and `__op = 'u'`. */
-  def seedCdcState(base: DataFrame, stateDir: String): Unit = {
-    import org.apache.spark.sql.functions.lit
+   *  outranks an initial-load row) and `__op = 'u'`, hash-bucketed by
+   *  `key` into `nBuckets` — the bucket count is FIXED here and every
+   *  later fold inherits it from its predecessor's manifest. */
+  def seedCdcState(base: DataFrame, stateDir: String, key: String,
+      nBuckets: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
     base.withColumn("__seq", lit(Long.MinValue))
       .withColumn("__op", lit("u"))
-      .write.parquet(s"$stateDir/v-1")
+      .withColumn("__bucket", cdcBucket(col(key), nBuckets))
+      .write.partitionBy("__bucket").parquet(s"$stateDir/v-1/data")
+    writeCdcManifest(s"$stateDir/v-1", nBuckets, Long.MinValue,
+      (0 until nBuckets).map(_ -> -1L).toMap)
+    require(new java.io.File(s"$stateDir/v-1/_SUCCESS").createNewFile(),
+      s"could not commit $stateDir/v-1")
+  }
+
+  /** A committed version's manifest: the bucket count, the high-water
+   *  sequence (tombstone-expiry clock), and bucket → the version id
+   *  whose `data/__bucket=<b>` write holds that bucket's current
+   *  rows. */
+  private[graft] case class CdcManifest(nBuckets: Int, maxSeq: Long,
+      buckets: Map[Int, Long])
+
+  private[graft] def writeCdcManifest(verDir: String, nBuckets: Int,
+      maxSeq: Long, buckets: Map[Int, Long]): Unit = {
+    val body = buckets.toSeq.sorted
+      .map { case (b, v) => s""""$b":$v""" }.mkString(",")
+    val json =
+      s"""{"nBuckets":$nBuckets,"maxSeq":$maxSeq,"buckets":{$body}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(verDir, "manifest.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  private[graft] def readCdcManifest(verDir: String): CdcManifest = {
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(verDir, "manifest.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def num(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toLong)
+        .getOrElse(sys.error(s"manifest missing $k: $json"))
+    val buckets = """"(\d+)":(-?\d+)""".r.findAllMatchIn(
+        json.substring(json.indexOf("\"buckets\"")))
+      .map(mm => mm.group(1).toInt -> mm.group(2).toLong).toMap
+    CdcManifest(num("nBuckets").toInt, num("maxSeq"), buckets)
+  }
+
+  /** Every live bucket-data path of a committed version, via its
+   *  manifest (a bucket that has never held a row has no dir). */
+  private def stateBucketPaths(stateDir: String, ver: String): Seq[String] = {
+    val m = readCdcManifest(s"$stateDir/$ver")
+    m.buckets.toSeq.sortBy(_._1)
+      .map { case (b, v) => s"$stateDir/v$v/data/__bucket=$b" }
+      .filter(p => new java.io.File(p).exists())
   }
 
   /** The consumer view of the drained CDC state: latest committed
-   *  version, tombstones filtered, bookkeeping columns dropped. */
+   *  version (all buckets, resolved through its manifest), tombstones
+   *  filtered, bookkeeping columns dropped. */
   def readCdcState(spark: SparkSession, stateDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    spark.read
-      .parquet(s"$stateDir/${latestStateVersion(stateDir, Long.MaxValue)}")
+    val ver = latestStateVersion(stateDir, Long.MaxValue)
+    val paths = stateBucketPaths(stateDir, ver)
+    require(paths.nonEmpty, s"state $stateDir/$ver has no bucket data")
+    spark.read.parquet(paths: _*)
       .filter(col("__op") =!= "d")
       .drop("__seq", "__op")
   }
+
+  /** The committed change-data-feed: every journaled batch, in one
+   *  frame — the audit log a downstream SCD2 history build consumes
+   *  ([[graft.operators.Cdc.scd2History]]). Journals live OUTSIDE the
+   *  version chain and carry their OWN commit marker (the parquet
+   *  job's `_SUCCESS`), so state-version GC never truncates the feed;
+   *  feed retention is the consumer's own watermark (production: the
+   *  feed is the table format's CDF). A crash between journal commit
+   *  and state commit leaves the feed at most ONE batch ahead of
+   *  state until the checkpoint redelivers — and the redelivery
+   *  overwrites the same `b<batchId>` entry with value-equal rows. */
+  def streamedChangeFeed(spark: SparkSession, stateDir: String): DataFrame = {
+    val committed = Option(
+        new java.io.File(s"$stateDir/changes").listFiles())
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("b") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .sortBy(f => scala.util.Try(f.getName.drop(1).toLong).getOrElse(Long.MaxValue))
+        .map(_.getPath))
+      .getOrElse(Seq.empty)
+    require(committed.nonEmpty, s"no committed change journal under $stateDir")
+    spark.read.parquet(committed: _*)
+  }
+
+  /** Drop committed state versions beyond the retention bound: the
+   *  newest `retain` versions survive, PLUS any older version still
+   *  referenced by a retained manifest (its bucket data is live by
+   *  reference — deleting it would tear the newest snapshot). What
+   *  remains is the crash-recovery / time-travel window; journals are
+   *  untouched. */
+  def gcCdcVersions(stateDir: String, retain: Int): Unit = {
+    val committed = committedVersionIds(stateDir)
+    val retained = committed.takeRight(retain)
+    val referenced = retained.flatMap(id =>
+      readCdcManifest(s"$stateDir/v$id").buckets.values).toSet ++ retained
+    committed.filterNot(referenced.contains).foreach { id =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$stateDir/v$id"))
+    }
+  }
+
+  /** Committed (`_SUCCESS`-marked) version ids, ascending. */
+  private def committedVersionIds(stateDir: String): Seq[Long] =
+    Option(new java.io.File(stateDir).listFiles())
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
+        .sorted)
+      .getOrElse(Seq.empty)
 
   /** The newest COMMITTED (`_SUCCESS`-marked) `v<id>` state version
    *  with id < `beforeBatchId` (pass `Long.MaxValue` to read the
@@ -295,12 +466,7 @@ object Streams {
    *  with no marker — it is skipped, so readers see the last
    *  committed state, never partial files. */
   def latestStateVersion(stateDir: String, beforeBatchId: Long): String = {
-    val versions = Option(new java.io.File(stateDir).listFiles())
-      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v") &&
-          new java.io.File(f, "_SUCCESS").exists())
-        .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
-        .filter(_ < beforeBatchId))
-      .getOrElse(Seq.empty)
+    val versions = committedVersionIds(stateDir).filter(_ < beforeBatchId)
     require(versions.nonEmpty,
       s"no committed state version before batch $beforeBatchId under " +
         s"$stateDir — seed the base table first (seedCdcState)")

@@ -14,7 +14,7 @@ class StreamCdcRepSpec extends SparkTestBase {
     val out = Streams.scratchDir("graft_cdcstream_spec_")
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
       (4L, "d", 40.0)).toDF("k", "s", "v")
-    Streams.seedCdcState(base, s"$out/state")
+    Streams.seedCdcState(base, s"$out/state", "k")
     // batch 1: k=1 updated at seq 20 (the NEWER change arrives FIRST),
     // k=2 deleted at seq 30; batch 2 carries LATE, lower-seq changes:
     // a stale update for k=1 (seq 10 — must lose to batch-1 state), a
@@ -53,6 +53,21 @@ class StreamCdcRepSpec extends SparkTestBase {
     // a torn (uncommitted) version is never selected as latest state
     new java.io.File(s"$out/state/v7").mkdirs()
     assert(Streams.latestStateVersion(s"$out/state", Long.MaxValue) == "v1")
+    // HISTORY rows survive the redelivery too: the redelivered batch
+    // overwrote its own journal entry with value-equal rows, so the
+    // change feed is still the exact concatenated log and the
+    // streamed SCD2 build equals the batch build — out-of-order
+    // deliveries land as out-of-order validity intervals identically
+    // in both
+    val base0 = base.select(col("k"), lit(0L).as("seq"), lit("u").as("op"),
+      col("s"), col("v"))
+    val feedHist = Cdc.scd2History(
+      base0.unionByName(Streams.streamedChangeFeed(spark, s"$out/state")),
+      "k", "seq", "op", Seq("s", "v"))
+    val batchHist = Cdc.scd2History(base0.unionByName(b1.unionAll(b2)),
+      "k", "seq", "op", Seq("s", "v"))
+    assert(feedHist.exceptAll(batchHist).isEmpty &&
+      batchHist.exceptAll(feedHist).isEmpty)
   }
 
   test("electRepresentatives: max weight wins, ties to lower id, counts right") {
