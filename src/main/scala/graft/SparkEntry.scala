@@ -79,8 +79,13 @@ object SparkEntry {
    *  regenerated table at the same path, or two dirs whose Strings
    *  collide on hashCode, can never serve stale pairs — the cache
    *  outlives the JVM, so the path alone is not identity. */
-  private def corpusFingerprint(dir: String): String = {
-    val root = new java.io.File(dir, "documents.parquet")
+  private def corpusFingerprint(dir: String): String =
+    tableFingerprint(dir, "documents.parquet")
+
+  /** (name, size, mtime) CRC over one table's part files — the cheap
+   *  dir-version key every materialize-once artifact is cached by. */
+  private def tableFingerprint(dir: String, table: String): String = {
+    val root = new java.io.File(dir, table)
     val parts: Seq[java.io.File] =
       if (root.isDirectory)
         root.listFiles().toSeq.filter(_.isFile).sortBy(_.getName)
@@ -243,6 +248,37 @@ object SparkEntry {
     val path = sharedLshIndexDir(s, dir, slice, corpus, textCol, idCol, k, perms, bands)
     Dedup.LshIndex(s.read.parquet(s"$path/banded"),
       s.read.parquet(s"$path/shingles"), k, perms, bands)
+  }
+
+  /** The routed ANN index over the embeddings corpus, materialized
+   *  once per EMBEDDINGS fingerprint (the q83/q84 "build once, probe
+   *  forever" pattern for vectors — round-7 residual 3): the route
+   *  measurement, every vector's bucket, and the meta sidecar are
+   *  computed in one build; repeated query batches probe the written
+   *  table and never rescan the corpus. Same rename-into-place +
+   *  _DONE protocol as [[sharedLshIndexDir]]; meta (route params +
+   *  fingerprint) re-validated on every open. */
+  private def sharedAnnIndexDir(s: SparkSession, dir: String): String = {
+    val fp = tableFingerprint(dir, "embeddings.parquet")
+    val path = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_shared_annix_d64_v1_$fp")
+    this.synchronized {
+      if (!new java.io.File(path, "_DONE").exists()) {
+        val tmp = new java.io.File(path.getParent,
+          s"${path.getName}.tmp${ProcessHandle.current().pid()}")
+        Similarity.materializeAnnIndex(
+          Sources.table(s, dir, "embeddings"), 64, tmp.toString, fp)
+        new java.io.File(tmp, "_DONE").createNewFile()
+        if (!tmp.renameTo(path)) {
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        }
+      }
+    }
+    // loadAnnIndex re-validates the fingerprint on every probe; this
+    // early check turns a foreign/stale cache dir into a build error
+    require(Similarity.readAnnIndexMeta(path.toString).exists(_.fingerprint == fp),
+      s"shared ANN index at $path is stale or foreign — expected fp $fp")
+    path.toString
   }
 
   /** The q83 corpus lexicon (BM25 stats tables) built once per corpus
@@ -1663,6 +1699,27 @@ object SparkEntry {
           Seq("o_custkey", "o_orderstatus", "o_totalprice"))
         .orderBy("o_orderkey", "valid_from")
     }),
+    // Persist-once routed ANN index (X57+, round-7 item 2): the
+    // corpus's routed bucketing (q20's measured Σbucket² decision)
+    // materialized ONCE per embeddings fingerprint as a
+    // bucket-clustered lake table with a meta sidecar, then probed by
+    // TWO successive query batches — neither re-measures the route
+    // nor rescans a corpus embedding (AnnIndexSpec pins zero corpus
+    // rescans). The oracle re-derives route, buckets, and in-bucket
+    // top-k from the same exact counts.
+    "q114_ann_indexed" -> ((s, dir) => {
+      val ix = sharedAnnIndexDir(s, dir)
+      val fp = tableFingerprint(dir, "embeddings.parquet")
+      val emb = Sources.table(s, dir, "embeddings")
+      def qs(lo: Long, hi: Long) = emb
+        .filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      Similarity.annTopKIndexed(s, ix, qs(0L, 5L), 3, Some(fp))
+        .withColumn("batch", lit(1L))
+        .unionAll(Similarity.annTopKIndexed(s, ix, qs(5L, 10L), 3, Some(fp))
+          .withColumn("batch", lit(2L)))
+        .orderBy("batch", "q_id", "rank")
+    }),
     // Cluster-representative election (X84): keep each near-dup
     // cluster's most complete copy (max n_chars, ties to the lower
     // id) — the refinement between X38 clustering and the X28 apply.
@@ -2375,6 +2432,16 @@ object SparkEntry {
         s"FROM (${graft.operators.Cdc.scd2HistorySql(log,
           Seq("o_custkey", "o_orderstatus", "o_totalprice"))}) " +
         "ORDER BY o_orderkey, valid_from"
+    },
+    // each batch is one indexed-probe block; the route gate and the
+    // bucket expressions are re-derived from the same exact counts
+    "q114_ann_indexed" -> {
+      def block(tag: Int, filter: String) =
+        s"SELECT CAST($tag AS BIGINT) AS batch, q_id, n_id, sim, rank " +
+          s"FROM (${Similarity.annTopKIndexedSql("embeddings", filter, 3, 64)})"
+      block(1, "vec_id >= 0 AND vec_id < 5") + " UNION ALL " +
+        block(2, "vec_id >= 5 AND vec_id < 10") +
+        " ORDER BY batch, q_id, rank"
     },
     "q112_elect_representatives" ->
       (s"SELECT * FROM (${Dedup.electRepresentativesSql(
