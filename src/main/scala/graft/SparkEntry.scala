@@ -132,6 +132,14 @@ object SparkEntry {
       Media.aviFromDocuments(documents(s, dir)).toDF()
     }
 
+  /** The synthesized MP4 corpus q116 demuxes, materialized once per
+   *  corpus fingerprint for the same reason as the AVI/WAV corpora:
+   *  the query's subject is the container PARSE, not the mux. */
+  private def sharedMp4Corpus(s: SparkSession, dir: String): DataFrame =
+    sharedTable(s, dir, "mp4s_v1") {
+      Media.mp4FromDocuments(documents(s, dir)).toDF()
+    }
+
   /** The synthesized WAV corpus q61 header-decodes, for the same
    *  reason (r6: un-cached encode was invisible at sf0.1's 5k docs
    *  but dominated q61 at the sf1 scale sweep — 50k PCM encodes per
@@ -1740,6 +1748,32 @@ object SparkEntry {
     "q110_semantic_blocked" -> ((s, dir) =>
       Similarity.semanticDedupBlocked(twinnedEmbeddings(s, dir), 0.999, 2)
         .orderBy("vec_id")),
+    // Measured-route SemDeDup (round-7 item 4, the q20 pattern on the
+    // q97/q110 pair): the ProbeQ91 occupancy arithmetic — Σ occ_a·occ_b
+    // over the ±1-probe keys, the EXACT candidate count of the
+    // lossless-grid rule — runs first as two narrow aggregations, and
+    // the exact rule executes only while that mass is ≤ n·256 (this
+    // corpus family: exact through sf1, blocked at sf10 where the
+    // measured mass is 21.6 G). One entry, every SF, no skip flag;
+    // the oracle re-derives the route from identical integer counts.
+    "q115_semantic_routed" -> ((s, dir) =>
+      Similarity.semanticDedupRouted(twinnedEmbeddings(s, dir), 64, 0.999, 5)
+        .orderBy("vec_id")),
+    // MP4 container demux, PARSE-ONLY (round-7 item 7): real ISO BMFF
+    // files (box tree per ISO/IEC 14496-12, muxed executor-side with
+    // row-derived parameters) walked back for the container-level
+    // curation signals — codec id, sample count, timescale/duration,
+    // dimensions, sample-byte mass — with NO frame decode (the JDK
+    // ships no h264 codec; pixels stay the documented stub boundary).
+    // The oracle predicts every field from the document row alone, so
+    // one wrong box offset anywhere breaks the hash.
+    "q116_mp4_demux" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      Media.demuxMp4Meta(
+          sharedMp4Corpus(s, dir).as[graft.multimodal.MediaRecord])
+        .orderBy("doc_id")
+    }),
     // C4 line-level cleaning (X81): each doc gains a nav line (no
     // terminal punctuation), a lorem-ipsum line, a code line ({), and
     // a too-short line — all four must drop while the punctuated
@@ -2411,6 +2445,22 @@ object SparkEntry {
     "q110_semantic_blocked" ->
       (s"SELECT * FROM (${Similarity.semanticDedupBlockedSql(
           twinnedEmbeddingsSql, 0.999, 2)}) ORDER BY vec_id"),
+    "q115_semantic_routed" ->
+      (s"SELECT * FROM (${Similarity.semanticDedupRoutedSql(
+          twinnedEmbeddingsSql, 0.999, 64)}) ORDER BY vec_id"),
+    // every demuxed field re-derived from the document row alone
+    "q116_mp4_demux" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'mp4v' END AS codec,
+        |  CAST(doc_id % 7 + 1 AS BIGINT) AS n_samples,
+        |  CAST(90000 AS BIGINT) AS timescale,
+        |  CAST((doc_id % 7 + 1) * (3000 + n_chars % 100) AS BIGINT)
+        |    AS duration,
+        |  CAST(n_chars % 32 + 16 AS INT) AS width,
+        |  CAST(doc_id % 24 + 16 AS INT) AS height,
+        |  (SELECT CAST(sum((doc_id + i) % 100 + 1) AS BIGINT)
+        |   FROM unnest(range(0, doc_id % 7 + 1)) AS t(i)) AS sample_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // sequential latest-wins ≡ one-shot apply (associativity), so the
     // streaming fold shares q89's oracle verbatim
     "q111_stream_cdc_apply" -> {

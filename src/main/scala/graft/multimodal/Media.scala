@@ -379,6 +379,44 @@ object Media {
       }
   }
 
+  /** Documents → real single-track MP4 payloads whose container
+   *  metadata (codec fourcc, sample count, timescale/duration,
+   *  dimensions, per-sample sizes) is derived from the row, so the
+   *  oracle knows the expected demux output without the bytes. The
+   *  samples themselves are deterministic filler — there is no JDK
+   *  h264 encoder and [[Mp4]] is parse-only by design. */
+  def mp4FromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val codec = if (id % 2 == 0) "avc1" else "mp4v"
+        val sizes = (0L until id % 7 + 1)
+          .map(i => ((id + i) % 100 + 1).toInt)
+        MediaRecord(id,
+          Mp4.encode(codec, (nChars % 32 + 16).toInt, (id % 24 + 16).toInt,
+            90000L, 3000L + nChars % 100, sizes, id),
+          "video/mp4")
+      })
+  }
+
+  /** Container-level MP4 metadata per video track — [[Mp4.demux]]'s
+   *  box-tree walk lifted over the corpus: per-record codec CPU,
+   *  embarrassingly parallel, no shuffle; unparseable payloads yield
+   *  no rows (torn files cost their own tail). One row per (doc,
+   *  video track): the sample-count / duration / codec-id curation
+   *  signals usable with no frame decoder. */
+  def demuxMp4Meta(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Mp4.demux(r.bytes).iterator.map(t =>
+        (r.doc_id, t.codec, t.nSamples, t.timescale, t.duration,
+          t.width, t.height, t.sampleBytes))
+    }).toDF("doc_id", "codec", "n_samples", "timescale", "duration",
+      "width", "height", "sample_bytes")
+  }
+
   /** Every `everyN`-th frame of an AVI payload: [[Avi.demux]] walks
    *  the container's chunk tree, then ONLY the sampled frames'
    *  JPEG headers are decoded for dimensions ([[imageDims]]) — the

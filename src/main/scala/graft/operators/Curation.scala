@@ -304,10 +304,15 @@ object Curation {
   def vocabCoverage(docs: DataFrame, textCol: String, idCol: String,
       vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    // eager localCheckpoint, NOT persist (the withRunningTotal
+    // pattern): the result is returned lazily, so there is no
+    // unpersist point — a persist here leaked one cached RDD per
+    // invocation for the session lifetime. Checkpoint blocks are
+    // released when the frame is GC'd, no caller contract needed.
     val tf = docs.select(col(idCol), explode(
         HashExpressions.tokenFrequencies(col(textCol))).as("tf"))
       .select(col(idCol), col("tf.t").as("t"), col("tf.n").as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val vocab = tf.groupBy(col("t")).agg(sum(col("n")).as("cnt"))
       .orderBy(desc("cnt"), asc("t")).limit(vocabSize)
       .select(col("t"))

@@ -432,8 +432,17 @@ object Dedup {
     val shingles = segmentDirs(s"$dir/shingles")
     require(banded.nonEmpty && shingles.nonEmpty,
       s"LSH index at $dir has no segments (banded=$banded shingles=$shingles)")
-    LshIndex(spark.read.parquet(banded: _*), spark.read.parquet(shingles: _*),
-      meta.k, meta.perms, meta.bands)
+    val raw = LshIndex(spark.read.parquet(banded: _*),
+      spark.read.parquet(shingles: _*), meta.k, meta.perms, meta.bands)
+    // delete tombstones subtract at read time until a compaction
+    // drops the rows physically — the lake delete-vector pattern
+    val del = segmentDirs(s"$dir/deleted")
+    if (del.isEmpty) raw
+    else {
+      val d = spark.read.parquet(del: _*).select(col("id")).distinct()
+      raw.copy(banded = raw.banded.join(d, Seq("id"), "left_anti"),
+        shingles = raw.shingles.join(d, Seq("id"), "left_anti"))
+    }
   }
 
   /** Build a NEW evolving index dir from a corpus: the same
@@ -475,6 +484,26 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/banded/$segment")
   }
 
+  /** DELETE documents from a durable index (the round-7 item-5 gap:
+   *  nothing ever removed entries for documents later deleted from
+   *  the corpus, so a deleted doc kept screening out its own future
+   *  near-dups forever — the q111 tombstone problem in X56's
+   *  clothes). Deletion is a TOMBSTONE segment (`deleted/<segment>`,
+   *  one `id` column; overwrite-per-segment ⇒ idempotent retries):
+   *  [[loadLshIndex]] subtracts tombstoned ids from every probe
+   *  immediately, and the next [[compactLshIndex]] drops the rows
+   *  physically and clears the tombstones — exactly a lake format's
+   *  delete-vector + compaction lifecycle. Crash-safe at every step:
+   *  a tombstone re-applied to already-compacted data is a no-op
+   *  anti-join. */
+  def deleteFromLshIndex(dir: String, ids: DataFrame, idCol: String,
+      segment: String): Unit = {
+    require(readLshIndexMeta(dir).isDefined,
+      s"deleteFromLshIndex: no $IndexMetaFile in $dir")
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/deleted/$segment")
+  }
+
   /** Fold accumulated segments back into one segment when more
    *  than `maxSegments` have piled up — per-batch appends are small
    *  files, and a long-lived ingest would otherwise degrade every
@@ -499,13 +528,23 @@ object Dedup {
    *  instead. Returns whether a compaction ran. */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       maxSegments: Int = 64): Boolean = {
-    if (segmentDirs(s"$dir/banded").size <= maxSegments) false
+    val delSegs = segmentDirs(s"$dir/deleted")
+    if (segmentDirs(s"$dir/banded").size <= maxSegments &&
+        delSegs.size <= maxSegments) false
     else {
+      // tombstoned ids are dropped PHYSICALLY during the rewrite;
+      // their segment dirs are cleared only after both tables
+      // installed (a crash in between re-applies them at read — a
+      // no-op anti-join, never a resurrection)
+      val deleted =
+        if (delSegs.isEmpty) None
+        else Some(spark.read.parquet(delSegs: _*).select(col("id")).distinct())
       for ((table, keys) <- Seq(
           "shingles" -> Seq("id"),
           "banded" -> Seq("band", "bh", "id"))) {
         val segs = segmentDirs(s"$dir/$table")
-        spark.read.parquet(segs: _*).dropDuplicates(keys)
+        val folded = spark.read.parquet(segs: _*).dropDuplicates(keys)
+        deleted.fold(folded)(d => folded.join(d, Seq("id"), "left_anti"))
           .write.mode("overwrite").parquet(s"$dir/$table/.compact")
         val taken = segs.map(new java.io.File(_).getName).toSet
         val target = (0 to segs.size).map {
@@ -517,6 +556,8 @@ object Dedup {
         segs.foreach(sd =>
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sd)))
       }
+      delSegs.foreach(sd =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sd)))
       true
     }
   }

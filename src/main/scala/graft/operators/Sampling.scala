@@ -129,10 +129,18 @@ object Sampling {
    *  60-bit hash) with the zero-padded key appended as a tiebreak, so
    *  the key is UNIQUE per row even under h60 collisions — the
    *  contract [[Curation.withRunningTotal]] requires. `key` must
-   *  stringify to a non-negative integer of ≤ 12 digits. */
-  private def shuffleKey(salt: String, key: Column): Column =
-    concat(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15),
-      lit("|"), lpad(key.cast("string"), 12, "0"))
+   *  stringify to a non-negative integer; the 19-digit pad covers the
+   *  full Long range, and a violating key (negative, non-integer,
+   *  wider) RAISES rather than silently degrading the uniqueness
+   *  tiebreak via lpad truncation. */
+  private def shuffleKey(salt: String, key: Column): Column = {
+    val ks = when(key.cast("string").rlike("^[0-9]{1,19}$"), key.cast("string"))
+      .otherwise(raise_error(concat(
+        lit("deterministicShuffle key must stringify to a non-negative " +
+          "integer of <= 19 digits, got: "), key.cast("string"))))
+    concat(substring(md5(concat(lit(salt), ks)), 1, 15),
+      lit("|"), lpad(ks, 19, "0"))
+  }
 
   /** Deterministic global training-order shuffle: assign every row its
    *  0-based position in the seeded pseudo-random permutation of the
@@ -167,7 +175,7 @@ object Sampling {
   def deterministicShuffleSql(from: String, keyExpr: String,
       salt: String): String = {
     val k = s"substr(md5('$salt' || CAST($keyExpr AS VARCHAR)), 1, 15) " +
-      s"|| '|' || lpad(CAST($keyExpr AS VARCHAR), 12, '0')"
+      s"|| '|' || lpad(CAST($keyExpr AS VARCHAR), 19, '0')"
     s"""SELECT $keyExpr, CAST(row_number() OVER (ORDER BY $k) - 1 AS BIGINT)
        |    AS pos
        |FROM $from""".stripMargin
@@ -222,7 +230,7 @@ object Sampling {
        |FROM (SELECT pos, $weightExpr AS w FROM (
        |        SELECT *, CAST(row_number() OVER (ORDER BY
        |          substr(md5('$salt' || CAST($keyExpr AS VARCHAR)), 1, 15)
-       |          || '|' || lpad(CAST($keyExpr AS VARCHAR), 12, '0')) - 1
+       |          || '|' || lpad(CAST($keyExpr AS VARCHAR), 19, '0')) - 1
        |          AS BIGINT) AS pos
        |        FROM $from)),
        |  (SELECT count(*) AS c FROM $from)

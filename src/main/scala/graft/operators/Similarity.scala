@@ -1339,6 +1339,99 @@ object Similarity {
        |WHERE vec_id NOT IN (SELECT vec_id FROM dom)""".stripMargin
   }
 
+  // ------------------------------- SemDeDup, measured-route (default)
+
+  /** Measured τ-neighborhood candidate mass of the exact grid rule:
+   *  Σ occ_a·occ_b over the ±1-probe key join — EXACTLY the number of
+   *  candidate rows [[cosineNearDupPairs]] would materialize, computed
+   *  from per-key occupancies without materializing one (the ProbeQ91
+   *  arithmetic, promoted from dev probe to routing input). Two narrow
+   *  passes + one tiny key-count join; all integers over the same
+   *  bit-identical cell projections both engines compute, so the SQL
+   *  twin re-derives the identical value. */
+  def semanticCandidateMass(emb: DataFrame, dim: Int, tau: Double,
+      nproj: Int = 5): (Long, Long) = {
+    val (_, a, b) = pairProbeFrames(emb, dim, tau, nproj)
+    val occA = a.groupBy("ck").agg(count(lit(1)).as("na"))
+    val occB = b.groupBy("ck").agg(count(lit(1)).as("nb"))
+    val n = b.count() // one (id, key) row per vector
+    val m = occA.join(occB, Seq("ck"))
+      .agg(sum(col("na") * col("nb"))).first()
+    (n, if (m.isNullAt(0)) 0L else m.getLong(0))
+  }
+
+  /** SemDeDup with the route MEASURED, not guessed (the q20 pattern
+   *  applied to the q97/q110 pair — round-7 item 4): the candidate
+   *  mass of the exact lossless-grid rule is probed first, and the
+   *  EXACT path ([[semanticDedupSurvivors]] — no recall knob, oracle
+   *  is unpruned all-pairs) runs only while that mass is
+   *  sub-quadratic (≤ n·`budgetFactor` — a per-vector candidate
+   *  budget, the same knob shape as [[annRouted]]'s). Past the
+   *  budget — the measured sf10 regime where the exact rule ran 938 s
+   *  into ENOSPC on 21.6 G candidates — it routes to the paper's own
+   *  k-means-blocked form ([[semanticDedupBlocked]], 26.7 s on the
+   *  same corpus), accepting the cross-cluster recall trade the paper
+   *  itself accepts. The decision is an integer comparison on exact
+   *  counts, so the oracle re-derives the identical route from the
+   *  same occupancy arithmetic. */
+  def semanticDedupRouted(emb: DataFrame, dim: Int, tau: Double,
+      nproj: Int = 5, iters: Int = 2,
+      budgetFactor: Long = 256L): DataFrame = {
+    val (n, mass) = semanticCandidateMass(emb, dim, tau, nproj)
+    if (mass <= n * budgetFactor) semanticDedupSurvivors(emb, dim, tau, nproj)
+    else semanticDedupBlocked(emb, tau, iters)
+  }
+
+  /** The packed ±1 probe-delta literals (3^nproj values) — shared by
+   *  the Spark probe array and the SQL twin's unnest list. */
+  private def probeDeltaValues(nproj: Int): Seq[Long] =
+    Seq.fill(nproj)(Seq(-1L, 0L, 1L))
+      .foldLeft(Seq(Seq.empty[Long]))((acc, ax) =>
+        for (p <- acc; o <- ax) yield p :+ o)
+      .map(off => (0 until nproj).map(j => off(j) * (1L << (12 * j))).sum)
+
+  /** SQL twin of the routing flag: TRUE iff the exact rule is within
+   *  budget — the identical occupancy arithmetic over the identical
+   *  packed cell keys. */
+  def semanticRouteExactSql(table: String, tau: Double, dim: Int,
+      nproj: Int = 5, budgetFactor: Long = 256L): String = {
+    val level = losslessGridLevel(tau, dim)
+    val base = (0 until nproj).map { j =>
+      val wArr = planes(nproj, dim)(j).mkString("[", ", ", "]")
+      s"((CAST(floor(${dotSql("v", wArr)} / nrm * " +
+        s"${java.lang.Math.scalb(1.0, level - 3)}) AS BIGINT) + 2048) " +
+        s"* ${1L << (12 * j)})"
+    }.mkString("(", " + ", ")")
+    val deltas = probeDeltaValues(nproj).mkString("[", ", ", "]")
+    s"""(SELECT COALESCE(sum(na * nb), 0) <=
+       |    (SELECT count(*) FROM $table) * $budgetFactor FROM
+       |  (SELECT ck, count(*) AS na FROM
+       |    (SELECT cel.base + d.d AS ck FROM
+       |      (SELECT $base AS base FROM (${preparedSql(table)})) cel
+       |      CROSS JOIN (SELECT unnest($deltas) AS d) d)
+       |   GROUP BY ck) aocc
+       |  JOIN
+       |  (SELECT $base AS ck, count(*) AS nb FROM (${preparedSql(table)})
+       |   GROUP BY 1) bocc
+       |  USING (ck))""".stripMargin
+  }
+
+  /** Route-gated oracle: both branches are written, each guarded by
+   *  the scalar route flag — row-identical to whichever branch the
+   *  Spark side measured its way into. (DuckDB evaluates both
+   *  subqueries; at oracle scale that is fine — the ROUTING exists to
+   *  protect the at-scale Spark run, and the sweep's large-SF runs
+   *  are Spark-only.) */
+  def semanticDedupRoutedSql(table: String, tau: Double, dim: Int,
+      nproj: Int = 5, iters: Int = 2, budgetFactor: Long = 256L): String = {
+    val flag = semanticRouteExactSql(table, tau, dim, nproj, budgetFactor)
+    s"""SELECT vec_id, label FROM (${semanticDedupSurvivorsSql(table, tau)})
+       |WHERE $flag
+       |UNION ALL
+       |SELECT vec_id, label FROM (${semanticDedupBlockedSql(table, tau, iters)})
+       |WHERE NOT $flag""".stripMargin
+  }
+
   // ------------------------------------- scalar-quantized (int8) ANN
 
   /** Symmetric int8 scalar quantization (X62): component →
@@ -1443,8 +1536,10 @@ object Similarity {
    *  merged buffer row — 2 080 rows total, not corpus-sized. No
    *  driver state; the d×d result is trivially collectable for the
    *  eigensolve step ([[pcaBasis]]).
-   *  Overflow headroom: |q| ≤ 2¹⁰·max|x|, so Σ|q_i·q_j| stays under
-   *  2⁶³ for any corpus within ~2⁴⁰ rows at max|x| ≤ 8. */
+   *  Overflow headroom: |q| ≤ 2¹⁰·max|x|, so |q_i·q_j| ≤ 2²⁰·max|x|²
+   *  (2²⁶ at max|x| ≤ 8) and Σ|q_i·q_j| stays under 2⁶³ for any
+   *  corpus within 2⁶³/(2²⁰·max|x|²) ≈ 2³⁷ rows (~1.4e11) at
+   *  max|x| ≤ 8. */
   def gramMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     val q = transform(col(vecCol),
       x => floor(x.cast("double") * 1024d + 0.5d).cast("long"))

@@ -123,6 +123,41 @@ class EvolvingScreenSpec extends SparkTestBase {
     }
   }
 
+  test("delete invalidates entries: admit → delete → re-ingested near-dup admits again") {
+    import spark.implicits._
+    val corpus = (0L until 4L).map(i => (i, doc(s"del$i"))).toDF("doc_id", "text")
+    val ix = Streams.scratchDir("graft_evo_ixD_")
+    Dedup.initLshIndexDir(corpus, "text", "doc_id", 3, 16, 4, ix, "fpD")
+    // ADMIT: doc 100 is novel, survives, joins the index
+    val s1 = Streams.scratchDir("graft_evo_inD1_")
+    writeBatches(s1, Seq(Seq(100L -> doc("victim"))))
+    assert(runScreen(ix, s1, 64).filter(_._2.nonEmpty) === Map(0L -> Set(100L)))
+    // its near-dup is screened out while 100 is in the index
+    val s2 = Streams.scratchDir("graft_evo_inD2_")
+    writeBatches(s2, Seq(Seq(200L -> (doc("victim") + " tail"))))
+    assert(runScreen(ix, s2, 64).filter(_._2.nonEmpty).isEmpty,
+      "near-dup of a live index entry must be screened")
+    // DELETE doc 100 from the corpus → tombstone the index entry
+    Dedup.deleteFromLshIndex(ix, Seq(100L).toDF("doc_id"), "doc_id", "d0")
+    assert(Dedup.loadLshIndex(spark, ix).shingles
+        .filter(col("id") === 100L).isEmpty,
+      "tombstoned id must vanish from the loaded index")
+    // RE-INGEST: the same near-dup must now be ADMITTED again
+    val s3 = Streams.scratchDir("graft_evo_inD3_")
+    writeBatches(s3, Seq(Seq(300L -> (doc("victim") + " tail"))))
+    assert(runScreen(ix, s3, 64).filter(_._2.nonEmpty) === Map(0L -> Set(300L)),
+      "after the delete, the re-ingested near-dup must be admitted")
+    // compaction drops the rows physically and clears the tombstones
+    assert(Dedup.compactLshIndex(spark, ix, maxSegments = 1))
+    assert(!new java.io.File(s"$ix/deleted").exists() ||
+      new java.io.File(s"$ix/deleted").listFiles()
+        .count(_.isDirectory) == 0, "compaction must clear tombstones")
+    val ids = Dedup.loadLshIndex(spark, ix).shingles
+      .select("id").as[Long].collect().toSet
+    assert(!ids.contains(100L) && ids.contains(300L),
+      s"compacted index must physically exclude the deleted doc: $ids")
+  }
+
   test("append is idempotent: re-appending a batch segment replaces, not duplicates") {
     import spark.implicits._
     val corpus = (0L until 4L).map(i => (i, doc(s"idem$i"))).toDF("doc_id", "text")

@@ -70,6 +70,44 @@ class SimilarityRoutingSpec extends SparkTestBase {
     assert(blocked === joinForm)
   }
 
+  test("semantic candidate mass equals the exact rule's materialized candidate count") {
+    val e = embDF((0L until 250L).map(i => (i, vec(i, 5), (i % 3).toInt)))
+    val (n, mass) = Similarity.semanticCandidateMass(e, dim, 0.999, 3)
+    assert(n == 250L)
+    val (_, a, b) = Similarity.pairProbeFrames(e, dim, 0.999, 3)
+    assert(mass == a.join(b, Seq("ck")).count(),
+      "the occupancy arithmetic must equal the join it predicts")
+  }
+
+  test("semantic router: sub-budget mass takes the exact rule") {
+    val loose = embDF((0L until 300L).map(i => (i, vec(i, 6), (i % 3).toInt)))
+    val (n, mass) = Similarity.semanticCandidateMass(loose, dim, 0.999, 5)
+    assert(mass <= n * 256, s"loose corpus measured mass $mass for n=$n")
+    val routed = Similarity.semanticDedupRouted(loose, dim, 0.999, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val exact = Similarity.semanticDedupSurvivors(loose, dim, 0.999, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(routed === exact, "sub-budget mass must take the exact branch")
+  }
+
+  test("semantic router: over-budget mass takes the blocked form") {
+    // 4 tight angular clusters of 400: cluster members share grid
+    // cells, so the candidate mass is ~4·400² ≫ n·256
+    val base = (0 until 4).map(c => vec(c * 1000L + 9L, 7))
+    val clustered = embDF((0L until 1600L).map { i =>
+      val c = (i % 4).toInt
+      (i, base(c).zipWithIndex.map { case (x, d) =>
+        x + 0.0001f * (((i * 31 + d) % 7) - 3) }, c)
+    })
+    val (n, mass) = Similarity.semanticCandidateMass(clustered, dim, 0.999, 5)
+    assert(mass > n * 256, s"clustered corpus measured mass only $mass for n=$n")
+    val routed = Similarity.semanticDedupRouted(clustered, dim, 0.999, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val blocked = Similarity.semanticDedupBlocked(clustered, 0.999, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(routed === blocked, "over-budget mass must take the blocked branch")
+  }
+
   test("pruned exact: certificate resolves dup-bearing labels, falls back on loose ones") {
     // loose corpus: no tight pairs -> certificate resolves nothing
     val loose = embDF((0L until 200L).map(i => (i, vec(i, 4), (i % 3).toInt)))
