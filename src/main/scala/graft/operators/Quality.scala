@@ -126,31 +126,31 @@ object Quality {
   }
 
   /** Per-column profile of numeric columns — rows of
-   *  (col_name, n, n_null, n_distinct, min_d, max_d), all columns in
-   *  ONE scan (Expand handles the multi-column distinct). min/max
-   *  are raw parquet values cast to double: no arithmetic, so they
-   *  match any engine bit-for-bit. */
+   *  (col_name, n, n_null, n_distinct, min_d, max_d), one
+   *  SINGLE-distinct aggregation per column, unioned in one action.
+   *  A multi-column-distinct one-scan form would plan through Expand
+   *  (rows × (columns+1) with mostly-null shadows — allocation-heavy
+   *  and GC-sensitive: the r8 drift investigation measured its
+   *  medians inflating ~60% under memory pressure); per-column scans
+   *  read ONE pruned parquet column each and keep the partial-distinct
+   *  two-phase plan, so total bytes read are identical and no row is
+   *  ever widened. Labels are lit()-built, so a column named with
+   *  dots, quotes or backticks labels its row verbatim instead of
+   *  breaking a parse. min/max are raw parquet values cast to double:
+   *  no arithmetic, so they match any engine bit-for-bit. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column")
-    // internal aliases are POSITIONAL (n_0, nn_0, …), never derived
-    // from the user's column name — and the unpivot is Column-built
-    // with lit() names, so a profiled column named with dots, quotes
-    // or backticks labels its row verbatim instead of breaking the
-    // parse (or silently resolving as a nested-field reference)
-    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(count(lit(1)).as(s"n_$i"),
-        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
-          .as(s"nn_$i"),
-        countDistinct(col(c)).as(s"nd_$i"),
-        min(col(c).cast("double")).as(s"mn_$i"),
-        max(col(c).cast("double")).as(s"mx_$i"))
-    }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    wide.select(stack(
-      lit(cols.size) +:
-        cols.indices.flatMap(i => Seq(lit(cols(i)), col(s"n_$i"),
-          col(s"nn_$i"), col(s"nd_$i"), col(s"mn_$i"), col(s"mx_$i"))): _*)
-      .as(Seq("col_name", "n", "n_null", "n_distinct", "min_d", "max_d")))
+    cols.map { c =>
+      df.select(col(c).as("__v"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("__v").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_null"),
+          countDistinct(col("__v")).as("n_distinct"),
+          min(col("__v").cast("double")).as("min_d"),
+          max(col("__v").cast("double")).as("max_d"))
+        .select(lit(c).as("col_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_d"), col("max_d"))
+    }.reduce(_ unionAll _)
   }
 
   /** Unigram language-model quality score (the CCNet/Gopher "LM

@@ -294,13 +294,19 @@ object Streams {
     // select it while its data is being rewritten
     java.nio.file.Files.deleteIfExists(
       new java.io.File(verDir, "_SUCCESS").toPath)
-    val touched = batch
-      .select(cdcBucket(col(key), m.nBuckets).as("__bucket"))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    // the batch feeds THREE consumers (bucket/high-water probe, the
+    // fold, the journal) — pin it so the source is scanned once, and
+    // fuse the touched-bucket listing with the max-seq high-water
+    // into ONE tiny aggregation job (≤ nBuckets result rows)
+    val pinned = batch.localCheckpoint(true)
+    val probe = pinned
+      .groupBy(cdcBucket(col(key), m.nBuckets).as("__bucket"))
+      .agg(max(col(seqCol).cast("long")).as("__mx")).collect()
+    val touched = probe.map(_.getInt(0)).sorted.toSeq
     val prevPaths = touched
       .map(b => s"$stateDir/v${m.buckets.getOrElse(b, -1L)}/data/__bucket=$b")
       .filter(p => new java.io.File(p).exists())
-    val batchChanges = batch.select(
+    val batchChanges = pinned.select(
       col(key) +: col(seqCol) +: col(opCol) +: payload.map(col): _*)
     val all =
       if (prevPaths.isEmpty) batchChanges
@@ -308,11 +314,9 @@ object Streams {
         .select(col(key) +: col("__seq").as(seqCol) +:
           col("__op").as(opCol) +: payload.map(col): _*)
         .unionByName(batchChanges)
-    val batchMaxSeq = Option(
-      batch.agg(max(col(seqCol).cast("long"))).first().get(0)) match {
-      case Some(v: Long) => v
-      case _ => Long.MinValue // empty batch
-    }
+    val batchMaxSeq = probe.iterator
+      .map(r => if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
+      .foldLeft(Long.MinValue)(math.max)
     val newMaxSeq = math.max(m.maxSeq, batchMaxSeq)
     val folded = graft.operators.Cdc
       .latestChanges(all, key, seqCol, opCol, payload :+ seqCol)
