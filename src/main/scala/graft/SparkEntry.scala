@@ -1731,6 +1731,22 @@ object SparkEntry {
           .withColumn("batch", lit(2L)))
         .orderBy("batch", "q_id", "rank")
     }),
+    // Cross-document repeated-SPAN removal (X91, the Lee et al. 2021
+    // exact-substring-dedup shape): every %7==0 doc gains the same
+    // 14-word license sentence — boilerplate INSIDE otherwise-unique
+    // docs, invisible to document/paragraph dedup. Any ≥8-token
+    // window shared across docs is cut from every non-owner; the
+    // owner (lowest id) keeps the canonical copy; the corpus's
+    // natural exact-dup groups get fully cut in their copies too.
+    "q119_span_dedup" -> ((s, dir) => {
+      val lic = " licensed under the apache license version two point " +
+        "zero see the notice file distributed with this work"
+      val dirty = documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(lic)))
+          .otherwise(col("text")).as("text"))
+      Dedup.cutRepeatedSpans(dirty, "text", "doc_id", 8)
+        .orderBy("doc_id")
+    }),
     // Cluster-representative election (X84): keep each near-dup
     // cluster's most complete copy (max n_chars, ties to the lower
     // id) — the refinement between X38 clustering and the X28 apply.
@@ -1776,6 +1792,39 @@ object SparkEntry {
       Media.demuxMp4Meta(
           sharedMp4Corpus(s, dir).as[graft.multimodal.MediaRecord])
         .orderBy("doc_id")
+    }),
+    // Temperature-flattened source mixing (X89): target share ∝ √n_s
+    // (the multilingual T=½ sampling schedule), the whole weight
+    // chain in INTEGER arithmetic — ⌊√n⌋, integer sums, one integral
+    // division to basis-points — so both engines derive bit-identical
+    // rates from the data alone; per-row accept/copies are the q93
+    // h60 basis-point machinery. One tiny count agg + a broadcast
+    // source→rate table + the narrow explode.
+    "q117_mix_temperature" -> ((s, dir) =>
+      Sampling.mixTemperature(
+          documents(s, dir).select(col("doc_id"), col("source")),
+          "source", "doc_id", "t5|")
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")),
+    // Homoglyph-skeleton dedup (X90): every %10==0 doc gains a
+    // disguised twin (Latin a/e/o → Cyrillic а/е/о, a zero-width
+    // space planted) that exact dedup (q15) cannot see — the skeleton
+    // fold (zero-width strip → confusable translate → lower) must
+    // group each twin with its original, WITHOUT merging legitimately
+    // distinct docs. Output: one row per multi-member skeleton group.
+    "q118_homoglyph_dedup" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val twins = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          concat(lit("\u200B"),
+            translate(col("text"), "aeo", "аео")).as("text"))
+      docs.unionAll(twins)
+        .groupBy(md5(graft.functions.TextFunctions
+          .homoglyphSkeleton(col("text"))).as("skeleton_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy("keep_id")
     }),
     // C4 line-level cleaning (X81): each doc gains a nav line (no
     // terminal punctuation), a lorem-ipsum line, a code line ({), and
@@ -2468,6 +2517,32 @@ object SparkEntry {
     "q115_semantic_routed" ->
       (s"SELECT * FROM (${Similarity.semanticDedupRoutedSql(
           twinnedEmbeddingsSql, 0.999, 64)}) ORDER BY vec_id"),
+    "q119_span_dedup" -> {
+      val lic = " licensed under the apache license version two point " +
+        "zero see the notice file distributed with this work"
+      val textExpr =
+        s"(CASE WHEN doc_id % 7 = 0 THEN text || '$lic' ELSE text END)"
+      s"SELECT * FROM (${Dedup.cutRepeatedSpansSql("documents", textExpr,
+          "doc_id", 8)}) ORDER BY doc_id"
+    },
+    "q117_mix_temperature" ->
+      (s"SELECT * FROM (${Sampling.mixTemperatureSql("documents",
+          Seq("doc_id", "source"), "source", "doc_id", "t5|")}) " +
+        "ORDER BY doc_id, epoch"),
+    // twin synthesis mirrored byte-for-byte: chr(8203) is the planted
+    // zero-width space, the translate target is the same Cyrillic
+    "q118_homoglyph_dedup" -> {
+      val sk = graft.functions.TextFunctions.homoglyphSkeletonSql("text")
+      s"""SELECT md5(sk) AS skeleton_hash, min(doc_id) AS keep_id,
+         |  count(*) AS n_copies
+         |FROM (SELECT doc_id, $sk AS sk FROM (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000000,
+         |    chr(8203) || translate(text, 'aeo', 'аео')
+         |  FROM documents WHERE doc_id % 10 = 0))
+         |GROUP BY sk HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
+    },
     // every demuxed field re-derived from the document row alone
     "q116_mp4_demux" ->
       """SELECT doc_id,

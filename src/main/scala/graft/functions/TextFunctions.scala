@@ -292,6 +292,49 @@ object TextFunctions {
     s"trim(regexp_replace(regexp_replace(nfc_normalize($c), " +
       s"'$ctrlPattern', '', 'g'), '$wsRunPattern', ' ', 'g'))"
 
+  // ------------------------------------------- homoglyph skeletonization
+
+  /** Zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) — invisible padding a
+   *  duplicate uses to dodge an exact hash. The pattern carries the
+   *  LITERAL characters (built here from Scala escapes, so the source
+   *  stays visible): Java regex says `\uhhhh` where RE2 says
+   *  `\x{hhhh}`, and a literal class is the one spelling both engines
+   *  read identically. */
+  val zeroWidthPattern: String =
+    "[" + "\u200B\u200C\u200D\uFEFF" + "]"
+
+  /** Confusable → Latin fold (the UTS #39 skeleton idea reduced to a
+   *  bounded curated table): Cyrillic and Greek lookalikes to their
+   *  Latin targets, fullwidth ASCII forms to ASCII. FROM/TO are
+   *  parallel same-length strings consumed by `translate` in both
+   *  engines (all BMP code points, so per-char mapping is exact). */
+  val confusableFrom: String =
+    "аеорсхуіАЕОРСХУІοΟ" +
+      (0xFF21 to 0xFF3A).map(_.toChar).mkString +  // Ａ-Ｚ
+      (0xFF41 to 0xFF5A).map(_.toChar).mkString +  // ａ-ｚ
+      (0xFF10 to 0xFF19).map(_.toChar).mkString    // ０-９
+  val confusableTo: String =
+    "aeopcxyiAEOPCXYIoO" +
+      ('A' to 'Z').mkString + ('a' to 'z').mkString + ('0' to '9').mkString
+
+  /** Homoglyph skeleton (X90): zero-width strip → confusable fold →
+   *  lowercase. Two texts with the same skeleton read identically to
+   *  a human but hash apart — the spam/SEO duplicate disguise exact
+   *  dedup (X5) cannot see. One narrow builtin
+   *  regexp_replace/translate/lower chain: codegen, no UDF,
+   *  stream-applicable verbatim. */
+  def homoglyphSkeleton(c: Column): Column =
+    lower(translate(
+      regexp_replace(c, zeroWidthPattern, ""),
+      confusableFrom, confusableTo))
+
+  /** DuckDB oracle twin — identical chain; the pattern and both
+   *  translate tables contain no quotes, so plain interpolation into
+   *  SQL literals is safe. */
+  def homoglyphSkeletonSql(c: String): String =
+    s"lower(translate(regexp_replace($c, '$zeroWidthPattern', '', 'g'), " +
+      s"'$confusableFrom', '$confusableTo'))"
+
   // ------------------------------------------------- HTML text extraction
 
   /** `<script>`/`<style>` blocks drop WITH their contents ((?s) makes

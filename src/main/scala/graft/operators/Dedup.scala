@@ -1051,6 +1051,123 @@ object Dedup {
   /** DuckDB oracle twin: same h60 winner election (md5-derived, both
    *  engines), window row_number as the min-(doc,pos) tie-break,
    *  ORDER BY pos inside string_agg for the reassembly. */
+  /** Cross-document repeated-SPAN removal (X91) — the practical form
+   *  of exact substring dedup (Lee et al. 2021, "Deduplicating
+   *  Training Data Makes Language Models Better", arXiv:2107.06499,
+   *  whose released dedup operates at 50-token granularity): any
+   *  ≥ `k`-token word sequence appearing in MORE THAN ONE document is
+   *  cut from every document except the lowest-id owner, and each
+   *  document's surviving tokens are reassembled. Unlike document- or
+   *  paragraph-level dedup (X5/X64), this removes boilerplate that
+   *  rides INSIDE otherwise-unique documents — licenses, navigation
+   *  chrome, quoted headers.
+   *
+   *  Dataflow, all token-linear (the paper's global suffix array is
+   *  replaced by fixed-k hashed windows — detects every repeat of
+   *  length ≥ k, the same practical granularity choice the paper's
+   *  tool makes):
+   *   1. positional k-windows per doc, h60-keyed (the q95 kernel);
+   *   2. ONE hash agg per window key → (owner = min doc, distinct-doc
+   *      count) — map-side partials, never a pair join;
+   *   3. flagged (doc, pos) = window keys seen in ≥ 2 docs, in every
+   *      non-owner doc; overlapping/adjacent flags merge into maximal
+   *      spans by gaps-and-islands (the window function partitions by
+   *      DOC — per-doc bounded, no global sort);
+   *   4. span token-positions explode (islands are disjoint, so the
+   *      explode is ≤ tokens) and anti-join the doc's positional
+   *      tokens; survivors reassemble in position order.
+   *
+   *  Contract: output text is the LOWERED, single-space-joined token
+   *  stream (the shared tokenizer's normalization — position-exact
+   *  reconstruction would need original offsets, which whitespace
+   *  tokenization deliberately discards); a fully-boilerplate doc
+   *  survives as an empty string, never a dropped row. The OWNER
+   *  keeps all its occurrences — cutting every copy would delete the
+   *  canonical text too. Output: (id, n_tok, n_cut, text_clean). */
+  def cutRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(idCol), TextFunctions.lowerTokens(col(textCol)).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wh = base.select(col(idCol),
+      posexplode(graft.functions.HashExpressions
+        .h60Array(TextFunctions.wordWindows("__toks", k))).as(Seq("p", "w")))
+    val occ = wh.groupBy(col("w"))
+      .agg(min(col(idCol)).as("__owner"), countDistinct(col(idCol)).as("__nd"))
+    val flagged = wh.join(occ, Seq("w"))
+      .filter(col("__nd") >= 2 && col(idCol) =!= col("__owner"))
+      .select(col(idCol), col("p"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val islands = flagged
+      .withColumn("__new",
+        when(col("p") > coalesce(max(col("p") + k).over(byDoc), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        Window.partitionBy(col(idCol)).orderBy(col("p"))))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("p")).as("__s"), (max(col("p")) + k).as("__e"))
+    // covered's id is RENAMED before the anti join: both frames share
+    // base's lineage, and `toks(id) === covered(id)` could silently
+    // resolve to one attribute (the stratifiedCap lesson)
+    val covered = islands.select(col(idCol).as("__cid"),
+      explode(expr("sequence(__s, __e - 1)")).as("__cpos"))
+    val toks = base.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("__tpos", "__t")))
+    val kept = toks.join(covered,
+        col(idCol) === col("__cid") && col("__tpos") === col("__cpos"),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nkept"),
+        expr("array_join(transform(array_sort(collect_list(struct(__tpos, __t))), " +
+          "x -> x.__t), ' ')").as("__clean"))
+    base.select(col(idCol), size(col("__toks")).cast("long").as("n_tok"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        (col("n_tok") - coalesce(col("__nkept"), lit(0L))).as("n_cut"),
+        coalesce(col("__clean"), lit("")).as("text_clean"))
+  }
+
+  /** DuckDB oracle twin — identical chain: same windows and h60 keys,
+   *  same owner/distinct-doc rule, the same gaps-and-islands merge
+   *  (window functions), position anti-join, ordered reassembly. */
+  def cutRepeatedSpansSql(table: String, textExpr: String, idCol: String,
+      k: Int): String = {
+    val toks = TextFunctions.lowerTokensSql(textExpr)
+    val h = graft.functions.Hashing.h60Sql("win")
+    s"""WITH base AS (SELECT $idCol AS id, $toks AS toks FROM $table),
+       |wins AS (SELECT id, i - 1 AS p, $h AS w FROM (
+       |  SELECT id, unnest(ws) AS win, generate_subscripts(ws, 1) AS i
+       |  FROM (SELECT id, ${TextFunctions.wordWindowsSql("toks", k)} AS ws
+       |        FROM base))),
+       |occ AS (SELECT w, min(id) AS owner, count(DISTINCT id) AS nd
+       |        FROM wins GROUP BY w),
+       |flagged AS (SELECT id, p FROM wins JOIN occ USING (w)
+       |            WHERE nd >= 2 AND id <> owner),
+       |isl AS (SELECT id, p, CAST(sum(newi) OVER (
+       |          PARTITION BY id ORDER BY p) AS BIGINT) AS isl FROM (
+       |  SELECT id, p, CASE WHEN p > COALESCE(max(p + $k) OVER (
+       |    PARTITION BY id ORDER BY p
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |    THEN 1 ELSE 0 END AS newi FROM flagged)),
+       |spans AS (SELECT id, min(p) AS s, max(p) + $k AS e
+       |          FROM isl GROUP BY id, isl),
+       |covered AS (SELECT id, unnest(range(s, e)) AS cpos FROM spans),
+       |postoks AS (SELECT id, i - 1 AS tpos, t FROM (
+       |  SELECT id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i
+       |  FROM base)),
+       |kept AS (SELECT t.id, CAST(count(*) AS BIGINT) AS nkept,
+       |           array_to_string(list(t.t ORDER BY t.tpos), ' ') AS clean
+       |         FROM postoks t LEFT JOIN covered c
+       |           ON t.id = c.id AND t.tpos = c.cpos
+       |         WHERE c.id IS NULL GROUP BY t.id)
+       |SELECT b.id AS $idCol, CAST(length(b.toks) AS BIGINT) AS n_tok,
+       |  CAST(length(b.toks) - COALESCE(k.nkept, 0) AS BIGINT) AS n_cut,
+       |  COALESCE(k.clean, '') AS text_clean
+       |FROM base b LEFT JOIN kept k ON b.id = k.id""".stripMargin
+  }
+
   def dedupParagraphsSql(table: String, textExpr: String, idCol: String,
       sepSql: String): String =
     s"""SELECT t.$idCol, coalesce(r.txt, '') AS text FROM $table t

@@ -106,6 +106,81 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Temperature-flattened source mixing at T = ½ (X89) — the
+   *  multilingual/multi-source sampling schedule (the √-flattening of
+   *  exponential-smoothing mixture weights, as in massively
+   *  multilingual pretraining): target share p_s ∝ √n_s, so small
+   *  sources are up-weighted and dominant ones down-weighted, then
+   *  every row is emitted its source's epoch factor
+   *  f_s = p_s·N/n_s = (r_s·N)/(n_s·S) times (r_s = ⌊√n_s⌋,
+   *  S = Σ r_s) through the [[mixEpochs]] copies machinery.
+   *
+   *  Determinism contract: the whole weight chain is INTEGER —
+   *  ⌊√n⌋ (sqrt of an integer-valued double is correctly rounded in
+   *  every IEEE libm, floor is exact), integer sums, and ONE integral
+   *  division to basis-points (`div`/`//`) — so both engines derive
+   *  bit-identical rates from the data alone; the per-row accept is
+   *  the h60 basis-point compare of [[hashSample]]. A general
+   *  temperature composes by swapping the r_s expression, at the cost
+   *  of pinning a pow() quantization; T = ½ needs none.
+   *
+   *  Shape at 100 TB: one tiny per-source count agg (map-side
+   *  partial), a broadcast of the source→bps table (|sources| rows by
+   *  definition), and the narrow 1→⌈f⌉ explode — no wide shuffle, no
+   *  driver state. Output adds `epoch` (0-based copy index). */
+  def mixTemperature(df: DataFrame, sourceCol: String, keyCol: String,
+      salt: String): DataFrame = {
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__r", floor(sqrt(col("__n"))).cast("long"))
+    // totals ride an empty-partition window over the COUNTS table —
+    // |sources| rows by definition, so the single partition is fine
+    // (and it avoids the BroadcastNestedLoopJoin a scalar cross join
+    // would plan — the audit's degenerate-join smell)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wtable = counts
+      .withColumn("__tn", sum(col("__n")).over(whole))
+      .withColumn("__ts", sum(col("__r")).over(whole))
+      .select(col(sourceCol),
+        expr("(10000L * __r * __tn) div (__n * __ts)").as("__bps"))
+    val frac = pmod(col("__bps"), lit(10000L))
+    df.join(broadcast(wtable), Seq(sourceCol))
+      .withColumn("__copies",
+        ((col("__bps") - frac) / 10000).cast("long") +
+          when(splitHash(salt, col(keyCol)) % 10000L < frac, 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(expr("sequence(0, __copies - 1)")))
+      .drop("__copies", "__bps")
+  }
+
+  /** DuckDB oracle twin: identical integer chain — ⌊√n⌋ weights,
+   *  integral `//` to basis-points, h60 fractional accept,
+   *  `unnest(range(copies))` epochs. */
+  def mixTemperatureSql(from: String, cols: Seq[String],
+      sourceCol: String, keyExpr: String, salt: String): String = {
+    val h = Hashing.h60Sql(s"'$salt' || CAST($keyExpr AS VARCHAR)")
+    s"""SELECT ${cols.map(c => s"d.$c").mkString(", ")}, epoch FROM (
+       |  SELECT d.*, unnest(range((w.bps // 10000) +
+       |      (CASE WHEN $h % 10000 < w.bps % 10000 THEN 1 ELSE 0 END)))
+       |    AS epoch
+       |  FROM $from d JOIN (
+       |    SELECT $sourceCol,
+       |      (10000 * r * (SELECT CAST(sum(cnt) AS BIGINT) FROM (
+       |         SELECT count(*) AS cnt FROM $from GROUP BY $sourceCol)))
+       |      // (n * (SELECT CAST(sum(CAST(floor(sqrt(cnt)) AS BIGINT))
+       |                    AS BIGINT) FROM (
+       |         SELECT count(*) AS cnt FROM $from GROUP BY $sourceCol)))
+       |      AS bps
+       |    FROM (SELECT $sourceCol, CAST(count(*) AS BIGINT) AS n,
+       |            CAST(floor(sqrt(count(*))) AS BIGINT) AS r
+       |          FROM $from GROUP BY $sourceCol)
+       |  ) w USING ($sourceCol)
+       |) d""".stripMargin
+  }
+
   /** DuckDB oracle twin: emits `SELECT <cols>, unnest(range(copies))
    *  AS epoch` over the same integer basis-point arithmetic
    *  (`range(0)` is empty, so zero-copy rows vanish exactly like the

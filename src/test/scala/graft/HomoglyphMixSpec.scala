@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Sampling
+
+/** X89 temperature-flattened mixing + X90 homoglyph skeleton. */
+class HomoglyphMixSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("homoglyph skeleton folds confusables, fullwidth, and zero-width") {
+    val rows = Seq(
+      // Cyrillic а/е/о disguising Latin — same skeleton
+      (1L, "a top secret report"),
+      (2L, "а tоp sеcrеt rеpоrt"),
+      // zero-width padding — same skeleton
+      (3L, "a top​ secret﻿ report"),
+      // fullwidth — same skeleton
+      (4L, "ａ top secret repｏrt"),
+      // genuinely different text — different skeleton
+      (5L, "a top secret memo"))
+      .toDF("id", "text")
+    val sk = rows.select(col("id"),
+        TextFunctions.homoglyphSkeleton(col("text")).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sk(1L) == "a top secret report")
+    assert(sk(2L) == sk(1L), s"cyrillic fold failed: '${sk(2L)}'")
+    assert(sk(3L) == sk(1L), s"zero-width strip failed: '${sk(3L)}'")
+    assert(sk(4L) == sk(1L), s"fullwidth fold failed: '${sk(4L)}'")
+    assert(sk(5L) != sk(1L), "distinct texts must keep distinct skeletons")
+    // uppercase confusables fold through the lowercase step too
+    val up = rows.sparkSession.range(1)
+      .select(TextFunctions.homoglyphSkeleton(lit("АЕОRT")).as("s"))
+      .head.getString(0)
+    assert(up == "aeort")
+  }
+
+  test("mixTemperature equalizes toward sqrt shares with integer-exact rates") {
+    // 900 'big' + 100 'small': r=30/10, S=40, N=1000 →
+    // bps(big) = 10^4·30·1000 / (900·40) = 8333 (0.8333 epochs)
+    // bps(small) = 10^4·10·1000 / (100·40) = 25000 (2.5 epochs)
+    val df = ((0L until 900L).map(i => (i, "big")) ++
+      (1000L until 1100L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = Sampling.mixTemperature(df, "source", "doc_id", "t|")
+      .groupBy("source", "doc_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1)
+    // per-doc copy counts are floor/ceil of the epoch factor
+    assert(byDoc("big").forall(_._3 == 1L),
+      "big-source docs keep 0 or 1 copies (0-copy rows are filtered)")
+    assert(byDoc("small").forall(t => t._3 == 2L || t._3 == 3L))
+    // totals converge to the basis-point rates (hash-exact, so the
+    // tolerance is only the hash's sampling error at n=900/100)
+    val bigTotal = byDoc("big").map(_._3).sum.toDouble
+    val smallTotal = byDoc("small").map(_._3).sum.toDouble
+    assert(math.abs(bigTotal / 900.0 - 0.8333) < 0.05, s"big=$bigTotal")
+    assert(math.abs(smallTotal / 100.0 - 2.5) < 0.25, s"small=$smallTotal")
+    // deterministic: a rerun is row-identical
+    val again = Sampling.mixTemperature(df, "source", "doc_id", "t|")
+      .groupBy("source", "doc_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+    // a different salt draws a different subset at the same rates
+    val other = Sampling.mixTemperature(df, "source", "doc_id", "u|")
+      .groupBy("source", "doc_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(other.toSet != out.toSet)
+  }
+}
