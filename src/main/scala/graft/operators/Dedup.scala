@@ -1087,9 +1087,13 @@ object Dedup {
   def cutRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // eager localCheckpoint, NOT persist (the vocabCoverage lesson —
+    // the result is returned lazily, so a persist here would leak one
+    // cached RDD per invocation with no unpersist point); the token
+    // projection feeds the window pass AND the rebuild
     val base = df
       .select(col(idCol), TextFunctions.lowerTokens(col(textCol)).as("__toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val wh = base.select(col(idCol),
       posexplode(graft.functions.HashExpressions
         .h60Array(TextFunctions.wordWindows("__toks", k))).as(Seq("p", "w")))

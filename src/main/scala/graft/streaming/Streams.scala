@@ -443,7 +443,14 @@ object Streams {
    *  referenced by a retained manifest (its bucket data is live by
    *  reference — deleting it would tear the newest snapshot). What
    *  remains is the crash-recovery / time-travel window; journals are
-   *  untouched. */
+   *  untouched.
+   *
+   *  Contract: fold batchIds are MONOTONE (Structured Streaming's
+   *  are; redelivery only replays the latest uncommitted id, whose
+   *  predecessor is inside the retained window and therefore has a
+   *  protected manifest). Hand-folding an id OLDER than the window is
+   *  unsupported: its predecessor would be a version kept only by
+   *  reference, whose own manifest may point at GC'd data dirs. */
   def gcCdcVersions(stateDir: String, retain: Int): Unit = {
     val committed = committedVersionIds(stateDir)
     val retained = committed.takeRight(retain)
