@@ -309,6 +309,11 @@ object Curation {
     // unpersist point — a persist here leaked one cached RDD per
     // invocation for the session lifetime. Checkpoint blocks are
     // released when the frame is GC'd, no caller contract needed.
+    // (Distinct from clusters()'s persist-not-checkpoint rule, which
+    // is about MANY simultaneously-referenced round checkpoints; one
+    // checkpoint per invocation measured safe across the full bench
+    // and the sf10 sweep. Executor loss fails the query rather than
+    // recomputing — acceptable for a derived analytic frame.)
     val tf = docs.select(col(idCol), explode(
         HashExpressions.tokenFrequencies(col(textCol))).as("tf"))
       .select(col(idCol), col("tf.t").as("t"), col("tf.n").as("n"))

@@ -482,6 +482,42 @@ object Dedup {
     val sh = spark.read.parquet(s"$dir/shingles/$segment")
     bandedSig(sh, meta.perms, meta.bands)
       .write.mode("overwrite").parquet(s"$dir/banded/$segment")
+    // a RE-ADDED id revives: clear it from every tombstone, else the
+    // id-scoped delete would (a) hide the new entry at read time and
+    // (b) physically destroy it at the next compaction — the
+    // delete-then-readd hazard of id-scoped (vs file-scoped) delete
+    // vectors. Single-writer contract (the ingest's own foreachBatch)
+    // makes the rewrite race-free; a retried append re-clears
+    // idempotently, and a crash between segment write and tombstone
+    // clear only delays the revival until the batch redelivers.
+    val readded = sh.select(col("id"))
+    for (seg <- segmentDirs(s"$dir/deleted")) {
+      val kept = spark.read.parquet(seg)
+        .join(readded, Seq("id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (kept.isEmpty)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seg))
+        else {
+          // CRASH-SAFE order: install the filtered copy under a FRESH
+          // visible name FIRST, then drop the old segment — a crash in
+          // between leaves both applied (their union is the old set:
+          // conservative — the re-added id stays hidden until the
+          // batch redelivers and re-clears; no deleted doc ever
+          // resurrects). Deleting before installing would lose the
+          // OTHER tombstones on a crash — the dangerous direction.
+          val segFile = new java.io.File(seg)
+          val taken = segmentDirs(s"$dir/deleted")
+            .map(new java.io.File(_).getName).toSet
+          val target = (1 to taken.size + 1)
+            .map(i => s"${segFile.getName}~$i").find(!taken.contains(_)).get
+          kept.write.mode("overwrite")
+            .parquet(new java.io.File(segFile.getParentFile, target).toString)
+          org.apache.commons.io.FileUtils.deleteDirectory(segFile)
+        }
+      } finally kept.unpersist()
+    }
+    ()
   }
 
   /** DELETE documents from a durable index (the round-7 item-5 gap:
@@ -492,10 +528,15 @@ object Dedup {
    *  one `id` column; overwrite-per-segment ⇒ idempotent retries):
    *  [[loadLshIndex]] subtracts tombstoned ids from every probe
    *  immediately, and the next [[compactLshIndex]] drops the rows
-   *  physically and clears the tombstones — exactly a lake format's
-   *  delete-vector + compaction lifecycle. Crash-safe at every step:
-   *  a tombstone re-applied to already-compacted data is a no-op
-   *  anti-join. */
+   *  physically and clears the tombstones — the lake delete-vector +
+   *  compaction lifecycle, id-scoped. Because the scope is the ID
+   *  (not a file), a later [[appendToLshIndex]] of the SAME id
+   *  REVIVES it by clearing matching tombstones at append time —
+   *  without that, the re-added entry would be hidden at read time
+   *  and physically destroyed by the next compaction (spec-pinned:
+   *  delete → re-add → the id screens again). Crash-safe at every
+   *  step: a tombstone re-applied to already-compacted data is a
+   *  no-op anti-join. */
   def deleteFromLshIndex(dir: String, ids: DataFrame, idCol: String,
       segment: String): Unit = {
     require(readLshIndexMeta(dir).isDefined,
@@ -1090,7 +1131,16 @@ object Dedup {
     // eager localCheckpoint, NOT persist (the vocabCoverage lesson —
     // the result is returned lazily, so a persist here would leak one
     // cached RDD per invocation with no unpersist point); the token
-    // projection feeds the window pass AND the rebuild
+    // projection feeds the window pass AND the rebuild.
+    // This is the OPPOSITE trade from clusters()'s persist-not-
+    // checkpoint rule (see `cut` below): there, MANY checkpoints stay
+    // referenced simultaneously by the returned plan chain, and only
+    // CacheManager blocks are harness-freeable; here exactly ONE
+    // checkpoint backs the result and its blocks free on driver GC of
+    // the frame — measured safe across the full 119-query bench and
+    // the sf10 sweep. The residual trades: construction runs the
+    // tokenize job eagerly, and an executor loss fails the query
+    // (no lineage) where persist would recompute.
     val base = df
       .select(col(idCol), TextFunctions.lowerTokens(col(textCol)).as("__toks"))
       .localCheckpoint(true)

@@ -134,7 +134,11 @@ object Quality {
    *  medians inflating ~60% under memory pressure); per-column scans
    *  read ONE pruned parquet column each and keep the partial-distinct
    *  two-phase plan, so total bytes read are identical and no row is
-   *  ever widened. Labels are lit()-built, so a column named with
+   *  ever widened. SCOPE of that claim: it holds for column-prunable
+   *  scans (parquet/ORC — this engine's lake contract). Profiling a
+   *  frame with an EXPENSIVE upstream plan (joins, UDFs, csv/json
+   *  inference) re-executes that plan once per column — persist or
+   *  checkpoint such inputs first, or accept N× the upstream cost. Labels are lit()-built, so a column named with
    *  dots, quotes or backticks labels its row verbatim instead of
    *  breaking a parse. min/max are raw parquet values cast to double:
    *  no arithmetic, so they match any engine bit-for-bit. */

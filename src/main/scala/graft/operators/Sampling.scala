@@ -130,24 +130,22 @@ object Sampling {
    *  driver state. Output adds `epoch` (0-based copy index). */
   def mixTemperature(df: DataFrame, sourceCol: String, keyCol: String,
       salt: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the per-source count table is |sources| rows BY DEFINITION —
+    // collected driver-side (the codebook pattern) so the rate
+    // arithmetic runs in exact BigInt: the naive in-plan form
+    // 10000·r·N div (n·S) overflows Long around N ~ 10¹² rows (the
+    // very scale the operator targets), and with ANSI off Spark would
+    // WRAP where DuckDB raises — a silently dropped source and an
+    // engine divergence in one bug
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("__n"))
-      .withColumn("__r", floor(sqrt(col("__n"))).cast("long"))
-    // totals ride an empty-partition window over the COUNTS table —
-    // |sources| rows by definition, so the single partition is fine
-    // (and it avoids the BroadcastNestedLoopJoin a scalar cross join
-    // would plan — the audit's degenerate-join smell)
-    val whole = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val wtable = counts
-      .withColumn("__tn", sum(col("__n")).over(whole))
-      .withColumn("__ts", sum(col("__r")).over(whole))
-      .select(col(sourceCol),
-        expr("(10000L * __r * __tn) div (__n * __ts)").as("__bps"))
+      .as[(String, Long)].collect().toSeq
+    val wtable = broadcast(bpsForSources(counts).toSeq
+      .toDF(sourceCol, "__bps"))
     val frac = pmod(col("__bps"), lit(10000L))
-    df.join(broadcast(wtable), Seq(sourceCol))
+    df.join(wtable, Seq(sourceCol))
       .withColumn("__copies",
         ((col("__bps") - frac) / 10000).cast("long") +
           when(splitHash(salt, col(keyCol)) % 10000L < frac, 1L).otherwise(0L))
@@ -156,9 +154,30 @@ object Sampling {
       .drop("__copies", "__bps")
   }
 
+  /** The T=½ basis-point rate per source, exact BigInt arithmetic:
+   *  bps_s = ⌊10⁴·r_s·N / (n_s·S)⌋ with r = ⌊√n⌋. Exposed
+   *  (package-private) so the overflow contract is unit-testable at
+   *  synthetic 10¹²-row magnitudes. The RESULT must fit a Long —
+   *  bps ≤ 10⁴·N/S, which only approaches 2⁶³ for corpora beyond any
+   *  physical size — but it is require()d rather than assumed. */
+  private[graft] def bpsForSources(counts: Seq[(String, Long)]): Map[String, Long] = {
+    require(counts.nonEmpty, "at least one source")
+    def isqrt(n: Long): Long = math.sqrt(n.toDouble).toLong
+    val tn = counts.map(c => BigInt(c._2)).sum
+    val ts = counts.map(c => BigInt(isqrt(c._2))).sum
+    counts.map { case (s, n) =>
+      val bps = BigInt(10000) * isqrt(n) * tn / (BigInt(n) * ts)
+      require(bps.isValidLong,
+        s"mixTemperature rate overflow for source '$s': bps=$bps")
+      s -> bps.toLong
+    }.toMap
+  }
+
   /** DuckDB oracle twin: identical integer chain — ⌊√n⌋ weights,
    *  integral `//` to basis-points, h60 fractional accept,
-   *  `unnest(range(copies))` epochs. */
+   *  `unnest(range(copies))` epochs. (The oracle keeps the in-plan
+   *  BIGINT form — DuckDB RAISES on overflow rather than wrapping,
+   *  and oracle runs are small-SF by construction.) */
   def mixTemperatureSql(from: String, cols: Seq[String],
       sourceCol: String, keyExpr: String, salt: String): String = {
     val h = Hashing.h60Sql(s"'$salt' || CAST($keyExpr AS VARCHAR)")

@@ -282,7 +282,15 @@ object Similarity {
    *  UNION gated by WHERE would compute both self-joins and discard
    *  one). The flag is row-independent, so every row buckets under
    *  the same scheme — the identical route the Spark side took. */
-  def annRoutedSql(table: String, dim: Int, skewFactor: Long = 256): String = {
+  def annRoutedSql(table: String, dim: Int, skewFactor: Long = 256): String =
+    top1InBucketSql(table, routedBucketSql(table, dim, skewFactor, 4))
+
+  /** The route-gated bucket expression both [[annRoutedSql]] and
+   *  [[annTopKIndexedSql]] share — one CASE whose flag re-derives the
+   *  Σbucket² measurement from exact counts, so the two oracles can
+   *  never drift apart. */
+  private def routedBucketSql(table: String, dim: Int, skewFactor: Long,
+      nproj: Int): String = {
     val nbits = adaptivePlanesSql(table)
     val signBucket = s"((${lshBucketSql("v", 16, dim)}) " +
       s"% (CAST(1 AS BIGINT) << $nbits))"
@@ -291,9 +299,9 @@ object Similarity {
          |  SELECT $signBucket AS bucket, count(*) AS c
          |  FROM (${preparedSql(table)}) GROUP BY 1))""".stripMargin
     val budget = s"((SELECT count(*) FROM $table) * $skewFactor)"
-    val gridBucket = gridCellSql("v", "nrm", 4, adaptiveGridLevelSql(table), dim)
-    top1InBucketSql(table,
-      s"(CASE WHEN ($skew) > $budget THEN ($gridBucket) ELSE ($signBucket) END)")
+    val gridBucket =
+      gridCellSql("v", "nrm", nproj, adaptiveGridLevelSql(table), dim)
+    s"(CASE WHEN ($skew) > $budget THEN ($gridBucket) ELSE ($signBucket) END)"
   }
 
   // ------------------------------------------------- ANN grid (E2LSH)
@@ -503,18 +511,8 @@ object Similarity {
    *  routed expression, and re-ranks in-bucket with the identical
    *  tie-break. */
   def annTopKIndexedSql(table: String, qFilter: String, k: Int,
-      dim: Int, skewFactor: Long = 256): String = {
-    val nbits = adaptivePlanesSql(table)
-    val signBucket = s"((${lshBucketSql("v", 16, dim)}) " +
-      s"% (CAST(1 AS BIGINT) << $nbits))"
-    val skew =
-      s"""(SELECT sum(c * c) FROM (
-         |  SELECT $signBucket AS bucket, count(*) AS c
-         |  FROM (${preparedSql(table)}) GROUP BY 1))""".stripMargin
-    val budget = s"((SELECT count(*) FROM $table) * $skewFactor)"
-    val gridBucket = gridCellSql("v", "nrm", 4, adaptiveGridLevelSql(table), dim)
-    val bucket =
-      s"(CASE WHEN ($skew) > $budget THEN ($gridBucket) ELSE ($signBucket) END)"
+      dim: Int, skewFactor: Long = 256, nproj: Int = 4): String = {
+    val bucket = routedBucketSql(table, dim, skewFactor, nproj)
     s"""WITH e AS (SELECT *, $bucket AS bucket
        |           FROM (${preparedSql(table)})),
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket
@@ -894,13 +892,8 @@ object Similarity {
    *  columns: an explicit ck0+dk projection after the Generate
    *  measured 3x on the q85 path, whose probe rows carry the
    *  embedding). */
-  private def probeDeltas(nproj: Int): Column = {
-    val offsets = Seq.fill(nproj)(Seq(-1L, 0L, 1L))
-      .foldLeft(Seq(Seq.empty[Long]))((acc, ax) =>
-        for (p <- acc; o <- ax) yield p :+ o)
-    array(offsets.map(off => lit((0 until nproj)
-      .map(j => off(j) * (1L << (12 * j))).sum)): _*)
-  }
+  private def probeDeltas(nproj: Int): Column =
+    array(probeDeltaValues(nproj).map(lit): _*)
 
   // ------------------------------- candidate-pruned EXACT nearest pair
 
@@ -1354,10 +1347,23 @@ object Similarity {
     val (_, a, b) = pairProbeFrames(emb, dim, tau, nproj)
     val occA = a.groupBy("ck").agg(count(lit(1)).as("na"))
     val occB = b.groupBy("ck").agg(count(lit(1)).as("nb"))
-    val n = b.count() // one (id, key) row per vector
+    // count the RAW corpus, not `b` — same number, but b's plan pays
+    // the cell projections (dot products) just to count rows
+    val n = emb.count()
+    // the Long sum is paired with a double shadow: on extreme-skew
+    // corpora the exact mass can exceed 2⁶³, and with ANSI off the
+    // wrapped NEGATIVE sum would route to the EXACT path in precisely
+    // the blow-up regime the router exists to avoid. Any saturated
+    // mass is astronomically over every sane budget, so clamping to
+    // MaxValue routes blocked — and the small-scale integer compare
+    // (the oracle's regime) is untouched.
     val m = occA.join(occB, Seq("ck"))
-      .agg(sum(col("na") * col("nb"))).first()
-    (n, if (m.isNullAt(0)) 0L else m.getLong(0))
+      .agg(sum(col("na") * col("nb")),
+        sum(col("na").cast("double") * col("nb").cast("double"))).first()
+    val exact = if (m.isNullAt(0)) 0L else m.getLong(0)
+    val shadow = if (m.isNullAt(1)) 0.0 else m.getDouble(1)
+    val mass = if (exact < 0L || shadow > 4.0e18) Long.MaxValue else exact
+    (n, mass)
   }
 
   /** SemDeDup with the route MEASURED, not guessed (the q20 pattern

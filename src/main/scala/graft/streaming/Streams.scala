@@ -332,6 +332,7 @@ object Streams {
       .withColumn("__bucket", cdcBucket(col(key), m.nBuckets))
       .write.partitionBy("__bucket").mode("overwrite")
       .parquet(s"$stateDir/v$batchId/data")
+    writeSchemaDirIfEmpty(expired, s"$stateDir/v$batchId")
     // journal the RAW batch — the change-data-feed (keyed by batchId
     // ⇒ a redelivery overwrites its own entry, never duplicates)
     batchChanges.write.mode("overwrite")
@@ -351,10 +352,11 @@ object Streams {
   def seedCdcState(base: DataFrame, stateDir: String, key: String,
       nBuckets: Int = 16): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
-    base.withColumn("__seq", lit(Long.MinValue))
+    val seeded = base.withColumn("__seq", lit(Long.MinValue))
       .withColumn("__op", lit("u"))
-      .withColumn("__bucket", cdcBucket(col(key), nBuckets))
+    seeded.withColumn("__bucket", cdcBucket(col(key), nBuckets))
       .write.partitionBy("__bucket").parquet(s"$stateDir/v-1/data")
+    writeSchemaDirIfEmpty(seeded, s"$stateDir/v-1")
     writeCdcManifest(s"$stateDir/v-1", nBuckets, Long.MinValue,
       (0 until nBuckets).map(_ -> -1L).toMap)
     require(new java.io.File(s"$stateDir/v-1/_SUCCESS").createNewFile(),
@@ -403,17 +405,42 @@ object Streams {
       .filter(p => new java.io.File(p).exists())
   }
 
+  /** A zero-row schema-bearing `schema/` sidecar, written ONLY when a
+   *  version's partitioned data write produced no bucket dirs (empty
+   *  seed, or every key deleted and every tombstone expired):
+   *  partitionBy emits nothing for an empty frame, and without a
+   *  schema anchor a legitimately-empty state could not be READ as an
+   *  empty frame. Conditional, so the common non-empty fold pays no
+   *  extra job. */
+  private def writeSchemaDirIfEmpty(frame: DataFrame, verDir: String): Unit = {
+    val hasBuckets = Option(new java.io.File(s"$verDir/data").listFiles())
+      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("__bucket=")))
+    if (!hasBuckets)
+      frame.limit(0).write.mode("overwrite").parquet(s"$verDir/schema")
+  }
+
   /** The consumer view of the drained CDC state: latest committed
    *  version (all buckets, resolved through its manifest), tombstones
-   *  filtered, bookkeeping columns dropped. */
+   *  filtered, bookkeeping columns dropped. A state whose every
+   *  bucket is empty reads as an EMPTY frame (via the newest
+   *  reachable `schema/` sidecar), never an error. */
   def readCdcState(spark: SparkSession, stateDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val ver = latestStateVersion(stateDir, Long.MaxValue)
     val paths = stateBucketPaths(stateDir, ver)
-    require(paths.nonEmpty, s"state $stateDir/$ver has no bucket data")
-    spark.read.parquet(paths: _*)
-      .filter(col("__op") =!= "d")
-      .drop("__seq", "__op")
+    val frame =
+      if (paths.nonEmpty) spark.read.parquet(paths: _*)
+      else {
+        val m = readCdcManifest(s"$stateDir/$ver")
+        val schemaDirs = (m.buckets.values.toSeq :+
+            ver.drop(1).toLong).distinct.sorted(Ordering[Long].reverse)
+          .map(v => s"$stateDir/v$v/schema")
+          .filter(p => new java.io.File(p).exists())
+        require(schemaDirs.nonEmpty,
+          s"state $stateDir/$ver has no bucket data and no schema sidecar")
+        spark.read.parquet(schemaDirs.head)
+      }
+    frame.filter(col("__op") =!= "d").drop("__seq", "__op")
   }
 
   /** The committed change-data-feed: every journaled batch, in one
@@ -452,6 +479,13 @@ object Streams {
    *  unsupported: its predecessor would be a version kept only by
    *  reference, whose own manifest may point at GC'd data dirs. */
   def gcCdcVersions(stateDir: String, retain: Int): Unit = {
+    // retain >= 2 is load-bearing, not a tuning preference: a crash
+    // after version N commits but before the streaming checkpoint
+    // does means batch N REDELIVERS and must read a committed
+    // predecessor < N — retain 1 could have just deleted it (N's
+    // manifest does not reference v(N-1) when the batch touched
+    // every bucket), wedging the stream unrecoverably
+    require(retain >= 2, s"gcCdcVersions needs retain >= 2, got $retain")
     val committed = committedVersionIds(stateDir)
     val retained = committed.takeRight(retain)
     val referenced = retained.flatMap(id =>

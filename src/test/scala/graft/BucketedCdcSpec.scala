@@ -85,6 +85,34 @@ class BucketedCdcSpec extends SparkTestBase {
     assert(Streams.streamedChangeFeed(spark, s"$out/state").count() == 4L)
   }
 
+  test("a legitimately EMPTY state reads as an empty frame, never an error") {
+    val out = Streams.scratchDir("graft_cdcempty_spec_")
+    // empty seed: partitionBy writes no bucket dirs — the schema
+    // sidecar must anchor the read
+    val base = Seq.empty[(Long, String)].toDF("k", "s")
+    Streams.seedCdcState(base, s"$out/state", "k", 4)
+    assert(Streams.readCdcState(spark, s"$out/state").isEmpty)
+    assert(Streams.readCdcState(spark, s"$out/state").columns.toSeq ==
+      Seq("k", "s"))
+    // insert a key, then delete it with an expired tombstone: every
+    // bucket empties again and the read must still succeed
+    Streams.foldCdcBatch(Seq((7L, 10L, "u", "x")).toDF("k", "seq", "op", "s"),
+      0L, s"$out/state", "k", "seq", "op", tombstoneSeqLag = Some(5L))
+    assert(Streams.readCdcState(spark, s"$out/state").count() == 1L)
+    Streams.foldCdcBatch(Seq((7L, 100L, "d", null: String)).toDF("k", "seq", "op", "s"),
+      1L, s"$out/state", "k", "seq", "op", tombstoneSeqLag = Some(5L))
+    // one more fold advances the high-water past the tombstone's lag
+    Streams.foldCdcBatch(Seq((7L, 200L, "d", null: String)).toDF("k", "seq", "op", "s"),
+      2L, s"$out/state", "k", "seq", "op", tombstoneSeqLag = Some(5L))
+    assert(Streams.readCdcState(spark, s"$out/state").isEmpty)
+  }
+
+  test("version GC refuses a retention bound that can wedge redelivery") {
+    intercept[IllegalArgumentException] {
+      Streams.gcCdcVersions(Streams.scratchDir("graft_cdcgc_bad_"), 1)
+    }
+  }
+
   test("tombstones expire past the delivery-lag bound, persist inside it") {
     val out = Streams.scratchDir("graft_cdctomb_spec_")
     val n = 4

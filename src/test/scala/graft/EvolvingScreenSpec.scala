@@ -158,6 +158,39 @@ class EvolvingScreenSpec extends SparkTestBase {
       s"compacted index must physically exclude the deleted doc: $ids")
   }
 
+  test("delete → re-add of the SAME id revives it (tombstone cleared at append)") {
+    import spark.implicits._
+    val corpus = (0L until 3L).map(i => (i, doc(s"rev$i"))).toDF("doc_id", "text")
+    val ix = Streams.scratchDir("graft_evo_ixR_")
+    Dedup.initLshIndexDir(corpus, "text", "doc_id", 3, 16, 4, ix, "fpR")
+    Dedup.appendToLshIndex(ix,
+      Seq(100L -> doc("revived")).toDF("doc_id", "text"), "text", "doc_id", "b0")
+    Dedup.deleteFromLshIndex(ix, Seq(100L).toDF("doc_id"), "doc_id", "d0")
+    assert(Dedup.loadLshIndex(spark, ix).shingles
+      .filter(col("id") === 100L).isEmpty)
+    // the corrected doc re-ingests under the SAME id: the append must
+    // clear the tombstone — otherwise the new entry is hidden at read
+    // time and physically destroyed at the next compaction
+    Dedup.appendToLshIndex(ix,
+      Seq(100L -> doc("revived v2")).toDF("doc_id", "text"),
+      "text", "doc_id", "b1")
+    assert(!Dedup.loadLshIndex(spark, ix).shingles
+      .filter(col("id") === 100L).isEmpty,
+      "re-added id must be live again")
+    // and it SURVIVES compaction (the destructive path of the bug)
+    assert(Dedup.compactLshIndex(spark, ix, maxSegments = 1))
+    val ids = Dedup.loadLshIndex(spark, ix).shingles
+      .select("id").as[Long].collect().toSet
+    assert(ids.contains(100L), s"compaction destroyed the re-added doc: $ids")
+    // an id deleted and NEVER re-added stays dead through it all
+    Dedup.deleteFromLshIndex(ix, Seq(0L).toDF("doc_id"), "doc_id", "d1")
+    Dedup.appendToLshIndex(ix,
+      Seq(200L -> doc("other")).toDF("doc_id", "text"), "text", "doc_id", "b2")
+    assert(Dedup.loadLshIndex(spark, ix).shingles
+      .filter(col("id") === 0L).isEmpty,
+      "an unrelated append must not revive other tombstones")
+  }
+
   test("append is idempotent: re-appending a batch segment replaces, not duplicates") {
     import spark.implicits._
     val corpus = (0L until 4L).map(i => (i, doc(s"idem$i"))).toDF("doc_id", "text")

@@ -68,4 +68,25 @@ class HomoglyphMixSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(other.toSet != out.toSet)
   }
+
+  test("rate arithmetic is exact at trillion-row magnitudes (no Long wrap)") {
+    // the naive in-plan 10^4·r·N div (n·S) wraps Long here: N ≈ 1.1e12,
+    // r(1e12) = 1e6 → 10^4·1e6·1.1e12 ≈ 1.1e22 ≫ 2^63. BigInt keeps it
+    // exact; hand-check: S = 1e6 + 316227 + 1000
+    val counts = Seq("web" -> 1000000000000L, "books" -> 100000000000L,
+      "wiki" -> 1000000L)
+    val bps = Sampling.bpsForSources(counts)
+    val s = BigInt(1000000) + BigInt(316227) + BigInt(1000)
+    val n = counts.map(c => BigInt(c._2)).sum
+    def expect(src: String, cnt: Long, r: Long) =
+      assert(bps(src) == (BigInt(10000) * r * n / (BigInt(cnt) * s)).toLong,
+        s"$src: ${bps(src)}")
+    expect("web", 1000000000000L, 1000000L)
+    expect("books", 100000000000L, 316227L)
+    expect("wiki", 1000000L, 1000L)
+    assert(bps.values.forall(v => v > 0L),
+      s"no source may silently drop to zero/negative copies: $bps")
+    // the tiny source is massively up-weighted, the giant one damped
+    assert(bps("wiki") > 1000000L && bps("web") < 10000L, s"$bps")
+  }
 }
