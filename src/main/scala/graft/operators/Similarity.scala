@@ -791,85 +791,111 @@ object Similarity {
        |  FROM scored
        |) WHERE rank = 1""".stripMargin
 
-  /** EXACT per-label nearest pair, BLOCKED formulation — same result
-   *  as [[labelNearestPair]] (bit-identical sims: ascending-index
-   *  double accumulation, identical tie-break), reorganized so the
-   *  Σ label² pair space is never MATERIALIZED as rows. The join form
-   *  ships two 64-double arrays inside every scored pair row — at the
-   *  100x sweep that is ~2 G rows × ~1 KB through a join and an
-   *  aggregation, and it is the row machinery, not the arithmetic,
-   *  that made X11 superlinear (exp1 0.91, skipped at sf10). Here the
-   *  corpus is collected once into per-label primitive arrays,
-   *  broadcast, and each partition runs the tight dot-product loop
-   *  over (its rows) × (broadcast same-label rows with higher id),
-   *  keeping ONE best candidate per (partition, label) — the shuffle
-   *  carries ≤ labels × partitions tiny rows. Exact-by-spec cost is
-   *  still Σ label² FLOPs (that is what "exact" means on adversarial
-   *  data), but organized at memory-bandwidth speed.
+  /** EXACT per-label nearest pair, TRIANGLE-BLOCKED formulation — same
+   *  result as [[labelNearestPair]] (bit-identical sims: ascending-index
+   *  double accumulation with commutative per-element products,
+   *  identical (sim DESC, id_a, id_b) tie-break), reorganized so the
+   *  Σ label² pair space is never MATERIALIZED as rows AND nothing
+   *  corpus-sized ever visits the driver. The join form ships two
+   *  64-double arrays inside every scored pair row — it is the row
+   *  machinery, not the arithmetic, that made X11 superlinear (exp1
+   *  0.91). An earlier blocked form collected the whole corpus to the
+   *  driver and broadcast it — fast at bench SFs, but driver memory
+   *  binds long before the Σ label² FLOPs do, the classic scale-killer.
    *
-   *  The collect is bounded by the operator's own feasibility
-   *  envelope: exact all-pairs work is Σ label² arithmetic, so any
-   *  corpus where EXACT is runnable at all (≲10⁷ vectors) fits the
-   *  n×dim broadcast (~5 GB at 10⁷×64); beyond that the same loop
-   *  runs over C broadcast chunks (union of C plans) — the pair space
-   *  is what forbids exact there, not this organization. For the
-   *  near-dup regime, [[labelNearestPairPruned]] avoids most of the
-   *  pair space entirely. */
-  def labelNearestPairExact(emb: DataFrame): DataFrame = {
+   *  Here each row is assigned a block b = id mod B and shipped to the
+   *  B groups {(label, min(b,k), max(b,k)) : k < B} — the classic
+   *  triangle self-join: every unordered pair meets in exactly ONE of
+   *  the B(B+1)/2 block-pair groups, replication is B ≈ √(2·groups)
+   *  (not the |corpus| of a broadcast, not the S of a salted peer
+   *  replication), and intra-LABEL parallelism is labels × B(B+1)/2
+   *  groups — a 10-label corpus still spreads across hundreds of
+   *  tasks. Each group buffers only its two block classes (≤ 2/B of
+   *  one label), runs the tight dot loop, and emits ONE best — the
+   *  final exchange carries ≤ labels × B² tiny rows. Exact-by-spec
+   *  cost is still Σ label² FLOPs (that is what "exact" means on
+   *  adversarial data), but organized at memory-bandwidth speed with
+   *  executor-only residence. For the near-dup regime,
+   *  [[labelNearestPairPruned]] avoids most of the pair space
+   *  entirely. */
+  def labelNearestPairExact(emb: DataFrame, blocks: Int = 8): DataFrame = {
+    require(blocks >= 1 && blocks <= 256, s"blocks must be 1..256, got $blocks")
     val spark = emb.sparkSession
-    val e0 = prepared(emb).select(col("label"), col("vec_id"), col("v"), col("nrm"))
-    // the scan side carries the O(n²/labels) loop: parquet splits
-    // follow BYTES, but this operator's cost follows ROWS² — a 4-part
-    // corpus would run the whole pair space ≤4-wide (measured 106 s vs
-    // ~15 s at the 100x sweep). Same rule as the media decoders:
-    // repartition the loop side up to the cluster's parallelism.
-    val par = spark.sparkContext.defaultParallelism
-    val e = if (e0.rdd.getNumPartitions < par) e0.repartition(par) else e0
-    val byLabel: Map[Int, Array[(Long, Array[Double], Double)]] =
-      e.collect().map { r =>
-        (r.getInt(0), (r.getLong(1),
-          r.getSeq[Double](2).toArray, r.getDouble(3)))
-      }.groupBy(_._1).map { case (l, rows) =>
-        l -> rows.map(_._2).sortBy(_._1)
+    import spark.implicits._
+    val B = blocks
+    val e = prepared(emb).select(col("label"), col("vec_id"), col("v"), col("nrm"))
+      .as[(Int, Long, Array[Double], Double)]
+    // route each row to its B triangle groups; the row's own class is
+    // re-derived inside the group from id mod B, so rows carry no side
+    // marker through the exchange
+    val routed = e.flatMap { case (label, id, v, nrm) =>
+      val b = java.lang.Math.floorMod(id, B.toLong).toInt
+      (0 until B).iterator.map { k =>
+        (label, math.min(b, k), math.max(b, k), id, v, nrm)
       }
-    val bc = spark.sparkContext.broadcast(byLabel)
-    val partBest = e.mapPartitions { it =>
-      // per-label running best within this partition:
-      // (negSim, id_a, id_b, sim) with (sim DESC, id_a, id_b) order
-      val best = scala.collection.mutable.Map.empty[Int, (Double, Long, Long, Double)]
-      it.foreach { r =>
-        val label = r.getInt(0); val idA = r.getLong(1)
-        val va = r.getSeq[Double](2).toArray; val na = r.getDouble(3)
-        val peers = bc.value.getOrElse(label, Array.empty)
-        var j = 0
-        while (j < peers.length) {
-          val (idB, vb, nb) = peers(j)
-          if (idB > idA) {
-            var acc = 0.0; var i = 0; val n = math.min(va.length, vb.length)
-            while (i < n) { acc += va(i) * vb(i); i += 1 }
-            val sim = acc / (na * nb)
-            val cand = (-sim, idA, idB, sim)
-            val cur = best.get(label)
-            if (cur.isEmpty || Ordering[(Double, Long, Long)].lt(
-                (cand._1, cand._2, cand._3), (cur.get._1, cur.get._2, cur.get._3)))
-              best(label) = cand
-          }
-          j += 1
+    }
+    val partBest = routed
+      .groupByKey { case (label, i, j, _, _, _) => (label, i, j) }
+      .flatMapGroups { (key: (Int, Int, Int),
+          it: Iterator[(Int, Int, Int, Long, Array[Double], Double)]) =>
+        val (label, bi, bj) = key
+        val clsI = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double], Double)]
+        val clsJ = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double], Double)]
+        it.foreach { case (_, _, _, id, v, nrm) =>
+          val b = java.lang.Math.floorMod(id, B.toLong).toInt
+          if (b == bi) clsI += ((id, v, nrm)) else clsJ += ((id, v, nrm))
         }
+        // (negSim, id_a, id_b, sim) with (sim DESC, id_a, id_b) order —
+        // same running-best rule as the join form's min(struct(...))
+        var best: (Double, Long, Long, Double) = null
+        def consider(idA: Long, va: Array[Double], na: Double,
+            idB: Long, vb: Array[Double], nb: Double): Unit = {
+          var acc = 0.0; var i = 0; val n = math.min(va.length, vb.length)
+          while (i < n) { acc += va(i) * vb(i); i += 1 }
+          val sim = acc / (na * nb)
+          if (best == null || Ordering[(Double, Long, Long)].lt(
+              (-sim, idA, idB), (best._1, best._2, best._3)))
+            best = (-sim, idA, idB, sim)
+        }
+        if (bi == bj) {
+          // within-class pairs: idB > idA
+          val arr = clsI.sortBy(_._1).toArray
+          var a = 0
+          while (a < arr.length) {
+            val (idA, va, na) = arr(a)
+            var b = a + 1
+            while (b < arr.length) {
+              val (idB, vb, nb) = arr(b)
+              consider(idA, va, na, idB, vb, nb)
+              b += 1
+            }
+            a += 1
+          }
+        } else {
+          // cross-class pairs: classes are disjoint, orient by id; the
+          // per-element products commute, so the accumulation is
+          // bit-identical regardless of which side is "a"
+          val ai = clsI.toArray; val aj = clsJ.toArray
+          var x = 0
+          while (x < ai.length) {
+            val (idX, vx, nx) = ai(x)
+            var y = 0
+            while (y < aj.length) {
+              val (idY, vy, ny) = aj(y)
+              if (idX < idY) consider(idX, vx, nx, idY, vy, ny)
+              else consider(idY, vy, ny, idX, vx, nx)
+              y += 1
+            }
+            x += 1
+          }
+        }
+        if (best == null) Iterator.empty
+        else Iterator((label, best._2, best._3, best._4))
       }
-      best.iterator.map { case (l, (_, a, b, s)) =>
-        org.apache.spark.sql.Row(l, a, b, s) }
-    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("label",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("id_a",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("id_b",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("sim",
-          org.apache.spark.sql.types.DoubleType)))))
-    partBest.toDF()
+      .toDF("label", "id_a", "id_b", "sim")
+    partBest
       .groupBy(col("label"))
       .agg(min(struct((-col("sim")).as("neg"), col("id_a"), col("id_b"),
         col("sim"))).as("best"))

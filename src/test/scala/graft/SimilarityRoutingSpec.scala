@@ -70,6 +70,42 @@ class SimilarityRoutingSpec extends SparkTestBase {
     assert(blocked === joinForm)
   }
 
+  test("blocked exact pair: triangle covers every pair once at several block counts") {
+    val e = embDF((0L until 120L).map(i => (i, vec(i, 9), (i % 3).toInt)))
+    val ref = Similarity.labelNearestPair(e).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    for (b <- Seq(1, 2, 5, 16)) {
+      val got = Similarity.labelNearestPairExact(e, blocks = b).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+      assert(got === ref, s"blocks=$b")
+    }
+  }
+
+  test("blocked exact pair: building the plan launches ZERO jobs (no driver collect)") {
+    // the round-8 formulation collect()ed the whole corpus to the
+    // driver while BUILDING the frame — eager jobs at call time. The
+    // triangle form is fully lazy: corpus bytes live only on executors.
+    val e = embDF((0L until 200L).map(i => (i, vec(i, 11), (i % 4).toInt)))
+    e.count() // materialize the input's own lazy bits first
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Similarity.labelNearestPairExact(e)
+      Thread.sleep(500) // listener delivery is async
+      assert(jobs.get() == 0,
+        s"constructing the exact-pair frame ran ${jobs.get()} jobs — " +
+          "a driver-side materialization is hiding in the builder")
+      assert(df.columns.toSeq === Seq("label", "id_a", "id_b", "sim"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("semantic candidate mass equals the exact rule's materialized candidate count") {
     val e = embDF((0L until 250L).map(i => (i, vec(i, 5), (i % 3).toInt)))
     val (n, mass) = Similarity.semanticCandidateMass(e, dim, 0.999, 3)
