@@ -135,17 +135,27 @@ object Quality {
    *  read ONE pruned parquet column each and keep the partial-distinct
    *  two-phase plan, so total bytes read are identical and no row is
    *  ever widened. SCOPE of that claim: it holds for column-prunable
-   *  scans (parquet/ORC — this engine's lake contract). Profiling a
-   *  frame with an EXPENSIVE upstream plan (joins, UDFs, csv/json
-   *  inference) re-executes that plan once per column — persist or
-   *  checkpoint such inputs first, or accept N× the upstream cost. Labels are lit()-built, so a column named with
+   *  scans (parquet/ORC — this engine's lake contract). A frame with
+   *  an EXPENSIVE upstream plan (joins, aggregations, generators,
+   *  csv/json inference) is therefore DETECTED and pinned: when the
+   *  analyzed plan contains anything beyond project/filter over a
+   *  relation, the pruned projection is localCheckpoint'd ONCE and
+   *  every per-column aggregation reads the pinned columnar blocks —
+   *  upstream cost is paid exactly once, never N× (spec-pinned with
+   *  an execution-count accumulator). Bare scans keep the direct
+   *  per-column plan: a checkpoint there would WRITE the table once
+   *  to read it once — strictly worse than N pruned column reads.
+   *  Labels are lit()-built, so a column named with
    *  dots, quotes or backticks labels its row verbatim instead of
    *  breaking a parse. min/max are raw parquet values cast to double:
    *  no arithmetic, so they match any engine bit-for-bit. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column")
+    val src =
+      if (bareScan(df.queryExecution.analyzed)) df
+      else df.select(cols.map(col): _*).localCheckpoint(true)
     cols.map { c =>
-      df.select(col(c).as("__v"))
+      src.select(col(c).as("__v"))
         .agg(count(lit(1)).as("n"),
           coalesce(sum(when(col("__v").isNull, 1L).otherwise(0L)), lit(0L))
             .as("n_null"),
@@ -155,6 +165,24 @@ object Quality {
         .select(lit(c).as("col_name"), col("n"), col("n_null"),
           col("n_distinct"), col("min_d"), col("max_d"))
     }.reduce(_ unionAll _)
+  }
+
+  /** Is this analyzed plan a BARE column-prunable scan — nothing but
+   *  narrow per-row nodes (project/filter/alias/limit) over a single
+   *  relation? Matched by node class name so the check tracks any
+   *  relation flavor (v1 LogicalRelation, v2 DataSourceV2*Relation,
+   *  LocalRelation, a checkpointed LogicalRDD, a cached
+   *  InMemoryRelation — all cheap to re-read). Anything else (join,
+   *  aggregate, generate, window, union, SQL over csv/json) makes
+   *  [[profile]] pin the projection first. */
+  private def bareScan(plan: org.apache.spark.sql.catalyst.plans
+      .logical.LogicalPlan): Boolean = {
+    val cheap = Set("Project", "Filter", "SubqueryAlias", "GlobalLimit",
+      "LocalLimit", "View", "LogicalRelation", "DataSourceV2Relation",
+      "DataSourceV2ScanRelation", "StreamingRelationV2", "LocalRelation",
+      "LogicalRDD", "InMemoryRelation", "OneRowRelation")
+    plan.collect { case n => n.getClass.getSimpleName }
+      .forall(cheap.contains)
   }
 
   /** Unigram language-model quality score (the CCNet/Gopher "LM

@@ -96,6 +96,27 @@ class QualitySpec extends SparkTestBase {
     assert(plan.collectLeaves().size === 2, plan.collectLeaves().map(_.nodeName))
   }
 
+  test("profile pins an expensive upstream plan once — never once per column") {
+    val runs = spark.sparkContext.longAccumulator("upstream_runs")
+    val touch = udf { (id: Long) => runs.add(1); id }.asNondeterministic()
+    // a join makes the plan non-bare: without pinning, every
+    // per-column aggregation would re-execute it (3 columns = 3×)
+    val expensive = frame.withColumn("id", touch(col("id")))
+      .join(frame.select(col("id"), col("v").as("v2")), Seq("id"))
+    val out = Quality.profile(expensive, Seq("id", "v", "v2")).collect()
+    assert(out.length === 3)
+    assert(runs.value === 10L,
+      s"upstream must execute exactly once (10 rows), ran ${runs.value}")
+    // a BARE parquet scan keeps the direct pruned-column plan — no
+    // checkpoint RDD leaf ever appears
+    val dir = graft.streaming.Streams.scratchDir("graft_prof_bare_")
+    frame.write.mode("overwrite").parquet(dir)
+    val bare = Quality.profile(spark.read.parquet(dir), Seq("id", "v"))
+      .queryExecution.optimizedPlan
+    assert(!bare.toString.contains("ExistingRDD") &&
+      !bare.toString.contains("LogicalRDD"), bare.toString)
+  }
+
   test("observed metrics fold additively across a multi-batch drain to the batch gate result") {
     import graft.streaming.Streams
     // two parquet part files + maxFilesPerTrigger=1 → two micro-batches,
