@@ -35,6 +35,22 @@ object SparkEntry {
   private def documents(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "documents")
 
+  /** q121/q122 fixture: every 7th doc gets a MIXED-CASE, doubled-space
+   *  license tail — lowered window keys catch it; the lossless span
+   *  machinery must hand back the original bytes untouched.
+   *  [[spanLicense]] contains no single quotes, so plain
+   *  interpolation into the oracle's SQL literal is exact. */
+  private val spanLicense = "  Licensed UNDER the Apache License,  " +
+    "Version 2.0 see the NOTICE file distributed WITH this Work"
+
+  private def spanOffsetsFixture(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(spanLicense)))
+        .otherwise(col("text")).as("text"))
+
+  private def spanFixtureSql: String =
+    s"(CASE WHEN doc_id % 7 = 0 THEN text || '$spanLicense' ELSE text END)"
+
   /** The embeddings corpus augmented with a deterministic perturbed
    *  twin per vector (component vec_id%64 doubled — exact in any
    *  precision; twin cosines spread 0.94-0.9999, so a 0.999
@@ -1739,6 +1755,24 @@ object SparkEntry {
       Dedup.cutRepeatedSpans(dirty, "text", "doc_id", 8)
         .orderBy("doc_id")
     }),
+    // Lossless span cuts (X92, round-9 item 10): the q119 detection
+    // against the ORIGINAL text — (s_char, e_char) spans whose kept +
+    // cut slices reproduce the input byte-for-byte. The planted
+    // license is mixed-case with doubled spaces: the lowered window
+    // keys still catch it, and the emitted slices preserve the
+    // original bytes exactly (which the q119 token-stream contract
+    // deliberately cannot).
+    "q121_span_offsets" -> ((s, dir) => {
+      val dirty = spanOffsetsFixture(s, dir)
+      Dedup.repeatedSpanOffsets(dirty, "text", "doc_id", 8)
+        .orderBy("doc_id", "s_char")
+    }),
+    "q122_span_cut_lossless" -> ((s, dir) => {
+      val dirty = spanOffsetsFixture(s, dir)
+      Dedup.cutCharSpans(dirty, "text", "doc_id",
+          Dedup.repeatedSpanOffsets(dirty, "text", "doc_id", 8))
+        .orderBy("doc_id")
+    }),
     // Cluster-representative election (X84): keep each near-dup
     // cluster's most complete copy (max n_chars, ties to the lower
     // id) — the refinement between X38 clustering and the X28 apply.
@@ -2536,6 +2570,12 @@ object SparkEntry {
       s"SELECT * FROM (${Dedup.cutRepeatedSpansSql("documents", textExpr,
           "doc_id", 8)}) ORDER BY doc_id"
     },
+    "q121_span_offsets" ->
+      (s"SELECT * FROM (${Dedup.repeatedSpanOffsetsSql("documents",
+          spanFixtureSql, "doc_id", 8)}) ORDER BY doc_id, s_char"),
+    "q122_span_cut_lossless" ->
+      (s"SELECT * FROM (${Dedup.cutCharSpansSql("documents",
+          spanFixtureSql, "doc_id", 8)}) ORDER BY doc_id"),
     "q117_mix_temperature" ->
       (s"SELECT * FROM (${Sampling.mixTemperatureSql("documents",
           Seq("doc_id", "source"), "source", "doc_id", "t5|")}) " +

@@ -1271,6 +1271,241 @@ object Dedup {
        |FROM base b LEFT JOIN kept k ON b.id = k.id""".stripMargin
   }
 
+  // ----------------------------------------- lossless span cuts (X92)
+
+  /** Character offsets of every whitespace-delimited token in the
+   *  ORIGINAL text: (id, tpos, tok, s, e) with text.substring(s, e)
+   *  == tok (0-based, end-exclusive, code-point offsets). No UDF and
+   *  no per-character explode: tokens and separator runs are
+   *  extracted with `regexp_extract_all` (both engines), interleaved
+   *  by a computed chunk index (leading-whitespace flag decides which
+   *  comes first), and offsets fall out of ONE per-doc running sum of
+   *  chunk lengths — linear in text, windowed per doc, never a global
+   *  sort. This is what [[cutRepeatedSpans]] deliberately discards
+   *  (its contract is the lowered token stream); the offsets variant
+   *  below keeps the original bytes addressable. */
+  private[graft] def tokenCharOffsets(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = df.select(col(idCol), col(textCol).as("__text"))
+      .select(col(idCol),
+        when(col("__text").rlike("^\\s"), lit(1)).otherwise(lit(0))
+          .as("__lead"),
+        expr("regexp_extract_all(__text, '\\\\S+', 0)").as("__tks"),
+        expr("regexp_extract_all(__text, '\\\\s+', 0)").as("__sps"))
+    val tk = ch.select(col(idCol), col("__lead"),
+        posexplode(col("__tks")).as(Seq("__i", "__c")))
+      .select(col(idCol), col("__i").cast("long").as("tpos"), col("__c"),
+        (lit(2L) * col("__i") + col("__lead")).as("__cidx"),
+        lit(1).as("__istok"))
+    val sp = ch.select(col(idCol), col("__lead"),
+        posexplode(col("__sps")).as(Seq("__i", "__c")))
+      .select(col(idCol), lit(null).cast("long").as("tpos"), col("__c"),
+        (lit(2L) * col("__i") + lit(1) - col("__lead")).as("__cidx"),
+        lit(0).as("__istok"))
+    val run = Window.partitionBy(col(idCol)).orderBy(col("__cidx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tk.unionByName(sp)
+      .withColumn("__s",
+        coalesce(sum(length(col("__c")).cast("long")).over(run), lit(0L)))
+      .filter(col("__istok") === 1)
+      .select(col(idCol), col("tpos"), col("__c").as("tok"),
+        col("__s").as("s"), (col("__s") + length(col("__c"))).as("e"))
+  }
+
+  /** Cross-document repeated spans AGAINST THE ORIGINAL TEXT (X92 —
+   *  the lossless form of [[cutRepeatedSpans]], which returns the
+   *  lowered single-space token stream): the same fixed-k hashed
+   *  window detection, owner rule and gaps-and-islands merge, but the
+   *  result is (id, s_char, e_char, cut_text) character spans into
+   *  the UNTOUCHED input — callers cut (or audit) losslessly, and
+   *  concatenating kept + cut slices reproduces the input
+   *  byte-for-byte (spec-pinned). A span runs from the first flagged
+   *  token's first char to the last flagged token's last char;
+   *  whitespace flanking the span stays with the kept text.
+   *
+   *  Tokenization note: window keys lower the tokens (a repeat in
+   *  different case is still boilerplate) but positions index the
+   *  `\S+` runs of the ORIGINAL text, so every flagged token position
+   *  has an exact char offset; a whitespace-only doc has no tokens
+   *  and no spans. Same scale shape as q119: exchanges carry (doc,
+   *  h60) only, all windows partition per doc, offsets are one
+   *  running sum — token-linear end to end. */
+  def repeatedSpanOffsets(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol),
+        expr(s"transform(regexp_extract_all(`$textCol`, '\\\\S+', 0), " +
+          "t -> lower(t))").as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .localCheckpoint(true)
+    val wh = base.select(col(idCol),
+      posexplode(graft.functions.HashExpressions
+        .h60Array(TextFunctions.wordWindows("__toks", k))).as(Seq("p", "w")))
+    val occ = wh.groupBy(col("w"))
+      .agg(min(col(idCol)).as("__owner"), countDistinct(col(idCol)).as("__nd"))
+    val flagged = wh.join(occ, Seq("w"))
+      .filter(col("__nd") >= 2 && col(idCol) =!= col("__owner"))
+      .select(col(idCol), col("p"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val islands = flagged
+      .withColumn("__new",
+        when(col("p") > coalesce(max(col("p") + k).over(byDoc), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        Window.partitionBy(col(idCol)).orderBy(col("p"))))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("p")).cast("long").as("__stok"),
+        (max(col("p")) + k).cast("long").as("__etok"))
+      .join(base.select(col(idCol),
+        size(col("__toks")).cast("long").as("__ntok")), Seq(idCol))
+      .select(col(idCol).as("__sid"), col("__stok"),
+        (least(col("__etok"), col("__ntok")) - 1L).as("__lasttok"))
+    val offs = tokenCharOffsets(df, textCol, idCol)
+      .select(col(idCol).as("__oid"), col("tpos").as("__otpos"),
+        col("s").as("__os"), col("e").as("__oe"))
+      .localCheckpoint(true)
+    islands
+      .join(offs, col("__sid") === col("__oid") &&
+        col("__stok") === col("__otpos"))
+      .select(col("__sid"), col("__os").as("s_char"), col("__lasttok"))
+      .join(offs.select(col("__oid").as("__oid2"),
+          col("__otpos").as("__otpos2"), col("__oe").as("__oe2")),
+        col("__sid") === col("__oid2") &&
+          col("__lasttok") === col("__otpos2"))
+      .join(df.select(col(idCol).as("__did"), col(textCol).as("__text")),
+        col("__sid") === col("__did"))
+      .select(col("__sid").as(idCol), col("s_char"),
+        col("__oe2").as("e_char"),
+        expr("substring(__text, cast(s_char as int) + 1, " +
+          "cast(__oe2 - s_char as int))").as("cut_text"))
+  }
+
+  /** Apply character spans to the original documents: (id, text_kept,
+   *  text_cut) where text_kept is the input with every [s_char,
+   *  e_char) range removed and text_cut is the removed slices in
+   *  order — text_kept and text_cut interleave back to the input
+   *  exactly. Spans must be disjoint per id ([[repeatedSpanOffsets]]
+   *  guarantees it — islands are maximal); docs without spans pass
+   *  through with an empty text_cut. Per-doc window over a handful of
+   *  span rows + one bounded ordered fold — nothing global. */
+  def cutCharSpans(docs: DataFrame, textCol: String, idCol: String,
+      spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__cid")).orderBy(col("s_char"))
+    val pieces = spans
+      .select(col(idCol).as("__cid"), col("s_char"), col("e_char"))
+      .join(docs.select(col(idCol).as("__cid"), col(textCol).as("__t")),
+        "__cid")
+      .withColumn("__pe", coalesce(lag(col("e_char"), 1).over(w), lit(0L)))
+      .select(col("__cid"), col("s_char"), col("e_char"),
+        expr("substring(__t, cast(__pe as int) + 1, " +
+          "cast(s_char - __pe as int))").as("__keep"),
+        expr("substring(__t, cast(s_char as int) + 1, " +
+          "cast(e_char - s_char as int))").as("__cut"))
+    val agg = pieces.groupBy(col("__cid")).agg(
+      expr("array_join(transform(array_sort(collect_list(" +
+        "struct(s_char, __keep))), x -> x.__keep), '')").as("__kh"),
+      expr("array_join(transform(array_sort(collect_list(" +
+        "struct(s_char, __cut))), x -> x.__cut), '')").as("__tc"),
+      max(col("e_char")).as("__maxe"))
+    docs.select(col(idCol), col(textCol).as("__t"))
+      .join(agg, col(idCol) === col("__cid"), "left")
+      .select(col(idCol),
+        when(col("__cid").isNull, col("__t"))
+          .otherwise(concat(col("__kh"),
+            expr("substring(__t, cast(__maxe as int) + 1)")))
+          .as("text_kept"),
+        coalesce(col("__tc"), lit("")).as("text_cut"))
+  }
+
+  /** Shared DuckDB CTE chain deriving `__spans(id, s, e)` (plus
+   *  `__docs(id, text)`) — the oracle twin of [[repeatedSpanOffsets]]:
+   *  identical `\S+`/`\s+` chunk interleave, running-sum offsets,
+   *  lowered window keys, owner rule, islands, and token→char join. */
+  private def spanOffsetsCtes(table: String, textExpr: String,
+      idCol: String, k: Int): String = {
+    val h = Hashing.h60Sql("win")
+    s"""__docs AS (SELECT $idCol AS id, $textExpr AS text FROM $table),
+       |__ch AS (SELECT id, text,
+       |    CASE WHEN regexp_matches(text, '^\\s') THEN 1 ELSE 0 END AS ld,
+       |    regexp_extract_all(text, '\\S+') AS tks,
+       |    regexp_extract_all(text, '\\s+') AS sps FROM __docs),
+       |__tk AS (SELECT id, i - 1 AS tpos, t AS c,
+       |    2 * (i - 1) + ld AS cidx, 1 AS istok
+       |  FROM (SELECT id, ld, unnest(tks) AS t,
+       |          generate_subscripts(tks, 1) AS i FROM __ch)),
+       |__sp AS (SELECT id, CAST(NULL AS BIGINT) AS tpos, t AS c,
+       |    2 * (i - 1) + 1 - ld AS cidx, 0 AS istok
+       |  FROM (SELECT id, ld, unnest(sps) AS t,
+       |          generate_subscripts(sps, 1) AS i FROM __ch)),
+       |__offs AS (SELECT id, tpos, c AS tok, st AS s,
+       |    st + length(c) AS e FROM (
+       |  SELECT id, tpos, c, istok, CAST(COALESCE(sum(length(c)) OVER (
+       |      PARTITION BY id ORDER BY cidx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS st
+       |  FROM (SELECT * FROM __tk UNION ALL SELECT * FROM __sp))
+       |  WHERE istok = 1),
+       |__base AS (SELECT id, list_transform(tks, t -> lower(t)) AS toks
+       |           FROM __ch WHERE length(tks) > 0),
+       |__wins AS (SELECT id, i - 1 AS p, $h AS w FROM (
+       |  SELECT id, unnest(ws) AS win, generate_subscripts(ws, 1) AS i
+       |  FROM (SELECT id, ${TextFunctions.wordWindowsSql("toks", k)} AS ws
+       |        FROM __base))),
+       |__occ AS (SELECT w, min(id) AS owner, count(DISTINCT id) AS nd
+       |          FROM __wins GROUP BY w),
+       |__flag AS (SELECT id, p FROM __wins JOIN __occ USING (w)
+       |           WHERE nd >= 2 AND id <> owner),
+       |__isl AS (SELECT id, p, CAST(sum(newi) OVER (
+       |    PARTITION BY id ORDER BY p) AS BIGINT) AS isl FROM (
+       |  SELECT id, p, CASE WHEN p > COALESCE(max(p + $k) OVER (
+       |      PARTITION BY id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |    THEN 1 ELSE 0 END AS newi FROM __flag)),
+       |__tokspans AS (SELECT i.id, min(i.p) AS stok,
+       |    least(max(i.p) + $k, b.ntok) - 1 AS lasttok
+       |  FROM __isl i JOIN (SELECT id, length(toks) AS ntok FROM __base) b
+       |    USING (id)
+       |  GROUP BY i.id, i.isl, b.ntok),
+       |__spans AS (SELECT t.id, os.s AS s, oe.e AS e
+       |  FROM __tokspans t
+       |  JOIN __offs os ON os.id = t.id AND os.tpos = t.stok
+       |  JOIN __offs oe ON oe.id = t.id AND oe.tpos = t.lasttok)""".stripMargin
+  }
+
+  /** DuckDB twin of [[repeatedSpanOffsets]]. */
+  def repeatedSpanOffsetsSql(table: String, textExpr: String,
+      idCol: String, k: Int): String =
+    s"""WITH ${spanOffsetsCtes(table, textExpr, idCol, k)}
+       |SELECT s.id AS $idCol, s.s AS s_char, s.e AS e_char,
+       |  substring(d.text, CAST(s.s AS INTEGER) + 1,
+       |    CAST(s.e - s.s AS INTEGER)) AS cut_text
+       |FROM __spans s JOIN __docs d ON s.id = d.id""".stripMargin
+
+  /** DuckDB twin of [[repeatedSpanOffsets]] + [[cutCharSpans]] end to
+   *  end: (id, text_kept, text_cut) for EVERY document. */
+  def cutCharSpansSql(table: String, textExpr: String, idCol: String,
+      k: Int): String =
+    s"""WITH ${spanOffsetsCtes(table, textExpr, idCol, k)},
+       |__pieces AS (SELECT s.id, s.s, s.e,
+       |    substring(d.text, CAST(COALESCE(lag(s.e) OVER w, 0) AS INTEGER) + 1,
+       |      CAST(s.s - COALESCE(lag(s.e) OVER w, 0) AS INTEGER)) AS keep_p,
+       |    substring(d.text, CAST(s.s AS INTEGER) + 1,
+       |      CAST(s.e - s.s AS INTEGER)) AS cut_p
+       |  FROM __spans s JOIN __docs d ON s.id = d.id
+       |  WINDOW w AS (PARTITION BY s.id ORDER BY s.s)),
+       |__agg AS (SELECT id, string_agg(keep_p, '' ORDER BY s) AS kh,
+       |    string_agg(cut_p, '' ORDER BY s) AS tc, max(e) AS maxe
+       |  FROM __pieces GROUP BY id)
+       |SELECT d.id AS $idCol,
+       |  CASE WHEN a.id IS NULL THEN d.text
+       |       ELSE a.kh || substring(d.text, CAST(a.maxe AS INTEGER) + 1)
+       |  END AS text_kept,
+       |  COALESCE(a.tc, '') AS text_cut
+       |FROM __docs d LEFT JOIN __agg a ON d.id = a.id""".stripMargin
+
   def dedupParagraphsSql(table: String, textExpr: String, idCol: String,
       sepSql: String): String =
     s"""SELECT t.$idCol, coalesce(r.txt, '') AS text FROM $table t
