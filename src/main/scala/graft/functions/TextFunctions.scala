@@ -304,18 +304,50 @@ object TextFunctions {
     "[" + "\u200B\u200C\u200D\uFEFF" + "]"
 
   /** Confusable → Latin fold (the UTS #39 skeleton idea reduced to a
-   *  bounded curated table): Cyrillic and Greek lookalikes to their
-   *  Latin targets, fullwidth ASCII forms to ASCII. FROM/TO are
+   *  curated table): per-script lookalikes to their Latin (or digit)
+   *  targets, curated by glyph identity from the public Unicode
+   *  confusables data — restricted to the subset `translate` can
+   *  express (single BMP source char → single target char; multi-char
+   *  skeletons like œ→oe are out of scope by design). FROM/TO are
    *  parallel same-length strings consumed by `translate` in both
-   *  engines (all BMP code points, so per-char mapping is exact). */
-  val confusableFrom: String =
-    "аеорсхуіАЕОРСХУІοΟ" +
-      (0xFF21 to 0xFF3A).map(_.toChar).mkString +  // Ａ-Ｚ
-      (0xFF41 to 0xFF5A).map(_.toChar).mkString +  // ａ-ｚ
-      (0xFF10 to 0xFF19).map(_.toChar).mkString    // ０-９
-  val confusableTo: String =
-    "aeopcxyiAEOPCXYIoO" +
-      ('A' to 'Z').mkString + ('a' to 'z').mkString + ('0' to '9').mkString
+   *  engines, built from per-script pairs below; Armenian and
+   *  Cherokee sources are spelled as code points (a literal glyph is
+   *  unreviewable in most editors). Length and FROM-uniqueness are
+   *  require()-checked at load. */
+  private val confusablePairs: Seq[(String, String)] = Seq(
+    // Cyrillic — the r8 core set (а е о р с х у і + capitals)...
+    "аеорсхуі" -> "aeopcxyi",
+    "АЕОРСХУІ" -> "AEOPCXYI",
+    // ...widened r9: dze, je, komi de, qa, we, ghe→r, ka, ze→digit 3
+    "ѕјԁԛԝгкз" -> "sjdqwrk3",
+    "ЅЈВКМНТЗ" -> "SJBKMHT3",
+    // Greek: omicron + the glyph-identical alpha/gamma/iota/kappa/
+    // nu/rho/upsilon/chi rows and their capitals
+    "οαγικνρυχ" -> "oayikvpux",
+    "ΟΑΒΕΖΗΙΚΜΝΡΤΥΧ" -> "OABEZHIKMNPTYX",
+    // Armenian: օ ս հ ո յ զ + capitals Օ Ս
+    Seq(0x0585, 0x057D, 0x0570, 0x0578, 0x0575, 0x0566)
+      .map(_.toChar).mkString -> "ouhnjq",
+    Seq(0x0555, 0x054D).map(_.toChar).mkString -> "OU",
+    // Cherokee: the capital-Latin lookalike syllabics
+    // Ꭰ Ꭱ Ꭲ Ꭺ Ꭻ Ꭼ Ꮃ Ꮇ Ꮋ Ꮍ Ꮐ Ꮓ Ꮩ Ꮮ Ꮯ Ꮲ Ꮶ Ᏼ
+    Seq(0x13A0, 0x13A1, 0x13A2, 0x13AA, 0x13AB, 0x13AC, 0x13B3,
+        0x13B7, 0x13BB, 0x13BD, 0x13C0, 0x13C3, 0x13D9, 0x13DE,
+        0x13DF, 0x13E2, 0x13E6, 0x13F4)
+      .map(_.toChar).mkString -> "DRTAJEWMHYGZVLCPKB",
+    // fullwidth ASCII forms
+    ((0xFF21 to 0xFF3A).map(_.toChar).mkString -> ('A' to 'Z').mkString),
+    ((0xFF41 to 0xFF5A).map(_.toChar).mkString -> ('a' to 'z').mkString),
+    ((0xFF10 to 0xFF19).map(_.toChar).mkString -> ('0' to '9').mkString))
+
+  val confusableFrom: String = confusablePairs.map(_._1).mkString
+  val confusableTo: String = confusablePairs.map(_._2).mkString
+  require(confusableFrom.length == confusableTo.length,
+    "confusable FROM/TO tables must be parallel")
+  require(confusableFrom.distinct.length == confusableFrom.length,
+    "confusable FROM table must not map a char twice")
+  require(!confusableFrom.contains('\'') && !confusableTo.contains('\''),
+    "confusable tables are interpolated into SQL literals")
 
   /** Homoglyph skeleton (X90): zero-width strip → confusable fold →
    *  lowercase. Two texts with the same skeleton read identically to

@@ -37,6 +37,26 @@ class HomoglyphMixSpec extends SparkTestBase {
     assert(up == "aeort")
   }
 
+  test("r9 widened table: Armenian, Cherokee, Greek, Cyrillic-breadth fixtures fold") {
+    def skel(s: String): String = spark.range(1)
+      .select(TextFunctions.homoglyphSkeleton(lit(s)).as("s"))
+      .head.getString(0)
+    // Armenian: յ օ ո spoofing "journal"
+    assert(skel("յօurոal") === "journal",
+      s"armenian fold: '${skel("յօurոal")}'")
+    // Cherokee capitals Ꮋ Ꭼ Ꮮ Ꮲ spoofing "HELP" (lowered by the chain)
+    assert(skel("ᎻᎬᏞᏢ") === "help")
+    // Greek ρ/χ spoofing "proxy"
+    assert(skel("ρroχy") === "proxy")
+    // Cyrillic breadth: dze/je/qa + ze→3
+    assert(skel("ѕјԛ") === "sjq")
+    assert(skel("Зd-print") === "3d-print")
+    // table hygiene is require()-checked at load; touching the object
+    // here proves the checks passed
+    assert(TextFunctions.confusableFrom.length ===
+      TextFunctions.confusableTo.length)
+  }
+
   test("mixTemperature equalizes toward sqrt shares with integer-exact rates") {
     // 900 'big' + 100 'small': r=30/10, S=40, N=1000 →
     // bps(big) = 10^4·30·1000 / (900·40) = 8333 (0.8333 epochs)
