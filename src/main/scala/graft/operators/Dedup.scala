@@ -633,16 +633,29 @@ object Dedup {
           "shingles" -> Seq("id"),
           "banded" -> Seq("band", "bh", "id"))) {
         val segs = segmentDirs(s"$dir/$table")
+        // single-writer CAS (round-9 item 8): the install name derives
+        // from the INPUT segment set, so two compactions folding the
+        // same segments collide on the same target and the atomic
+        // rename lets exactly one through — the loser raises instead
+        // of interleaving. A crashed attempt never wedges a retry:
+        // after any partial install the input set differs, so the
+        // retry folds under a fresh name.
+        val tag = graft.core.Commit.inputSetTag(
+          segs.map(new java.io.File(_).getName))
+        val target = new java.io.File(s"$dir/$table/base-$tag")
+        val scratch = new java.io.File(
+          s"$dir/$table/.compact-${java.util.UUID.randomUUID()}")
         val folded = spark.read.parquet(segs: _*).dropDuplicates(keys)
         deleted.fold(folded)(d => folded.join(d, Seq("id"), "left_anti"))
-          .write.mode("overwrite").parquet(s"$dir/$table/.compact")
-        val taken = segs.map(new java.io.File(_).getName).toSet
-        val target = (0 to segs.size).map {
-          case 0 => "base"; case i => s"base$i"
-        }.find(!taken.contains(_)).get
-        require(new java.io.File(s"$dir/$table/.compact")
-            .renameTo(new java.io.File(s"$dir/$table/$target")),
-          s"compactLshIndex: could not install compacted $table/$target")
+          .write.mode("overwrite").parquet(scratch.toString)
+        if (!scratch.renameTo(target)) {
+          org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+          throw new IllegalStateException(
+            s"SECOND WRITER detected at compactLshIndex($dir): compacted " +
+              s"$table/${target.getName} already installed from the same " +
+              "input segments — a concurrent compaction raced this one " +
+              "and exactly one may proceed.")
+        }
         segs.foreach(sd =>
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sd)))
       }

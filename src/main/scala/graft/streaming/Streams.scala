@@ -291,6 +291,13 @@ object Streams {
     val prevVer = latestStateVersion(stateDir, batchId)
     val m = readCdcManifest(s"$stateDir/$prevVer")
     requireHashSentinel(m, s"foldCdcBatch($stateDir)")
+    // single-writer CAS (round-9 item 8): exactly one fold may succeed
+    // FROM a given predecessor version — an interleaved second writer
+    // fails loudly here instead of silently forking the chain; a
+    // redelivery of the SAME batchId holds an equal claim and proceeds
+    graft.core.Commit.claim(
+      new java.io.File(s"$stateDir/commits/from-$prevVer"),
+      s"v$batchId", s"foldCdcBatch($stateDir)")
     val verDir = new java.io.File(s"$stateDir/v$batchId")
     // a redelivery (or a crashed first attempt) may have left this
     // version behind — drop its commit marker FIRST so no reader can
@@ -636,6 +643,11 @@ object Streams {
     val prevVer = latestStateVersion(histDir, batchId)
     val m = readCdcManifest(s"$histDir/$prevVer")
     requireHashSentinel(m, s"foldScd2Batch($histDir)")
+    // same single-writer CAS as foldCdcBatch — one successor per
+    // predecessor version, equal-claim redeliveries allowed
+    graft.core.Commit.claim(
+      new java.io.File(s"$histDir/commits/from-$prevVer"),
+      s"v$batchId", s"foldScd2Batch($histDir)")
     val verDir = new java.io.File(s"$histDir/v$batchId")
     java.nio.file.Files.deleteIfExists(
       new java.io.File(verDir, "_SUCCESS").toPath)
