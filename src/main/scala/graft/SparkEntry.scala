@@ -285,7 +285,7 @@ object SparkEntry {
   private def sharedAnnIndexDir(s: SparkSession, dir: String): String = {
     val fp = tableFingerprint(dir, "embeddings.parquet")
     val path = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_shared_annix_d64_v1_$fp")
+      s"${System.getProperty("java.io.tmpdir")}/graft_shared_annix_d64_v2_$fp")
     this.synchronized {
       if (!new java.io.File(path, "_DONE").exists()) {
         val tmp = new java.io.File(path.getParent,
@@ -1739,6 +1739,28 @@ object SparkEntry {
           .withColumn("batch", lit(2L)))
         .orderBy("batch", "q_id", "rank")
     }),
+    // Evolving ANN index (X93, round-9 item 3): the X56 lake
+    // lifecycle for vectors — materialize on a base corpus (route
+    // measured there and frozen in the meta), append a batch (bucketed
+    // under the index's own meta, zero corpus rescans), tombstone-
+    // delete, then probe top-3. The oracle re-derives the route from
+    // the BASE subset's exact counts and buckets/re-ranks the LIVE
+    // set — exactly what the segmented index materializes.
+    "q123_ann_evolving" -> ((s, dir) => {
+      val emb = Sources.table(s, dir, "embeddings")
+      val ix = graft.streaming.Streams.scratchDir("graft_annevo_q_")
+      Similarity.materializeAnnIndex(
+        emb.filter(col("vec_id") % 4 =!= 3), 64, ix, "fp123")
+      Similarity.appendToAnnIndex(ix,
+        emb.filter(col("vec_id") % 4 === 3), "b1")
+      Similarity.deleteFromAnnIndex(ix,
+        emb.filter(col("vec_id") % 10 === 0).select("vec_id"), "d1")
+      val queries = emb
+        .filter(col("vec_id") % 17 === 0 && col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      Similarity.annTopKIndexed(s, ix, queries, 3, Some("fp123"))
+        .orderBy("q_id", "rank")
+    }),
     // Cross-document repeated-SPAN removal (X91, the Lee et al. 2021
     // exact-substring-dedup shape): every %7==0 doc gains the same
     // 14-word license sentence — boilerplate INSIDE otherwise-unique
@@ -2570,6 +2592,11 @@ object SparkEntry {
       s"SELECT * FROM (${Dedup.cutRepeatedSpansSql("documents", textExpr,
           "doc_id", 8)}) ORDER BY doc_id"
     },
+    "q123_ann_evolving" ->
+      (s"SELECT * FROM (${Similarity.annTopKEvolvingSql("embeddings",
+          "vec_id % 4 <> 3", "vec_id % 10 <> 0",
+          "vec_id % 17 = 0 AND vec_id % 10 <> 0", 3, 64)}) " +
+        "ORDER BY q_id, rank"),
     "q121_span_offsets" ->
       (s"SELECT * FROM (${Dedup.repeatedSpanOffsetsSql("documents",
           spanFixtureSql, "doc_id", 8)}) ORDER BY doc_id, s_char"),

@@ -394,17 +394,28 @@ object Similarity {
    *  stale or foreign index fails loudly at probe time instead of
    *  silently returning wrong neighbors. */
   final case class AnnIndexMeta(dim: Int, nproj: Int, route: String,
-      bits: Int, n: Long, s2: Long, fingerprint: String)
+      bits: Int, n: Long, s2: Long, fingerprint: String, gen: Long = 0L)
 
   private val AnnMetaFile = "ann_index_meta.json"
 
+  /** ATOMIC meta install (temp + rename-replace): the meta is the
+   *  index's root pointer — its `gen` selects which data/counts/
+   *  deleted generation directories are live, so a reader always sees
+   *  a complete generation (the re-route rebuild writes the new
+   *  generation fully, then swaps the meta in one rename; a crash
+   *  before the swap leaves only orphan dirs). */
   def writeAnnIndexMeta(dir: String, m: AnnIndexMeta): Unit = {
     new java.io.File(dir).mkdirs()
-    java.nio.file.Files.write(
-      new java.io.File(dir, AnnMetaFile).toPath,
+    val tmp = new java.io.File(dir,
+      s".$AnnMetaFile.${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp.toPath,
       (s"""{"dim":${m.dim},"nproj":${m.nproj},"route":"${m.route}",""" +
-        s""""bits":${m.bits},"n":${m.n},"s2":${m.s2},""" +
+        s""""bits":${m.bits},"n":${m.n},"s2":${m.s2},"gen":${m.gen},""" +
         s""""fingerprint":"${m.fingerprint}"}""").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, AnnMetaFile).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
@@ -420,7 +431,8 @@ object Similarity {
       for (d <- num("dim"); np <- num("nproj"); r <- str("route");
            b <- num("bits"); n <- num("n"); s2 <- num("s2");
            fp <- str("fingerprint"))
-        yield AnnIndexMeta(d.toInt, np.toInt, r, b.toInt, n, s2, fp)
+        yield AnnIndexMeta(d.toInt, np.toInt, r, b.toInt, n, s2, fp,
+          num("gen").getOrElse(0L))
     }
   }
 
@@ -442,14 +454,303 @@ object Similarity {
       if (s2 > n * skewFactor) ("grid", adaptiveGridLevel(n))
       else ("sign", adaptivePlanes(n))
     val meta = AnnIndexMeta(dim, nproj, route, bits, n, s2, fingerprint)
-    prepared(emb)
-      .withColumn("bucket", indexBucketExpr(meta, "v", "nrm"))
+    writeAnnSegment(emb.sparkSession,
+      prepared(emb).withColumn("bucket", indexBucketExpr(meta, "v", "nrm")),
+      dir, meta, "base")
+    writeAnnIndexMeta(dir, meta)
+    meta
+  }
+
+  // ----------------------------------- evolving ANN index lifecycle
+
+  /** Segment subdirectories of one generation table (mirrors the X56
+   *  layout): dot-prefixed names are in-flight scratch, never read. */
+  private def annSegDirs(table: String): Seq[String] =
+    Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      .map(_.toString).sorted.toSeq
+
+  private def annGenDir(dir: String, m: AnnIndexMeta, what: String): String =
+    s"$dir/$what-g${m.gen}"
+
+  /** Write one bucket-clustered data segment plus its counts-ledger
+   *  segment (bucket → +rows). The counts ledger is how the index
+   *  maintains (n, Σbucket²) INCREMENTALLY: appends add positive
+   *  rows, deletes add negative rows, and [[annIndexStats]] folds the
+   *  ledger in one tiny aggregation — no corpus or index rescan. */
+  private def writeAnnSegment(spark: org.apache.spark.sql.SparkSession,
+      bucketed: DataFrame, dir: String, m: AnnIndexMeta,
+      segment: String): Unit = {
+    bucketed
       .select(col("bucket"), col("vec_id"), col("label"), col("v"), col("nrm"))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"))
-      .write.mode("overwrite").parquet(s"$dir/data")
-    writeAnnIndexMeta(dir, meta)
-    meta
+      .write.mode("overwrite")
+      .parquet(s"${annGenDir(dir, m, "data")}/$segment")
+    spark.read.parquet(s"${annGenDir(dir, m, "data")}/$segment")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite")
+      .parquet(s"${annGenDir(dir, m, "counts")}/$segment")
+  }
+
+  /** Incrementally-maintained index statistics: n = Σledger, s2 =
+   *  Σ(per-bucket ledger total)² — EXACTLY the live candidate mass
+   *  under the index's own bucketing, the [[annRouted]] decision
+   *  statistic, derived from the counts ledger alone (ledger rows ≤
+   *  occupied buckets × segments — tiny). */
+  def annIndexStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long) = {
+    val meta = readAnnIndexMeta(dir).getOrElse(throw new IllegalStateException(
+      s"annIndexStats: no $AnnMetaFile in $dir"))
+    val segs = annSegDirs(annGenDir(dir, meta, "counts"))
+    if (segs.isEmpty) (0L, 0L)
+    else {
+      val r = spark.read.parquet(segs: _*)
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as("t"))
+        .agg(coalesce(sum(col("t")), lit(0L)).as("n"),
+          coalesce(sum(col("t") * col("t")), lit(0L)).as("s2"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+  }
+
+  /** Append a batch of vectors (vec_id, label, embedding) to a
+   *  materialized index under segment name `segment`: the batch is
+   *  bucketed with the INDEX's own meta-driven expression (build/
+   *  probe/append parameter mismatch impossible), written as one
+   *  bucket-clustered segment + counts-ledger rows, and visible to
+   *  the next probe with ZERO corpus rescans (spec-pinned). Same
+   *  idempotency contract as [[graft.operators.Dedup.appendToLshIndex]]:
+   *  overwrite-per-segment ⇒ an at-least-once retry replaces its own
+   *  contribution. A re-added tombstoned id REVIVES (probe-first:
+   *  one unioned semi-join finds tombstone segments actually hit;
+   *  the id's stale pre-delete rows purge from older data segments
+   *  FIRST so probes never see deleted content, then the tombstones
+   *  clear — the stale rows were already subtracted from the ledger
+   *  by their delete, so no count correction is due). Appending an
+   *  id that is LIVE duplicates it — ids are unique-unless-deleted
+   *  by contract, as in the X56 index. */
+  def appendToAnnIndex(dir: String, batch: DataFrame,
+      segment: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = readAnnIndexMeta(dir).getOrElse(throw new IllegalStateException(
+      s"appendToAnnIndex: no $AnnMetaFile in $dir"))
+    writeAnnSegment(spark,
+      prepared(batch).withColumn("bucket", indexBucketExpr(meta, "v", "nrm")),
+      dir, meta, segment)
+    val readded = spark.read
+      .parquet(s"${annGenDir(dir, meta, "data")}/$segment")
+      .select(col("vec_id"))
+    val delSegs = annSegDirs(annGenDir(dir, meta, "deleted"))
+    if (delSegs.nonEmpty) {
+      val tagged = delSegs.map(sd =>
+          spark.read.parquet(sd).select(col("vec_id"), lit(sd).as("__seg")))
+        .reduce(_.unionByName(_))
+        .join(readded, Seq("vec_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val hitSegs = tagged.select("__seg").distinct()
+          .collect().map(_.getString(0)).sorted
+        if (hitSegs.nonEmpty) {
+          val revived = tagged.select(col("vec_id")).distinct()
+          val dataSegs = annSegDirs(annGenDir(dir, meta, "data"))
+            .filterNot(new java.io.File(_).getName == segment)
+          if (dataSegs.nonEmpty) {
+            val dataHits = dataSegs.map(sd => spark.read.parquet(sd)
+                .select(col("vec_id"), lit(sd).as("__seg")))
+              .reduce(_.unionByName(_))
+              .join(revived, Seq("vec_id"), "left_semi")
+              .select("__seg").distinct().collect().map(_.getString(0))
+            for (sd <- dataHits)
+              rewriteAnnSegmentWithout(spark,
+                annGenDir(dir, meta, "data"), sd, revived)
+          }
+          for (sd <- hitSegs)
+            rewriteAnnSegmentWithout(spark,
+              annGenDir(dir, meta, "deleted"), sd, readded)
+        }
+      } finally { tagged.unpersist(); () }
+    }
+  }
+
+  /** CRASH-SAFE segment rewrite (the X56 pattern): survivors install
+   *  under a fresh visible name FIRST, then the old segment drops —
+   *  a crash in between leaves a probe-correct superset. */
+  private def rewriteAnnSegmentWithout(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      seg: String, ids: DataFrame): Unit = {
+    val kept = spark.read.parquet(seg)
+      .join(ids, Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (kept.isEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seg))
+      else {
+        val segFile = new java.io.File(seg)
+        val taken = annSegDirs(tableDir)
+          .map(new java.io.File(_).getName).toSet
+        val target = (1 to taken.size + 1)
+          .map(i => s"${segFile.getName}~$i").find(!taken.contains(_)).get
+        kept.write.mode("overwrite")
+          .parquet(new java.io.File(segFile.getParentFile, target).toString)
+        org.apache.commons.io.FileUtils.deleteDirectory(segFile)
+      }
+    } finally { kept.unpersist(); () }
+  }
+
+  /** DELETE vectors from a materialized index: an id-scoped tombstone
+   *  segment ([[loadAnnIndex]] subtracts it from every probe
+   *  immediately; the next [[compactAnnIndex]] drops the rows
+   *  physically) plus a NEGATIVE counts-ledger segment for the
+   *  tombstoned ids' live rows, so [[annIndexStats]] tracks the live
+   *  occupancy without rescans. The live-row probe excludes this
+   *  segment's own prior tombstones, so an at-least-once retry
+   *  recomputes the identical correction (idempotent overwrite),
+   *  never a double subtraction. */
+  def deleteFromAnnIndex(dir: String, ids: DataFrame,
+      segment: String): Unit = {
+    val spark = ids.sparkSession
+    val meta = readAnnIndexMeta(dir).getOrElse(throw new IllegalStateException(
+      s"deleteFromAnnIndex: no $AnnMetaFile in $dir"))
+    val del = ids.select(col("vec_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dataSegs = annSegDirs(annGenDir(dir, meta, "data"))
+      val otherDel = annSegDirs(annGenDir(dir, meta, "deleted"))
+        .filterNot(new java.io.File(_).getName == segment)
+      if (dataSegs.nonEmpty) {
+        val raw = spark.read.parquet(dataSegs: _*)
+        val live =
+          if (otherDel.isEmpty) raw
+          else raw.join(spark.read.parquet(otherDel: _*)
+            .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+        live.join(del, Seq("vec_id"), "left_semi")
+          .groupBy(col("bucket")).agg((-count(lit(1))).as("cnt"))
+          .write.mode("overwrite")
+          .parquet(s"${annGenDir(dir, meta, "counts")}/del-$segment")
+      }
+      del.write.mode("overwrite")
+        .parquet(s"${annGenDir(dir, meta, "deleted")}/$segment")
+    } finally { del.unpersist(); () }
+  }
+
+  /** Fold accumulated segments back into one when more than
+   *  `maxSegments` piled up: live rows (minus tombstones) install as
+   *  one fresh bucket-clustered segment named from the INPUT segment
+   *  set (the [[graft.core.Commit.inputSetTag]] CAS — two compactions
+   *  of the same input collide at the atomic rename and exactly one
+   *  proceeds), the counts ledger is RECOMPUTED from the folded data
+   *  (self-healing: any transient ledger drift from a crash window
+   *  disappears here), old segments and tombstones drop last.
+   *  Returns whether a compaction ran. */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxSegments: Int = 64): Boolean = {
+    val meta = readAnnIndexMeta(dir).getOrElse(throw new IllegalStateException(
+      s"compactAnnIndex: no $AnnMetaFile in $dir"))
+    val dataDir = annGenDir(dir, meta, "data")
+    val countsDir = annGenDir(dir, meta, "counts")
+    val delSegs = annSegDirs(annGenDir(dir, meta, "deleted"))
+    val dataSegs = annSegDirs(dataDir)
+    if (dataSegs.size <= maxSegments && delSegs.size <= maxSegments &&
+        annSegDirs(countsDir).size <= maxSegments) false
+    else {
+      val tag = graft.core.Commit.inputSetTag(
+        dataSegs.map(new java.io.File(_).getName))
+      val target = new java.io.File(s"$dataDir/base-$tag")
+      val scratch = new java.io.File(
+        s"$dataDir/.compact-${java.util.UUID.randomUUID()}")
+      val raw = spark.read.parquet(dataSegs: _*)
+      val folded =
+        if (delSegs.isEmpty) raw
+        else raw.join(spark.read.parquet(delSegs: _*)
+          .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      folded.dropDuplicates("vec_id")
+        .repartition(col("bucket")).sortWithinPartitions(col("bucket"))
+        .write.mode("overwrite").parquet(scratch.toString)
+      if (!scratch.renameTo(target)) {
+        org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+        throw new IllegalStateException(
+          s"SECOND WRITER detected at compactAnnIndex($dir): " +
+            s"data/${target.getName} already installed from the same " +
+            "input segments — a concurrent compaction raced this one.")
+      }
+      // fresh counts from the installed fold, then drop the history
+      spark.read.parquet(target.toString)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$countsDir/base-$tag")
+      dataSegs.foreach(sd =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sd)))
+      annSegDirs(countsDir).filterNot(_.endsWith(s"base-$tag")).foreach(sd =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sd)))
+      delSegs.foreach(sd =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sd)))
+      true
+    }
+  }
+
+  /** Measured RE-ROUTE check (round-9 item 3's "a clustered-growing
+   *  corpus keeps its stale sign route forever"): fold the counts
+   *  ledger into (n, Σbucket²) and compare against the SAME integer
+   *  budget the build used. Drift = a sign route whose live candidate
+   *  mass outgrew n·skewFactor, or a bucket width (bits) the live n
+   *  has outgrown in either route. On drift the index REBUILDS from
+   *  its own live rows — the original corpus is never rescanned: the
+   *  data segments carry (v, nrm), so the re-measure and the rewrite
+   *  read the index only. The rebuild writes a complete NEW
+   *  generation (data/counts dirs suffixed -g<gen+1>) and swaps the
+   *  meta atomically: a reader either sees the old generation intact
+   *  or the new one complete, never a mix of bucketings; a crash
+   *  before the swap leaves only orphan dirs (cleaned by the next
+   *  successful rebuild picking gen+2). Returns (meta, rebuilt?). */
+  def reRouteAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, skewFactor: Long = 256): (AnnIndexMeta, Boolean) = {
+    val meta = readAnnIndexMeta(dir).getOrElse(throw new IllegalStateException(
+      s"reRouteAnnIndex: no $AnnMetaFile in $dir"))
+    val (n, s2) = annIndexStats(spark, dir)
+    val drifted = meta.route match {
+      case "sign" => s2 > n * skewFactor || adaptivePlanes(n) != meta.bits
+      case _ => adaptiveGridLevel(n) != meta.bits
+    }
+    if (!drifted || n == 0L) (meta, false)
+    else {
+      val (live, _) = loadAnnIndex(spark, dir)
+      val pre = live.drop("bucket")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nLive = pre.count()
+        val nPlanes = adaptivePlanes(nLive)
+        val s2Live = pre
+          .select(lshBucket("v", nPlanes, meta.dim).as("bucket"))
+          .groupBy(col("bucket")).count()
+          .agg(coalesce(sum(col("count") * col("count")), lit(0L)))
+          .head.getLong(0)
+        val (route, bits) =
+          if (s2Live > nLive * skewFactor)
+            ("grid", adaptiveGridLevel(nLive))
+          else ("sign", nPlanes)
+        // next generation = 1 + max existing gen dir (not meta.gen +
+        // 1): a crashed rebuild's orphan generation never wedges the
+        // retry — it just skips past it
+        val nextGen = 1L + Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty)
+          .flatMap(f => "^(?:data|counts|deleted)-g(\\d+)$".r
+            .findFirstMatchIn(f.getName).map(_.group(1).toLong))
+          .foldLeft(meta.gen)(math.max)
+        val newMeta = meta.copy(route = route, bits = bits, n = nLive,
+          s2 = s2Live, gen = nextGen)
+        writeAnnSegment(spark,
+          pre.withColumn("bucket", indexBucketExpr(newMeta, "v", "nrm")),
+          dir, newMeta, "base")
+        val oldGen = meta.gen
+        writeAnnIndexMeta(dir, newMeta)
+        for (what <- Seq("data", "counts", "deleted")) {
+          val old = new java.io.File(s"$dir/$what-g$oldGen")
+          if (old.exists())
+            org.apache.commons.io.FileUtils.deleteDirectory(old)
+        }
+        (newMeta, true)
+      } finally { pre.unpersist(); () }
+    }
   }
 
   /** The routed bucket expression a meta describes — used for BOTH
@@ -462,10 +763,13 @@ object Similarity {
       case other => sys.error(s"unknown ANN index route '$other'")
     }
 
-  /** Open a materialized ANN index, validating the corpus fingerprint
-   *  (a stale index silently returns wrong neighbors — fail loudly
-   *  instead). Returns the data frame (a plain parquet scan — cheap
-   *  to re-plan per batch, immune to clearCache) plus its meta. */
+  /** Open a materialized ANN index with a FRESH segment listing (so
+   *  appends from earlier batches are visible — a parquet frame pins
+   *  its file listing at read time), validating the corpus
+   *  fingerprint (a stale index silently returns wrong neighbors —
+   *  fail loudly instead). Delete tombstones subtract at read time
+   *  until a compaction drops the rows physically. Returns the live
+   *  data frame plus its meta. */
   def loadAnnIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       expectFingerprint: Option[String] = None): (DataFrame, AnnIndexMeta) = {
     val meta = readAnnIndexMeta(dir).getOrElse(throw new IllegalStateException(
@@ -475,7 +779,15 @@ object Similarity {
         s"ANN index at $dir was built from corpus ${meta.fingerprint}, " +
           s"expected $fp — STALE index; rebuild instead of probing it")
     }
-    (spark.read.parquet(s"$dir/data"), meta)
+    val segs = annSegDirs(annGenDir(dir, meta, "data"))
+    require(segs.nonEmpty, s"ANN index at $dir has no data segments")
+    val raw = spark.read.parquet(segs: _*)
+    val delSegs = annSegDirs(annGenDir(dir, meta, "deleted"))
+    val data =
+      if (delSegs.isEmpty) raw
+      else raw.join(spark.read.parquet(delSegs: _*)
+        .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+    (data, meta)
   }
 
   /** Top-k neighbors for a query batch against a MATERIALIZED index:
@@ -515,6 +827,32 @@ object Similarity {
     val bucket = routedBucketSql(table, dim, skewFactor, nproj)
     s"""WITH e AS (SELECT *, $bucket AS bucket
        |           FROM (${preparedSql(table)})),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket
+       |      FROM e WHERE $qFilter),
+       |scored AS (SELECT q_id, e.vec_id AS n_id,
+       |                  ${dotSql("qv", "e.v")} / (qn * e.nrm) AS sim
+       |           FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id)
+       |SELECT q_id, n_id, sim, rank FROM (
+       |  SELECT q_id, n_id, sim, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k""".stripMargin
+  }
+
+  /** SQL twin of the EVOLVING lifecycle (materialize on a base corpus
+   *  → append → delete → probe): the route, bits and skew gate derive
+   *  from the BASE subset's exact counts (the build-time measurement
+   *  the meta froze — appends bucket under it until [[reRouteAnnIndex]]
+   *  re-measures), while the bucketing and in-bucket re-rank run over
+   *  the LIVE set (base ∪ appended, minus deleted). */
+  def annTopKEvolvingSql(table: String, baseFilter: String,
+      liveFilter: String, qFilter: String, k: Int, dim: Int,
+      skewFactor: Long = 256, nproj: Int = 4): String = {
+    val bucket = routedBucketSql("__annbase", dim, skewFactor, nproj)
+    s"""WITH __annbase AS (SELECT * FROM $table WHERE $baseFilter),
+       |__annlive AS (SELECT * FROM $table WHERE $liveFilter),
+       |e AS (SELECT *, $bucket AS bucket
+       |      FROM (${preparedSql("__annlive")})),
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket
        |      FROM e WHERE $qFilter),
        |scored AS (SELECT q_id, e.vec_id AS n_id,

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.streaming.Streams
+
+/** X93 evolving ANN index (round-9 item 3): the X56 append/delete/
+ *  compact lifecycle for vectors, plus the measured RE-ROUTE check —
+ *  a corpus drifting from uniform to clustered no longer keeps its
+ *  stale sign route forever. */
+class EvolvingAnnSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val dim = 16
+
+  private def corpus(ids: Range, spread: Double, seed: Int = 42) = {
+    val rnd = new scala.util.Random(seed)
+    val center = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    ids.map { i =>
+      val r = new scala.util.Random(seed * 1000003 + i)
+      val v = Array.tabulate(dim)(d =>
+        center(d) + (r.nextDouble() * 2 - 1) * spread)
+      (i.toLong, s"l${i % 5}", v.toSeq)
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  test("append is visible to the next probe with ZERO corpus rescans") {
+    val scans = spark.sparkContext.longAccumulator("corpus_scans")
+    val touch = udf { (l: String) => scans.add(1); l }.asNondeterministic()
+    val base = corpus(0 until 300, 1.0)
+      .withColumn("label", touch(col("label")))
+    val dir = Streams.scratchDir("graft_annevo_app_")
+    Similarity.materializeAnnIndex(base, dim, dir, "fpE")
+    val afterBuild = scans.value
+    assert(afterBuild > 0L)
+    // append a batch whose first vector DUPLICATES vec_id 7's
+    // embedding — it must become 7's top-1 neighbor (sim 1.0)
+    val dup = corpus(0 until 300, 1.0).filter(col("vec_id") === 7L)
+      .select(lit(9000L).as("vec_id"), col("label"), col("embedding"))
+    Similarity.appendToAnnIndex(dir,
+      dup.unionByName(corpus(9001 until 9050, 1.0)), "b1")
+    val q7 = corpus(0 until 300, 1.0).filter(col("vec_id") === 7L)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val top = Similarity.annTopKIndexed(spark, dir, q7, 1, Some("fpE"))
+      .head()
+    assert(top.getLong(1) === 9000L,
+      s"appended duplicate must be the top-1 neighbor: $top")
+    assert(math.abs(top.getDouble(2) - 1.0) < 1e-12)
+    assert(scans.value === afterBuild,
+      s"append+probe must not rescan the corpus: $afterBuild → ${scans.value}")
+  }
+
+  test("delete hides immediately; delete → re-add revives with fresh content only") {
+    val dir = Streams.scratchDir("graft_annevo_del_")
+    val base = corpus(0 until 200, 1.0)
+    Similarity.materializeAnnIndex(base, dim, dir, "fpD")
+    val dup = base.filter(col("vec_id") === 3L)
+      .select(lit(8000L).as("vec_id"), col("label"), col("embedding"))
+    Similarity.appendToAnnIndex(dir, dup, "b1")
+    val q3 = base.filter(col("vec_id") === 3L)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    def top1 = Similarity.annTopKIndexed(spark, dir, q3, 1, Some("fpD")).head()
+    assert(top1.getLong(1) === 8000L)
+    // delete → hidden at once
+    Similarity.deleteFromAnnIndex(dir, Seq(8000L).toDF("vec_id"), "d1")
+    assert(top1.getLong(1) !== 8000L)
+    // re-add the id with DIFFERENT content (vec_id 5's embedding):
+    // the tombstone clears, the stale pre-delete rows purge — 8000
+    // screens as 5's duplicate now, never as 3's
+    val readd = base.filter(col("vec_id") === 5L)
+      .select(lit(8000L).as("vec_id"), col("label"), col("embedding"))
+    Similarity.appendToAnnIndex(dir, readd, "b2")
+    val q5 = base.filter(col("vec_id") === 5L)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val t5 = Similarity.annTopKIndexed(spark, dir, q5, 1, Some("fpD")).head()
+    assert(t5.getLong(1) === 8000L && math.abs(t5.getDouble(2) - 1.0) < 1e-12)
+    val t3 = Similarity.annTopKIndexed(spark, dir, q3, 1, Some("fpD")).head()
+    assert(!(t3.getLong(1) == 8000L && math.abs(t3.getDouble(2) - 1.0) < 1e-12),
+      s"revived id must not screen with its DELETED content: $t3")
+  }
+
+  test("counts ledger tracks live (n, s2) through append/delete/compaction") {
+    val dir = Streams.scratchDir("graft_annevo_cnt_")
+    Similarity.materializeAnnIndex(corpus(0 until 200, 1.0), dim, dir, "fpC")
+    assert(Similarity.annIndexStats(spark, dir)._1 === 200L)
+    Similarity.appendToAnnIndex(dir, corpus(1000 until 1100, 1.0), "b1")
+    assert(Similarity.annIndexStats(spark, dir)._1 === 300L)
+    Similarity.deleteFromAnnIndex(dir,
+      (1000L until 1050L).toDF("vec_id"), "d1")
+    val (n1, s21) = Similarity.annIndexStats(spark, dir)
+    assert(n1 === 250L)
+    // a RETRIED delete recomputes the identical correction — never a
+    // double subtraction
+    Similarity.deleteFromAnnIndex(dir,
+      (1000L until 1050L).toDF("vec_id"), "d1")
+    assert(Similarity.annIndexStats(spark, dir) === ((n1, s21)))
+    // compaction folds segments, recomputes the ledger, drops tombstones
+    assert(Similarity.compactAnnIndex(spark, dir, maxSegments = 1))
+    assert(Similarity.annIndexStats(spark, dir) === ((n1, s21)))
+    val meta = Similarity.readAnnIndexMeta(dir).get
+    val (live, _) = Similarity.loadAnnIndex(spark, dir)
+    assert(live.count() === 250L)
+    assert(new java.io.File(s"$dir/data-g${meta.gen}").listFiles()
+      .count(f => f.isDirectory && !f.getName.startsWith(".")) === 1)
+  }
+
+  test("clustered growth flips the stale sign route at the measured threshold") {
+    val dir = Streams.scratchDir("graft_annevo_rt_")
+    val m0 = Similarity.materializeAnnIndex(
+      corpus(0 until 300, 1.0), dim, dir, "fpR")
+    assert(m0.route === "sign", s"uniform base must sign-route: $m0")
+    // no drift yet: the check is a no-op
+    val (mSame, rebuilt0) = Similarity.reRouteAnnIndex(spark, dir)
+    assert(!rebuilt0 && mSame === m0)
+    // inject a tight angular cluster (spread ≈ 0) — all its vectors
+    // share a sign bucket, so the ledger's s2 grows quadratically
+    Similarity.appendToAnnIndex(dir, corpus(5000 until 5600, 0.01), "b1")
+    val (n, s2) = Similarity.annIndexStats(spark, dir)
+    assert(s2 > n * 256L,
+      s"cluster injection must cross the skew budget: n=$n s2=$s2")
+    val (m1, rebuilt) = Similarity.reRouteAnnIndex(spark, dir)
+    assert(rebuilt && m1.route === "grid" && m1.gen === m0.gen + 1,
+      s"drifted index must rebuild under grid in a new generation: $m1")
+    // the rebuilt generation is complete and probe-able; the old one
+    // is gone
+    val q = corpus(5000 until 5600, 0.01).limit(5)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    assert(Similarity.annTopKIndexed(spark, dir, q, 3, Some("fpR"))
+      .count() > 0)
+    assert(!new java.io.File(s"$dir/data-g${m0.gen}").exists())
+    // stats carried into the new generation's recomputed ledger
+    assert(Similarity.annIndexStats(spark, dir)._1 === n)
+    // and the fresh grid ledger no longer trips the check
+    val (_, rebuiltAgain) = Similarity.reRouteAnnIndex(spark, dir)
+    assert(!rebuiltAgain, "a freshly re-routed index must be stable")
+  }
+}
