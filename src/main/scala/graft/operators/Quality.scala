@@ -209,11 +209,21 @@ object Quality {
    *  the token key; the final agg folds back to one row per doc. */
   def unigramSurprisal(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // eager localCheckpoint, NOT persist (the round-9 q94 control:
+    // the MEMORY_AND_DISK persist measured 0.79 s median / 4.8 s max
+    // across isolated 5-run sessions at sf0.1 — cache-fill pressure
+    // made it the bench's drift source — vs 0.30 s median / 0.50 s
+    // max checkpointed, 5-run probe on the same host). Exactly one
+    // checkpoint backs the result and its blocks free on driver GC
+    // of the frame — the cutRepeatedSpans rule, not the clusters()
+    // many-checkpoints case. Residual trades as documented there:
+    // construction runs the tokenize job eagerly, and an executor
+    // loss fails the query instead of recomputing lineage.
     val tf = docs.select(col(idCol), explode(
         graft.functions.HashExpressions.tokenFrequencies(col(textCol)))
         .as("tf"))
       .select(col(idCol), col("tf.t").as("t"), col("tf.n").as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val uni = tf.groupBy(col("t")).agg(sum(col("n")).as("cnt"))
     tf.join(uni, Seq("t"))
       .groupBy(col(idCol))
