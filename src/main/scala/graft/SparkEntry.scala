@@ -1761,6 +1761,50 @@ object SparkEntry {
       Similarity.annTopKIndexed(s, ix, queries, 3, Some("fp123"))
         .orderBy("q_id", "rank")
     }),
+    // SEMANTIC continuous-ingest screen (X96): q84's evolving screen
+    // with vectors — two REAL micro-batches of embedding twins screen
+    // against the materialized ANN index, survivors join it, and a
+    // batch-2 copy of a batch-1 twin is screened via the APPENDED
+    // segment (the evolution under test). b2 carries exact copies of
+    // even b1 twins (dropped either via the surviving twin or via the
+    // corpus the twin itself duped — both paths exercised) plus
+    // factor-3 twins of odd bases (the wider cosine spread, mostly
+    // novel). The oracle replays the sequential semantics with the
+    // route derived from the corpus subset's exact counts.
+    "q124_semantic_ingest_screen" -> ((s, dir) => {
+      val out = graft.streaming.Streams.scratchDir("graft_q124_")
+      val emb = Sources.table(s, dir, "embeddings")
+      def twin(off: Long, factor: String, filt: Column) = emb.filter(filt)
+        .select((col("vec_id") + off).as("vec_id"), col("label"),
+          expr("transform(embedding, (x, i) -> " +
+            "cast(cast(x as double) * (case when i = cast(vec_id % 64 as int) " +
+            s"then ${factor}D else 1.0D end) as float))").as("embedding"))
+      val b1 = twin(1000000L, "2.0", lit(true))
+      val b2 = twin(2000000L, "2.0", col("vec_id") % 2 === 0)
+        .unionByName(twin(3000000L, "3.0", col("vec_id") % 2 === 1))
+      val fp = tableFingerprint(dir, "embeddings.parquet")
+      Similarity.materializeAnnIndex(emb, 64, s"$out/index", fp)
+      writeSingleParquet(b1, s"$out/stream", "b1.parquet", 1600000000000L)
+      writeSingleParquet(b2, s"$out/stream", "b2.parquet", 1600000060000L)
+      val stream = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/stream")
+      val q = graft.streaming.Streams
+        .screenIngestSemantic(stream, s"$out/index", 0.999,
+          expectFingerprint = Some(fp)) { (survivors, batchId) =>
+          survivors.select(lit(batchId).as("batch"), col("vec_id"))
+            .write.mode("overwrite").parquet(s"$out/data/b$batchId")
+        }
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batchDirs = Option(new java.io.File(s"$out/data").listFiles())
+        .map(_.filter(_.isDirectory).map(_.toString).sorted.toSeq)
+        .getOrElse(Seq.empty)
+      require(batchDirs.size >= 2,
+        s"q124: expected a 2-batch drain, got dirs=$batchDirs")
+      s.read.parquet(batchDirs: _*).orderBy("batch", "vec_id")
+    }),
     // Cross-document repeated-SPAN removal (X91, the Lee et al. 2021
     // exact-substring-dedup shape): every %7==0 doc gains the same
     // 14-word license sentence — boilerplate INSIDE otherwise-unique
@@ -2597,6 +2641,23 @@ object SparkEntry {
           "vec_id % 4 <> 3", "vec_id % 10 <> 0",
           "vec_id % 17 = 0 AND vec_id % 10 <> 0", 3, 64)}) " +
         "ORDER BY q_id, rank"),
+    "q124_semantic_ingest_screen" -> {
+      def twinSql(off: Long, factor: String, where: String) =
+        s"""SELECT vec_id + $off AS vec_id, '${if (off == 1000000L) "b1" else "b2"}' AS grp,
+           |  list_transform(range(1, 65), i ->
+           |    CAST(CAST(embedding[i] AS DOUBLE) *
+           |      (CASE WHEN i - 1 = vec_id % 64 THEN $factor ELSE 1.0 END)
+           |      AS FLOAT)) AS embedding
+           |FROM embeddings $where""".stripMargin
+      val docsSql =
+        s"""SELECT vec_id, 'corpus' AS grp, embedding FROM embeddings
+           |UNION ALL ${twinSql(1000000L, "2.0", "")}
+           |UNION ALL ${twinSql(2000000L, "2.0", "WHERE vec_id % 2 = 0")}
+           |UNION ALL ${twinSql(3000000L, "3.0", "WHERE vec_id % 2 = 1")}"""
+          .stripMargin
+      s"SELECT * FROM (${Similarity.semanticScreenSql(docsSql, 0.999, 64)}) " +
+        "ORDER BY batch, vec_id"
+    },
     "q121_span_offsets" ->
       (s"SELECT * FROM (${Dedup.repeatedSpanOffsetsSql("documents",
           spanFixtureSql, "doc_id", 8)}) ORDER BY doc_id, s_char"),

@@ -839,6 +839,94 @@ object Similarity {
        |) WHERE rank <= $k""".stripMargin
   }
 
+  /** Semantic near-dup pairs between a NEW batch (vec_id, label,
+   *  embedding) and a materialized index — the vector analog of
+   *  [[graft.operators.Dedup.minhashLshPairsAgainstIndex]]: the batch
+   *  buckets under the INDEX's own meta (build/probe mismatch
+   *  impossible), broadcasts, and joins the clustered segments on
+   *  bucket equality with exact in-bucket cosine ≥ tau. Output
+   *  (new_id, corpus_id, sim); a vector present in both sides pairs
+   *  at sim 1.0 — re-ingestion IS a duplicate. Candidate volume
+   *  scales with |batch| × occupancy, never |corpus|²; recall is
+   *  bucket-scoped, the same contract as every routed probe. */
+  def cosinePairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, tau: Double,
+      expectFingerprint: Option[String] = None): DataFrame = {
+    val (data, meta) = loadAnnIndex(spark, dir, expectFingerprint)
+    val b = prepared(batch)
+      .withColumn("bucket", indexBucketExpr(meta, "v", "nrm"))
+      .select(col("bucket"), col("vec_id").as("new_id"),
+        col("v").as("bv"), col("nrm").as("bn"))
+    data.join(broadcast(b), Seq("bucket"))
+      .select(col("new_id"), col("vec_id").as("corpus_id"),
+        (dotExpr("bv", "v") / (col("bn") * col("nrm"))).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
+  /** In-batch self near-dup pairs under an index's bucketing:
+   *  (id_a < id_b, sim ≥ tau) — keep-first self-dedup drops the id_b
+   *  column. Both join sides carry RENAMED columns (incl. the bucket)
+   *  so the self-join can never silently resolve to one attribute. */
+  def cosineSelfPairsUnderIndex(dir: String, batch: DataFrame,
+      tau: Double): DataFrame = {
+    val meta = readAnnIndexMeta(dir).getOrElse(throw new IllegalStateException(
+      s"cosineSelfPairsUnderIndex: no $AnnMetaFile in $dir"))
+    val b = prepared(batch)
+      .withColumn("bucket", indexBucketExpr(meta, "v", "nrm"))
+    val l = b.select(col("bucket").as("__ba"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = b.select(col("bucket").as("__bb"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    l.join(r, col("__ba") === col("__bb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dotExpr("va", "vb") / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
+  /** DuckDB oracle for the SEMANTIC two-batch ingest screen
+   *  ([[graft.streaming.Streams.screenIngestSemantic]]): sequential
+   *  semantics spelled as SQL, the vector twin of
+   *  [[graft.operators.Dedup.evolvingScreenSql]]. `docsSql` must
+   *  produce (vec_id, grp, embedding) with grp ∈ ('corpus','b1','b2').
+   *  Route and buckets derive from the CORPUS subset's exact counts
+   *  (what the materialized meta froze); a vector is DROPPED iff a
+   *  same-bucket cosine ≥ tau partner exists in the index visible to
+   *  its batch — corpus for b1; corpus ∪ b1-SURVIVORS for b2 — or an
+   *  EARLIER (lower-id) member of its own batch. Output: (batch,
+   *  vec_id) survivors. */
+  def semanticScreenSql(docsSql: String, tau: Double, dim: Int,
+      skewFactor: Long = 256, nproj: Int = 4): String = {
+    val bucket = routedBucketSql("__annbase", dim, skewFactor, nproj)
+    s"""WITH __docs AS ($docsSql),
+       |__annbase AS (SELECT vec_id, embedding, '' AS label FROM __docs
+       |              WHERE grp = 'corpus'),
+       |e AS (SELECT vec_id, grp, v, ${normSql("v")} AS nrm FROM (
+       |  SELECT vec_id, grp, $toDoubleSql AS v FROM __docs)),
+       |eb AS (SELECT *, $bucket AS bucket FROM e),
+       |pairs AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib,
+       |    b.grp AS gb
+       |  FROM eb a JOIN eb b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.grp <> 'corpus'
+       |    AND ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $tau),
+       |surv1 AS (SELECT vec_id FROM eb s WHERE grp = 'b1'
+       |  AND NOT EXISTS (SELECT 1 FROM pairs p
+       |                  WHERE p.ia = s.vec_id AND p.gb = 'corpus')
+       |  AND NOT EXISTS (SELECT 1 FROM pairs p
+       |                  WHERE p.ia = s.vec_id AND p.gb = 'b1'
+       |                    AND p.ib < s.vec_id)),
+       |surv2 AS (SELECT vec_id FROM eb s WHERE grp = 'b2'
+       |  AND NOT EXISTS (SELECT 1 FROM pairs p
+       |                  WHERE p.ia = s.vec_id AND p.gb = 'corpus')
+       |  AND NOT EXISTS (SELECT 1 FROM pairs p JOIN surv1 v
+       |                    ON p.ib = v.vec_id WHERE p.ia = s.vec_id)
+       |  AND NOT EXISTS (SELECT 1 FROM pairs p
+       |                  WHERE p.ia = s.vec_id AND p.gb = 'b2'
+       |                    AND p.ib < s.vec_id))
+       |SELECT CAST(0 AS BIGINT) AS batch, vec_id FROM surv1
+       |UNION ALL SELECT 1, vec_id FROM surv2""".stripMargin
+  }
+
   /** SQL twin of the EVOLVING lifecycle (materialize on a base corpus
    *  → append → delete → probe): the route, bits and skew gate derive
    *  from the BASE subset's exact counts (the build-time measurement

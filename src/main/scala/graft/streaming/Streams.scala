@@ -209,6 +209,47 @@ object Streams {
       ()
     }
 
+  /** SEMANTIC continuous-ingest screen — the vector twin of
+   *  [[screenIngestEvolving]] over the X93 evolving ANN index: each
+   *  micro-batch of (vec_id, label, embedding) is screened against
+   *  the index (bucket-equality probe + exact in-bucket cosine ≥ tau)
+   *  AND against its own earlier members (keep-first self-dedup under
+   *  the same bucketing); survivors go to `sink` and are APPENDED to
+   *  the index, so a near-dup arriving one batch after its survivor
+   *  is screened too. Per-batchId append segments make at-least-once
+   *  retries replace rather than duplicate; [[graft.operators
+   *  .Similarity.compactAnnIndex]] folds accumulated segments every
+   *  `compactAfterSegments`. The corpus embeddings are never
+   *  rescanned — every probe reads the index only. */
+  def screenIngestSemantic(stream: DataFrame, indexDir: String,
+      tau: Double, compactAfterSegments: Int = 64,
+      expectFingerprint: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import org.apache.spark.sql.functions.col
+      val spark = batch.sparkSession
+      val corpusDup = graft.operators.Similarity
+        .cosinePairsAgainstIndex(spark, indexDir, batch, tau,
+          expectFingerprint)
+        .select(col("new_id").as("vec_id"))
+      val selfDup = graft.operators.Similarity
+        .cosineSelfPairsUnderIndex(indexDir, batch, tau)
+        .select(col("id_b").as("vec_id"))
+      // pinned: the survivor plan feeds BOTH the sink and the index
+      // append — without the pin the whole screen executes twice
+      val survivors = batch.join(
+        corpusDup.union(selfDup).distinct(), Seq("vec_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        sink(survivors, batchId)
+        graft.operators.Similarity.appendToAnnIndex(
+          indexDir, survivors, s"b$batchId")
+      } finally survivors.unpersist()
+      graft.operators.Similarity.compactAnnIndex(
+        spark, indexDir, compactAfterSegments)
+      ()
+    }
+
   /** Streaming CDC apply — continuous MERGE INTO: each micro-batch of
    *  changes folds into a durable keyed state table, so after batch N
    *  the table is base + changes(1..N) under LATEST-SEQ-wins. The

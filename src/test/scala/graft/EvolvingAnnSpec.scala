@@ -106,6 +106,49 @@ class EvolvingAnnSpec extends SparkTestBase {
       .count(f => f.isDirectory && !f.getName.startsWith(".")) === 1)
   }
 
+  test("semantic ingest screen: corpus dup, in-batch dup, and batch-2 dup of a batch-1 survivor all screen") {
+    val dir = Streams.scratchDir("graft_annevo_scr_")
+    val base = corpus(0 until 50, 1.0)
+    Similarity.materializeAnnIndex(base, dim, dir, "fpS")
+    def copyOf(srcId: Long, newId: Long) =
+      base.filter(col("vec_id") === srcId)
+        .select(lit(newId).as("vec_id"), col("label"), col("embedding"))
+    val novel1 = corpus(7001 until 7002, 1.0, seed = 99)
+      .select(lit(101L).as("vec_id"), col("label"), col("embedding"))
+    val novel2 = corpus(7002 until 7003, 1.0, seed = 77)
+      .select(lit(201L).as("vec_id"), col("label"), col("embedding"))
+    // b1: copy of corpus 0 (dropped), novel 101 (survives), copy of
+    // 101 at id 102 (in-batch keep-first drop)
+    val b1 = copyOf(0L, 100L).unionByName(novel1)
+      .unionByName(novel1.select(lit(102L).as("vec_id"), col("label"),
+        col("embedding")))
+    // b2: copy of b1-SURVIVOR 101 (dropped via the APPENDED segment —
+    // the evolution under test) + novel 201 (survives)
+    val b2 = novel1.select(lit(200L).as("vec_id"), col("label"),
+      col("embedding")).unionByName(novel2)
+    val streamDir = Streams.scratchDir("graft_annevo_scr_in_")
+    Streams.writeSinglePartFile(b1, streamDir, "b1.parquet", 1600000000000L)
+    Streams.writeSinglePartFile(b2, streamDir, "b2.parquet", 1600000060000L)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val got = collection.mutable.Map[Long, Set[Long]]()
+    val q = Streams.screenIngestSemantic(stream, dir, 0.999,
+        expectFingerprint = Some("fpS")) { (survivors, batchId) =>
+        got(batchId) = survivors.select("vec_id").as[Long].collect().toSet
+      }
+      .option("checkpointLocation", Streams.scratchDir("graft_annevo_scr_ck_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.filter(_._2.nonEmpty) === Map(0L -> Set(101L), 1L -> Set(201L)),
+      s"survivor sets wrong: $got")
+    // the index now also holds the survivors
+    val (live, _) = Similarity.loadAnnIndex(spark, dir)
+    val ids = live.select("vec_id").as[Long].collect().toSet
+    assert(ids.contains(101L) && ids.contains(201L) &&
+      !ids.contains(100L) && !ids.contains(200L))
+  }
+
   test("clustered growth flips the stale sign route at the measured threshold") {
     val dir = Streams.scratchDir("graft_annevo_rt_")
     val m0 = Similarity.materializeAnnIndex(
