@@ -1375,24 +1375,34 @@ object Dedup {
         size(col("__toks")).cast("long").as("__ntok")), Seq(idCol))
       .select(col(idCol).as("__sid"), col("__stok"),
         (least(col("__etok"), col("__ntok")) - 1L).as("__lasttok"))
+    // ONE equi-join resolves both island endpoints: each island
+    // unpivots into ≤ 2 (doc, tpos) probe rows, so the token-offsets
+    // frame is evaluated exactly once and never checkpointed (a
+    // token-sized pin — the r9 bench measured it as q121's cost
+    // center; two separate endpoint joins would evaluate the chunk
+    // windows twice).
+    // no distinct: a one-token island (stok == lasttok) just probes
+    // its row twice, and the endpoint min/max below absorbs the dup —
+    // a distinct here would be a whole extra shuffle
+    val probes = islands.select(col("__sid"), col("__stok"),
+        col("__lasttok"),
+        explode(array(col("__stok"), col("__lasttok"))).as("__ptpos"))
     val offs = tokenCharOffsets(df, textCol, idCol)
       .select(col(idCol).as("__oid"), col("tpos").as("__otpos"),
         col("s").as("__os"), col("e").as("__oe"))
-      .localCheckpoint(true)
-    islands
+    probes
       .join(offs, col("__sid") === col("__oid") &&
-        col("__stok") === col("__otpos"))
-      .select(col("__sid"), col("__os").as("s_char"), col("__lasttok"))
-      .join(offs.select(col("__oid").as("__oid2"),
-          col("__otpos").as("__otpos2"), col("__oe").as("__oe2")),
-        col("__sid") === col("__oid2") &&
-          col("__lasttok") === col("__otpos2"))
+        col("__ptpos") === col("__otpos"))
+      .groupBy(col("__sid"), col("__stok"), col("__lasttok"))
+      .agg(min(when(col("__otpos") === col("__stok"), col("__os")))
+          .as("s_char"),
+        max(when(col("__otpos") === col("__lasttok"), col("__oe")))
+          .as("e_char"))
       .join(df.select(col(idCol).as("__did"), col(textCol).as("__text")),
         col("__sid") === col("__did"))
-      .select(col("__sid").as(idCol), col("s_char"),
-        col("__oe2").as("e_char"),
+      .select(col("__sid").as(idCol), col("s_char"), col("e_char"),
         expr("substring(__text, cast(s_char as int) + 1, " +
-          "cast(__oe2 - s_char as int))").as("cut_text"))
+          "cast(e_char - s_char as int))").as("cut_text"))
   }
 
   /** Apply character spans to the original documents: (id, text_kept,
