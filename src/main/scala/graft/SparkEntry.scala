@@ -282,16 +282,25 @@ object SparkEntry {
    *  table and never rescan the corpus. Same rename-into-place +
    *  _DONE protocol as [[sharedLshIndexDir]]; meta (route params +
    *  fingerprint) re-validated on every open. */
-  private def sharedAnnIndexDir(s: SparkSession, dir: String): String = {
+  private def sharedAnnIndexDir(s: SparkSession, dir: String): String =
+    sharedAnnIndexDirFor(s, dir, "d64_v2",
+      Sources.table(s, dir, "embeddings"))
+
+  /** Generalized "build the ANN index once per (corpus fingerprint,
+   *  tag)" cache — the q114 shared index plus the q123/q124 BASE
+   *  indexes (their lifecycles MUTATE an index, so each run copies
+   *  this immutable base to scratch instead of re-measuring the route
+   *  and re-bucketing the corpus per run). */
+  private def sharedAnnIndexDirFor(s: SparkSession, dir: String,
+      tag: String, corpus: => DataFrame): String = {
     val fp = tableFingerprint(dir, "embeddings.parquet")
     val path = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_shared_annix_d64_v2_$fp")
+      s"${System.getProperty("java.io.tmpdir")}/graft_shared_annix_${tag}_$fp")
     this.synchronized {
       if (!new java.io.File(path, "_DONE").exists()) {
         val tmp = new java.io.File(path.getParent,
           s"${path.getName}.tmp${ProcessHandle.current().pid()}")
-        Similarity.materializeAnnIndex(
-          Sources.table(s, dir, "embeddings"), 64, tmp.toString, fp)
+        Similarity.materializeAnnIndex(corpus, 64, tmp.toString, fp)
         new java.io.File(tmp, "_DONE").createNewFile()
         if (!tmp.renameTo(path)) {
           org.apache.commons.io.FileUtils.deleteDirectory(tmp)
@@ -303,6 +312,16 @@ object SparkEntry {
     require(Similarity.readAnnIndexMeta(path.toString).exists(_.fingerprint == fp),
       s"shared ANN index at $path is stale or foreign — expected fp $fp")
     path.toString
+  }
+
+  /** Copy a shared (immutable) ANN index into a run-private scratch
+   *  dir a lifecycle row may mutate (append/delete/compact). The
+   *  `_DONE` cache marker is not copied. */
+  private def copyAnnIndex(src: String, dst: String): String = {
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(src), new java.io.File(dst),
+      (f: java.io.File) => f.getName != "_DONE")
+    dst
   }
 
   /** The q83 corpus lexicon (BM25 stats tables) built once per corpus
@@ -1748,9 +1767,13 @@ object SparkEntry {
     // set — exactly what the segmented index materializes.
     "q123_ann_evolving" -> ((s, dir) => {
       val emb = Sources.table(s, dir, "embeddings")
-      val ix = graft.streaming.Streams.scratchDir("graft_annevo_q_")
-      Similarity.materializeAnnIndex(
-        emb.filter(col("vec_id") % 4 =!= 3), 64, ix, "fp123")
+      // the immutable BASE index builds once per corpus fingerprint;
+      // each run copies it to scratch and mutates the copy
+      val ix = copyAnnIndex(
+        sharedAnnIndexDirFor(s, dir, "base123_v1",
+          Sources.table(s, dir, "embeddings")
+            .filter(col("vec_id") % 4 =!= 3)),
+        graft.streaming.Streams.scratchDir("graft_annevo_q_"))
       Similarity.appendToAnnIndex(ix,
         emb.filter(col("vec_id") % 4 === 3), "b1")
       Similarity.deleteFromAnnIndex(ix,
@@ -1758,7 +1781,8 @@ object SparkEntry {
       val queries = emb
         .filter(col("vec_id") % 17 === 0 && col("vec_id") % 10 =!= 0)
         .select(col("vec_id").as("q_id"), col("embedding"))
-      Similarity.annTopKIndexed(s, ix, queries, 3, Some("fp123"))
+      Similarity.annTopKIndexed(s, ix, queries, 3,
+          Some(tableFingerprint(dir, "embeddings.parquet")))
         .orderBy("q_id", "rank")
     }),
     // SEMANTIC continuous-ingest screen (X96): q84's evolving screen
@@ -1783,7 +1807,7 @@ object SparkEntry {
       val b2 = twin(2000000L, "2.0", col("vec_id") % 2 === 0)
         .unionByName(twin(3000000L, "3.0", col("vec_id") % 2 === 1))
       val fp = tableFingerprint(dir, "embeddings.parquet")
-      Similarity.materializeAnnIndex(emb, 64, s"$out/index", fp)
+      copyAnnIndex(sharedAnnIndexDir(s, dir), s"$out/index")
       writeSingleParquet(b1, s"$out/stream", "b1.parquet", 1600000000000L)
       writeSingleParquet(b2, s"$out/stream", "b2.parquet", 1600000060000L)
       val stream = s.readStream.schema(b1.schema)
