@@ -406,13 +406,10 @@ object Dedup {
     }
   }
 
-  /** Segment subdirectories of one index table, sorted for
-   *  deterministic plans. Dot-prefixed names are in-flight compaction
-   *  scratch and never read. */
+  /** Segment subdirectories of one index table (shared store
+   *  contract — [[SegmentStore.segDirs]]). */
   private def segmentDirs(table: String): Seq[String] =
-    Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !f.getName.startsWith("."))
-      .map(_.toString).sorted.toSeq
+    SegmentStore.segDirs(table)
 
   /** Open a durable index dir with a FRESH segment listing — call per
    *  probe (per micro-batch) so appends from earlier batches are
@@ -541,33 +538,12 @@ object Dedup {
     ()
   }
 
-  /** CRASH-SAFE segment rewrite: `seg` minus `ids`, installed under a
-   *  FRESH visible name FIRST, then the old segment dropped — a crash
-   *  in between leaves both visible (their union is the old set:
-   *  conservative, never a resurrection); empty survivors just drop
-   *  the segment. Deleting before installing would lose the segment's
-   *  OTHER rows on a crash — the dangerous direction. */
+  /** CRASH-SAFE segment rewrite (shared store contract —
+   *  [[SegmentStore.rewriteSegmentWithout]], install-then-drop). */
   private def rewriteSegmentWithout(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, seg: String,
-      ids: org.apache.spark.sql.DataFrame): Unit = {
-    val kept = spark.read.parquet(seg)
-      .join(ids, Seq("id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (kept.isEmpty)
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seg))
-      else {
-        val segFile = new java.io.File(seg)
-        val taken = segmentDirs(tableDir)
-          .map(new java.io.File(_).getName).toSet
-        val target = (1 to taken.size + 1)
-          .map(i => s"${segFile.getName}~$i").find(!taken.contains(_)).get
-        kept.write.mode("overwrite")
-          .parquet(new java.io.File(segFile.getParentFile, target).toString)
-        org.apache.commons.io.FileUtils.deleteDirectory(segFile)
-      }
-    } finally kept.unpersist()
-  }
+      ids: org.apache.spark.sql.DataFrame): Unit =
+    SegmentStore.rewriteSegmentWithout(spark, tableDir, seg, ids, "id")
 
   /** DELETE documents from a durable index (the round-7 item-5 gap:
    *  nothing ever removed entries for documents later deleted from
@@ -648,14 +624,8 @@ object Dedup {
         val folded = spark.read.parquet(segs: _*).dropDuplicates(keys)
         deleted.fold(folded)(d => folded.join(d, Seq("id"), "left_anti"))
           .write.mode("overwrite").parquet(scratch.toString)
-        if (!scratch.renameTo(target)) {
-          org.apache.commons.io.FileUtils.deleteDirectory(scratch)
-          throw new IllegalStateException(
-            s"SECOND WRITER detected at compactLshIndex($dir): compacted " +
-              s"$table/${target.getName} already installed from the same " +
-              "input segments — a concurrent compaction raced this one " +
-              "and exactly one may proceed.")
-        }
+        SegmentStore.casInstallDir(scratch, target,
+          s"compactLshIndex($dir) $table")
         segs.foreach(sd =>
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sd)))
       }
@@ -1347,11 +1317,17 @@ object Dedup {
   def repeatedSpanOffsets(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol),
+    // NO pin: `base` is recomputed by its two consumers (the window
+    // pass and the tiny ntok join) — one extra narrow regexp pass
+    // over the text beats materializing every document's token array
+    // (a localCheckpoint here bypassed CacheManager and its blocks
+    // accumulated across a many-query session until driver GC — the
+    // sf10 sweep measured q121's repeats climbing 50 → 96 s under
+    // exactly that storage pressure)
+    def base = df.select(col(idCol),
         expr(s"transform(regexp_extract_all(`$textCol`, '\\\\S+', 0), " +
           "t -> lower(t))").as("__toks"))
       .filter(size(col("__toks")) > 0)
-      .localCheckpoint(true)
     val wh = base.select(col(idCol),
       posexplode(graft.functions.HashExpressions
         .h60Array(TextFunctions.wordWindows("__toks", k))).as(Seq("p", "w")))

@@ -209,21 +209,22 @@ object Quality {
    *  the token key; the final agg folds back to one row per doc. */
   def unigramSurprisal(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    // eager localCheckpoint, NOT persist (the round-9 q94 control:
-    // the MEMORY_AND_DISK persist measured 0.79 s median / 4.8 s max
-    // across isolated 5-run sessions at sf0.1 — cache-fill pressure
-    // made it the bench's drift source — vs 0.30 s median / 0.50 s
-    // max checkpointed, 5-run probe on the same host). Exactly one
-    // checkpoint backs the result and its blocks free on driver GC
-    // of the frame — the cutRepeatedSpans rule, not the clusters()
-    // many-checkpoints case. Residual trades as documented there:
-    // construction runs the tokenize job eagerly, and an executor
-    // loss fails the query instead of recomputing lineage.
-    val tf = docs.select(col(idCol), explode(
+    // NO materialization of the token frame — the fused kernel runs
+    // twice (once into the unigram agg, once into the scoring join)
+    // and nothing is pinned. Measured verdict (round-9 q94 controls,
+    // BASELINE.md): the MEMORY_AND_DISK persist was the bench's drift
+    // source (0.57 s median with 4.8–6.1 s cache-fill maxes at
+    // sf0.1); an eager localCheckpoint fixed the cliff isolated but
+    // its blocks bypass CacheManager — in a many-query session they
+    // accumulate until driver GC (the sf10 sweep measured repeats
+    // CLIMBING under exactly that pressure). Tokenize-twice measured
+    // within noise of both (0.52 s median / 1.2 max) with ZERO
+    // residency — and at 100 TB, rescanning the text column beats
+    // materializing a token-level frame ~5× its size. */
+    def tf = docs.select(col(idCol), explode(
         graft.functions.HashExpressions.tokenFrequencies(col(textCol)))
         .as("tf"))
       .select(col(idCol), col("tf.t").as("t"), col("tf.n").as("n"))
-      .localCheckpoint(true)
     val uni = tf.groupBy(col("t")).agg(sum(col("n")).as("cnt"))
     tf.join(uni, Seq("t"))
       .groupBy(col(idCol))

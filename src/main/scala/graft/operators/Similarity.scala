@@ -463,12 +463,10 @@ object Similarity {
 
   // ----------------------------------- evolving ANN index lifecycle
 
-  /** Segment subdirectories of one generation table (mirrors the X56
-   *  layout): dot-prefixed names are in-flight scratch, never read. */
+  /** Segment subdirectories of one generation table (shared store
+   *  contract — [[SegmentStore.segDirs]]). */
   private def annSegDirs(table: String): Seq[String] =
-    Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !f.getName.startsWith("."))
-      .map(_.toString).sorted.toSeq
+    SegmentStore.segDirs(table)
 
   private def annGenDir(dir: String, m: AnnIndexMeta, what: String): String =
     s"$dir/$what-g${m.gen}"
@@ -573,30 +571,12 @@ object Similarity {
     }
   }
 
-  /** CRASH-SAFE segment rewrite (the X56 pattern): survivors install
-   *  under a fresh visible name FIRST, then the old segment drops —
-   *  a crash in between leaves a probe-correct superset. */
+  /** CRASH-SAFE segment rewrite (shared store contract —
+   *  [[SegmentStore.rewriteSegmentWithout]], install-then-drop). */
   private def rewriteAnnSegmentWithout(
       spark: org.apache.spark.sql.SparkSession, tableDir: String,
-      seg: String, ids: DataFrame): Unit = {
-    val kept = spark.read.parquet(seg)
-      .join(ids, Seq("vec_id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (kept.isEmpty)
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seg))
-      else {
-        val segFile = new java.io.File(seg)
-        val taken = annSegDirs(tableDir)
-          .map(new java.io.File(_).getName).toSet
-        val target = (1 to taken.size + 1)
-          .map(i => s"${segFile.getName}~$i").find(!taken.contains(_)).get
-        kept.write.mode("overwrite")
-          .parquet(new java.io.File(segFile.getParentFile, target).toString)
-        org.apache.commons.io.FileUtils.deleteDirectory(segFile)
-      }
-    } finally { kept.unpersist(); () }
-  }
+      seg: String, ids: DataFrame): Unit =
+    SegmentStore.rewriteSegmentWithout(spark, tableDir, seg, ids, "vec_id")
 
   /** DELETE vectors from a materialized index: an id-scoped tombstone
    *  segment ([[loadAnnIndex]] subtracts it from every probe
@@ -667,17 +647,30 @@ object Similarity {
       folded.dropDuplicates("vec_id")
         .repartition(col("bucket")).sortWithinPartitions(col("bucket"))
         .write.mode("overwrite").parquet(scratch.toString)
-      if (!scratch.renameTo(target)) {
-        org.apache.commons.io.FileUtils.deleteDirectory(scratch)
-        throw new IllegalStateException(
-          s"SECOND WRITER detected at compactAnnIndex($dir): " +
-            s"data/${target.getName} already installed from the same " +
-            "input segments — a concurrent compaction raced this one.")
-      }
+      SegmentStore.casInstallDir(scratch, target, s"compactAnnIndex($dir)")
       // fresh counts from the installed fold, then drop the history
       spark.read.parquet(target.toString)
         .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
         .write.mode("overwrite").parquet(s"$countsDir/base-$tag")
+      // refresh the meta's SIGN-bucket statistics from the fold (its
+      // scan is already paid): the build gate's decision statistic,
+      // which [[reRouteAnnIndex]]'s grid arm needs for the grid→sign
+      // REVERSION — without it a grid-routed index whose clusters
+      // were later deleted keeps its stale route forever, the mirror
+      // image of the stale-sign-route bug X93 exists to fix. The
+      // active-route ledger cannot answer this (grid-cell mass says
+      // nothing about sign-bucket mass), so reversion is measured at
+      // compaction points and exact at the rebuild it triggers.
+      val nL = spark.read.parquet(s"$countsDir/base-$tag")
+        .agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
+      val s2L =
+        if (nL == 0L) 0L
+        else spark.read.parquet(target.toString)
+          .select(lshBucket("v", adaptivePlanes(nL), meta.dim).as("b"))
+          .groupBy(col("b")).count()
+          .agg(coalesce(sum(col("count") * col("count")), lit(0L)))
+          .head.getLong(0)
+      writeAnnIndexMeta(dir, meta.copy(n = nL, s2 = s2L))
       dataSegs.foreach(sd =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sd)))
       annSegDirs(countsDir).filterNot(_.endsWith(s"base-$tag")).foreach(sd =>
@@ -709,7 +702,12 @@ object Similarity {
     val (n, s2) = annIndexStats(spark, dir)
     val drifted = meta.route match {
       case "sign" => s2 > n * skewFactor || adaptivePlanes(n) != meta.bits
-      case _ => adaptiveGridLevel(n) != meta.bits
+      // grid arm: bits outgrown, OR the compaction-refreshed
+      // sign-bucket mass (meta.n/meta.s2 — the build gate's own
+      // statistic) says sign routing is viable again → re-measure
+      // exactly and revert
+      case _ => adaptiveGridLevel(n) != meta.bits ||
+        (meta.n > 0L && meta.s2 <= meta.n * skewFactor)
     }
     if (!drifted || n == 0L) (meta, false)
     else {
@@ -741,13 +739,17 @@ object Similarity {
         writeAnnSegment(spark,
           pre.withColumn("bucket", indexBucketExpr(newMeta, "v", "nrm")),
           dir, newMeta, "base")
-        val oldGen = meta.gen
         writeAnnIndexMeta(dir, newMeta)
-        for (what <- Seq("data", "counts", "deleted")) {
-          val old = new java.io.File(s"$dir/$what-g$oldGen")
-          if (old.exists())
-            org.apache.commons.io.FileUtils.deleteDirectory(old)
-        }
+        // drop EVERY other generation — the replaced live one AND any
+        // orphans a crashed earlier rebuild left behind (each orphan
+        // is a whole-index-sized copy; only the meta's gen is live)
+        Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+          .filter { f =>
+            "^(?:data|counts|deleted)-g(\\d+)$".r
+              .findFirstMatchIn(f.getName)
+              .exists(_.group(1).toLong != nextGen)
+          }
+          .foreach(f => org.apache.commons.io.FileUtils.deleteDirectory(f))
         (newMeta, true)
       } finally { pre.unpersist(); () }
     }
@@ -848,7 +850,11 @@ object Similarity {
    *  (new_id, corpus_id, sim); a vector present in both sides pairs
    *  at sim 1.0 — re-ingestion IS a duplicate. Candidate volume
    *  scales with |batch| × occupancy, never |corpus|²; recall is
-   *  bucket-scoped, the same contract as every routed probe. */
+   *  bucket-scoped, the same contract as every routed probe. The
+   *  broadcast assumes a MICRO-BATCH-sized new side (the streaming
+   *  trigger bounds it); a bulk-load-sized batch should append first
+   *  and screen itself through [[annTopKIndexed]] probes instead of
+   *  broadcasting gigabytes. */
   def cosinePairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, tau: Double,
       expectFingerprint: Option[String] = None): DataFrame = {

@@ -640,6 +640,17 @@ object Streams {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(s"$stateDir/v$id"))
     }
+    // single-writer CLAIM files GC with their predecessor version: a
+    // claim from-v<N> only guards folds whose predecessor v<N> still
+    // exists (folding from a GC'd predecessor is unsupported anyway) —
+    // without this a continuously running stream accumulates one tiny
+    // claim file per micro-batch forever
+    val live = (referenced ++ committedVersionIds(stateDir)).map(i => s"v$i")
+    Option(new java.io.File(s"$stateDir/commits").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("from-") &&
+        !live.contains(f.getName.stripPrefix("from-")))
+      .foreach { f => java.nio.file.Files.deleteIfExists(f.toPath); () }
   }
 
   /** Committed (`_SUCCESS`-marked) version ids, ascending. */

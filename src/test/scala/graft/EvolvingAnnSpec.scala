@@ -178,5 +178,17 @@ class EvolvingAnnSpec extends SparkTestBase {
     // and the fresh grid ledger no longer trips the check
     val (_, rebuiltAgain) = Similarity.reRouteAnnIndex(spark, dir)
     assert(!rebuiltAgain, "a freshly re-routed index must be stable")
+    // REVERSION (the mirror bug): delete the injected cluster —
+    // compaction re-measures the sign-bucket mass into the meta, and
+    // the grid arm's check flips the index BACK to sign
+    Similarity.deleteFromAnnIndex(dir,
+      (5000L until 5600L).toDF("vec_id"), "d1")
+    assert(Similarity.compactAnnIndex(spark, dir, maxSegments = 1))
+    val (m2, reverted) = Similarity.reRouteAnnIndex(spark, dir)
+    assert(reverted && m2.route === "sign" && m2.gen === m1.gen + 1,
+      s"cluster deletion must revert grid→sign after compaction: $m2")
+    assert(Similarity.annIndexStats(spark, dir)._1 === 300L)
+    val (_, flapped) = Similarity.reRouteAnnIndex(spark, dir)
+    assert(!flapped, "the reverted index must be stable too")
   }
 }
