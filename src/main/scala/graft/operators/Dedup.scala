@@ -1160,22 +1160,21 @@ object Dedup {
   def cutRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // eager localCheckpoint, NOT persist (the vocabCoverage lesson —
-    // the result is returned lazily, so a persist here would leak one
-    // cached RDD per invocation with no unpersist point); the token
-    // projection feeds the window pass AND the rebuild.
-    // This is the OPPOSITE trade from clusters()'s persist-not-
-    // checkpoint rule (see `cut` below): there, MANY checkpoints stay
-    // referenced simultaneously by the returned plan chain, and only
-    // CacheManager blocks are harness-freeable; here exactly ONE
-    // checkpoint backs the result and its blocks free on driver GC of
-    // the frame — measured safe across the full 119-query bench and
-    // the sf10 sweep. The residual trades: construction runs the
-    // tokenize job eagerly, and an executor loss fails the query
-    // (no lineage) where persist would recompute.
-    val base = df
+    // NO pin at all (round-9 revision of the r8 checkpoint trade):
+    // the token projection is RECOMPUTED by its consumers (the window
+    // pass and the rebuild) — one extra narrow tokenize pass over the
+    // text. The r8 localCheckpoint was measured safe in a 119-query
+    // session, but its blocks bypass CacheManager and free only on
+    // driver GC: the r9 124-query sf10 sweep measured q119's
+    // in-sequence time at 82 s against a 31 s isolated control with
+    // this pin as the session's remaining resident (its siblings
+    // q94/q121/q122 were de-pinned first and their contamination
+    // vanished). A persist is no better here — the result returns
+    // lazily, so there is no unpersist point (the vocabCoverage
+    // lesson). Recompute also holds at 100 TB, where a token-array
+    // frame is a multiple of the text it came from.
+    def base = df
       .select(col(idCol), TextFunctions.lowerTokens(col(textCol)).as("__toks"))
-      .localCheckpoint(true)
     val wh = base.select(col(idCol),
       posexplode(graft.functions.HashExpressions
         .h60Array(TextFunctions.wordWindows("__toks", k))).as(Seq("p", "w")))
