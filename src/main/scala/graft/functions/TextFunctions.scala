@@ -31,8 +31,21 @@ object TextFunctions {
     "fr" -> Seq("le", "les", "et", "des", "est", "une"),
     "zh" -> Seq("的", "是", "了", "在", "和", "我"))
 
+  /** Java's default `\s` set spelled explicitly — ` \t\n\x0B\f\r`.
+   *  RE2 (DuckDB's regex engine) `\s` EXCLUDES vertical tab U+000B,
+   *  so every oracle-twin SQL string uses these classes instead of
+   *  `\s`/`\S`: a document containing VT would otherwise tokenize
+   *  differently across engines (round-10 fix; the Spark side and the
+   *  native kernels already agree on the Java set). The escapes are
+   *  left for the REGEX engine to interpret — DuckDB single-quoted
+   *  literals pass them through verbatim. */
+  val wsCharsSql = " \\t\\n\\f\\r\\x0B"
+  val wsClassSql = s"[$wsCharsSql]"
+  val nonWsClassSql = s"[^$wsCharsSql]"
+
   /** ASCII-safe "BPE-ish" token pattern: alnum runs or single
-   *  non-alnum-non-space symbols (identical Java/RE2 semantics). */
+   *  non-alnum-non-space symbols (Java side; the SQL twin spells the
+   *  whitespace set via [[wsCharsSql]]). */
   val tokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
 
   // ---------------------------------------------------------------- tokens
@@ -46,10 +59,10 @@ object TextFunctions {
   def tokenCountRegex(c: Column): Column =
     size(regexp_extract_all(c, lit(tokenPattern), lit(0)))
 
-  def wsTokensSql(c: String) = s"regexp_split_to_array(trim($c), '\\s+')"
+  def wsTokensSql(c: String) = s"regexp_split_to_array(trim($c), '$wsClassSql+')"
   def tokenCountWsSql(c: String) = s"length(${wsTokensSql(c)})"
   def tokenCountRegexSql(c: String) =
-    s"length(regexp_extract_all($c, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))"
+    s"length(regexp_extract_all($c, '[A-Za-z0-9]+|[^A-Za-z0-9$wsCharsSql]'))"
 
   // --------------------------------------------------------------- quality
 
@@ -89,12 +102,12 @@ object TextFunctions {
   def qualityScoreSql(c: String): String = {
     val n = s"greatest(CAST(length($c) AS DOUBLE), 1.0)"
     val alpha = s"CAST(length(regexp_replace($c, '[^A-Za-z]', '', 'g')) AS DOUBLE) / $n"
-    val punct = s"CAST(length(regexp_replace($c, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / $n"
+    val punct = s"CAST(length(regexp_replace($c, '[A-Za-z0-9$wsCharsSql]', '', 'g')) AS DOUBLE) / $n"
     val toks = wsTokensSql(s"lower($c)")
     val nTok = s"greatest(CAST(length($toks) AS DOUBLE), 1.0)"
     val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
     val stop = s"CAST(length(list_filter($toks, t -> list_contains($stopList, t))) AS DOUBLE) / $nTok"
-    val awl = s"CAST(length(regexp_replace($c, '\\s', '', 'g')) AS DOUBLE) / $nTok"
+    val awl = s"CAST(length(regexp_replace($c, '$wsClassSql', '', 'g')) AS DOUBLE) / $nTok"
     s"0.25 * ($alpha) + 0.25 * (1.0 - ($punct)) + 0.25 * ($stop) + 0.25 * least(($awl) / 8.0, 1.0)"
   }
 
@@ -225,7 +238,7 @@ object TextFunctions {
    *  shingling/SimHash (column name variant for expr composition). */
   def lowerTokens(c: Column): Column = split(trim(lower(c)), "\\s+")
   def lowerTokensSql(c: String): String =
-    s"regexp_split_to_array(trim(lower($c)), '\\s+')"
+    s"regexp_split_to_array(trim(lower($c)), '$wsClassSql+')"
 
   // ------------------------------------------------------ PII redaction
 

@@ -146,7 +146,7 @@ object Curation {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $budget
        |    AS BIGINT) AS seq_id
        |FROM (SELECT $idCol,
-       |        CAST(length(regexp_split_to_array(trim($textCol), '\\s+')) AS BIGINT)
+       |        CAST(length(regexp_split_to_array(trim($textCol), '${graft.functions.TextFunctions.wsClassSql}+')) AS BIGINT)
        |          AS n_tok FROM $table)""".stripMargin
 
   // -------------------------------------------------- token chunking
@@ -274,7 +274,7 @@ object Curation {
   /** DuckDB oracle twin — same split/word model, same rules. */
   def c4LineCleanSql(textExpr: String, minWords: Int): String =
     s"""array_to_string(list_filter(string_split($textExpr, chr(10)), l ->
-       |  length(list_filter(regexp_split_to_array(l, '\\s+'),
+       |  length(list_filter(regexp_split_to_array(l, '${graft.functions.TextFunctions.wsClassSql}+'),
        |    w -> w <> '')) >= $minWords
        |  AND regexp_matches(l, '$terminalPunctPattern')
        |  AND NOT contains(lower(l), 'lorem ipsum')
@@ -362,6 +362,6 @@ object Curation {
        |        1 + CAST(ceil(greatest(length(toks) - $width, 0)
        |              / CAST($stride AS DOUBLE)) AS BIGINT))) AS i
        |      FROM (SELECT $idCol,
-       |              regexp_split_to_array(trim($textCol), '\\s+') AS toks
+       |              regexp_split_to_array(trim($textCol), '${graft.functions.TextFunctions.wsClassSql}+') AS toks
        |            FROM $table))""".stripMargin
 }

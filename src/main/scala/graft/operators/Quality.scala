@@ -137,34 +137,54 @@ object Quality {
    *  ever widened. SCOPE of that claim: it holds for column-prunable
    *  scans (parquet/ORC — this engine's lake contract). A frame with
    *  an EXPENSIVE upstream plan (joins, aggregations, generators,
-   *  csv/json inference) is therefore DETECTED and pinned: when the
-   *  analyzed plan contains anything beyond project/filter over a
-   *  relation, the pruned projection is localCheckpoint'd ONCE and
-   *  every per-column aggregation reads the pinned columnar blocks —
-   *  upstream cost is paid exactly once, never N× (spec-pinned with
-   *  an execution-count accumulator). Bare scans keep the direct
-   *  per-column plan: a checkpoint there would WRITE the table once
-   *  to read it once — strictly worse than N pruned column reads.
+   *  ScalaUDF projections, csv/json inference) instead profiles in
+   *  ONE aggregation pass: a single agg carrying every column's five
+   *  statistics (the multi-distinct rewrite plans through Expand —
+   *  rows × (distinct-columns+1) shadows), then a driver-free
+   *  unpivot. Upstream cost is paid exactly once (spec-pinned with an
+   *  execution-count accumulator) and NOTHING is pinned: the round-9
+   *  sf10 sweep measured eager localCheckpoint blocks bypassing
+   *  CacheManager and accumulating until driver GC (SCALE.md
+   *  residency rule), so the Expand widening — confined here to the
+   *  expensive-upstream case, where upstream cost dominates it — is
+   *  the right trade. Bare scans keep the direct per-column plan: a
+   *  checkpoint or Expand there would widen/rewrite the table for no
+   *  saved work — strictly worse than N pruned column reads.
    *  Labels are lit()-built, so a column named with
    *  dots, quotes or backticks labels its row verbatim instead of
    *  breaking a parse. min/max are raw parquet values cast to double:
    *  no arithmetic, so they match any engine bit-for-bit. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column")
-    val src =
-      if (bareScan(df.queryExecution.analyzed)) df
-      else df.select(cols.map(col): _*).localCheckpoint(true)
-    cols.map { c =>
-      src.select(col(c).as("__v"))
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum(when(col("__v").isNull, 1L).otherwise(0L)), lit(0L))
-            .as("n_null"),
-          countDistinct(col("__v")).as("n_distinct"),
-          min(col("__v").cast("double")).as("min_d"),
-          max(col("__v").cast("double")).as("max_d"))
-        .select(lit(c).as("col_name"), col("n"), col("n_null"),
-          col("n_distinct"), col("min_d"), col("max_d"))
-    }.reduce(_ unionAll _)
+    if (bareScan(df.queryExecution.analyzed))
+      cols.map { c =>
+        df.select(col(c).as("__v"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(when(col("__v").isNull, 1L).otherwise(0L)), lit(0L))
+              .as("n_null"),
+            countDistinct(col("__v")).as("n_distinct"),
+            min(col("__v").cast("double")).as("min_d"),
+            max(col("__v").cast("double")).as("max_d"))
+          .select(lit(c).as("col_name"), col("n"), col("n_null"),
+            col("n_distinct"), col("min_d"), col("max_d"))
+      }.reduce(_ unionAll _)
+    else {
+      // one pass, zero residency: every column's stats in one agg,
+      // then a stack() unpivot back to (col_name, ...) rows
+      val wide = df.agg(
+        count(lit(1)).as("__n"),
+        cols.zipWithIndex.flatMap { case (c, i) => Seq(
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as(s"__null$i"),
+          countDistinct(col(c)).as(s"__dist$i"),
+          min(col(c).cast("double")).as(s"__min$i"),
+          max(col(c).cast("double")).as(s"__max$i")) }: _*)
+      wide.select(stack(
+        lit(cols.size) +: cols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(lit(c), col("__n"), col(s"__null$i"), col(s"__dist$i"),
+            col(s"__min$i"), col(s"__max$i")) }: _*)
+        .as(Seq("col_name", "n", "n_null", "n_distinct", "min_d", "max_d")))
+    }
   }
 
   /** Is this analyzed plan a BARE column-prunable scan — nothing but
@@ -173,16 +193,26 @@ object Quality {
    *  relation flavor (v1 LogicalRelation, v2 DataSourceV2*Relation,
    *  LocalRelation, a checkpointed LogicalRDD, a cached
    *  InMemoryRelation — all cheap to re-read). Anything else (join,
-   *  aggregate, generate, window, union, SQL over csv/json) makes
-   *  [[profile]] pin the projection first. */
+   *  aggregate, generate, window, union, SQL over csv/json) takes the
+   *  single-pass path, as does a Project/Filter whose EXPRESSIONS
+   *  carry user code (ScalaUDF / PythonUDF) — a UDF over a scan is
+   *  arbitrarily expensive per row, so re-running it once per column
+   *  would break the pay-once contract. Built-in functions (including
+   *  ones that compile to StaticInvoke internally) stay bare: they
+   *  are per-row codegen'd compute, cheaper to repeat over a pruned
+   *  column than to widen every row through Expand. */
   private def bareScan(plan: org.apache.spark.sql.catalyst.plans
       .logical.LogicalPlan): Boolean = {
     val cheap = Set("Project", "Filter", "SubqueryAlias", "GlobalLimit",
       "LocalLimit", "View", "LogicalRelation", "DataSourceV2Relation",
       "DataSourceV2ScanRelation", "StreamingRelationV2", "LocalRelation",
       "LogicalRDD", "InMemoryRelation", "OneRowRelation")
-    plan.collect { case n => n.getClass.getSimpleName }
-      .forall(cheap.contains)
+    val userCode = Set("ScalaUDF", "PythonUDF")
+    plan.collect { case n => n }.forall { n =>
+      cheap.contains(n.getClass.getSimpleName) &&
+        !n.expressions.exists(_.exists(e =>
+          userCode.contains(e.getClass.getSimpleName)))
+    }
   }
 
   /** Unigram language-model quality score (the CCNet/Gopher "LM

@@ -284,7 +284,7 @@ object Retrieval {
     val k1p1 = (k1 + 1.0).toString
     val oneMinusB = (1.0 - b).toString
     s"""WITH toks AS (SELECT $idCol AS doc_id,
-       |    regexp_split_to_array(trim(lower($textCol)), '\\s+') AS tk FROM $table),
+       |    regexp_split_to_array(trim(lower($textCol)), '${graft.functions.TextFunctions.wsClassSql}+') AS tk FROM $table),
        |feat AS (SELECT doc_id,
        |    CAST(length(list_filter(tk, x -> x <> '')) AS DOUBLE) AS dl FROM toks),
        |posts AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
@@ -348,7 +348,7 @@ object Retrieval {
        |  SELECT $idCol AS doc_id,
        |    CAST(length(list_filter(tk, x -> x <> '')) AS DOUBLE) AS dl,
        |    $tfCols
-       |  FROM (SELECT $idCol, regexp_split_to_array(trim(lower($textCol)), '\\s+') AS tk
+       |  FROM (SELECT $idCol, regexp_split_to_array(trim(lower($textCol)), '${graft.functions.TextFunctions.wsClassSql}+') AS tk
        |        FROM $table)),
        |stats AS (
        |  SELECT * , CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,

@@ -96,14 +96,21 @@ class QualitySpec extends SparkTestBase {
     assert(plan.collectLeaves().size === 2, plan.collectLeaves().map(_.nodeName))
   }
 
-  test("profile pins an expensive upstream plan once — never once per column") {
+  test("profile runs an expensive upstream plan once — never once per column") {
     val runs = spark.sparkContext.longAccumulator("upstream_runs")
     val touch = udf { (id: Long) => runs.add(1); id }.asNondeterministic()
-    // a join makes the plan non-bare: without pinning, every
-    // per-column aggregation would re-execute it (3 columns = 3×)
+    // a join makes the plan non-bare: the per-column form would
+    // re-execute it once per column (3 columns = 3×)
     val expensive = frame.withColumn("id", touch(col("id")))
       .join(frame.select(col("id"), col("v").as("v2")), Seq("id"))
-    val out = Quality.profile(expensive, Seq("id", "v", "v2")).collect()
+    val prof = Quality.profile(expensive, Seq("id", "v", "v2"))
+    // the single-pass path holds NOTHING resident: no checkpoint RDD
+    // leaf (the r9 sweep measured localCheckpoint blocks bypassing
+    // CacheManager and accumulating until driver GC)
+    assert(!prof.queryExecution.optimizedPlan.toString.contains("ExistingRDD") &&
+      !prof.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      prof.queryExecution.optimizedPlan.toString)
+    val out = prof.collect()
     assert(out.length === 3)
     assert(runs.value === 10L,
       s"upstream must execute exactly once (10 rows), ran ${runs.value}")
@@ -115,6 +122,22 @@ class QualitySpec extends SparkTestBase {
       .queryExecution.optimizedPlan
     assert(!bare.toString.contains("ExistingRDD") &&
       !bare.toString.contains("LogicalRDD"), bare.toString)
+  }
+
+  test("a ScalaUDF over a bare scan is NOT bare — user code runs once, not once per column") {
+    val runs = spark.sparkContext.longAccumulator("udf_runs")
+    val touch = udf { (id: Long) => runs.add(1); id }.asNondeterministic()
+    val dir = graft.streaming.Streams.scratchDir("graft_prof_udf_")
+    frame.write.mode("overwrite").parquet(dir)
+    // Project(udf) over a parquet relation: structurally project-over
+    // -scan, but the expression carries user code — the per-column
+    // form would run the UDF once per profiled column (2× here)
+    val withUdf = spark.read.parquet(dir).withColumn("id", touch(col("id")))
+    val out = Quality.profile(withUdf, Seq("id", "v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("id" -> 10L, "v" -> 10L))
+    assert(runs.value === 10L,
+      s"UDF must execute exactly once per row (10), ran ${runs.value}")
   }
 
   test("observed metrics fold additively across a multi-batch drain to the batch gate result") {

@@ -31,6 +31,20 @@ class SpanOffsetsSpec extends SparkTestBase {
       "text", "doc_id").count() === 0L)
   }
 
+  test("vertical tab U+000B is a separator — the Java \\s set the oracle class mirrors") {
+    // RE2's \s lacks VT; the oracle twin spells Java's set explicitly
+    // ([ \t\n\f\r\x0B]) so a VT doc offsets identically cross-engine.
+    // Pin the Spark side: VT separates tokens and counts in offsets.
+    val text = "alpha\u000Bbeta \u000B gamma"
+    val offs = Dedup.tokenCharOffsets(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id")
+      .orderBy("tpos").collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(offs.map(_._1).toSeq === Seq("alpha", "beta", "gamma"))
+    for ((tok, s, e) <- offs)
+      assert(text.substring(s.toInt, e.toInt) === tok)
+  }
+
   test("spans cover the shared run in original casing; owner untouched") {
     val shared = "All Rights  RESERVED by the original author" // 7 tokens
     val docs = Seq(
