@@ -7,45 +7,25 @@ package graft.core
  *  writer, and two interleaved folds would silently fork the version
  *  chain (each reading the same predecessor and both committing).
  *
- *  The primitive is an atomic create-if-absent claim file installed
- *  via hard link: the content is written to a writer-unique temp
- *  name first, then linked to the claim name in ONE atomic
- *  filesystem op — so a claim is either absent or complete (never
- *  torn), and exactly one concurrent claimant wins. The loser reads
- *  the winner's content: equal content means the SAME logical writer
- *  retrying (an at-least-once redelivery — allowed to proceed and
- *  overwrite its own work); different content is a genuine second
- *  writer and fails loudly instead of interleaving. */
+ *  The primitive is an atomic create-if-absent claim file: a claim is
+ *  either absent or complete (never torn), and exactly one concurrent
+ *  claimant wins. The loser reads the winner's content: equal content
+ *  means the SAME logical writer retrying (an at-least-once
+ *  redelivery — allowed to proceed and overwrite its own work);
+ *  different content is a genuine second writer and fails loudly
+ *  instead of interleaving. Routed through [[StoreFs.claim]] (round-10
+ *  item 1): hard-link install on local POSIX paths, temp-write +
+ *  no-overwrite rename on HDFS-contract filesystems — the per-FS
+ *  atomicity contract lives on [[StoreFs]]. */
 object Commit {
 
-  /** Claim `target` with `content`, atomically. No-op if the claim is
-   *  already held with the SAME content (same logical writer
-   *  retrying); throws [[IllegalStateException]] if held with
-   *  different content. `what` names the store for the error. */
-  def claim(target: java.io.File, content: String, what: String): Unit = {
-    target.getParentFile.mkdirs()
-    val tmp = new java.io.File(target.getParentFile,
-      s".claim-${java.util.UUID.randomUUID().toString}")
-    java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
-    try {
-      try java.nio.file.Files.createLink(target.toPath, tmp.toPath)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val held = new String(
-            java.nio.file.Files.readAllBytes(target.toPath), "UTF-8")
-          if (held != content)
-            throw new IllegalStateException(
-              s"SECOND WRITER detected at $what: claim ${target.getName} " +
-                s"is held by '$held' (this writer: '$content'). The store " +
-                "is single-writer; a concurrent fold or compaction raced " +
-                "this one and exactly one may proceed.")
-      }
-      ()
-    } finally {
-      java.nio.file.Files.deleteIfExists(tmp.toPath)
-      ()
-    }
-  }
+  /** Claim `target` (any Hadoop-addressable path) with `content`,
+   *  atomically. No-op if the claim is already held with the SAME
+   *  content (same logical writer retrying); throws
+   *  [[IllegalStateException]] if held with different content. `what`
+   *  names the store for the error. */
+  def claim(target: String, content: String, what: String): Unit =
+    StoreFs.claim(target, content, what)
 
   /** Deterministic content hash for claim/install names derived from
    *  an input SET (e.g. the segment list a compaction folds): two

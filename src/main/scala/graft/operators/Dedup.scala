@@ -385,31 +385,35 @@ object Dedup {
 
   def writeLshIndexMeta(dir: String, k: Int, perms: Int, bands: Int,
       fingerprint: String): Unit = {
-    new java.io.File(dir).mkdirs()
-    java.nio.file.Files.write(
-      new java.io.File(dir, IndexMetaFile).toPath,
-      s"""{"k":$k,"perms":$perms,"bands":$bands,"fingerprint":"$fingerprint"}"""
-        .getBytes("UTF-8"))
-    ()
+    graft.core.StoreFs.writeUTF8(s"$dir/$IndexMetaFile",
+      s"""{"k":$k,"perms":$perms,"bands":$bands,"fingerprint":"$fingerprint"}""")
   }
 
-  def readLshIndexMeta(dir: String): Option[LshIndexMeta] = {
-    val f = new java.io.File(dir, IndexMetaFile)
-    if (!f.isFile) None
-    else {
-      val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+  def readLshIndexMeta(dir: String): Option[LshIndexMeta] =
+    graft.core.StoreFs.readUTF8IfExists(s"$dir/$IndexMetaFile").flatMap { s =>
       def num(key: String) =
         s""""$key":(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
       val fp = """"fingerprint":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
       for (k <- num("k"); p <- num("perms"); b <- num("bands"); f <- fp)
         yield LshIndexMeta(k, p, b, f)
     }
-  }
 
   /** Segment subdirectories of one index table (shared store
    *  contract — [[SegmentStore.segDirs]]). */
   private def segmentDirs(table: String): Seq[String] =
     SegmentStore.segDirs(table)
+
+  /** Names of segments a past compaction physically folded into a
+   *  base (the `folded-*` ledger files compactions leave beside the
+   *  meta): an append of one of these names is an at-least-once
+   *  redelivery of an already-folded batch and must NOT re-create the
+   *  segment — its rows are inside the fold. */
+  private def foldedSegmentNames(dir: String): Set[String] =
+    graft.core.StoreFs.listFileNames(dir)
+      .filter(_.startsWith("folded-"))
+      .flatMap(f => graft.core.StoreFs.readUTF8(s"$dir/$f")
+        .split("\n").toSeq)
+      .filter(_.nonEmpty).toSet
 
   /** Open a durable index dir with a FRESH segment listing — call per
    *  probe (per micro-batch) so appends from earlier batches are
@@ -472,6 +476,17 @@ object Dedup {
       idCol: String, segment: String): Unit = {
     val meta = readLshIndexMeta(dir).getOrElse(throw new IllegalStateException(
       s"appendToLshIndex: no $IndexMetaFile in $dir"))
+    if (foldedSegmentNames(dir).contains(segment)) {
+      // this segment was already FOLDED into a base by a compaction
+      // that ran after the original append but before the streaming
+      // checkpoint committed (the round-10 advice gap): its rows live
+      // inside the fold, so re-writing the segment would duplicate
+      // every id in the live data and double-count the probe set. The
+      // redelivered survivors are value-identical (probes exclude
+      // same-id matches, so the re-run screen admits the same set) —
+      // the append is a safe no-op.
+      return
+    }
     val spark = admitted.sparkSession
     shingled(admitted, textCol, idCol, idCol, meta.k).drop("blk")
       .select(col("id"), col("hs"), col("sz"))
@@ -496,15 +511,22 @@ object Dedup {
     val readded = sh.select(col("id"))
     val delSegs = segmentDirs(s"$dir/deleted")
     if (delSegs.nonEmpty) {
-      val tagged = delSegs.map(seg =>
-          spark.read.parquet(seg).select(col("id"), lit(seg).as("__seg")))
-        .reduce(_.unionByName(_))
+      // ONE multi-path relation with the owning segment derived from
+      // input_file_name (round-10 item 6): a union of per-segment
+      // reads pushed the semi-join into every branch — one
+      // schema-inference job and one broadcast build PER SEGMENT.
+      // This shape is one scan + one join, so the probe's job count
+      // is independent of how many segments exist.
+      val tagged = spark.read
+        .schema(spark.read.parquet(delSegs.head).schema)
+        .parquet(delSegs: _*)
+        .select(col("id"), segNameOfFile.as("__seg"))
         .join(readded, Seq("id"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val hitSegs = tagged.select("__seg").distinct()
-          .collect().map(_.getString(0)).sorted
-        if (hitSegs.nonEmpty) {
+        val hitNames = tagged.select("__seg").distinct()
+          .collect().map(_.getString(0)).toSet
+        if (hitNames.nonEmpty) {
           // the revived ids' STALE pre-delete rows still sit in older
           // data segments; un-hiding them by clearing the tombstone
           // would let probes screen with deleted content (and
@@ -519,31 +541,36 @@ object Dedup {
           val revived = tagged.select(col("id")).distinct()
           for (table <- Seq("shingles", "banded")) {
             val dataSegs = segmentDirs(s"$dir/$table")
-              .filterNot(new java.io.File(_).getName == segment)
+              .filterNot(graft.core.StoreFs.name(_) == segment)
             if (dataSegs.nonEmpty) {
-              val dataHits = dataSegs.map(sd => spark.read.parquet(sd)
-                  .select(col("id"), lit(sd).as("__seg")))
-                .reduce(_.unionByName(_))
+              val dataHitNames = spark.read
+                .schema(spark.read.parquet(dataSegs.head).schema)
+                .parquet(dataSegs: _*)
+                .select(col("id"), segNameOfFile.as("__seg"))
                 .join(revived, Seq("id"), "left_semi")
-                .select("__seg").distinct().collect().map(_.getString(0))
-              for (sd <- dataHits)
-                rewriteSegmentWithout(spark, s"$dir/$table", sd, revived)
+                .select("__seg").distinct().collect().map(_.getString(0)).toSet
+              // ONE union rewrite over every hit segment — job count
+              // independent of segments hit
+              SegmentStore.rewriteSegmentsWithout(spark, s"$dir/$table",
+                dataSegs.filter(sd =>
+                  dataHitNames.contains(graft.core.StoreFs.name(sd))),
+                revived, "id")
             }
           }
-          for (seg <- hitSegs)
-            rewriteSegmentWithout(spark, s"$dir/deleted", seg, readded)
+          SegmentStore.rewriteSegmentsWithout(spark, s"$dir/deleted",
+            delSegs.filter(sd =>
+              hitNames.contains(graft.core.StoreFs.name(sd))),
+            readded, "id")
         }
       } finally tagged.unpersist()
     }
     ()
   }
 
-  /** CRASH-SAFE segment rewrite (shared store contract —
-   *  [[SegmentStore.rewriteSegmentWithout]], install-then-drop). */
-  private def rewriteSegmentWithout(spark: org.apache.spark.sql.SparkSession,
-      tableDir: String, seg: String,
-      ids: org.apache.spark.sql.DataFrame): Unit =
-    SegmentStore.rewriteSegmentWithout(spark, tableDir, seg, ids, "id")
+  /** The owning SEGMENT name of a scanned parquet row — the parent
+   *  directory component of `input_file_name()`. */
+  private def segNameOfFile: Column =
+    regexp_extract(input_file_name(), ".*/([^/]+)/[^/]+$", 1)
 
   /** DELETE documents from a durable index (the round-7 item-5 gap:
    *  nothing ever removed entries for documents later deleted from
@@ -617,20 +644,25 @@ object Dedup {
         // after any partial install the input set differs, so the
         // retry folds under a fresh name.
         val tag = graft.core.Commit.inputSetTag(
-          segs.map(new java.io.File(_).getName))
-        val target = new java.io.File(s"$dir/$table/base-$tag")
-        val scratch = new java.io.File(
-          s"$dir/$table/.compact-${java.util.UUID.randomUUID()}")
+          segs.map(graft.core.StoreFs.name))
+        val target = s"$dir/$table/base-$tag"
+        val scratch = s"$dir/$table/.compact-${java.util.UUID.randomUUID()}"
         val folded = spark.read.parquet(segs: _*).dropDuplicates(keys)
         deleted.fold(folded)(d => folded.join(d, Seq("id"), "left_anti"))
-          .write.mode("overwrite").parquet(scratch.toString)
+          .write.mode("overwrite").parquet(scratch)
         SegmentStore.casInstallDir(scratch, target,
           s"compactLshIndex($dir) $table")
-        segs.foreach(sd =>
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sd)))
+        // record the folded segment NAMES before dropping them: a
+        // crash after the drop would otherwise let a redelivered
+        // append of a folded batch re-create its segment beside the
+        // fold (duplicate ids). Written between install and delete,
+        // so at every crash point the index is a correct set AND the
+        // ledger covers every physically-dropped segment.
+        graft.core.StoreFs.writeUTF8(s"$dir/folded-$table-$tag",
+          segs.map(graft.core.StoreFs.name).mkString("\n"))
+        segs.foreach(graft.core.StoreFs.deleteRecursive)
       }
-      delSegs.foreach(sd =>
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sd)))
+      delSegs.foreach(graft.core.StoreFs.deleteRecursive)
       true
     }
   }
@@ -1427,9 +1459,11 @@ object Dedup {
     val h = Hashing.h60Sql("win")
     s"""__docs AS (SELECT $idCol AS id, $textExpr AS text FROM $table),
        |__ch AS (SELECT id, text,
-       |    CASE WHEN regexp_matches(text, '^\\s') THEN 1 ELSE 0 END AS ld,
-       |    regexp_extract_all(text, '\\S+') AS tks,
-       |    regexp_extract_all(text, '\\s+') AS sps FROM __docs),
+       |    CASE WHEN regexp_matches(text, '^${TextFunctions.wsClassSql}')
+       |      THEN 1 ELSE 0 END AS ld,
+       |    regexp_extract_all(text, '${TextFunctions.nonWsClassSql}+') AS tks,
+       |    regexp_extract_all(text, '${TextFunctions.wsClassSql}+') AS sps
+       |  FROM __docs),
        |__tk AS (SELECT id, i - 1 AS tpos, t AS c,
        |    2 * (i - 1) + ld AS cidx, 1 AS istok
        |  FROM (SELECT id, ld, unnest(tks) AS t,

@@ -404,26 +404,14 @@ object Similarity {
    *  a complete generation (the re-route rebuild writes the new
    *  generation fully, then swaps the meta in one rename; a crash
    *  before the swap leaves only orphan dirs). */
-  def writeAnnIndexMeta(dir: String, m: AnnIndexMeta): Unit = {
-    new java.io.File(dir).mkdirs()
-    val tmp = new java.io.File(dir,
-      s".$AnnMetaFile.${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp.toPath,
-      (s"""{"dim":${m.dim},"nproj":${m.nproj},"route":"${m.route}",""" +
+  def writeAnnIndexMeta(dir: String, m: AnnIndexMeta): Unit =
+    graft.core.StoreFs.replaceFileAtomic(s"$dir/$AnnMetaFile",
+      s"""{"dim":${m.dim},"nproj":${m.nproj},"route":"${m.route}",""" +
         s""""bits":${m.bits},"n":${m.n},"s2":${m.s2},"gen":${m.gen},""" +
-        s""""fingerprint":"${m.fingerprint}"}""").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(dir, AnnMetaFile).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
+        s""""fingerprint":"${m.fingerprint}"}""")
 
-  def readAnnIndexMeta(dir: String): Option[AnnIndexMeta] = {
-    val f = new java.io.File(dir, AnnMetaFile)
-    if (!f.isFile) None
-    else {
-      val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+  def readAnnIndexMeta(dir: String): Option[AnnIndexMeta] =
+    graft.core.StoreFs.readPointerFile(s"$dir/$AnnMetaFile").flatMap { s =>
       def num(key: String) =
         s""""$key":(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
       def str(key: String) =
@@ -434,7 +422,6 @@ object Similarity {
         yield AnnIndexMeta(d.toInt, np.toInt, r, b.toInt, n, s2, fp,
           num("gen").getOrElse(0L))
     }
-  }
 
   /** Materialize [[annRouted]]'s bucketing ONCE as a lake table: one
    *  corpus scan measures Σbucket², picks the route, computes every
@@ -467,6 +454,18 @@ object Similarity {
    *  contract — [[SegmentStore.segDirs]]). */
   private def annSegDirs(table: String): Seq[String] =
     SegmentStore.segDirs(table)
+
+  /** Names of segments a past compaction (or generation rebuild)
+   *  physically folded into a base — the `folded-*` ledger files left
+   *  in the generation's data dir. An append of one of these names is
+   *  an at-least-once redelivery of an already-folded batch and must
+   *  no-op: its rows are inside the fold. */
+  private def foldedAnnSegmentNames(dataDir: String): Set[String] =
+    graft.core.StoreFs.listFileNames(dataDir)
+      .filter(_.startsWith("folded-"))
+      .flatMap(f => graft.core.StoreFs.readUTF8(s"$dataDir/$f")
+        .split("\n").toSeq)
+      .filter(_.nonEmpty).toSet
 
   private def annGenDir(dir: String, m: AnnIndexMeta, what: String): String =
     s"$dir/$what-g${m.gen}"
@@ -533,6 +532,17 @@ object Similarity {
     val spark = batch.sparkSession
     val meta = readAnnIndexMeta(dir).getOrElse(throw new IllegalStateException(
       s"appendToAnnIndex: no $AnnMetaFile in $dir"))
+    if (foldedAnnSegmentNames(annGenDir(dir, meta, "data"))
+        .contains(segment)) {
+      // already FOLDED into a base by a compaction that ran after the
+      // original append but before the streaming checkpoint committed
+      // (round-10 advice gap): re-writing the segment would duplicate
+      // every vec_id in the live data (double neighbors in
+      // annTopKIndexed) and double-count the counts ledger. The
+      // redelivered survivors are value-identical (probes exclude
+      // same-id matches), so the append is a safe no-op.
+      return
+    }
     writeAnnSegment(spark,
       prepared(batch).withColumn("bucket", indexBucketExpr(meta, "v", "nrm")),
       dir, meta, segment)
@@ -541,42 +551,56 @@ object Similarity {
       .select(col("vec_id"))
     val delSegs = annSegDirs(annGenDir(dir, meta, "deleted"))
     if (delSegs.nonEmpty) {
-      val tagged = delSegs.map(sd =>
-          spark.read.parquet(sd).select(col("vec_id"), lit(sd).as("__seg")))
-        .reduce(_.unionByName(_))
+      // ONE multi-path relation per table with the owning segment
+      // derived from input_file_name (round-10 item 6): a union of
+      // per-segment reads pushed the semi-join into every branch —
+      // one schema-inference job and one broadcast build PER SEGMENT.
+      // This shape plans one scan, one join, one broadcast, so the
+      // probe's job count is independent of how many segments exist.
+      val tagged = spark.read
+        .schema(spark.read.parquet(delSegs.head).schema)
+        .parquet(delSegs: _*)
+        .select(col("vec_id"), segNameOfFile.as("__seg"))
         .join(readded, Seq("vec_id"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val hitSegs = tagged.select("__seg").distinct()
-          .collect().map(_.getString(0)).sorted
-        if (hitSegs.nonEmpty) {
+        val hitNames = tagged.select("__seg").distinct()
+          .collect().map(_.getString(0)).toSet
+        if (hitNames.nonEmpty) {
           val revived = tagged.select(col("vec_id")).distinct()
           val dataSegs = annSegDirs(annGenDir(dir, meta, "data"))
-            .filterNot(new java.io.File(_).getName == segment)
+            .filterNot(graft.core.StoreFs.name(_) == segment)
           if (dataSegs.nonEmpty) {
-            val dataHits = dataSegs.map(sd => spark.read.parquet(sd)
-                .select(col("vec_id"), lit(sd).as("__seg")))
-              .reduce(_.unionByName(_))
+            val dataHitNames = spark.read
+              .schema(spark.read.parquet(dataSegs.head).schema)
+              .parquet(dataSegs: _*)
+              .select(col("vec_id"), segNameOfFile.as("__seg"))
               .join(revived, Seq("vec_id"), "left_semi")
-              .select("__seg").distinct().collect().map(_.getString(0))
-            for (sd <- dataHits)
-              rewriteAnnSegmentWithout(spark,
-                annGenDir(dir, meta, "data"), sd, revived)
+              .select("__seg").distinct().collect().map(_.getString(0)).toSet
+            // ONE union rewrite over every hit segment — job count is
+            // independent of how many were hit
+            SegmentStore.rewriteSegmentsWithout(spark,
+              annGenDir(dir, meta, "data"),
+              dataSegs.filter(sd =>
+                dataHitNames.contains(graft.core.StoreFs.name(sd))),
+              revived, "vec_id")
           }
-          for (sd <- hitSegs)
-            rewriteAnnSegmentWithout(spark,
-              annGenDir(dir, meta, "deleted"), sd, readded)
+          SegmentStore.rewriteSegmentsWithout(spark,
+            annGenDir(dir, meta, "deleted"),
+            delSegs.filter(sd =>
+              hitNames.contains(graft.core.StoreFs.name(sd))),
+            readded, "vec_id")
         }
       } finally { tagged.unpersist(); () }
     }
   }
 
-  /** CRASH-SAFE segment rewrite (shared store contract —
-   *  [[SegmentStore.rewriteSegmentWithout]], install-then-drop). */
-  private def rewriteAnnSegmentWithout(
-      spark: org.apache.spark.sql.SparkSession, tableDir: String,
-      seg: String, ids: DataFrame): Unit =
-    SegmentStore.rewriteSegmentWithout(spark, tableDir, seg, ids, "vec_id")
+  /** The owning SEGMENT name of a scanned parquet row — the parent
+   *  directory component of `input_file_name()` (segment dirs hold
+   *  their part files directly). Lets a multi-path scan carry its
+   *  segment without a per-segment union. */
+  private def segNameOfFile: Column =
+    regexp_extract(input_file_name(), ".*/([^/]+)/[^/]+$", 1)
 
   /** DELETE vectors from a materialized index: an id-scoped tombstone
    *  segment ([[loadAnnIndex]] subtracts it from every probe
@@ -597,7 +621,7 @@ object Similarity {
     try {
       val dataSegs = annSegDirs(annGenDir(dir, meta, "data"))
       val otherDel = annSegDirs(annGenDir(dir, meta, "deleted"))
-        .filterNot(new java.io.File(_).getName == segment)
+        .filterNot(graft.core.StoreFs.name(_) == segment)
       if (dataSegs.nonEmpty) {
         val raw = spark.read.parquet(dataSegs: _*)
         val live =
@@ -635,10 +659,9 @@ object Similarity {
         annSegDirs(countsDir).size <= maxSegments) false
     else {
       val tag = graft.core.Commit.inputSetTag(
-        dataSegs.map(new java.io.File(_).getName))
-      val target = new java.io.File(s"$dataDir/base-$tag")
-      val scratch = new java.io.File(
-        s"$dataDir/.compact-${java.util.UUID.randomUUID()}")
+        dataSegs.map(graft.core.StoreFs.name))
+      val target = s"$dataDir/base-$tag"
+      val scratch = s"$dataDir/.compact-${java.util.UUID.randomUUID()}"
       val raw = spark.read.parquet(dataSegs: _*)
       val folded =
         if (delSegs.isEmpty) raw
@@ -646,10 +669,10 @@ object Similarity {
           .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
       folded.dropDuplicates("vec_id")
         .repartition(col("bucket")).sortWithinPartitions(col("bucket"))
-        .write.mode("overwrite").parquet(scratch.toString)
+        .write.mode("overwrite").parquet(scratch)
       SegmentStore.casInstallDir(scratch, target, s"compactAnnIndex($dir)")
       // fresh counts from the installed fold, then drop the history
-      spark.read.parquet(target.toString)
+      spark.read.parquet(target)
         .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
         .write.mode("overwrite").parquet(s"$countsDir/base-$tag")
       // refresh the meta's SIGN-bucket statistics from the fold (its
@@ -665,18 +688,24 @@ object Similarity {
         .agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
       val s2L =
         if (nL == 0L) 0L
-        else spark.read.parquet(target.toString)
+        else spark.read.parquet(target)
           .select(lshBucket("v", adaptivePlanes(nL), meta.dim).as("b"))
           .groupBy(col("b")).count()
           .agg(coalesce(sum(col("count") * col("count")), lit(0L)))
           .head.getLong(0)
       writeAnnIndexMeta(dir, meta.copy(n = nL, s2 = s2L))
-      dataSegs.foreach(sd =>
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sd)))
-      annSegDirs(countsDir).filterNot(_.endsWith(s"base-$tag")).foreach(sd =>
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sd)))
-      delSegs.foreach(sd =>
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sd)))
+      // record the folded segment NAMES before dropping them — a
+      // redelivered append of a folded batch must detect the fold and
+      // no-op instead of re-creating its segment beside it (duplicate
+      // ids, double-counted ledger). Written between install and
+      // delete: every physically-dropped segment is covered at every
+      // crash point.
+      graft.core.StoreFs.writeUTF8(s"$dataDir/folded-$tag",
+        dataSegs.map(graft.core.StoreFs.name).mkString("\n"))
+      dataSegs.foreach(graft.core.StoreFs.deleteRecursive)
+      annSegDirs(countsDir).filterNot(_.endsWith(s"base-$tag"))
+        .foreach(graft.core.StoreFs.deleteRecursive)
+      delSegs.foreach(graft.core.StoreFs.deleteRecursive)
       true
     }
   }
@@ -729,27 +758,38 @@ object Similarity {
         // next generation = 1 + max existing gen dir (not meta.gen +
         // 1): a crashed rebuild's orphan generation never wedges the
         // retry — it just skips past it
-        val nextGen = 1L + Option(new java.io.File(dir).listFiles())
-          .getOrElse(Array.empty)
-          .flatMap(f => "^(?:data|counts|deleted)-g(\\d+)$".r
-            .findFirstMatchIn(f.getName).map(_.group(1).toLong))
+        val nextGen = 1L + graft.core.StoreFs.listDirNames(dir)
+          .flatMap(n => "^(?:data|counts|deleted)-g(\\d+)$".r
+            .findFirstMatchIn(n).map(_.group(1).toLong))
           .foldLeft(meta.gen)(math.max)
         val newMeta = meta.copy(route = route, bits = bits, n = nLive,
           s2 = s2Live, gen = nextGen)
         writeAnnSegment(spark,
           pre.withColumn("bucket", indexBucketExpr(newMeta, "v", "nrm")),
           dir, newMeta, "base")
+        // the rebuild folds EVERY old-generation segment into the new
+        // base — carry the folded-name ledger forward (old names plus
+        // everything already folded there), so a batch redelivered
+        // across the generation swap still no-ops instead of
+        // re-creating its segment in the new generation
+        val oldDataDir = annGenDir(dir, meta, "data")
+        val carried = foldedAnnSegmentNames(oldDataDir) ++
+          annSegDirs(oldDataDir).map(graft.core.StoreFs.name)
+        if (carried.nonEmpty)
+          graft.core.StoreFs.writeUTF8(
+            s"${annGenDir(dir, newMeta, "data")}/folded-rebuild",
+            carried.toSeq.sorted.mkString("\n"))
         writeAnnIndexMeta(dir, newMeta)
         // drop EVERY other generation — the replaced live one AND any
         // orphans a crashed earlier rebuild left behind (each orphan
         // is a whole-index-sized copy; only the meta's gen is live)
-        Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-          .filter { f =>
+        graft.core.StoreFs.listDirs(dir)
+          .filter { d =>
             "^(?:data|counts|deleted)-g(\\d+)$".r
-              .findFirstMatchIn(f.getName)
+              .findFirstMatchIn(graft.core.StoreFs.name(d))
               .exists(_.group(1).toLong != nextGen)
           }
-          .foreach(f => org.apache.commons.io.FileUtils.deleteDirectory(f))
+          .foreach(graft.core.StoreFs.deleteRecursive)
         (newMeta, true)
       } finally { pre.unpersist(); () }
     }

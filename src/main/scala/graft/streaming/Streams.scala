@@ -337,14 +337,13 @@ object Streams {
     // fails loudly here instead of silently forking the chain; a
     // redelivery of the SAME batchId holds an equal claim and proceeds
     graft.core.Commit.claim(
-      new java.io.File(s"$stateDir/commits/from-$prevVer"),
+      s"$stateDir/commits/from-$prevVer",
       s"v$batchId", s"foldCdcBatch($stateDir)")
-    val verDir = new java.io.File(s"$stateDir/v$batchId")
+    val verDir = s"$stateDir/v$batchId"
     // a redelivery (or a crashed first attempt) may have left this
     // version behind — drop its commit marker FIRST so no reader can
     // select it while its data is being rewritten
-    java.nio.file.Files.deleteIfExists(
-      new java.io.File(verDir, "_SUCCESS").toPath)
+    graft.core.StoreFs.deleteFileIfExists(s"$verDir/_SUCCESS")
     // the batch feeds THREE consumers (bucket/high-water probe, the
     // fold, the journal) — pin it so the source is scanned once, and
     // fuse the touched-bucket listing with the max-seq high-water
@@ -369,7 +368,7 @@ object Streams {
     val prevPaths =
       (if (splitting) m.buckets.keys.toSeq.sorted else touched)
         .map(b => s"$stateDir/v${m.buckets.getOrElse(b, -1L)}/data/__bucket=$b")
-        .filter(p => new java.io.File(p).exists())
+        .filter(graft.core.StoreFs.exists)
     val batchChanges = pinned.select(
       col(key) +: col(seqCol) +: col(opCol) +: payload.map(col): _*)
     val all =
@@ -407,7 +406,7 @@ object Streams {
        else m.buckets) ++ touched.map(_ -> batchId),
       (if (splitting) Map.empty[Int, Long] else m.counts) ++
         touched.map(b => b -> newCounts.getOrElse(b, 0L)))
-    require(new java.io.File(verDir, "_SUCCESS").createNewFile(),
+    require(graft.core.StoreFs.createMarker(s"$verDir/_SUCCESS"),
       s"could not commit $verDir")
     gcCdcVersions(stateDir, retainVersions)
   }
@@ -419,11 +418,10 @@ object Streams {
   private def countsOfWrittenBuckets(spark: SparkSession,
       dataDir: String): Map[Int, Long] = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    if (!new java.io.File(dataDir).exists()) Map.empty
+    if (!graft.core.StoreFs.exists(dataDir)) Map.empty
     else {
-      val buckets = Option(new java.io.File(dataDir).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      val buckets = graft.core.StoreFs.listDirNames(dataDir)
+        .filter(_.startsWith("__bucket="))
       if (buckets.isEmpty) Map.empty
       else spark.read.parquet(dataDir)
         .groupBy(col("__bucket")).agg(count(lit(1)).as("__n"))
@@ -447,7 +445,7 @@ object Streams {
     writeCdcManifest(s"$stateDir/v-1", nBuckets, Long.MinValue,
       (0 until nBuckets).map(_ -> -1L).toMap,
       countsOfWrittenBuckets(base.sparkSession, s"$stateDir/v-1/data"))
-    require(new java.io.File(s"$stateDir/v-1/_SUCCESS").createNewFile(),
+    require(graft.core.StoreFs.createMarker(s"$stateDir/v-1/_SUCCESS"),
       s"could not commit $stateDir/v-1")
   }
 
@@ -495,16 +493,11 @@ object Streams {
       s"""{"nBuckets":$nBuckets,"maxSeq":$maxSeq,""" +
         s""""hashProbe":$cdcHashSentinel,""" +
         s""""counts":{${obj(counts)}},"buckets":{${obj(buckets)}}}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(verDir, "manifest.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ()
+    graft.core.StoreFs.writeUTF8(s"$verDir/manifest.json", json)
   }
 
   private[graft] def readCdcManifest(verDir: String): CdcManifest = {
-    val json = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(verDir, "manifest.json")),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val json = graft.core.StoreFs.readUTF8(s"$verDir/manifest.json")
     def num(k: String): Long =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(json)
         .map(_.group(1).toLong)
@@ -548,7 +541,7 @@ object Streams {
     val m = readCdcManifest(s"$stateDir/$ver")
     m.buckets.toSeq.sortBy(_._1)
       .map { case (b, v) => s"$stateDir/v$v/data/__bucket=$b" }
-      .filter(p => new java.io.File(p).exists())
+      .filter(graft.core.StoreFs.exists)
   }
 
   /** A zero-row schema-bearing `schema/` sidecar, written ONLY when a
@@ -559,8 +552,8 @@ object Streams {
    *  empty frame. Conditional, so the common non-empty fold pays no
    *  extra job. */
   private def writeSchemaDirIfEmpty(frame: DataFrame, verDir: String): Unit = {
-    val hasBuckets = Option(new java.io.File(s"$verDir/data").listFiles())
-      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("__bucket=")))
+    val hasBuckets = graft.core.StoreFs.listDirNames(s"$verDir/data")
+      .exists(_.startsWith("__bucket="))
     if (!hasBuckets)
       frame.limit(0).write.mode("overwrite").parquet(s"$verDir/schema")
   }
@@ -581,7 +574,7 @@ object Streams {
         val schemaDirs = (m.buckets.values.toSeq :+
             ver.drop(1).toLong).distinct.sorted(Ordering[Long].reverse)
           .map(v => s"$stateDir/v$v/schema")
-          .filter(p => new java.io.File(p).exists())
+          .filter(graft.core.StoreFs.exists)
         require(schemaDirs.nonEmpty,
           s"state $stateDir/$ver has no bucket data and no schema sidecar")
         spark.read.parquet(schemaDirs.head)
@@ -600,13 +593,11 @@ object Streams {
    *  state until the checkpoint redelivers — and the redelivery
    *  overwrites the same `b<batchId>` entry with value-equal rows. */
   def streamedChangeFeed(spark: SparkSession, stateDir: String): DataFrame = {
-    val committed = Option(
-        new java.io.File(s"$stateDir/changes").listFiles())
-      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("b") &&
-          new java.io.File(f, "_SUCCESS").exists())
-        .sortBy(f => scala.util.Try(f.getName.drop(1).toLong).getOrElse(Long.MaxValue))
-        .map(_.getPath))
-      .getOrElse(Seq.empty)
+    val committed = graft.core.StoreFs.listDirs(s"$stateDir/changes")
+      .filter(d => graft.core.StoreFs.name(d).startsWith("b") &&
+        graft.core.StoreFs.exists(s"$d/_SUCCESS"))
+      .sortBy(d => scala.util.Try(graft.core.StoreFs.name(d).drop(1).toLong)
+        .getOrElse(Long.MaxValue))
     require(committed.nonEmpty, s"no committed change journal under $stateDir")
     spark.read.parquet(committed: _*)
   }
@@ -637,8 +628,7 @@ object Streams {
     val referenced = retained.flatMap(id =>
       readCdcManifest(s"$stateDir/v$id").buckets.values).toSet ++ retained
     committed.filterNot(referenced.contains).foreach { id =>
-      org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(s"$stateDir/v$id"))
+      graft.core.StoreFs.deleteRecursive(s"$stateDir/v$id")
     }
     // single-writer CLAIM files GC with their predecessor version: a
     // claim from-v<N> only guards folds whose predecessor v<N> still
@@ -646,21 +636,19 @@ object Streams {
     // without this a continuously running stream accumulates one tiny
     // claim file per micro-batch forever
     val live = (referenced ++ committedVersionIds(stateDir)).map(i => s"v$i")
-    Option(new java.io.File(s"$stateDir/commits").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("from-") &&
-        !live.contains(f.getName.stripPrefix("from-")))
-      .foreach { f => java.nio.file.Files.deleteIfExists(f.toPath); () }
+    graft.core.StoreFs.listFileNames(s"$stateDir/commits")
+      .filter(n => n.startsWith("from-") &&
+        !live.contains(n.stripPrefix("from-")))
+      .foreach(n => graft.core.StoreFs.deleteFileIfExists(s"$stateDir/commits/$n"))
   }
 
   /** Committed (`_SUCCESS`-marked) version ids, ascending. */
   private def committedVersionIds(stateDir: String): Seq[Long] =
-    Option(new java.io.File(stateDir).listFiles())
-      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v") &&
-          new java.io.File(f, "_SUCCESS").exists())
-        .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
-        .sorted)
-      .getOrElse(Seq.empty)
+    graft.core.StoreFs.listDirs(stateDir)
+      .filter(d => graft.core.StoreFs.name(d).startsWith("v") &&
+        graft.core.StoreFs.exists(s"$d/_SUCCESS"))
+      .flatMap(d => scala.util.Try(graft.core.StoreFs.name(d).drop(1).toLong).toOption)
+      .sorted
 
   // ------------------------------------------------ incremental SCD2
 
@@ -698,11 +686,10 @@ object Streams {
     // same single-writer CAS as foldCdcBatch — one successor per
     // predecessor version, equal-claim redeliveries allowed
     graft.core.Commit.claim(
-      new java.io.File(s"$histDir/commits/from-$prevVer"),
+      s"$histDir/commits/from-$prevVer",
       s"v$batchId", s"foldScd2Batch($histDir)")
-    val verDir = new java.io.File(s"$histDir/v$batchId")
-    java.nio.file.Files.deleteIfExists(
-      new java.io.File(verDir, "_SUCCESS").toPath)
+    val verDir = s"$histDir/v$batchId"
+    graft.core.StoreFs.deleteFileIfExists(s"$verDir/_SUCCESS")
     val pinned = batch.localCheckpoint(true)
     val probed = pinned
       .groupBy(cdcBucket(col(key), m.nBuckets).as("__bucket"))
@@ -716,7 +703,7 @@ object Streams {
     val prevPaths =
       (if (splitting) m.buckets.keys.toSeq.sorted else touched)
         .map(b => s"$histDir/v${m.buckets.getOrElse(b, -1L)}/data/__bucket=$b")
-        .filter(p => new java.io.File(p).exists())
+        .filter(graft.core.StoreFs.exists)
     val batchChanges = pinned.select(
       col(key) +: col(seqCol).cast("long").as(seqCol) +:
         col(opCol) +: payload.map(col): _*)
@@ -749,7 +736,7 @@ object Streams {
        else m.buckets) ++ touched.map(_ -> batchId),
       (if (splitting) Map.empty[Int, Long] else m.counts) ++
         touched.map(b => b -> newCounts.getOrElse(b, 0L)))
-    require(new java.io.File(verDir, "_SUCCESS").createNewFile(),
+    require(graft.core.StoreFs.createMarker(s"$verDir/_SUCCESS"),
       s"could not commit $verDir")
     gcCdcVersions(histDir, retainVersions)
   }
@@ -772,7 +759,7 @@ object Streams {
     writeCdcManifest(s"$histDir/v-1", nBuckets, Long.MinValue,
       (0 until nBuckets).map(_ -> -1L).toMap,
       countsOfWrittenBuckets(base.sparkSession, s"$histDir/v-1/data"))
-    require(new java.io.File(s"$histDir/v-1/_SUCCESS").createNewFile(),
+    require(graft.core.StoreFs.createMarker(s"$histDir/v-1/_SUCCESS"),
       s"could not commit $histDir/v-1")
   }
 
@@ -791,7 +778,7 @@ object Streams {
         val schemaDirs = (m.buckets.values.toSeq :+
             ver.drop(1).toLong).distinct.sorted(Ordering[Long].reverse)
           .map(v => s"$histDir/v$v/schema")
-          .filter(p => new java.io.File(p).exists())
+          .filter(graft.core.StoreFs.exists)
         require(schemaDirs.nonEmpty,
           s"history $histDir/$ver has no bucket data and no schema sidecar")
         spark.read.parquet(schemaDirs.head)

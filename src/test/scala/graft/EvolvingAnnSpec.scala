@@ -81,6 +81,43 @@ class EvolvingAnnSpec extends SparkTestBase {
       s"revived id must not screen with its DELETED content: $t3")
   }
 
+  test("revival rewrite is ONE union job: job count independent of segments hit") {
+    // round-10 item 6: the per-segment revival loop launched
+    // O(segments-hit) sequential jobs; the union rewrite's job count
+    // must not grow with the number of hit data/tombstone segments
+    def jobsFor(nSegs: Int): Int = {
+      val dir = Streams.scratchDir(s"graft_annevo_jobs${nSegs}_")
+      Similarity.materializeAnnIndex(corpus(0 until 60, 1.0), dim, dir, "fpJ")
+      // spread ids 5000..5000+4*nSegs over nSegs data segments and
+      // delete them through nSegs tombstone segments
+      for (s <- 0 until nSegs) {
+        Similarity.appendToAnnIndex(dir,
+          corpus(5000 + 4 * s until 5004 + 4 * s, 1.0), s"b$s")
+        Similarity.deleteFromAnnIndex(dir,
+          (5000L + 4 * s until 5004L + 4 * s).toDF("vec_id"), s"d$s")
+      }
+      val sc = spark.sparkContext
+      val group = s"ann-revival-$nSegs"
+      sc.setJobGroup(group, "count revival jobs")
+      try Similarity.appendToAnnIndex(dir,
+        corpus(5000 until 5000 + 4 * nSegs, 1.0), "bR")
+      finally sc.clearJobGroup()
+      // status store fills asynchronously — poll briefly for stability
+      def ids = sc.statusTracker.getJobIdsForGroup(group).length
+      var last = ids; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(50)
+        val cur = ids
+        if (cur == last) stable += 1 else { last = cur; stable = 0 }
+      }
+      last
+    }
+    val one = jobsFor(1)
+    val four = jobsFor(4)
+    assert(four === one,
+      s"revival job count must not grow with segments hit: 1 seg -> $one jobs, 4 segs -> $four jobs")
+  }
+
   test("counts ledger tracks live (n, s2) through append/delete/compaction") {
     val dir = Streams.scratchDir("graft_annevo_cnt_")
     Similarity.materializeAnnIndex(corpus(0 until 200, 1.0), dim, dir, "fpC")
@@ -104,6 +141,25 @@ class EvolvingAnnSpec extends SparkTestBase {
     assert(live.count() === 250L)
     assert(new java.io.File(s"$dir/data-g${meta.gen}").listFiles()
       .count(f => f.isDirectory && !f.getName.startsWith(".")) === 1)
+  }
+
+  test("append redelivered AFTER a compaction folded its segment is a no-op — ids and ledger stay single") {
+    val dir = Streams.scratchDir("graft_annevo_fold_")
+    Similarity.materializeAnnIndex(corpus(0 until 100, 1.0), dim, dir, "fpF")
+    val batch = corpus(2000 until 2050, 1.0)
+    Similarity.appendToAnnIndex(dir, batch, "b1")
+    val (n0, s20) = Similarity.annIndexStats(spark, dir)
+    assert(n0 === 150L)
+    assert(Similarity.compactAnnIndex(spark, dir, maxSegments = 1))
+    Similarity.appendToAnnIndex(dir, batch, "b1") // redelivery after fold
+    val (live, _) = Similarity.loadAnnIndex(spark, dir)
+    assert(live.count() === 150L, "no duplicate rows after redelivered fold")
+    assert(live.select("vec_id").distinct().count() === 150L)
+    assert(Similarity.annIndexStats(spark, dir) === ((n0, s20)),
+      "counts ledger must not double-count a redelivered folded batch")
+    // a genuinely NEW batch still appends
+    Similarity.appendToAnnIndex(dir, corpus(3000 until 3010, 1.0), "b2")
+    assert(Similarity.annIndexStats(spark, dir)._1 === 160L)
   }
 
   test("semantic ingest screen: corpus dup, in-batch dup, and batch-2 dup of a batch-1 survivor all screen") {

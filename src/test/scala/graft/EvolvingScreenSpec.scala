@@ -269,4 +269,33 @@ class EvolvingScreenSpec extends SparkTestBase {
     val twice = Dedup.loadLshIndex(spark, ix).banded.count()
     assert(once === twice, "a retried append must overwrite its own segment")
   }
+
+  test("append redelivered AFTER a compaction folded its segment is a no-op, not a duplicate") {
+    import spark.implicits._
+    // the round-10 advice gap: append b0 → compaction folds b0 into a
+    // base → crash before the streaming checkpoint commits → b0
+    // redelivers. Without the folded-segment ledger the re-append
+    // would re-create b0 beside the fold and every id would exist
+    // twice in the live data.
+    val corpus = (0L until 4L).map(i => (i, doc(s"fold$i"))).toDF("doc_id", "text")
+    val ix = Streams.scratchDir("graft_evo_ixF_")
+    Dedup.initLshIndexDir(corpus, "text", "doc_id", 3, 16, 4, ix, "fpF")
+    val batch = Seq(60L -> doc("foldfresh1"), 61L -> doc("foldfresh2"))
+      .toDF("doc_id", "text")
+    Dedup.appendToLshIndex(ix, batch, "text", "doc_id", "b0")
+    assert(Dedup.compactLshIndex(spark, ix, maxSegments = 1))
+    val folded = Dedup.loadLshIndex(spark, ix)
+    val ids = folded.shingles.select("id").as[Long].collect().sorted
+    Dedup.appendToLshIndex(ix, batch, "text", "doc_id", "b0") // redelivery
+    val after = Dedup.loadLshIndex(spark, ix)
+    assert(after.shingles.select("id").as[Long].collect().sorted
+      === ids, "redelivered fold must not duplicate ids")
+    assert(after.shingles.count() === folded.shingles.count())
+    // a genuinely NEW batch still appends normally
+    Dedup.appendToLshIndex(ix,
+      Seq(70L -> doc("foldnovel")).toDF("doc_id", "text"),
+      "text", "doc_id", "b1")
+    assert(Dedup.loadLshIndex(spark, ix).shingles
+      .select("id").as[Long].collect().toSet === (ids.toSet + 70L))
+  }
 }

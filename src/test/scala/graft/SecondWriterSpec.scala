@@ -22,7 +22,7 @@ class SecondWriterSpec extends SparkTestBase {
       .select(col("id").as("k"), concat(lit("s"), col("id")).as("s"))
     Streams.seedCdcState(base, s"$out/state", "k", 4)
     // another writer has claimed v-1's successor
-    Commit.claim(new java.io.File(s"$out/state/commits/from-v-1"),
+    Commit.claim(s"$out/state/commits/from-v-1",
       "v99", "simulated racer")
     val b = Seq((5L, 100L, "u", "x")).toDF("k", "seq", "op", "s")
     val e = intercept[IllegalStateException] {
@@ -43,7 +43,7 @@ class SecondWriterSpec extends SparkTestBase {
     val base = spark.range(1, 31)
       .select(col("id").as("k"), concat(lit("s"), col("id")).as("s"))
     Streams.seedScd2History(base, s"$out/hist", "k", 4)
-    Commit.claim(new java.io.File(s"$out/hist/commits/from-v-1"),
+    Commit.claim(s"$out/hist/commits/from-v-1",
       "v7", "simulated racer")
     val b = Seq((3L, 50L, "u", "y")).toDF("k", "seq", "op", "s")
     val e = intercept[IllegalStateException] {
@@ -89,8 +89,8 @@ class SecondWriterSpec extends SparkTestBase {
   }
 
   test("claim primitive: atomic, content-keyed, temp never leaks") {
-    val d = new java.io.File(Streams.scratchDir("graft_2w_claim_"))
-    val t = new java.io.File(d, "claims/from-v3")
+    val d = Streams.scratchDir("graft_2w_claim_")
+    val t = s"$d/claims/from-v3"
     Commit.claim(t, "v4", "spec")          // first claim wins
     Commit.claim(t, "v4", "spec")          // same content: idempotent
     val e = intercept[IllegalStateException] {
@@ -98,8 +98,92 @@ class SecondWriterSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("held by 'v4'"))
     // no temp files left behind either way
-    val leftovers = t.getParentFile.listFiles()
+    val leftovers = new java.io.File(s"$d/claims").listFiles()
       .map(_.getName).filter(_.startsWith(".claim-"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  // ------------------------- HDFS-contract (rename-based) FS branch
+
+  /** Register the strict no-overwrite-rename FS (HDFS's rename
+   *  contract) and return a `strict:`-scheme copy of a fresh scratch
+   *  path — the same store code then exercises StoreFs's
+   *  rename-contract branch instead of the POSIX-local one. */
+  private def strictPath(prefix: String): String = {
+    StrictRenameFileSystem.register(spark)
+    s"strict:${Streams.scratchDir(prefix)}"
+  }
+
+  test("strict FS: claim is create-if-absent via no-overwrite rename") {
+    val t = s"${strictPath("graft_2w_sclaim_")}/claims/from-v3"
+    Commit.claim(t, "v4", "spec")
+    Commit.claim(t, "v4", "spec")          // redelivery proceeds
+    val e = intercept[IllegalStateException] {
+      Commit.claim(t, "v5", "spec")
+    }
+    assert(e.getMessage.contains("held by 'v4'"))
+  }
+
+  test("strict FS: casInstallDir distinguishes a racing install from an IO error") {
+    import graft.core.StoreFs
+    val d = strictPath("graft_2w_scas_")
+    StoreFs.mkdirs(s"$d/t/.scratch1")
+    StoreFs.mkdirs(s"$d/t/.scratch2")
+    StoreFs.casInstallDir(s"$d/t/.scratch1", s"$d/t/base-aa", "spec")
+    assert(StoreFs.exists(s"$d/t/base-aa"))
+    // same target occupied -> SECOND WRITER, loser's scratch cleaned
+    val e = intercept[IllegalStateException] {
+      StoreFs.casInstallDir(s"$d/t/.scratch2", s"$d/t/base-aa", "spec")
+    }
+    assert(e.getMessage.contains("SECOND WRITER"))
+    assert(!StoreFs.exists(s"$d/t/.scratch2"))
+    // missing scratch + free target -> IO error, not a race
+    val io = intercept[java.io.IOException] {
+      StoreFs.casInstallDir(s"$d/t/.nonexistent", s"$d/t/base-bb", "spec")
+    }
+    assert(io.getMessage.contains("IO error"))
+  }
+
+  test("strict FS: CDC fold chain end-to-end over the rename-contract branch") {
+    val out = strictPath("graft_2w_scdc_")
+    val base = spark.range(1, 21)
+      .select(col("id").as("k"), concat(lit("s"), col("id")).as("s"))
+    Streams.seedCdcState(base, s"$out/state", "k", 4)
+    val b = Seq((5L, 100L, "u", "x")).toDF("k", "seq", "op", "s")
+    Streams.foldCdcBatch(b, 1L, s"$out/state", "k", "seq", "op")
+    Streams.foldCdcBatch(b, 1L, s"$out/state", "k", "seq", "op") // redelivery
+    Commit.claim(s"$out/state/commits/from-v1", "v99", "simulated racer")
+    val e = intercept[IllegalStateException] {
+      Streams.foldCdcBatch(b, 2L, s"$out/state", "k", "seq", "op")
+    }
+    assert(e.getMessage.contains("SECOND WRITER"))
+    val got = Streams.readCdcState(spark, s"$out/state")
+    assert(got.count() === 20L)
+    assert(got.filter(col("k") === 5L).select("s").head.getString(0) === "x")
+  }
+
+  test("strict FS: ANN index lifecycle (build, append, delete, compact) over the rename-contract branch") {
+    import graft.operators.Similarity
+    val dim = 4
+    val dir = s"${strictPath("graft_2w_sann_")}/ix"
+    val emb = (0 until 40).map { i =>
+      (i.toLong, s"l$i", Array.tabulate(dim)(j => (i * 7 + j * 3) % 11 / 10.0f))
+    }.toDF("vec_id", "label", "embedding")
+    Similarity.materializeAnnIndex(emb, dim, dir, "fp-strict")
+    val meta0 = Similarity.readAnnIndexMeta(dir).get
+    assert(meta0.fingerprint === "fp-strict")
+    Similarity.appendToAnnIndex(dir,
+      (100 until 110).map(i => (i.toLong, s"l$i",
+        Array.tabulate(dim)(j => (i + j) % 7 / 7.0f)))
+        .toDF("vec_id", "label", "embedding"), "b1")
+    Similarity.deleteFromAnnIndex(dir,
+      Seq(100L, 101L).toDF("vec_id"), "d1")
+    val (live, _) = Similarity.loadAnnIndex(spark, dir)
+    assert(live.select("vec_id").as[Long].collect().toSet ===
+      ((0L until 40L).toSet ++ (102L until 110L).toSet))
+    assert(Similarity.compactAnnIndex(spark, dir, maxSegments = 1))
+    val (after, _) = Similarity.loadAnnIndex(spark, dir)
+    assert(after.select("vec_id").as[Long].collect().toSet ===
+      ((0L until 40L).toSet ++ (102L until 110L).toSet))
   }
 }
