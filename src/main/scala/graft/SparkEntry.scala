@@ -1829,6 +1829,34 @@ object SparkEntry {
         s"q124: expected a 2-batch drain, got dirs=$batchDirs")
       s.read.parquet(batchDirs: _*).orderBy("batch", "vec_id")
     }),
+    // Learned BPE tokenizer (X97, round-10 item 2): TRAIN an ordered
+    // merge list on the documents corpus — iterating q98's pair-count
+    // statistic to the argmax-merge fixpoint with a total tie-break —
+    // and ENCODE every document with the learned vocabulary. The
+    // oracle is handed NO answers: it replays the identical training
+    // iteration (unrolled CTE chain) and encode fold from the same
+    // parquet, so a divergence in tokenization, pair counting,
+    // tie-breaking, or greedy merge order hash-fails. Train cost is
+    // 2 vocabulary-sized jobs per merge after ONE corpus scan; encode
+    // is a single narrow codegen projection (16 nested replaces).
+    "q125_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Bpe.train(documents(s, dir), "text", 16)
+        .zipWithIndex
+        .map { case ((l, r), i) => (i + 1L, l, r) }
+        .toDF("step", "l", "r").orderBy("step")
+    }),
+    "q126_bpe_encode" -> ((s, dir) => {
+      val merges = graft.operators.Bpe.train(documents(s, dir), "text", 16)
+      graft.operators.Bpe.encode(documents(s, dir), "text", "doc_id", merges)
+        .orderBy("doc_id")
+    }),
+    "q127_bpe_chunk" -> ((s, dir) => {
+      val merges = graft.operators.Bpe.train(documents(s, dir), "text", 16)
+      graft.operators.Bpe.chunkByBpeTokens(documents(s, dir), "text",
+          "doc_id", merges, 64)
+        .orderBy("doc_id", "chunk")
+    }),
     // Cross-document repeated-SPAN removal (X91, the Lee et al. 2021
     // exact-substring-dedup shape): every %7==0 doc gains the same
     // 14-word license sentence — boilerplate INSIDE otherwise-unique
@@ -2682,6 +2710,14 @@ object SparkEntry {
       s"SELECT * FROM (${Similarity.semanticScreenSql(docsSql, 0.999, 64)}) " +
         "ORDER BY batch, vec_id"
     },
+    "q125_bpe_train" ->
+      s"SELECT * FROM (${graft.operators.Bpe.trainSql("documents", "text", 16)})",
+    "q126_bpe_encode" ->
+      (s"SELECT * FROM (${graft.operators.Bpe.encodeSql("documents", "text",
+          "doc_id", 16)}) ORDER BY doc_id"),
+    "q127_bpe_chunk" ->
+      (s"SELECT * FROM (${graft.operators.Bpe.chunkSql("documents", "text",
+          "doc_id", 16, 64)}) ORDER BY doc_id, chunk"),
     "q121_span_offsets" ->
       (s"SELECT * FROM (${Dedup.repeatedSpanOffsetsSql("documents",
           spanFixtureSql, "doc_id", 8)}) ORDER BY doc_id, s_char"),

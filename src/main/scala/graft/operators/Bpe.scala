@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Learned byte-pair-encoding tokenizer — train + apply (X97, round-10
+ * item 2). Round 9 computed BPE's merge-step pair statistic (q98);
+ * this operator ITERATES it to an ordered merge list and ENCODES text
+ * with the learned vocabulary, closing the "every token-count consumer
+ * keys on regex/whitespace tokens" gap: real pipelines tokenize with
+ * the model's tokenizer.
+ *
+ * Algorithm (Sennrich et al. 2016, word-internal BPE):
+ *   - the corpus folds to a WORD-COUNT table once (one scan, hash
+ *     agg); training never touches the corpus again — every merge
+ *     iteration runs over the vocabulary-sized table;
+ *   - a word's symbol sequence is its ASCII chars joined by a U+001F
+ *     separator; merge (l, r) rewrites `l SEP r` → `l r`-concatenated
+ *     via plain substring replace, whose leftmost-non-overlapping
+ *     semantics (identical in Spark and DuckDB) IS the greedy
+ *     left-to-right BPE merge: in `a a a` under merge (a,a) the first
+ *     two fuse to `aa` and the third survives, because the fused
+ *     symbol no longer equals `l`;
+ *   - each iteration picks argmax pair count with a TOTAL tie-break
+ *     (count DESC, then left then right symbol ascending), so the
+ *     merge list is deterministic and both engines derive the same
+ *     list independently — the oracle twin replays training, it is
+ *     never handed the answer.
+ *
+ * Tokens are lowered ASCII alnum runs (`[a-z0-9]+`) — the one token
+ * class whose per-CHARACTER split is byte-identical across engines
+ * (no surrogate-pair / grapheme divergence), and U+001F cannot occur
+ * inside one. Word-boundary markers (`</w>`) are omitted: merges are
+ * word-internal either way, and every consumer here counts symbols.
+ *
+ * Scale shape: training is 2 small jobs per merge (pair-count agg +
+ * TakeOrdered(1)) over a PERSISTED vocab-sized table — CacheManager-
+ * tracked, unpersisted on exit (SCALE.md residency rule); the corpus
+ * is scanned exactly once. Encoding is one narrow codegen projection
+ * per document: the merge fold compiles to `numMerges` nested
+ * replace() calls inside a `transform` lambda — no shuffle, no UDF,
+ * embarrassingly parallel at any scale.
+ */
+object Bpe {
+
+  /** Symbol separator: U+001F (unit separator), impossible inside an
+   *  `[a-z0-9]+` token. */
+  val Sep = "\u001F"
+
+  private def wordTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** A token's initial symbol string: its chars joined by [[Sep]]. */
+  private def charsJoined(tok: Column): Column =
+    array_join(regexp_extract_all(tok, lit("."), lit(0)), Sep)
+
+  private def symbols(s: Column): Column =
+    split(s, java.util.regex.Pattern.quote(Sep))
+
+  /** Adjacent-pair counts of the current segmentation, weighted by
+   *  word count — the q98 statistic over evolving symbols. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words.select(col("cnt"), symbols(col("s")).as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("cnt"), explode(arrays_zip(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), size(col("a")) - 1))).as("z"))
+      .groupBy(col("z").getField("0").as("l"), col("z").getField("1").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+
+  /** Train `numMerges` merges on the corpus; returns the ordered
+   *  merge list (shorter iff the vocabulary runs out of adjacent
+   *  pairs first). Deterministic: spec-pinned that two runs agree and
+   *  that a hand-checkable fixture yields the textbook sequence. */
+  def train(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val words = docs
+      .select(explode(wordTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(charsJoined(col("w")).as("s"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var cur: DataFrame = words
+      var exhausted = false
+      while (acc.size < numMerges && !exhausted) {
+        val best = pairCounts(cur)
+          .orderBy(col("c").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r) = (best(0).getString(0), best(0).getString(1))
+          acc += ((l, r))
+          cur = cur.withColumn("s",
+            replace(col("s"), lit(l + Sep + r), lit(l + r)))
+        }
+      }
+      acc.toSeq
+    } finally { words.unpersist(); () }
+  }
+
+  /** Apply a learned merge list to one token's symbol string. */
+  private def encodeToken(tok: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(charsJoined(tok)) { case (s, (l, r)) =>
+      replace(s, lit(l + Sep + r), lit(l + r))
+    }
+
+  /** Encode every document with the learned vocabulary: (idCol,
+   *  n_words, n_bpe_tokens, n_distinct_bpe) — word count, total BPE
+   *  symbol count, and how many DISTINCT vocab entries the document
+   *  uses. One narrow projection; token-free documents encode to
+   *  (0, 0, 0). */
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol), wordTokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_words"),
+        aggregate(
+          transform(col("__toks"),
+            t => size(symbols(encodeToken(t, merges))).cast("long")),
+          lit(0L), (a, b) => a + b).as("n_bpe_tokens"),
+        size(array_distinct(flatten(transform(col("__toks"),
+          t => symbols(encodeToken(t, merges))))))
+          .cast("long").as("n_distinct_bpe"))
+
+  /** Chunk documents at fixed BPE-TOKEN boundaries — the q58 consumer
+   *  re-pointed at the learned tokenizer (round-10 item 2): context
+   *  budgets are counted in the MODEL's tokens, not whitespace words.
+   *  A word belongs to chunk ⌊(its preceding BPE-token count) /
+   *  budget⌋; output one row per (doc, chunk) with its word and BPE
+   *  token counts. One exchange on the doc key + a per-doc running
+   *  sum — linear at any scale. Token-free docs emit nothing (no
+   *  budget consumed, nothing to pack). */
+  def chunkByBpeTokens(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)], budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col(idCol),
+        posexplode(wordTokens(col(textCol))).as(Seq("__pos", "__w")))
+      .withColumn("__nb",
+        size(symbols(encodeToken(col("__w"), merges))).cast("long"))
+      .withColumn("__cum", sum(col("__nb")).over(
+        Window.partitionBy(col(idCol)).orderBy(col("__pos"))))
+      .withColumn("chunk", expr(s"(__cum - __nb) div ${budget}L"))
+      .groupBy(col(idCol), col("chunk"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__nb")).as("n_bpe_tokens"))
+  }
+
+  // ------------------------------------------------- DuckDB twins
+
+  private val SepSql = "chr(31)"
+
+  /** The shared unrolled-training CTE chain `s0, p1, b1, s1, …, bN`:
+   *  plain SQL repeated `numMerges` times (no recursion — DuckDB's
+   *  recursive CTEs cannot re-aggregate a whole working table per
+   *  step), replaying the IDENTICAL argmax + replace iteration. Every
+   *  state CTE is MATERIALIZED: each is referenced twice (pair count
+   *  + next state), and inlining would double the expression tree per
+   *  step — 2^N base-table scans by step N. */
+  private def trainCtes(table: String, textExpr: String,
+      numMerges: Int): String = {
+    def pairs(src: String, k: Int) =
+      s"""p$k AS MATERIALIZED (
+         |  SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt, unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS z
+         |    FROM (SELECT string_split(s, $SepSql) AS arr, cnt FROM $src)
+         |    WHERE len(arr) >= 2)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r FROM p$k ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+    def step(k: Int) =
+      s"""${pairs(s"s${k - 1}", k)},
+         |s$k AS MATERIALIZED (SELECT replace(s, b.l || $SepSql || b.r, b.l || b.r) AS s, cnt
+         |        FROM s${k - 1} CROSS JOIN b$k b)""".stripMargin
+    (s"""s0 AS MATERIALIZED (
+        |  SELECT array_to_string(regexp_extract_all(w, '.'), $SepSql) AS s,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(regexp_extract_all(lower($textExpr),
+        |                      '[a-z0-9]+')) AS w FROM $table)
+        |  GROUP BY 1)""".stripMargin +:
+      (1 to numMerges).map(step)).mkString(",\n")
+  }
+
+  /** DuckDB twin of [[train]]: (step, l, r), step 1-based. */
+  def trainSql(table: String, textExpr: String, numMerges: Int): String = {
+    val out = (1 to numMerges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, l, r FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${trainCtes(table, textExpr, numMerges)}
+       |SELECT * FROM ($out) ORDER BY step""".stripMargin
+  }
+
+  /** DuckDB twin of [[train]] + [[chunkByBpeTokens]]: re-trains the
+   *  merges, replays the per-word encode fold with positions, then
+   *  the same preceding-count chunk assignment. */
+  def chunkSql(table: String, textExpr: String, idCol: String,
+      numMerges: Int, budget: Int): String = {
+    val encChain = (1 to numMerges).map(k =>
+      s"""c$k AS MATERIALIZED (SELECT id, pos,
+         |    replace(s, b.l || $SepSql || b.r, b.l || b.r) AS s
+         |  FROM c${k - 1} CROSS JOIN b$k b)""".stripMargin)
+      .mkString(",\n")
+    s"""WITH ${trainCtes(table, textExpr, numMerges)},
+       |c0 AS MATERIALIZED (SELECT id, i - 1 AS pos,
+       |    array_to_string(regexp_extract_all(t, '.'), $SepSql) AS s
+       |  FROM (SELECT $idCol AS id, unnest(toks) AS t,
+       |          generate_subscripts(toks, 1) AS i
+       |        FROM (SELECT $idCol,
+       |                regexp_extract_all(lower($textExpr), '[a-z0-9]+') AS toks
+       |              FROM $table))),
+       |$encChain,
+       |__wc AS (SELECT id, pos,
+       |    CAST(len(string_split(s, $SepSql)) AS BIGINT) AS nb
+       |  FROM c$numMerges),
+       |__cum AS (SELECT id, pos, nb, CAST(sum(nb) OVER (
+       |    PARTITION BY id ORDER BY pos) AS BIGINT) AS cum FROM __wc)
+       |SELECT id AS $idCol, (cum - nb) // $budget AS chunk,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(nb) AS BIGINT) AS n_bpe_tokens
+       |FROM __cum GROUP BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB twin of [[train]] + [[encode]] end to end: the oracle
+   *  re-trains the merges itself, then replays the encode fold. */
+  def encodeSql(table: String, textExpr: String, idCol: String,
+      numMerges: Int): String = {
+    val encChain = (1 to numMerges).map(k =>
+      s"""e$k AS MATERIALIZED (SELECT id, replace(s, b.l || $SepSql || b.r, b.l || b.r) AS s
+         |        FROM e${k - 1} CROSS JOIN b$k b)""".stripMargin)
+      .mkString(",\n")
+    s"""WITH ${trainCtes(table, textExpr, numMerges)},
+       |__docs AS (SELECT $idCol AS id,
+       |    regexp_extract_all(lower($textExpr), '[a-z0-9]+') AS toks
+       |  FROM $table),
+       |e0 AS MATERIALIZED (SELECT id,
+       |    array_to_string(regexp_extract_all(t, '.'), $SepSql) AS s
+       |  FROM (SELECT id, unnest(toks) AS t FROM __docs)),
+       |$encChain,
+       |__enc AS (SELECT id, string_split(s, $SepSql) AS syms FROM e$numMerges),
+       |__nb AS (SELECT id, CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens
+       |         FROM __enc GROUP BY id),
+       |__nd AS (SELECT id, CAST(count(DISTINCT sym) AS BIGINT) AS n_distinct_bpe
+       |         FROM (SELECT id, unnest(syms) AS sym FROM __enc) GROUP BY id)
+       |SELECT d.id AS $idCol, CAST(len(d.toks) AS BIGINT) AS n_words,
+       |  COALESCE(nb.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  COALESCE(nd.n_distinct_bpe, 0) AS n_distinct_bpe
+       |FROM __docs d
+       |LEFT JOIN __nb nb ON d.id = nb.id
+       |LEFT JOIN __nd nd ON d.id = nd.id""".stripMargin
+  }
+}

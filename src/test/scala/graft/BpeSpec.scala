@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** X97 learned BPE tokenizer (round-10 item 2): train() must replay
+ *  textbook BPE exactly — pinned against an independent in-spec
+ *  reference implementation over word lists (no string-replace
+ *  machinery shared with the operator), plus greedy-merge edge
+ *  semantics, encode arithmetic, and train→encode determinism. */
+class BpeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ---- independent reference implementation (lists, not strings)
+
+  private def refMergeSeq(s: List[String], l: String,
+      r: String): List[String] = {
+    val b = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += s(i); i += 1 }
+    }
+    b.toList
+  }
+
+  private def refTrain(texts: Seq[String],
+      n: Int): Seq[(String, String)] = {
+    val words = texts
+      .flatMap(t => "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq)
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    var segs: Map[List[String], Long] =
+      words.toSeq.groupMapReduce(
+        { case (w, _) => w.map(_.toString).toList })(_._2)(_ + _)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (acc.size < n && !exhausted) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- segs if syms.size >= 2;
+           Seq(a, b) <- syms.sliding(2))
+        pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((l, r), _) = pc.toSeq
+          .sortBy { case ((pl, pr), c) => (-c, pl, pr) }.head
+        acc += ((l, r))
+        segs = segs.toSeq
+          .groupMapReduce({ case (s, _) => refMergeSeq(s, l, r) })(_._2)(_ + _)
+      }
+    }
+    acc.toSeq
+  }
+
+  private def refEncode(text: String,
+      merges: Seq[(String, String)]): List[String] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase).toList.flatMap { w =>
+      merges.foldLeft(w.map(_.toString).toList) {
+        case (s, (l, r)) => refMergeSeq(s, l, r)
+      }
+    }
+
+  // --------------------------------------------------------- cases
+
+  private val sennrich = Seq(
+    "low low lower", "newest newest newest widest", "low lowest")
+
+  test("train replays textbook BPE: merge list equals the reference on two fixtures") {
+    val df1 = sennrich.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    assert(Bpe.train(df1, "text", 8) === refTrain(sennrich, 8))
+    val mixed = Seq("Hunting-huts; hug hugs hug!", "bug bugs hug hugging",
+      "The 7 bugs hugged 77 bugs")
+    val df2 = mixed.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    assert(Bpe.train(df2, "text", 10) === refTrain(mixed, 10))
+  }
+
+  test("merges are greedy left-to-right: aaa under (a,a) becomes [aa, a]") {
+    val docs = Seq((1L, "aa aa aa aaa aaaa")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 1)
+    assert(merges === Seq(("a", "a")))
+    val out = Bpe.encode(docs, "text", "doc_id", merges).head()
+    // words: aa→1, aa→1, aa→1, aaa→2 (aa,a), aaaa→2 (aa,aa)
+    assert(out.getLong(1) === 5L)  // n_words
+    assert(out.getLong(2) === 7L)  // n_bpe_tokens
+    assert(out.getLong(3) === 2L)  // distinct: {aa, a}
+  }
+
+  test("encode counts match the reference per document; token-free docs encode to zeros") {
+    val texts = Seq("the lowest newest low", "newest widest lower low low",
+      "--- ;;; !!!", "")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 6)
+    assert(merges === refTrain(texts, 6))
+    val got = Bpe.encode(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for ((t, i) <- texts.zipWithIndex) {
+      val enc = refEncode(t, merges)
+      val nWords = "[a-z0-9]+".r.findAllIn(t.toLowerCase).size.toLong
+      assert(got(i.toLong) ===
+        ((nWords, enc.size.toLong, enc.distinct.size.toLong)),
+        s"doc $i '$t' encoded $enc")
+    }
+    assert(got(2L) === ((0L, 0L, 0L)))
+    assert(got(3L) === ((0L, 0L, 0L)))
+  }
+
+  test("chunking packs words at fixed BPE-token boundaries") {
+    // merge (a,a): words aaaa→[aa,aa](2), aaa→[aa,a](2), b→[b](1)
+    val docs = Seq((1L, "aaaa aaa b aaaa"), (2L, "b b")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 1)
+    assert(merges === Seq(("a", "a")))
+    // budget 4: doc 1 word-costs 2,2,1,2 → cum 2,4,5,7 → preceding
+    // 0,2,4,5 → chunks 0,0,1,1; doc 2: costs 1,1 → chunk 0
+    val got = Bpe.chunkByBpeTokens(docs, "text", "doc_id", merges, 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      (1L, 0L) -> ((2L, 4L)), (1L, 1L) -> ((2L, 3L)),
+      (2L, 0L) -> ((2L, 2L))))
+  }
+
+  test("training is deterministic and stops cleanly when pairs run out") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    // only 2 distinct pairs exist; asking for 10 merges returns 2
+    val m1 = Bpe.train(docs, "text", 10)
+    val m2 = Bpe.train(docs, "text", 10)
+    assert(m1 === m2)
+    assert(m1 === Seq(("a", "b"), ("c", "d")))
+  }
+}
