@@ -74,15 +74,81 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
     val (skipped, run0) =
       selected.partition { case (name, _) => skip.exists(name.contains) }
+    val timed: Seq[(String, Seq[Double])] =
+      run0.map { case (name, fn) => (name, Seq.fill(runs)(timeOnce(name, fn))) }
     val results: Seq[(String, Double, Double)] =
-      run0.map { case (name, fn) =>
-        val ts = Seq.fill(runs)(timeOnce(name, fn))
+      timed.map { case (name, ts) =>
         if (ts.exists(_ < 0)) (name, -1.0, -1.0)
         else {
           val sortedTs = ts.sorted
           (name, sortedTs(runs / 2), sortedTs.head)
         }
       }
+    // ISOLATED CONTROLS (round-10 item 5, the q86-control methodology
+    // automated): the in-sequence numbers carry position-dependent
+    // drift — heap/GC state inherited from whatever ran before (r9's
+    // builder-vs-driver totals differed 86.6 vs 96.1 s on identical
+    // code, all of it in-sequence noise). After the sequence pass, the
+    // noisiest queries (largest relative spread across repeats) re-run
+    // 5x each in a FRESH child JVM (same flags/classpath, single
+    // query) and their isolated medians ride the artifact alongside
+    // the in-sequence medians, so round-over-round comparisons stop
+    // needing manual adjudication. Off for filtered/sweep runs
+    // (SPARK_GRAFT_ONLY / SPARK_GRAFT_SKIP — sf10 is compute-dominated
+    // and a 5x re-run of multi-minute queries would double the sweep);
+    // SPARK_GRAFT_ISOLATED overrides the count (0 disables).
+    val isolatedN = sys.env.get("SPARK_GRAFT_ISOLATED")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .getOrElse(if (only.nonEmpty || skip.nonEmpty) 0 else 6)
+    def runIsolated(name: String): Option[(String, Double)] = {
+      val javaBin = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java").toString
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq(javaBin) ++ opens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+        "-XX:+ExplicitGCInvokesConcurrent",
+        "-cp", sys.props("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_RUNS", "5")
+      pb.environment().put("SPARK_GRAFT_ISOLATED", "0")
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      try {
+        val proc = pb.start()
+        val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+        val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { proc.destroyForcibly(); () }
+        // first "name":<num> match is the queries map (queries_min
+        // repeats the name later)
+        (s""""${java.util.regex.Pattern.quote(name)}":(-?[0-9.eE+-]+)""").r
+          .findFirstMatchIn(out)
+          .map(m => name -> m.group(1).toDouble)
+          .filter(_._2 >= 0)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")
+        None
+      }
+    }
+    val isolated: Seq[(String, Double)] =
+      if (isolatedN <= 0) Seq.empty
+      else timed
+        .filter { case (_, ts) => ts.forall(_ >= 0) && ts.min > 0 }
+        .map { case (name, ts) =>
+          (name, (ts.max - ts.min) / ts.sorted.apply(ts.size / 2)) }
+        .sortBy(-_._2).take(isolatedN).map(_._1).sorted
+        .flatMap { name =>
+          System.err.println(s"[bench] isolated control: $name")
+          runIsolated(name)
+        }
     val qs = results.map { case (k, med, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, _, mn) => s"\"" + k + "\":" + mn }
@@ -93,7 +159,9 @@ object Bench {
     // SELF-DESCRIBING — a consumer can see what was excluded instead
     // of mistaking a sweep run for full coverage
     val skippedJson = skipped.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_min":$mins,"failed":${failed.mkString("[", ",", "]")},"skipped":$skippedJson,"sf":"$sfDir"}"""
+    val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_min":$mins,"queries_isolated":$isoJson,"failed":${failed.mkString("[", ",", "]")},"skipped":$skippedJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r{N}.json tail truncates (r5 lost q1/q10-q24
     // for the judge) — ALSO persist the complete per-query map to a

@@ -579,6 +579,28 @@ object SparkEntry {
         .select(col("c_custkey"), col("s_suppkey"))
         .orderBy("c_custkey", "s_suppkey")
     }),
+    // Bounded-output range join (round-10 item 4): q51's exact output
+    // is quadratic in workload density BY SPEC (every qualifying
+    // pair), which at sf10 measures 315 s of output materialization
+    // rather than join machinery. This row keeps the identical
+    // bucketized equi-join plan but folds to ONE row per point
+    // (match count + min key), so sweeps measure the join itself;
+    // q51 stays as the exact-output contract.
+    "q128_range_join_count" -> ((s, dir) => {
+      val pts = Sources.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val iv = Sources.table(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          (col("s_acctbal") - 50.0).as("lo"), (col("s_acctbal") + 50.0).as("hi"))
+      val matched = RangeJoin.pointInInterval(pts, "c_acctbal", iv, "lo", "hi", 100.0)
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_matches"), min(col("s_suppkey")).as("min_supp"))
+      pts.select(col("c_custkey"))
+        .join(matched, Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"), col("min_supp"))
+        .orderBy("c_custkey")
+    }),
     // semi join: customers WITH at least one high-value order (no
     // row multiplication, broadcastable probe side)
     "q49_semi_join" -> ((s, dir) => {
@@ -2220,6 +2242,12 @@ object SparkEntry {
       """SELECT c_custkey, s_suppkey FROM customer JOIN supplier
         |  ON c_acctbal BETWEEN s_acctbal - 50.0 AND s_acctbal + 50.0
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "q128_range_join_count" ->
+      """SELECT c_custkey, CAST(count(s_suppkey) AS BIGINT) AS n_matches,
+        |  min(s_suppkey) AS min_supp
+        |FROM customer LEFT JOIN supplier
+        |  ON c_acctbal BETWEEN s_acctbal - 50.0 AND s_acctbal + 50.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q49_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

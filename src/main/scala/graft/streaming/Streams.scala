@@ -220,7 +220,28 @@ object Streams {
    *  retries replace rather than duplicate; [[graft.operators
    *  .Similarity.compactAnnIndex]] folds accumulated segments every
    *  `compactAfterSegments`. The corpus embeddings are never
-   *  rescanned — every probe reads the index only. */
+   *  rescanned — every probe reads the index only.
+   *
+   *  LATE-DATA CONTRACT (round-10 item 7). The screen carries no
+   *  watermark: SOURCE BATCHING defines arrival order, and admission
+   *  is decided in ARRIVAL order — each batch is screened against the
+   *  index as of its own processing time. Consequences, spec-pinned
+   *  (EvolvingAnnSpec "late-data contract"):
+   *   - a near-dup pair split across batches keeps the FIRST-DELIVERED
+   *     member, even when the later-delivered one carries the LOWER
+   *     key — the one-shot batch dedup (q97, keep-lowest-id) and this
+   *     stream agree only when delivery order matches key order;
+   *   - within one batch, keep-first (lowest id) applies as in batch
+   *     semantics;
+   *   - a redelivered batch re-screens against an index that already
+   *     holds its own survivors; probes exclude same-id matches, so
+   *     the re-run admits the identical set (idempotent).
+   *  A deployment needing KEY-order admission under out-of-order
+   *  delivery must buffer/sort upstream (event-time watermark +
+   *  window) before this screen — arrival-order admission is the
+   *  contract here, chosen because it never holds data back and
+   *  never re-litigates an already-admitted survivor. The same
+   *  contract applies to the LSH screen ([[screenIngestEvolving]]). */
   def screenIngestSemantic(stream: DataFrame, indexDir: String,
       tau: Double, compactAfterSegments: Int = 64,
       expectFingerprint: Option[String] = None)(

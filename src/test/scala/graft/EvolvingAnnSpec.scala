@@ -205,6 +205,41 @@ class EvolvingAnnSpec extends SparkTestBase {
       !ids.contains(100L) && !ids.contains(200L))
   }
 
+  test("late-data contract: admission is ARRIVAL order — a lower-keyed doc delivered later is the one dropped") {
+    // round-10 item 7: the screen has no watermark; source batching
+    // defines arrival order, and arrival order — not key order —
+    // decides which member of a cross-batch near-dup pair survives.
+    // Batch 1 delivers the HIGHER id 500 (novel → admitted, appended);
+    // batch 2 delivers the LOWER id 60 with the same embedding → 60 is
+    // screened against the evolved index and dropped, even though the
+    // one-shot batch semantics (q97-style, keep-lowest-id) would have
+    // kept 60 and dropped 500. The spec pins that divergence.
+    val dir = Streams.scratchDir("graft_annevo_late_")
+    Similarity.materializeAnnIndex(corpus(0 until 50, 1.0), dim, dir, "fpL")
+    val novel = corpus(8001 until 8002, 1.0, seed = 55)
+    val hi = novel.select(lit(500L).as("vec_id"), col("label"), col("embedding"))
+    val lateLow = novel.select(lit(60L).as("vec_id"), col("label"), col("embedding"))
+    val streamDir = Streams.scratchDir("graft_annevo_late_in_")
+    Streams.writeSinglePartFile(hi, streamDir, "b1.parquet", 1600000000000L)
+    Streams.writeSinglePartFile(lateLow, streamDir, "b2.parquet", 1600000060000L)
+    val stream = spark.readStream.schema(hi.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val got = collection.mutable.Map[Long, Set[Long]]()
+    val q = Streams.screenIngestSemantic(stream, dir, 0.999,
+        expectFingerprint = Some("fpL")) { (survivors, batchId) =>
+        got(batchId) = survivors.select("vec_id").as[Long].collect().toSet
+      }
+      .option("checkpointLocation", Streams.scratchDir("graft_annevo_late_ck_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got(0L) === Set(500L) && got(1L) === Set.empty[Long],
+      s"arrival order must decide admission: $got")
+    val (live, _) = Similarity.loadAnnIndex(spark, dir)
+    val ids = live.select("vec_id").as[Long].collect().toSet
+    assert(ids.contains(500L) && !ids.contains(60L))
+  }
+
   test("clustered growth flips the stale sign route at the measured threshold") {
     val dir = Streams.scratchDir("graft_annevo_rt_")
     val m0 = Similarity.materializeAnnIndex(
@@ -246,5 +281,24 @@ class EvolvingAnnSpec extends SparkTestBase {
     assert(Similarity.annIndexStats(spark, dir)._1 === 300L)
     val (_, flapped) = Similarity.reRouteAnnIndex(spark, dir)
     assert(!flapped, "the reverted index must be stable too")
+    // probe parity AFTER the reversion (round-10 item 8): the
+    // reverted generation must answer queries end-to-end under the
+    // sign bucketing — exact copies of base vectors find their
+    // originals at sim 1.0, and nothing from the deleted cluster
+    // ever surfaces
+    val probes = corpus(0 until 300, 1.0)
+      .filter(col("vec_id") % 37 === 0)
+      .select((col("vec_id") + 900000L).as("q_id"), col("embedding"))
+    val top = Similarity.annTopKIndexed(spark, dir, probes, 1, Some("fpR"))
+      .collect()
+    assert(top.length === probes.count())
+    for (r <- top) {
+      assert(r.getLong(1) === r.getLong(0) - 900000L,
+        s"post-reversion top-1 must be the original vector: $r")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    }
+    val any = Similarity.annTopKIndexed(spark, dir, probes, 3, Some("fpR"))
+      .filter(col("n_id") >= 5000L && col("n_id") < 5600L)
+    assert(any.isEmpty, "deleted-cluster ids must never surface post-reversion")
   }
 }
