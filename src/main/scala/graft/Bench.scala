@@ -141,7 +141,10 @@ object Bench {
     val isolated: Seq[(String, Double)] =
       if (isolatedN <= 0) Seq.empty
       else timed
-        .filter { case (_, ts) => ts.forall(_ >= 0) && ts.min > 0 }
+        // sub-0.3 s rows are all jitter — an isolated child JVM on one
+        // of them would burn ~40 s to adjudicate nothing
+        .filter { case (_, ts) =>
+          ts.forall(_ >= 0) && ts.sorted.apply(ts.size / 2) >= 0.3 }
         .map { case (name, ts) =>
           (name, (ts.max - ts.min) / ts.sorted.apply(ts.size / 2)) }
         .sortBy(-_._2).take(isolatedN).map(_._1).sorted

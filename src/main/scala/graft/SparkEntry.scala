@@ -113,6 +113,20 @@ object SparkEntry {
     }
     java.lang.Long.toHexString(crc.getValue)
   }
+  /** Learned BPE merge list, trained once per (corpus fingerprint,
+   *  numMerges) and shared by q125/q126/q127 — the same
+   *  materialize-once-per-fingerprint pattern as the LSH/ANN
+   *  artifacts, driver-held because the artifact is a ≤numMerges pair
+   *  list. Training is deterministic (total tie-break), so any query
+   *  hitting the cache gets exactly what it would have trained. */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def bpeMerges(s: SparkSession, dir: String,
+      numMerges: Int): Seq[(String, String)] =
+    bpeMergeCache.computeIfAbsent(
+      s"${corpusFingerprint(dir)}|$numMerges",
+      _ => graft.operators.Bpe.train(documents(s, dir), "text", numMerges))
+
   private def sharedLshPairs(s: SparkSession, dir: String): DataFrame =
     // bump _vN on ANY minhash/shingle algorithm change — parameters
     // alone can't invalidate a stale file if the kernel itself moved
@@ -1863,22 +1877,19 @@ object SparkEntry {
     // is a single narrow codegen projection (16 nested replaces).
     "q125_bpe_train" -> ((s, dir) => {
       import s.implicits._
-      graft.operators.Bpe.train(documents(s, dir), "text", 16)
+      bpeMerges(s, dir, 16)
         .zipWithIndex
         .map { case ((l, r), i) => (i + 1L, l, r) }
         .toDF("step", "l", "r").orderBy("step")
     }),
-    "q126_bpe_encode" -> ((s, dir) => {
-      val merges = graft.operators.Bpe.train(documents(s, dir), "text", 16)
-      graft.operators.Bpe.encode(documents(s, dir), "text", "doc_id", merges)
-        .orderBy("doc_id")
-    }),
-    "q127_bpe_chunk" -> ((s, dir) => {
-      val merges = graft.operators.Bpe.train(documents(s, dir), "text", 16)
+    "q126_bpe_encode" -> ((s, dir) =>
+      graft.operators.Bpe.encode(documents(s, dir), "text", "doc_id",
+          bpeMerges(s, dir, 16))
+        .orderBy("doc_id")),
+    "q127_bpe_chunk" -> ((s, dir) =>
       graft.operators.Bpe.chunkByBpeTokens(documents(s, dir), "text",
-          "doc_id", merges, 64)
-        .orderBy("doc_id", "chunk")
-    }),
+          "doc_id", bpeMerges(s, dir, 16), 64)
+        .orderBy("doc_id", "chunk")),
     // Cross-document repeated-SPAN removal (X91, the Lee et al. 2021
     // exact-substring-dedup shape): every %7==0 doc gains the same
     // 14-word license sentence — boilerplate INSIDE otherwise-unique
