@@ -1890,6 +1890,44 @@ object SparkEntry {
       graft.operators.Bpe.chunkByBpeTokens(documents(s, dir), "text",
           "doc_id", bpeMerges(s, dir, 16), 64)
         .orderBy("doc_id", "chunk")),
+    // BPE token-ID sequences (X100): the artifact a training pipeline
+    // actually feeds the model — one (doc, pos, id) row per emitted
+    // symbol, ids = code point for base chars / 255+min-merge-step for
+    // merged symbols. Output is token-volume-sized, so both engines
+    // encode the same 1-in-20 document slice; the oracle re-trains the
+    // merges AND re-derives the id table itself.
+    "q129_bpe_encode_ids" -> ((s, dir) =>
+      graft.operators.Bpe.encodeIds(
+          documents(s, dir).filter(col("doc_id") % 20 === 0),
+          "text", "doc_id", bpeMerges(s, dir, 16))
+        .orderBy("doc_id", "pos")),
+    // Stupid-backoff bigram LM scoring (X101, Brants et al. 2007):
+    // corpus-trained fluency scores in integer micro-units — the
+    // CCNet-style "perplexity filter" stage between q94's unigram
+    // surprisal and q102's supervised classifier. Hapax bigrams are
+    // pruned from the model (so its size tracks the frequent-bigram
+    // vocabulary, not the corpus) and score through the α=2/5 unigram
+    // backoff. The oracle re-trains both count tables itself.
+    "q130_lm_bigram_backoff" -> ((s, dir) =>
+      graft.operators.Lm.bigramBackoffScore(documents(s, dir),
+          "doc_id", "text", 2)
+        .orderBy("doc_id")),
+    // Z-order lake layout (X102): per-bucket zone maps under Morton
+    // interleaving of two fixed-point-normalized keys — the skip
+    // index a scan planner consults — plus the probe fold comparing
+    // z against the linear single-key baseline. All integer bit
+    // algebra; the oracle re-derives normalization, interleave, and
+    // both layouts' bounding boxes itself.
+    "q131_zorder_zonemaps" -> ((s, dir) =>
+      graft.operators.Layout.zZoneMaps(
+          Sources.table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          16, 8)
+        .orderBy("bucket")),
+    "q132_zorder_prune" -> ((s, dir) =>
+      graft.operators.Layout.pruneCompare(
+          Sources.table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          16, 8, zorderProbes)
+        .orderBy("probe_id")),
     // Cross-document repeated-SPAN removal (X91, the Lee et al. 2021
     // exact-substring-dedup shape): every %7==0 doc gains the same
     // 14-word license sentence — boilerplate INSIDE otherwise-unique
@@ -2146,6 +2184,17 @@ object SparkEntry {
   private def writeSingleParquet(df: DataFrame, dir: String, name: String,
       mtime: Long): Unit =
     graft.streaming.Streams.writeSinglePartFile(df, dir, name, mtime)
+
+  /** q132's probe boxes, per-mille of each key's range: a tight 2-D
+   *  box (z wins multiplicatively), a dim1-only slab (linear's home
+   *  turf), a centered box, a corner box, and a dim2-only slab
+   *  (linear cannot prune AT ALL — its buckets all span dim2). */
+  val zorderProbes: Seq[(Long, Long, Long, Long, Long)] = Seq(
+    (1L, 0L, 100L, 0L, 100L),
+    (2L, 0L, 100L, 0L, 1000L),
+    (3L, 450L, 550L, 450L, 550L),
+    (4L, 900L, 1000L, 0L, 50L),
+    (5L, 0L, 1000L, 900L, 950L))
 
   /** Fixed literal query set for q82 (third query has an OOV term). */
   val bm25Queries: Seq[(Long, String)] = Seq(
@@ -2757,6 +2806,19 @@ object SparkEntry {
     "q127_bpe_chunk" ->
       (s"SELECT * FROM (${graft.operators.Bpe.chunkSql("documents", "text",
           "doc_id", 16, 64)}) ORDER BY doc_id, chunk"),
+    "q129_bpe_encode_ids" ->
+      (s"SELECT * FROM (${graft.operators.Bpe.encodeIdsSql("documents",
+          "text", "doc_id", 16, "doc_id % 20 = 0")}) ORDER BY doc_id, pos"),
+    "q130_lm_bigram_backoff" ->
+      (s"SELECT * FROM (${graft.operators.Lm.bigramBackoffScoreSql(
+          "documents", "doc_id", "text", 2)}) ORDER BY doc_id"),
+    "q131_zorder_zonemaps" ->
+      (s"SELECT * FROM (${graft.operators.Layout.zZoneMapsSql(
+          "lineitem", "l_orderkey", "l_partkey", 16, 8)}) ORDER BY bucket"),
+    "q132_zorder_prune" ->
+      (s"SELECT * FROM (${graft.operators.Layout.pruneCompareSql(
+          "lineitem", "l_orderkey", "l_partkey", 16, 8, zorderProbes)}) " +
+        "ORDER BY probe_id"),
     "q121_span_offsets" ->
       (s"SELECT * FROM (${Dedup.repeatedSpanOffsetsSql("documents",
           spanFixtureSql, "doc_id", 8)}) ORDER BY doc_id, s_char"),

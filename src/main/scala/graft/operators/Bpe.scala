@@ -149,6 +149,36 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("__nb")).as("n_bpe_tokens"))
   }
 
+  /** Vocabulary id of every MERGED symbol: 255 + the 1-based step of
+   *  the FIRST merge producing that string (two merges can yield the
+   *  same concatenation — (a,bc) and (ab,c) both make `abc` — so the
+   *  id keys on the string with a min-step tie-break, deterministic
+   *  and independently derivable by the oracle). Single-character
+   *  base symbols are not listed: their id IS their code point,
+   *  disjoint from 256+ because `[a-z0-9]` code points are < 128. */
+  def vocabIds(merges: Seq[(String, String)]): Map[String, Int] =
+    merges.zipWithIndex
+      .groupBy { case ((l, r), _) => l + r }
+      .map { case (sym, hits) => sym -> (256 + hits.map(_._2).min) }
+
+  /** Encode documents to BPE TOKEN-ID SEQUENCES — the actual artifact
+   *  a training pipeline feeds the model (X100): one row per (doc,
+   *  position, id), ordered by the document's symbol stream. [[encode]]
+   *  reports counts; this materializes the ids themselves. Same
+   *  single-projection shape plus one posexplode — no shuffle, no UDF,
+   *  and the id map is merge-list-sized (broadcast as a literal). */
+  def encodeIds(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val ids = typedLit(vocabIds(merges))
+    docs.select(col(idCol),
+        posexplode(flatten(transform(wordTokens(col(textCol)),
+          t => symbols(encodeToken(t, merges))))).as(Seq("pos", "__sym")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        when(length(col("__sym")) === 1, ascii(col("__sym")))
+          .otherwise(element_at(ids, col("__sym")))
+          .cast("int").as("token_id"))
+  }
+
   // ------------------------------------------------- DuckDB twins
 
   private val SepSql = "chr(31)"
@@ -220,6 +250,45 @@ object Bpe {
        |  CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(nb) AS BIGINT) AS n_bpe_tokens
        |FROM __cum GROUP BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB twin of [[train]] + [[encodeIds]]: re-trains the merges,
+   *  replays the per-word encode fold WITH word positions, flattens to
+   *  the symbol stream, and derives the same code-point / 255+min-step
+   *  vocabulary ids. `filterSql` narrows the encoded slice (e.g.
+   *  `doc_id % 20 = 0`) — id-level output is token-volume-sized, so
+   *  both engines encode the same subset. */
+  def encodeIdsSql(table: String, textExpr: String, idCol: String,
+      numMerges: Int, filterSql: String): String = {
+    val encChain = (1 to numMerges).map(k =>
+      s"""i$k AS MATERIALIZED (SELECT id, wpos,
+         |    replace(s, b.l || $SepSql || b.r, b.l || b.r) AS s
+         |  FROM i${k - 1} CROSS JOIN b$k b)""".stripMargin)
+      .mkString(",\n")
+    val steps = (1 to numMerges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, l, r FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${trainCtes(table, textExpr, numMerges)},
+       |i0 AS MATERIALIZED (SELECT id, i - 1 AS wpos,
+       |    array_to_string(regexp_extract_all(t, '.'), $SepSql) AS s
+       |  FROM (SELECT $idCol AS id, unnest(toks) AS t,
+       |          generate_subscripts(toks, 1) AS i
+       |        FROM (SELECT $idCol,
+       |                regexp_extract_all(lower($textExpr), '[a-z0-9]+') AS toks
+       |              FROM $table WHERE $filterSql))),
+       |$encChain,
+       |__vocab AS (SELECT sym, 255 + min(step) AS vid
+       |  FROM (SELECT step, l || r AS sym FROM ($steps)) GROUP BY 1),
+       |__flat AS (SELECT id, wpos, generate_subscripts(syms, 1) AS si,
+       |    unnest(syms) AS sym
+       |  FROM (SELECT id, wpos, string_split(s, $SepSql) AS syms
+       |        FROM i$numMerges))
+       |SELECT f.id AS $idCol,
+       |  CAST(row_number() OVER (PARTITION BY f.id ORDER BY f.wpos, f.si)
+       |       - 1 AS BIGINT) AS pos,
+       |  CAST(CASE WHEN length(f.sym) = 1 THEN ord(f.sym) ELSE v.vid END
+       |       AS INTEGER) AS token_id
+       |FROM __flat f LEFT JOIN __vocab v ON f.sym = v.sym""".stripMargin
   }
 
   /** DuckDB twin of [[train]] + [[encode]] end to end: the oracle

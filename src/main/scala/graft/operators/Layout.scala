@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Z-order lake layout with zone-map skip statistics (X102, round 10)
+ * — the multi-dimensional clustering a 100 TB lake needs for
+ * skip-scans on more than one predicate column. A linear layout
+ * (files range-ordered on ONE key) gives min/max zone maps that prune
+ * scans on that key and nothing else; interleaving the bits of two
+ * fixed-point-normalized keys (Morton order) makes every file's
+ * bounding box small in BOTH dimensions, so a two-predicate probe
+ * prunes multiplicatively instead of on its best single column.
+ *
+ * Reference scope: the reference engine (filter_math/math.c) has no
+ * storage layout at all; this extends the engine's lake surface
+ * alongside the X72/X76 interchange sinks.
+ *
+ * Integer-exact by construction: normalization is fixed-point —
+ *   n = ((v − min) · (2^bits − 1)) div max(max − min, 1)
+ * — and the z-value is pure bit algebra, so the zone maps and skip
+ * counts are byte-identical across engines (no float rank, no
+ * quantile estimate). The global min/max ride a broadcast single-row
+ * frame, never a driver collect.
+ *
+ * Plan shape at scale: one aggregate for the min/max frame, one
+ * corpus scan through a codegen'd projection (the interleave is a
+ * 2·bits-term shift/or tree — whole-stage, no UDF), one
+ * map-side-combinable aggregate on the bucket key for zone maps.
+ * The physical layout itself ([[zOrderBy]]) is a single range
+ * exchange on the z-value — exactly the shuffle a sorted write
+ * needs, reused as the file boundary.
+ */
+object Layout {
+
+  /** Morton-interleave two `bits`-wide non-negative longs: `a`'s bit
+   *  i lands at position 2i+1, `b`'s at 2i. */
+  def zInterleave(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
+  /** (v1, v2, n1, n2) — the two keys plus their fixed-point
+   *  normalizations against the frame's own global min/max. */
+  private def normalized(df: DataFrame, c1: String, c2: String,
+      bits: Int): DataFrame = {
+    val cap = (1L << bits) - 1
+    val mm = df.agg(
+      min(col(c1)).as("__mn1"), max(col(c1)).as("__mx1"),
+      min(col(c2)).as("__mn2"), max(col(c2)).as("__mx2"))
+    df.select(col(c1).as("v1"), col(c2).as("v2"))
+      .crossJoin(broadcast(mm))
+      .select(col("v1"), col("v2"),
+        expr(s"((v1 - __mn1) * ${cap}L) div greatest(__mx1 - __mn1, 1L)")
+          .as("n1"),
+        expr(s"((v2 - __mn2) * ${cap}L) div greatest(__mx2 - __mn2, 1L)")
+          .as("n2"))
+  }
+
+  /** Per-bucket zone maps under the Z-ORDER layout: 2^log2Buckets
+   *  buckets by the z-value's high bits → (bucket, n_rows, min/max of
+   *  both keys). The bounding boxes ARE the skip index a scan planner
+   *  consults. */
+  def zZoneMaps(df: DataFrame, c1: String, c2: String, bits: Int,
+      log2Buckets: Int): DataFrame = {
+    require(log2Buckets >= 1 && log2Buckets <= 2 * bits,
+      s"log2Buckets must be in [1, ${2 * bits}], got $log2Buckets")
+    normalized(df, c1, c2, bits)
+      .select(col("v1"), col("v2"),
+        shiftright(zInterleave(col("n1"), col("n2"), bits),
+          2 * bits - log2Buckets).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v1")).as("min1"), max(col("v1")).as("max1"),
+        min(col("v2")).as("min2"), max(col("v2")).as("max2"))
+  }
+
+  /** Zone maps under the LINEAR layout (equal-width buckets on the
+   *  first key alone) — the baseline a z-order migration is judged
+   *  against. */
+  def linearZoneMaps(df: DataFrame, c1: String, c2: String, bits: Int,
+      log2Buckets: Int): DataFrame = {
+    require(log2Buckets >= 1 && log2Buckets <= bits,
+      s"log2Buckets must be in [1, $bits], got $log2Buckets")
+    normalized(df, c1, c2, bits)
+      .select(col("v1"), col("v2"),
+        shiftright(col("n1"), bits - log2Buckets).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v1")).as("min1"), max(col("v1")).as("max1"),
+        min(col("v2")).as("min2"), max(col("v2")).as("max2"))
+  }
+
+  /** Candidate-bucket counts for box probes against both layouts:
+   *  (probe_id, lo1, hi1, lo2, hi2, cand_linear, cand_z, rows_linear,
+   *  rows_z) — how many buckets each layout CANNOT skip for the
+   *  probe, and how many rows those candidate buckets hold (the bytes
+   *  a scan would actually read). Probes are given as PER-MILLE
+   *  fractions of each key's range (probe_id, f_lo1, f_hi1, f_lo2,
+   *  f_hi2) and resolved against the frame's own min/max, so the same
+   *  probe set stays meaningful at every scale factor. Zone-map
+   *  frames are bucket-count sized, so the probe join broadcasts. */
+  def pruneCompare(df: DataFrame, c1: String, c2: String, bits: Int,
+      log2Buckets: Int, probes: Seq[(Long, Long, Long, Long, Long)])
+      : DataFrame = {
+    require(probes.nonEmpty, "at least one probe box required")
+    require(probes.forall { case (_, a, b, c, d) =>
+      Seq(a, b, c, d).forall(f => f >= 0 && f <= 1000) },
+      "probe fractions must be per-mille in [0, 1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mm = df.agg(
+      min(col(c1)).as("__mn1"), max(col(c1)).as("__mx1"),
+      min(col(c2)).as("__mn2"), max(col(c2)).as("__mx2"))
+    val p = probes.toDF("probe_id", "f_lo1", "f_hi1", "f_lo2", "f_hi2")
+      .crossJoin(broadcast(mm))
+      .select(col("probe_id"),
+        expr("__mn1 + ((__mx1 - __mn1) * f_lo1) div 1000L").as("lo1"),
+        expr("__mn1 + ((__mx1 - __mn1) * f_hi1) div 1000L").as("hi1"),
+        expr("__mn2 + ((__mx2 - __mn2) * f_lo2) div 1000L").as("lo2"),
+        expr("__mn2 + ((__mx2 - __mn2) * f_hi2) div 1000L").as("hi2"))
+    def cands(zm: DataFrame, tag: String): DataFrame =
+      zm.crossJoin(broadcast(p))
+        .filter(!(col("max1") < col("lo1") || col("min1") > col("hi1") ||
+          col("max2") < col("lo2") || col("min2") > col("hi2")))
+        .groupBy(col("probe_id"), col("lo1"), col("hi1"), col("lo2"),
+          col("hi2"))
+        .agg(count(lit(1)).as(s"cand_$tag"),
+          sum(col("n_rows")).as(s"rows_$tag"))
+    val keys = Seq("probe_id", "lo1", "hi1", "lo2", "hi2")
+    p.join(cands(linearZoneMaps(df, c1, c2, bits, log2Buckets), "linear"),
+        keys, "left")
+      .join(cands(zZoneMaps(df, c1, c2, bits, log2Buckets), "z"),
+        keys, "left")
+      .select(col("probe_id"), col("lo1"), col("hi1"), col("lo2"),
+        col("hi2"),
+        coalesce(col("cand_linear"), lit(0L)).as("cand_linear"),
+        coalesce(col("rows_linear"), lit(0L)).as("rows_linear"),
+        coalesce(col("cand_z"), lit(0L)).as("cand_z"),
+        coalesce(col("rows_z"), lit(0L)).as("rows_z"))
+  }
+
+  /** The physical layout operator: range-partition on the z-value and
+   *  sort within partitions, so a parquet write of the result
+   *  produces `numFiles` files whose row-group min/max stats (the
+   *  zone maps engines read natively) are tight in both keys. One
+   *  range exchange; the sort is the write order. */
+  def zOrderBy(df: DataFrame, c1: String, c2: String, bits: Int,
+      numFiles: Int): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val cap = (1L << bits) - 1
+    val mm = df.agg(
+      min(col(c1)).as("__mn1"), max(col(c1)).as("__mx1"),
+      min(col(c2)).as("__mn2"), max(col(c2)).as("__mx2"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("__z", zInterleave(
+        expr(s"((`$c1` - __mn1) * ${cap}L) div greatest(__mx1 - __mn1, 1L)"),
+        expr(s"((`$c2` - __mn2) * ${cap}L) div greatest(__mx2 - __mn2, 1L)"),
+        bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__mn1", "__mx1", "__mn2", "__mx2", "__z")
+  }
+
+  // ------------------------------------------------- DuckDB twins
+
+  private def zInterleaveSql(a: String, b: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($a >> $i) & 1) << ${2 * i + 1})",
+      s"((($b >> $i) & 1) << ${2 * i})"))
+      .mkString(" | ")
+
+  private def normCtes(table: String, c1: String, c2: String,
+      bits: Int): String = {
+    val cap = (1L << bits) - 1
+    s"""__mm AS (SELECT CAST(min($c1) AS BIGINT) AS mn1,
+       |    CAST(max($c1) AS BIGINT) AS mx1,
+       |    CAST(min($c2) AS BIGINT) AS mn2,
+       |    CAST(max($c2) AS BIGINT) AS mx2 FROM $table),
+       |__norm AS (SELECT $c1 AS v1, $c2 AS v2,
+       |    (($c1 - mn1) * $cap) // greatest(mx1 - mn1, 1) AS n1,
+       |    (($c2 - mn2) * $cap) // greatest(mx2 - mn2, 1) AS n2
+       |  FROM $table CROSS JOIN __mm)""".stripMargin
+  }
+
+  private def zoneMapSelect(bucketExpr: String): String =
+    s"""SELECT $bucketExpr AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |    min(v1) AS min1, max(v1) AS max1,
+       |    min(v2) AS min2, max(v2) AS max2
+       |  FROM __norm GROUP BY 1""".stripMargin
+
+  /** DuckDB twin of [[zZoneMaps]]. */
+  def zZoneMapsSql(table: String, c1: String, c2: String, bits: Int,
+      log2Buckets: Int): String =
+    s"""WITH ${normCtes(table, c1, c2, bits)}
+       |${zoneMapSelect(s"((${zInterleaveSql("n1", "n2", bits)}) >> ${2 * bits - log2Buckets})")}""".stripMargin
+
+  /** DuckDB twin of [[pruneCompare]]: both layouts' zone maps, the
+   *  per-mille probe resolution, and the probe fold, all re-derived
+   *  from the same parquet. */
+  def pruneCompareSql(table: String, c1: String, c2: String, bits: Int,
+      log2Buckets: Int, probes: Seq[(Long, Long, Long, Long, Long)])
+      : String = {
+    val values = probes.map { case (id, a, b, c, d) =>
+      s"($id, $a, $b, $c, $d)" }.mkString(", ")
+    val probesSql =
+      s"""SELECT CAST(probe_id AS BIGINT) AS probe_id,
+         |    mn1 + ((mx1 - mn1) * f1) // 1000 AS lo1,
+         |    mn1 + ((mx1 - mn1) * f2) // 1000 AS hi1,
+         |    mn2 + ((mx2 - mn2) * f3) // 1000 AS lo2,
+         |    mn2 + ((mx2 - mn2) * f4) // 1000 AS hi2
+         |  FROM (VALUES $values) AS t(probe_id, f1, f2, f3, f4)
+         |  CROSS JOIN __mm""".stripMargin
+    def cands(zmCte: String, tag: String): String =
+      s"""SELECT probe_id, lo1, hi1, lo2, hi2,
+         |    CAST(count(*) AS BIGINT) AS cand_$tag,
+         |    CAST(sum(n_rows) AS BIGINT) AS rows_$tag
+         |  FROM $zmCte CROSS JOIN __p
+         |  WHERE NOT (max1 < lo1 OR min1 > hi1 OR max2 < lo2 OR min2 > hi2)
+         |  GROUP BY 1, 2, 3, 4, 5""".stripMargin
+    s"""WITH ${normCtes(table, c1, c2, bits)},
+       |__p AS ($probesSql),
+       |__zmz AS (${zoneMapSelect(s"((${zInterleaveSql("n1", "n2", bits)}) >> ${2 * bits - log2Buckets})")}),
+       |__zml AS (${zoneMapSelect(s"(n1 >> ${bits - log2Buckets})")}),
+       |__cz AS (${cands("__zmz", "z")}),
+       |__cl AS (${cands("__zml", "linear")})
+       |SELECT p.probe_id, p.lo1, p.hi1, p.lo2, p.hi2,
+       |  COALESCE(cl.cand_linear, 0) AS cand_linear,
+       |  COALESCE(cl.rows_linear, 0) AS rows_linear,
+       |  COALESCE(cz.cand_z, 0) AS cand_z,
+       |  COALESCE(cz.rows_z, 0) AS rows_z
+       |FROM __p p
+       |LEFT JOIN __cl cl USING (probe_id, lo1, hi1, lo2, hi2)
+       |LEFT JOIN __cz cz USING (probe_id, lo1, hi1, lo2, hi2)""".stripMargin
+  }
+}

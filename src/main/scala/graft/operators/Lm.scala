@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Bigram language-model quality scoring with stupid backoff (X101,
+ * round 10) — the web-scale LM scorer of Brants et al. 2007 ("Large
+ * Language Models in Machine Translation"): no discounting, no
+ * normalization, a fixed backoff factor α — chosen there BECAUSE it
+ * keeps distributed training to plain counting, which is exactly the
+ * regime this engine targets. Completes the quality ladder between
+ * q94's unigram surprisal (no context) and q102's trained classifier
+ * (supervised): fluency scoring with one token of context, the
+ * CCNet/RedPajama "perplexity filter" stage of an LLM data pipeline.
+ *
+ * Reference scope: the reference engine (filter_math/math.c) has no
+ * text operators at all; this extends the engine's curation surface.
+ *
+ * Integer-exact by construction (the q94/q117 rule): per-bigram
+ * scores are integer micro-units —
+ *   seen (c₂(w₁,w₂) ≥ minCount):  ⌊10⁶·c₂(w₁,w₂) / c₁(w₁)⌋
+ *   backoff:                      ⌊α·10⁶·c₁(w₂)  /  T⌋,  α = 2/5
+ * summed per document and floor-divided by the bigram count. Integer
+ * addition is associative, so the parallel aggregation order can
+ * never move the hash; a float `log` formulation would hostage the
+ * oracle to libm rounding AND to Spark's partial-agg fold order. A
+ * production deployment can swap the per-pair expression for
+ * `ln(p)` without touching the plan shape.
+ *
+ * Pruning IS the model at 100 TB: hapax bigrams (count < minCount)
+ * are dropped from the model — Brants et al.'s entropy pruning in its
+ * cheapest form — so the bigram table grows with the DISTINCT
+ * frequent-bigram vocabulary, not the corpus. The pruned pairs score
+ * through the unigram backoff, which is what backoff is FOR.
+ *
+ * Plan shape at scale: one corpus scan explodes adjacent pairs
+ * (positions never materialize — `arrays_zip` of two array slices
+ * inside the projection); the model tables are two hash
+ * aggregations over token keys; scoring is a posting join on
+ * (w₁,w₂) + two vocab joins on w₁/w₂ — all map-side-combinable
+ * shuffles on high-cardinality keys, the q94 lexicon class. The
+ * corpus total T rides a broadcast single-row frame, never a
+ * driver-side collect.
+ */
+object Lm {
+
+  /** Lowered whitespace tokens with empties dropped — the shared
+   *  [[graft.functions.TextFunctions.lowerTokens]] contract; bigrams
+   *  pair ADJACENT SURVIVORS of the empty-drop. */
+  private def toks(c: Column): Column =
+    filter(graft.functions.TextFunctions.lowerTokens(c), t => t =!= "")
+
+  /** Adjacent-pair frame (idCol, w1, w2), one row per bigram
+   *  instance. */
+  private def docBigrams(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol), toks(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1))).as("__z"))
+      .select(col(idCol), col("__z").getField("0").as("w1"),
+        col("__z").getField("1").as("w2"))
+
+  /** Score every document against the corpus-trained stupid-backoff
+   *  bigram model: (idCol, n_bigrams, mean_score_micro). Documents
+   *  with fewer than two tokens score (0, 0) — no context exists to
+   *  judge them, and emitting NULL would turn the mean into a
+   *  three-valued logic problem downstream. */
+  def bigramBackoffScore(docs: DataFrame, idCol: String,
+      textCol: String, minCount: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val pairs = docBigrams(docs, idCol, textCol)
+    val uni = docs.select(explode(toks(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val total = uni.agg(sum(col("c1")).as("t"))
+    val scored = pairs
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1w2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        when(col("c2").isNotNull,
+            expr("(c2 * 1000000) div c1w1"))
+          .otherwise(expr("(c1w2 * 400000) div t")).as("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(__s) div count(1)").as("mean_score_micro"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("mean_score_micro"), lit(0L)).as("mean_score_micro"))
+  }
+
+  /** DuckDB oracle twin: identical tokenization, pairing, pruning,
+   *  α = 2/5 micro-unit integer arithmetic, and floor divisions. */
+  def bigramBackoffScoreSql(table: String, idCol: String,
+      textExpr: String, minCount: Int): String = {
+    val t = graft.functions.TextFunctions.lowerTokensSql(textExpr)
+    s"""WITH __toks AS (
+       |  SELECT $idCol, list_filter($t, x -> x <> '') AS t FROM $table),
+       |__pairs AS (
+       |  SELECT $idCol, z[1] AS w1, z[2] AS w2 FROM (
+       |    SELECT $idCol,
+       |           unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+       |    FROM __toks WHERE len(t) >= 2)),
+       |__uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM (
+       |    SELECT unnest(t) AS w FROM __toks) GROUP BY 1),
+       |__bi AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM __pairs
+       |  GROUP BY 1, 2 HAVING count(*) >= $minCount),
+       |__total AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM __uni),
+       |__scored AS (
+       |  SELECT p.$idCol,
+       |    CASE WHEN b.c2 IS NOT NULL THEN (b.c2 * 1000000) // u1.c1
+       |         ELSE (u2.c1 * 400000) // tt.t END AS s
+       |  FROM __pairs p
+       |  LEFT JOIN __bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+       |  JOIN __uni u1 ON p.w1 = u1.w
+       |  JOIN __uni u2 ON p.w2 = u2.w
+       |  CROSS JOIN __total tt),
+       |__agg AS (
+       |  SELECT $idCol, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(s) // count(*) AS BIGINT) AS mean_score_micro
+       |  FROM __scored GROUP BY 1)
+       |SELECT d.$idCol,
+       |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(a.mean_score_micro, 0) AS mean_score_micro
+       |FROM $table d LEFT JOIN __agg a ON d.$idCol = a.$idCol""".stripMargin
+  }
+}

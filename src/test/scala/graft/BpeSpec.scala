@@ -124,6 +124,33 @@ class BpeSpec extends SparkTestBase {
       (2L, 0L) -> ((2L, 2L))))
   }
 
+  test("encodeIds emits the reference symbol stream as ids: code points for chars, 255+min-step for merges") {
+    val texts = Seq("the lowest newest low", "newest widest lower low", "?!")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 6)
+    val ids = Bpe.vocabIds(merges)
+    val expected = texts.zipWithIndex.flatMap { case (t, d) =>
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+        .flatMap(w => refEncode(w, merges))
+        .zipWithIndex.map { case (sym, p) =>
+          (d.toLong, p.toLong,
+            if (sym.length == 1) sym.head.toInt else ids(sym))
+        }
+    }.toSet
+    val got = Bpe.encodeIds(docs, "text", "doc_id", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+    assert(!got.exists(_._1 == 2L)) // token-free doc emits nothing
+  }
+
+  test("vocabIds keys on the merged string with a min-step tie-break") {
+    // steps 3 and 4 both concatenate to "abcd" → id 255 + 3 = 258
+    val merges = Seq(("a", "b"), ("c", "d"), ("ab", "cd"), ("abc", "d"))
+    assert(Bpe.vocabIds(merges) ===
+      Map("ab" -> 256, "cd" -> 257, "abcd" -> 258))
+  }
+
   test("training is deterministic and stops cleanly when pairs run out") {
     val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     // only 2 distinct pairs exist; asking for 10 merges returns 2

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** X102 z-order layout: interleave bit math against an independent
+ *  reference, zone-map partition/coverage invariants, the no-false-
+ *  skip guarantee (a zone map may over-read, NEVER under-read), and
+ *  the physical layout's per-file bounding boxes. */
+class LayoutSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def refZ(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+    }
+
+  test("zInterleave matches the reference bit interleave") {
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L),
+      (0L, 65535L), (43690L, 21845L), (12345L, 54321L))
+    val got = cases.toDF("a", "b")
+      .select(Layout.zInterleave(col("a"), col("b"), 16).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === cases.map { case (a, b) => refZ(a, b, 16) })
+    // a=all-ones b=0 → odd bit positions; interleaved max is 2^32-1
+    assert(refZ(65535L, 0L, 16) === 0xAAAAAAAAL)
+    assert(refZ(65535L, 65535L, 16) === 0xFFFFFFFFL)
+  }
+
+  // deterministic correlated fixture: two keys with a diagonal drift
+  private lazy val fixture = (0L until 4000L)
+    .map(i => (i, (i * 37 + (i * i) % 613) % 5000, (i * 3 + (i * 7) % 211) % 800))
+    .toDF("id", "k1", "k2")
+
+  test("zone maps partition the frame: buckets disjoint, counts sum to total") {
+    for (zm <- Seq(Layout.zZoneMaps(fixture, "k1", "k2", 16, 6),
+        Layout.linearZoneMaps(fixture, "k1", "k2", 16, 6))) {
+      val rows = zm.collect()
+      assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+      assert(rows.map(_.getLong(1)).sum === 4000L)
+      rows.foreach { r =>
+        assert(r.getLong(2) <= r.getLong(3) && r.getLong(4) <= r.getLong(5))
+      }
+    }
+  }
+
+  test("no false skip: candidate buckets hold every row matching the probe") {
+    val probes = Seq((1L, 0L, 120L, 0L, 120L), (2L, 300L, 700L, 0L, 1000L),
+      (3L, 0L, 1000L, 880L, 940L))
+    val got = Layout.pruneCompare(fixture, "k1", "k2", 16, 6, probes)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(6), r.getLong(8)))).toMap
+    val data = fixture.collect().map(r => (r.getLong(1), r.getLong(2)))
+    for ((pid, (lo1, hi1, lo2, hi2, rowsLin, rowsZ)) <- got) {
+      val matching = data.count { case (a, b) =>
+        a >= lo1 && a <= hi1 && b >= lo2 && b <= hi2 }.toLong
+      // candidate-bucket row mass must COVER the true matches
+      assert(rowsLin >= matching, s"probe $pid linear under-reads")
+      assert(rowsZ >= matching, s"probe $pid z under-reads")
+    }
+  }
+
+  test("z beats linear on a tight 2-D probe; dim2-only slab is linear's blind spot") {
+    val probes = Seq((1L, 0L, 100L, 0L, 100L), (2L, 0L, 1000L, 900L, 950L))
+    val got = Layout.pruneCompare(fixture, "k1", "k2", 16, 6, probes)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(6), r.getLong(8)))).toMap
+    assert(got(1L)._2 < got(1L)._1, "tight 2-D probe: z must read fewer rows")
+    assert(got(2L)._2 < got(2L)._1, "dim2 slab: linear cannot prune dim2")
+  }
+
+  test("zOrderBy bounds every file in BOTH dims: a dim2 slab touches few z files, all linear files") {
+    import org.apache.spark.sql.Row
+    def fileBoxes(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Long, Long)] =
+      df.select(col("k1"), col("k2"))
+        .withColumn("__pid", spark_partition_id())
+        .groupBy("__pid")
+        .agg(min("k1").as("a"), max("k1").as("b"),
+          min("k2").as("c"), max("k2").as("d"))
+        .collect().toSeq.map { case Row(_, a: Long, b: Long, c: Long, d: Long) =>
+          (a, b, c, d) }
+    val zBoxes = fileBoxes(Layout.zOrderBy(fixture, "k1", "k2", 16, 64))
+    val linBoxes = fileBoxes(
+      fixture.repartitionByRange(64, col("k1")).sortWithinPartitions("k1"))
+    assert(zBoxes.size === 64)
+    // schema untouched by the layout operator
+    assert(Layout.zOrderBy(fixture, "k1", "k2", 16, 4).columns.toSeq ===
+      Seq("id", "k1", "k2"))
+    // probe: all of k1, k2 ∈ [0, 150] — every linear file reaches
+    // down into the slab (linear cannot confine k2), while the z
+    // layout bounds k2 per file, so the slab touches a small fraction
+    def touched(boxes: Seq[(Long, Long, Long, Long)]): Int =
+      boxes.count { case (_, _, c, d) => !(d < 0L || c > 150L) }
+    val (zT, linT) = (touched(zBoxes), touched(linBoxes))
+    assert(linT === 64, "every linear file spans the k2 slab")
+    assert(zT * 2 < linT, s"z files touched $zT should be < half of $linT")
+  }
+}

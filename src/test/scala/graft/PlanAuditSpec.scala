@@ -107,8 +107,13 @@ class PlanAuditSpec extends SparkTestBase {
     // plan there). Anywhere else it means a join degenerated.
     // q90's candidate pass broadcasts the bounded quantized-query set
     // (and its re-rank broadcasts ≤ k·rerank candidate ids) — the q19
-    // shape over int8 codes
-    val boundedBroadcastOk = Set("q19_knn_brute", "q31_ivf_topk", "q90_sq8_ann")
+    // shape over int8 codes. q130/q131/q132 attach a SINGLE-ROW global
+    // aggregate (corpus token total / both keys' min-max frame) via
+    // crossJoin(broadcast(...)): Spark plans any 1-row cross join as
+    // IdentityBroadcastMode BNL, which is a per-row constant lookup,
+    // not a degenerated join.
+    val boundedBroadcastOk = Set("q19_knn_brute", "q31_ivf_topk", "q90_sq8_ann",
+      "q130_lm_bigram_backoff", "q131_zorder_zonemaps", "q132_zorder_prune")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = executed(name).toString
       assert(!plan.contains("CartesianProduct"), s"$name planned a cartesian join")
