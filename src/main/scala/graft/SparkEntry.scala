@@ -1928,6 +1928,22 @@ object SparkEntry {
           Sources.table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
           16, 8, zorderProbes)
         .orderBy("probe_id")),
+    // End-to-end curation pipeline (X103): exact dedup → quality gate
+    // → stupid-backoff LM fluency screen (trained on the gated
+    // survivors, never on rejected text) → deterministic shards, as
+    // ONE composed plan — the query a reference user actually runs.
+    // The corpus injects an exact duplicate of every %5==0 doc
+    // (id+10⁶) so the dedup stage provably removes rows; thresholds
+    // (0.61 / 33000µ) sit at the corpus medians so each gate does
+    // real work.
+    "q133_curation_pipeline" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionAll(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Curation.curationPipeline(corpus, "doc_id", "text",
+          0.61, 33000L, 8, "pipe1")
+        .orderBy("doc_id")
+    }),
     // Cross-document repeated-SPAN removal (X91, the Lee et al. 2021
     // exact-substring-dedup shape): every %7==0 doc gains the same
     // 14-word license sentence — boilerplate INSIDE otherwise-unique
@@ -2819,6 +2835,14 @@ object SparkEntry {
       (s"SELECT * FROM (${graft.operators.Layout.pruneCompareSql(
           "lineitem", "l_orderkey", "l_partkey", 16, 8, zorderProbes)}) " +
         "ORDER BY probe_id"),
+    "q133_curation_pipeline" -> {
+      val corpus = "(SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+        "WHERE doc_id % 5 = 0)"
+      s"SELECT * FROM (${graft.operators.Curation.curationPipelineSql(
+          corpus, "doc_id", "text", 0.61, 33000L, 8, "pipe1")}) " +
+        "ORDER BY doc_id"
+    },
     "q121_span_offsets" ->
       (s"SELECT * FROM (${Dedup.repeatedSpanOffsetsSql("documents",
           spanFixtureSql, "doc_id", 8)}) ORDER BY doc_id, s_char"),

@@ -364,4 +364,71 @@ object Curation {
        |      FROM (SELECT $idCol,
        |              regexp_split_to_array(trim($textCol), '${graft.functions.TextFunctions.wsClassSql}+') AS toks
        |            FROM $table))""".stripMargin
+
+  // ------------------------------------------ end-to-end pipeline
+
+  /** The full curation pipeline as ONE composed plan (X103, round
+   *  10): exact dedup (keep the min-id copy per content hash) →
+   *  quality gate ([[TextFunctions.qualityScoreFast]] ≥ qualityMin)
+   *  → corpus-trained stupid-backoff bigram fluency screen
+   *  ([[Lm.bigramBackoffScore]] ≥ lmMinMicro — the model trains on
+   *  the GATED SURVIVORS, never on text the pipeline just rejected)
+   *  → deterministic shard assignment (h60(salt‖id) mod shards).
+   *  Returns (idCol, quality, n_bigrams, mean_score_micro, shard).
+   *
+   *  This is the query a reference user actually RUNS end-to-end;
+   *  the standalone rows (q15/q12/q130/q101) bench the stages, this
+   *  one proves they compose into a single Catalyst plan: the
+   *  dedup+quality survivor frame feeds the LM trainer's two hash
+   *  aggs, the scorer's bigram stream, AND the final join — four
+   *  plan arms — so it is persisted (CacheManager-tracked, so
+   *  callers/Bench reclaim it; it already passed two gates, so it is
+   *  a shrinking fraction of the corpus by construction).
+   *  Composition adds no new shuffle class: every exchange below is
+   *  one the component operators already pay alone. */
+  def curationPipeline(docs: DataFrame, idCol: String, textCol: String,
+      qualityMin: Double, lmMinMicro: Long, shards: Int,
+      salt: String): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val keep = Dedup.exactGroups(docs, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    val gated = docs
+      .join(keep, Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol),
+        TextFunctions.qualityScoreFast(col(textCol)).as("quality"))
+      .filter(col("quality") >= qualityMin)
+      .persist()
+    val lm = Lm.bigramBackoffScore(gated, idCol, textCol, 2)
+    gated.join(lm, Seq(idCol))
+      .filter(col("mean_score_micro") >= lmMinMicro)
+      .select(col(idCol), col("quality"), col("n_bigrams"),
+        col("mean_score_micro"),
+        (graft.functions.Hashing.h60(
+          concat(lit(salt), col(idCol).cast("string")))
+          % lit(shards.toLong)).as("shard"))
+  }
+
+  /** DuckDB twin of [[curationPipeline]]: replays dedup, the quality
+   *  gate, the LM training-on-survivors (the nested
+   *  [[Lm.bigramBackoffScoreSql]] re-trains both count tables over
+   *  the same gated frame), and the shard hash. */
+  def curationPipelineSql(table: String, idCol: String, textCol: String,
+      qualityMin: Double, lmMinMicro: Long, shards: Int,
+      salt: String): String = {
+    val q = TextFunctions.qualityScoreSql(textCol)
+    s"""WITH __keep AS (
+       |  SELECT min($idCol) AS $idCol FROM $table GROUP BY md5($textCol)),
+       |__gated AS (
+       |  SELECT * FROM (
+       |    SELECT d.$idCol, d.$textCol, $q AS quality
+       |    FROM $table d JOIN __keep k USING ($idCol))
+       |  WHERE quality >= $qualityMin),
+       |__lm AS (SELECT * FROM (
+       |  ${Lm.bigramBackoffScoreSql("__gated", idCol, textCol, 2)}))
+       |SELECT g.$idCol, g.quality, l.n_bigrams, l.mean_score_micro,
+       |  ${graft.functions.Hashing.h60Sql(
+            s"'$salt' || CAST(g.$idCol AS VARCHAR)")} % $shards AS shard
+       |FROM __gated g JOIN __lm l ON g.$idCol = l.$idCol
+       |WHERE l.mean_score_micro >= $lmMinMicro""".stripMargin
+  }
 }

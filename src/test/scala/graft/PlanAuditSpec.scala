@@ -113,7 +113,8 @@ class PlanAuditSpec extends SparkTestBase {
     // IdentityBroadcastMode BNL, which is a per-row constant lookup,
     // not a degenerated join.
     val boundedBroadcastOk = Set("q19_knn_brute", "q31_ivf_topk", "q90_sq8_ann",
-      "q130_lm_bigram_backoff", "q131_zorder_zonemaps", "q132_zorder_prune")
+      "q130_lm_bigram_backoff", "q131_zorder_zonemaps", "q132_zorder_prune",
+      "q133_curation_pipeline")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = executed(name).toString
       assert(!plan.contains("CartesianProduct"), s"$name planned a cartesian join")
