@@ -220,4 +220,107 @@ class BpeSpec extends SparkTestBase {
           r.getInt(3), r.getLong(4))).sortBy(_._1).toSeq
     assert(run(base.repartition(13)) === run(base.repartition(1)))
   }
+
+  // ----------------------- round-11: vocab-scale encode + training
+
+  import graft.functions.BpeOps
+
+  test("kernel encode equals the literal replace fold on tail-match fixtures") {
+    // merge (b,c) tail-matches inside the fused `ab`; (a,a) resume
+    // semantics on runs; a merge whose l is multi-char and a pattern
+    // re-created by an earlier deletion in the SAME pass
+    val fixtures = Seq(
+      (Seq(("a", "b"), ("b", "c")), Seq("abc", "aabc", "abcbc", "babcb")),
+      (Seq(("a", "a")), Seq("a", "aa", "aaa", "aaaa", "aaaaa", "baaab")),
+      (Seq(("a", "a"), ("aa", "a")), Seq("aaaaaa", "aaaaaaa")),
+      (Seq(("a", "b"), ("ab", "ab")), Seq("abab", "ababab", "aabb")),
+      (Seq(("b", "b"), ("a", "bb"), ("abb", "c")), Seq("abbc", "babbcb")))
+    for ((merges, words) <- fixtures; w <- words) {
+      val codec = new BpeOps.BpeCodec(merges)
+      assert(BpeOps.encodeWord(w, codec) === BpeOps.foldLiteral(w, codec),
+        s"word '$w' under $merges")
+    }
+  }
+
+  test("kernel encode equals the literal replace fold on randomized trained vocabularies") {
+    val rnd = new scala.util.Random(421L)
+    for (trial <- 0 until 40) {
+      // small alphabets force dense pair collisions and tail-matches
+      val alpha = "ab0" + ("cdefg".take(rnd.nextInt(3)))
+      val corpus = Seq.fill(30 + rnd.nextInt(40))(
+        Seq.fill(1 + rnd.nextInt(12))(alpha(rnd.nextInt(alpha.length)))
+          .mkString)
+      val merges = Bpe.trainLocal(
+        corpus.groupBy(identity).map { case (w, g) =>
+          (w.map(_.toString).mkString(Bpe.Sep), g.size.toLong) }.toArray,
+        4 + rnd.nextInt(20))
+      val codec = new BpeOps.BpeCodec(merges)
+      val probes = corpus ++ Seq.fill(30)(
+        Seq.fill(1 + rnd.nextInt(16))(alpha(rnd.nextInt(alpha.length)))
+          .mkString)
+      for (w <- probes)
+        assert(BpeOps.encodeWord(w, codec) === BpeOps.foldLiteral(w, codec),
+          s"trial $trial word '$w' under $merges")
+    }
+  }
+
+  test("kernel Column path equals the nested-replace fold Column path") {
+    val texts = Seq("the lowest newest low", "newest widest lower low",
+      "ab ab ab ab xbc xbc xbc abc", "aaa aaaa aa")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 8)
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val viaKernel = docs.select(col("doc_id"),
+        Bpe.encodeTokens(toks, merges).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaFold = docs.select(col("doc_id"),
+        transform(toks, t => Bpe.encodeTokenFold(t, merges)).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaKernel === viaFold)
+  }
+
+  test("driver-side and distributed training derive the same merge list") {
+    val texts = Seq("low low lower", "newest newest newest widest",
+      "low lowest", "ab ab ab ab xbc xbc xbc abc")
+    val docs = texts.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    val local = Bpe.train(docs, "text", 12)
+    val dist = Bpe.train(docs, "text", 12, driverFoldMaxWords = 0L)
+    assert(local === dist)
+  }
+
+  test("vocab-scale: a >=1k-merge vocabulary trains driver-side and encodes through the fixed-size kernel") {
+    // deliberately diverse random words: most merges bind few
+    // occurrences, so the vocabulary supports >1000 merges
+    val rnd = new scala.util.Random(97L)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val words = Seq.fill(1600)(
+      Seq.fill(8 + rnd.nextInt(7))(alpha(rnd.nextInt(alpha.length)))
+        .mkString).distinct
+    val docs = words.grouped(8).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 1200)
+    assert(merges.size >= 1000, s"vocabulary exhausted at ${merges.size}")
+    // the kernel path encodes the whole corpus under the 1.2k-merge
+    // vocabulary in one projection (the nested-replace fold at this
+    // merge count would overrun codegen's 64 KB method budget and an
+    // analysis tree 1200 replaces deep)
+    val codec = new BpeOps.BpeCodec(merges)
+    val got = Bpe.encode(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val expected = docs.collect().map { r =>
+      val enc = "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toSeq
+        .map(w => BpeOps.foldLiteral(w, codec))
+      val syms = enc.flatMap(_.split(java.util.regex.Pattern.quote(Bpe.Sep), -1))
+      r.getLong(0) -> ((syms.size.toLong, syms.distinct.size.toLong))
+    }.toMap
+    assert(got === expected)
+    // ids stream too: every merged symbol resolves to a learned or UNK id
+    val nIds = Bpe.encodeIds(docs, "text", "doc_id", merges)
+      .filter(col("token_id") >= 256 || col("token_id") === Bpe.UnkId ||
+        (col("token_id") >= 48 && col("token_id") < 128))
+      .count()
+    assert(nIds === expected.values.map(_._1).sum)
+  }
 }
