@@ -35,7 +35,11 @@ import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSyst
  *    FS): `claim` writes a writer-unique temp file and renames it to
  *    the claim name — the rename either wins atomically or returns
  *    false, and the loser compares content; `casInstallDir` is one
- *    rename; `replaceFileAtomic` renames to a fresh temp then
+ *    rename PLUS a nested-landing probe (HDFS renames a dir onto an
+ *    existing dir by moving the source INSIDE it, so a
+ *    check-then-rename race would otherwise let both installers
+ *    "succeed" — round-11 advice fix, raced deterministically by the
+ *    `race:` test FS); `replaceFileAtomic` renames to a fresh temp then
  *    delete-old + rename — the pointer is absent only inside a
  *    bounded delete→rename window, and [[readPointerFile]] retries
  *    across it (HDFS deployments wanting a zero-window swap can route
@@ -43,15 +47,40 @@ import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSyst
  *    only require read-retry).
  *  - **Object stores (S3 and friends)**: rename is a non-atomic
  *    copy+delete and none of the three primitives can be built from
- *    it honestly. The DESIGN for that tier is conditional-put
- *    (`If-None-Match: *` for claim/install, versioned put for the
- *    pointer) — exactly the Delta/Iceberg commit-service shape — or
- *    mounting the store through a connector that provides atomic
- *    rename semantics. This class does not pretend otherwise: the
- *    rename-based branch is used and its caveat documented here,
- *    because the sandbox offers no object store to verify a
- *    conditional-put implementation against.
+ *    it honestly. Filesystems advertising [[ConditionalPutStore]]
+ *    route through conditional puts instead (round-11 item 4 — the
+ *    round-10 design, now code): `claim` and `createMarker` are one
+ *    `putIfAbsent` (`If-None-Match: *` — one request, no temp file,
+ *    loser reads the winner's content), `replaceFileAtomic` is one
+ *    object-level atomic `putAtomic` (readers see the old or the new
+ *    object, NO absence window at all — strictly stronger than the
+ *    rename-contract pointer swap), and `casInstallDir` decides the
+ *    race with a `putIfAbsent` COMMIT KEY (a hidden sibling,
+ *    `.<target>.__commit`, holding a writer-unique nonce — the
+ *    Delta/Iceberg commit-object shape) and only then moves the
+ *    scratch data under the target with plain, non-atomic FS traffic.
+ *    Reader correctness during the non-atomic move is the
+ *    install-then-delete ordering every store here already follows: a
+ *    partially-moved install is a SUBSET of its input segments, which
+ *    stay visible until the caller deletes them after install
+ *    returns. A writer that crashes between winning the commit key
+ *    and completing the move leaves the key held — the same
+ *    crashed-claim posture as the version-chain CAS, recovered the
+ *    same way: any partial attempt changes the next fold's input
+ *    segment set, hence its target name and commit key. Driven
+ *    end-to-end by a `condput:` test filesystem exposing exactly the
+ *    conditional-put primitives (SecondWriterSpec, EvolvingAnnSpec).
  */
+private[graft] trait ConditionalPutStore {
+  /** Atomic create-if-absent with full content (`If-None-Match: *`):
+   *  true iff this call created the object. Never leaves a torn
+   *  object — the put is all-or-nothing at object granularity. */
+  def putIfAbsent(p: Path, bytes: Array[Byte]): Boolean
+  /** Object-level atomic overwrite: concurrent readers observe the
+   *  old content or the new content, never a torn or absent object. */
+  def putAtomic(p: Path, bytes: Array[Byte]): Unit
+}
+
 private[graft] object StoreFs {
 
   private def hconf: Configuration =
@@ -59,14 +88,20 @@ private[graft] object StoreFs {
 
   private def fsOf(p: Path): FileSystem = p.getFileSystem(hconf)
 
-  /** Is this FS the local POSIX disk (directly or checksum-wrapped)?
-   *  Decides between the syscall-atomic local branch and the
-   *  rename-contract branch of the three primitives. */
-  private def isLocal(fs: FileSystem): Boolean = fs match {
-    case _: RawLocalFileSystem => true
-    case _: LocalFileSystem => true
-    case _ => false
-  }
+  /** Is this FS the local POSIX disk (directly, checksum-wrapped, or
+   *  Spark's Hive ProxyLocalFileSystem)? Decides between the
+   *  syscall-atomic local branch and the rename-contract branch of
+   *  the three primitives. The match requires the `file` SCHEME on
+   *  top of the local classes: the test filesystems (`strict:`,
+   *  `race:`, `condput:`) subclass RawLocalFileSystem for storage but
+   *  model OTHER stores' semantics — a bare instanceof match silently
+   *  sent them down the local hard-link branch, so the
+   *  rename-contract code paths were exercised by no spec (round-11
+   *  routing fix; the racing-install spec now fails if this
+   *  regresses, because the local branch bypasses `fs.rename`). */
+  private def isLocal(fs: FileSystem): Boolean =
+    fs.getScheme == "file" &&
+      (fs.isInstanceOf[RawLocalFileSystem] || fs.isInstanceOf[LocalFileSystem])
 
   private def localFile(p: Path): java.io.File =
     new java.io.File(p.toUri.getPath)
@@ -77,9 +112,19 @@ private[graft] object StoreFs {
 
   def mkdirs(p: String): Unit = { val h = new Path(p); fsOf(h).mkdirs(h); () }
 
-  /** Recursive delete, quiet when absent. */
+  /** Recursive delete, quiet when absent. On a conditional-put store
+   *  the target's install COMMIT KEY (hidden sibling) goes with it,
+   *  so segment GC cannot leak one key per compacted-away dir. */
   def deleteRecursive(p: String): Unit = {
-    val h = new Path(p); fsOf(h).delete(h, true); ()
+    val h = new Path(p)
+    val fs = fsOf(h)
+    fs.delete(h, true)
+    fs match {
+      case _: ConditionalPutStore if h.getParent != null =>
+        val key = new Path(h.getParent, s".${h.getName}.__commit")
+        if (fs.exists(key)) { fs.delete(key, false); () }
+      case _ => ()
+    }
   }
 
   /** Non-recursive delete-if-exists (claim files, commit markers). */
@@ -170,12 +215,14 @@ private[graft] object StoreFs {
    *  exclusive-create, atomic on HDFS. */
   def createMarker(p: String): Boolean = {
     val h = new Path(p)
-    val fs = fsOf(h)
-    if (isLocal(fs)) {
-      val f = localFile(h)
-      f.getParentFile.mkdirs()
-      f.createNewFile()
-    } else fs.createNewFile(h)
+    fsOf(h) match {
+      case cp: ConditionalPutStore => cp.putIfAbsent(h, Array.emptyByteArray)
+      case fs if isLocal(fs) =>
+        val f = localFile(h)
+        f.getParentFile.mkdirs()
+        f.createNewFile()
+      case fs => fs.createNewFile(h)
+    }
   }
 
   /** Root-pointer swap: readers of `target` see the OLD content or
@@ -187,6 +234,14 @@ private[graft] object StoreFs {
   def replaceFileAtomic(target: String, content: String): Unit = {
     val h = new Path(target)
     val fs = fsOf(h)
+    fs match {
+      case cp: ConditionalPutStore =>
+        // one object-level atomic overwrite: no temp, no delete→rename
+        // absence window (the versioned-put pointer swap)
+        cp.putAtomic(h, content.getBytes("UTF-8"))
+        return
+      case _ => ()
+    }
     fs.mkdirs(h.getParent)
     val tmp = new Path(h.getParent,
       s".${h.getName}.${java.util.UUID.randomUUID()}")
@@ -247,6 +302,16 @@ private[graft] object StoreFs {
           s"is held by '$held' (this writer: '$content'). The store " +
           "is single-writer; a concurrent fold or compaction raced " +
           "this one and exactly one may proceed.")
+    fs match {
+      case cp: ConditionalPutStore =>
+        // one conditional put; the loser reads the winner's content
+        if (!cp.putIfAbsent(h, content.getBytes("UTF-8"))) {
+          val held = readUTF8(h.toString)
+          if (held != content) second(held)
+        }
+        return
+      case _ => ()
+    }
     if (isLocal(fs)) {
       val tf = localFile(h)
       val tmp = new java.io.File(tf.getParentFile,
@@ -298,6 +363,32 @@ private[graft] object StoreFs {
           "installed from the same input segments — a concurrent " +
           "compaction raced this one and exactly one may proceed.")
     }
+    fs match {
+      case cp: ConditionalPutStore =>
+        // the race is decided by ONE conditional put of a hidden
+        // commit key (writer-unique nonce); data then moves under the
+        // target with plain FS traffic — see the class contract for
+        // why readers stay correct through the non-atomic move
+        if (fs.exists(t)) secondWriter()
+        val key = new Path(t.getParent, s".${t.getName}.__commit")
+        val nonce = java.util.UUID.randomUUID().toString
+        if (!cp.putIfAbsent(key, nonce.getBytes("UTF-8"))) secondWriter()
+        val moved =
+          try fs.rename(s, t)
+          catch { case _: java.io.FileNotFoundException => false }
+        if (!moved) {
+          // not a race (the commit key is ours) — surface the IO error
+          // and return to the pre-attempt state so a retry of the same
+          // input set isn't wedged
+          fs.delete(key, false)
+          throw new java.io.IOException(
+            s"casInstallDir($what): data move $scratch -> $target failed " +
+              s"on ${fs.getScheme} after winning the commit key — IO " +
+              "error, not a race; the scratch dir is KEPT for diagnosis")
+        }
+        return
+      case _ => ()
+    }
     if (isLocal(fs)) {
       if (localFile(t).exists()) secondWriter()
       if (!localFile(s).renameTo(localFile(t))) {
@@ -309,12 +400,31 @@ private[graft] object StoreFs {
       }
     } else {
       if (fs.exists(t)) secondWriter()
-      if (!fs.rename(s, t)) {
+      // some FS implementations throw FileNotFoundException instead of
+      // returning false when the source is missing — same IO-error
+      // contract either way
+      val renamed =
+        try fs.rename(s, t)
+        catch { case _: java.io.FileNotFoundException => false }
+      if (!renamed) {
         if (fs.exists(t)) secondWriter()
         throw new java.io.IOException(
           s"casInstallDir($what): rename $scratch -> $target failed on " +
             s"${fs.getScheme} and the target does not exist — IO error, " +
             "not a race; the scratch dir is KEPT for diagnosis")
+      }
+      // HDFS renames a dir onto an EXISTING dir by moving the source
+      // INSIDE it (returning true) — so a racing install materializing
+      // `target` between the existence check and the rename makes BOTH
+      // writers "succeed", the loser's scratch nested invisibly at
+      // target/<scratchName>. Detect the nested landing and demote to
+      // second writer (scratch names are writer-unique, so the probe
+      // cannot collide with legitimate installed content). Round-11
+      // advice fix; raced deterministically by the `race:` test FS.
+      val nested = new Path(t, s.getName)
+      if (fs.exists(nested)) {
+        fs.delete(nested, true)
+        secondWriter()
       }
     }
   }

@@ -632,6 +632,16 @@ object Dedup {
       val deleted =
         if (delSegs.isEmpty) None
         else Some(spark.read.parquet(delSegs: _*).select(col("id")).distinct())
+      // prior folded-* ledgers are SUBSUMED by this fold (its inputs
+      // include the base the old folds produced), so their names fold
+      // into the new ledger and the old files are GC'd after — without
+      // this, a long-lived stream accumulates one ledger file per
+      // compaction and every append re-reads them all (round-11
+      // advice fix, mirrored in compactAnnIndex)
+      val priorLedgers = graft.core.StoreFs.listFileNames(dir)
+        .filter(_.startsWith("folded-"))
+      val priorFolded = foldedSegmentNames(dir)
+      val newLedgers = scala.collection.mutable.Set.empty[String]
       for ((table, keys) <- Seq(
           "shingles" -> Seq("id"),
           "banded" -> Seq("band", "bh", "id"))) {
@@ -659,10 +669,16 @@ object Dedup {
         // so at every crash point the index is a correct set AND the
         // ledger covers every physically-dropped segment.
         graft.core.StoreFs.writeUTF8(s"$dir/folded-$table-$tag",
-          segs.map(graft.core.StoreFs.name).mkString("\n"))
+          (priorFolded ++ segs.map(graft.core.StoreFs.name))
+            .toSeq.sorted.mkString("\n"))
+        newLedgers += s"folded-$table-$tag"
         segs.foreach(graft.core.StoreFs.deleteRecursive)
       }
       delSegs.foreach(graft.core.StoreFs.deleteRecursive)
+      // superseded ledgers drop LAST: at every crash point the union
+      // of surviving ledgers still covers every folded segment
+      priorLedgers.filterNot(newLedgers)
+        .foreach(f => graft.core.StoreFs.deleteFileIfExists(s"$dir/$f"))
       true
     }
   }

@@ -700,12 +700,22 @@ object Similarity {
       // ids, double-counted ledger). Written between install and
       // delete: every physically-dropped segment is covered at every
       // crash point.
+      // prior folded-* ledgers fold into this one (their segments are
+      // subsumed by this fold's inputs) and are GC'd after — bounded
+      // ledger count and one small-file read per append instead of
+      // one per historical compaction (round-11 advice fix)
+      val priorLedgers = graft.core.StoreFs.listFileNames(dataDir)
+        .filter(_.startsWith("folded-"))
       graft.core.StoreFs.writeUTF8(s"$dataDir/folded-$tag",
-        dataSegs.map(graft.core.StoreFs.name).mkString("\n"))
+        (foldedAnnSegmentNames(dataDir) ++
+          dataSegs.map(graft.core.StoreFs.name))
+          .toSeq.sorted.mkString("\n"))
       dataSegs.foreach(graft.core.StoreFs.deleteRecursive)
       annSegDirs(countsDir).filterNot(_.endsWith(s"base-$tag"))
         .foreach(graft.core.StoreFs.deleteRecursive)
       delSegs.foreach(graft.core.StoreFs.deleteRecursive)
+      priorLedgers.filterNot(_ == s"folded-$tag")
+        .foreach(f => graft.core.StoreFs.deleteFileIfExists(s"$dataDir/$f"))
       true
     }
   }

@@ -162,6 +162,34 @@ class EvolvingAnnSpec extends SparkTestBase {
     assert(Similarity.annIndexStats(spark, dir)._1 === 160L)
   }
 
+  test("condput FS: compaction-fold redelivery contract holds over the conditional-put store branch") {
+    CondPutFileSystem.register(spark)
+    val dir = s"condput:${Streams.scratchDir("graft_annevo_cpfold_")}"
+    Similarity.materializeAnnIndex(corpus(0 until 100, 1.0), dim, dir, "fpCP")
+    val batch = corpus(2000 until 2050, 1.0)
+    Similarity.appendToAnnIndex(dir, batch, "b1")
+    val (n0, s20) = Similarity.annIndexStats(spark, dir)
+    assert(n0 === 150L)
+    assert(Similarity.compactAnnIndex(spark, dir, maxSegments = 1))
+    Similarity.appendToAnnIndex(dir, batch, "b1") // redelivery after fold
+    val (live, _) = Similarity.loadAnnIndex(spark, dir)
+    assert(live.count() === 150L, "no duplicate rows after redelivered fold")
+    assert(Similarity.annIndexStats(spark, dir) === ((n0, s20)))
+    // a second compaction folds again: the prior folded-* ledger is
+    // SUBSUMED into the new one and GC'd (bounded ledger count), and
+    // a redelivery of the twice-folded batch still no-ops
+    Similarity.deleteFromAnnIndex(dir,
+      spark.range(2000, 2002).select(col("id").as("vec_id")), "d1")
+    assert(Similarity.compactAnnIndex(spark, dir, maxSegments = 1))
+    val (after, _) = Similarity.loadAnnIndex(spark, dir)
+    assert(after.count() === 148L)
+    val ledgers = graft.core.StoreFs.listFileNames(s"$dir/data-g0")
+      .filter(_.startsWith("folded-"))
+    assert(ledgers.size === 1, s"superseded ledgers not GC'd: $ledgers")
+    Similarity.appendToAnnIndex(dir, batch, "b1") // folded two folds ago
+    assert(Similarity.loadAnnIndex(spark, dir)._1.count() === 148L)
+  }
+
   test("semantic ingest screen: corpus dup, in-batch dup, and batch-2 dup of a batch-1 survivor all screen") {
     val dir = Streams.scratchDir("graft_annevo_scr_")
     val base = corpus(0 until 50, 1.0)

@@ -297,5 +297,16 @@ class EvolvingScreenSpec extends SparkTestBase {
       "text", "doc_id", "b1")
     assert(Dedup.loadLshIndex(spark, ix).shingles
       .select("id").as[Long].collect().toSet === (ids.toSet + 70L))
+    // a SECOND compaction subsumes the earlier ledger files into the
+    // new ones and GC's them (bounded count over a long-lived stream);
+    // the twice-folded b0 STILL no-ops on redelivery
+    assert(Dedup.compactLshIndex(spark, ix, maxSegments = 1))
+    val ledgers = graft.core.StoreFs.listFileNames(ix)
+      .filter(_.startsWith("folded-"))
+    assert(ledgers.size === 2, // one per table (shingles, banded)
+      s"superseded ledgers not GC'd: $ledgers")
+    Dedup.appendToLshIndex(ix, batch, "text", "doc_id", "b0")
+    assert(Dedup.loadLshIndex(spark, ix).shingles
+      .select("id").as[Long].collect().toSet === (ids.toSet + 70L))
   }
 }

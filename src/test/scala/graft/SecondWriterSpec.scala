@@ -162,6 +162,44 @@ class SecondWriterSpec extends SparkTestBase {
     assert(got.filter(col("k") === 5L).select("s").head.getString(0) === "x")
   }
 
+  test("strict FS semantics: rename moves a dir INTO an existing dir (HDFS), fails onto an existing file") {
+    import graft.core.StoreFs
+    StrictRenameFileSystem.register(spark)
+    val d = s"strict:${Streams.scratchDir("graft_2w_sem_")}"
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreFs.mkdirs(s"$d/src1"); StoreFs.mkdirs(s"$d/dst")
+    StoreFs.writeUTF8(s"$d/f1", "a"); StoreFs.writeUTF8(s"$d/f2", "b")
+    // dir onto existing dir: nests, returns true — the HDFS hazard
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$d/src1"),
+      new org.apache.hadoop.fs.Path(s"$d/dst")))
+    assert(StoreFs.exists(s"$d/dst/src1"))
+    // file onto existing file: false
+    assert(!fs.rename(new org.apache.hadoop.fs.Path(s"$d/f1"),
+      new org.apache.hadoop.fs.Path(s"$d/f2")))
+    assert(StoreFs.readUTF8(s"$d/f2") === "b")
+  }
+
+  test("race FS: an install racing through the check-then-rename window is detected, not silently nested") {
+    import graft.core.StoreFs
+    RacingInstallFileSystem.register(spark)
+    val d = s"race:${Streams.scratchDir("graft_2w_race_")}"
+    StoreFs.mkdirs(s"$d/t/.scratchX")
+    StoreFs.writeUTF8(s"$d/t/.scratchX/part-0", "payload")
+    // the racer installs `base-aa` INSIDE our rename call — after our
+    // existence check passed
+    RacingInstallFileSystem.arm(s"$d/t/base-aa")
+    val e = intercept[IllegalStateException] {
+      StoreFs.casInstallDir(s"$d/t/.scratchX", s"$d/t/base-aa", "spec")
+    }
+    assert(e.getMessage.contains("SECOND WRITER"))
+    // the winner's install survives; the loser's scratch is NOT nested
+    // inside it and is cleaned up
+    assert(StoreFs.exists(s"$d/t/base-aa"))
+    assert(!StoreFs.exists(s"$d/t/base-aa/.scratchX"))
+    assert(!StoreFs.exists(s"$d/t/.scratchX"))
+  }
+
   test("strict FS: ANN index lifecycle (build, append, delete, compact) over the rename-contract branch") {
     import graft.operators.Similarity
     val dim = 4
@@ -172,6 +210,103 @@ class SecondWriterSpec extends SparkTestBase {
     Similarity.materializeAnnIndex(emb, dim, dir, "fp-strict")
     val meta0 = Similarity.readAnnIndexMeta(dir).get
     assert(meta0.fingerprint === "fp-strict")
+    Similarity.appendToAnnIndex(dir,
+      (100 until 110).map(i => (i.toLong, s"l$i",
+        Array.tabulate(dim)(j => (i + j) % 7 / 7.0f)))
+        .toDF("vec_id", "label", "embedding"), "b1")
+    Similarity.deleteFromAnnIndex(dir,
+      Seq(100L, 101L).toDF("vec_id"), "d1")
+    val (live, _) = Similarity.loadAnnIndex(spark, dir)
+    assert(live.select("vec_id").as[Long].collect().toSet ===
+      ((0L until 40L).toSet ++ (102L until 110L).toSet))
+    assert(Similarity.compactAnnIndex(spark, dir, maxSegments = 1))
+    val (after, _) = Similarity.loadAnnIndex(spark, dir)
+    assert(after.select("vec_id").as[Long].collect().toSet ===
+      ((0L until 40L).toSet ++ (102L until 110L).toSet))
+  }
+
+  // --------------------- conditional-put (object-store) FS branch
+
+  private def condputPath(prefix: String): String = {
+    CondPutFileSystem.register(spark)
+    s"condput:${Streams.scratchDir(prefix)}"
+  }
+
+  test("condput FS: claim is one conditional put; redelivery proceeds, second writer raises") {
+    val t = s"${condputPath("graft_2w_cpclaim_")}/claims/from-v3"
+    Commit.claim(t, "v4", "spec")
+    Commit.claim(t, "v4", "spec")          // redelivery proceeds
+    val e = intercept[IllegalStateException] {
+      Commit.claim(t, "v5", "spec")
+    }
+    assert(e.getMessage.contains("held by 'v4'"))
+  }
+
+  test("condput FS: casInstallDir decides the race on the commit key; exactly one proceeds") {
+    import graft.core.StoreFs
+    val d = condputPath("graft_2w_cpcas_")
+    StoreFs.mkdirs(s"$d/t/.scratch1")
+    StoreFs.writeUTF8(s"$d/t/.scratch1/part-0", "w1")
+    StoreFs.mkdirs(s"$d/t/.scratch2")
+    StoreFs.writeUTF8(s"$d/t/.scratch2/part-0", "w2")
+    StoreFs.casInstallDir(s"$d/t/.scratch1", s"$d/t/base-aa", "spec")
+    assert(StoreFs.exists(s"$d/t/base-aa"))
+    assert(StoreFs.readUTF8(s"$d/t/base-aa/part-0") === "w1")
+    // occupied target -> SECOND WRITER, loser's scratch cleaned
+    val e = intercept[IllegalStateException] {
+      StoreFs.casInstallDir(s"$d/t/.scratch2", s"$d/t/base-aa", "spec")
+    }
+    assert(e.getMessage.contains("SECOND WRITER"))
+    assert(!StoreFs.exists(s"$d/t/.scratch2"))
+    // the commit key is a HIDDEN sibling: invisible to dir listings...
+    assert(StoreFs.listDirNames(s"$d/t") === Seq("base-aa"))
+    assert(StoreFs.listFileNames(s"$d/t") === Seq.empty)
+    // ...and GC'd with its target
+    StoreFs.deleteRecursive(s"$d/t/base-aa")
+    assert(!StoreFs.exists(s"$d/t/.base-aa.__commit"))
+    // a fresh install of the SAME target name then proceeds (the
+    // retry-after-GC path must not be wedged by a stale key)
+    StoreFs.mkdirs(s"$d/t/.scratch3")
+    StoreFs.casInstallDir(s"$d/t/.scratch3", s"$d/t/base-aa", "spec")
+    assert(StoreFs.exists(s"$d/t/base-aa"))
+  }
+
+  test("condput FS: pointer swap is one atomic object put (no absence window)") {
+    import graft.core.StoreFs
+    val d = condputPath("graft_2w_cpptr_")
+    StoreFs.replaceFileAtomic(s"$d/meta", "gen1")
+    assert(StoreFs.readPointerFile(s"$d/meta") === Some("gen1"))
+    StoreFs.replaceFileAtomic(s"$d/meta", "gen2")
+    assert(StoreFs.readPointerFile(s"$d/meta") === Some("gen2"))
+  }
+
+  test("condput FS: CDC fold chain end-to-end over the conditional-put branch") {
+    val out = condputPath("graft_2w_cpcdc_")
+    val base = spark.range(1, 21)
+      .select(col("id").as("k"), concat(lit("s"), col("id")).as("s"))
+    Streams.seedCdcState(base, s"$out/state", "k", 4)
+    val b = Seq((5L, 100L, "u", "x")).toDF("k", "seq", "op", "s")
+    Streams.foldCdcBatch(b, 1L, s"$out/state", "k", "seq", "op")
+    Streams.foldCdcBatch(b, 1L, s"$out/state", "k", "seq", "op") // redelivery
+    Commit.claim(s"$out/state/commits/from-v1", "v99", "simulated racer")
+    val e = intercept[IllegalStateException] {
+      Streams.foldCdcBatch(b, 2L, s"$out/state", "k", "seq", "op")
+    }
+    assert(e.getMessage.contains("SECOND WRITER"))
+    val got = Streams.readCdcState(spark, s"$out/state")
+    assert(got.count() === 20L)
+    assert(got.filter(col("k") === 5L).select("s").head.getString(0) === "x")
+  }
+
+  test("condput FS: ANN index lifecycle (build, append, delete, compact) over the conditional-put branch") {
+    import graft.operators.Similarity
+    val dim = 4
+    val dir = s"${condputPath("graft_2w_cpann_")}/ix"
+    val emb = (0 until 40).map { i =>
+      (i.toLong, s"l$i", Array.tabulate(dim)(j => (i * 7 + j * 3) % 11 / 10.0f))
+    }.toDF("vec_id", "label", "embedding")
+    Similarity.materializeAnnIndex(emb, dim, dir, "fp-condput")
+    assert(Similarity.readAnnIndexMeta(dir).get.fingerprint === "fp-condput")
     Similarity.appendToAnnIndex(dir,
       (100 until 110).map(i => (i.toLong, s"l$i",
         Array.tabulate(dim)(j => (i + j) % 7 / 7.0f)))
