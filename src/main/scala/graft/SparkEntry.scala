@@ -1912,6 +1912,15 @@ object SparkEntry {
       graft.operators.Lm.bigramBackoffScore(documents(s, dir),
           "doc_id", "text", 2)
         .orderBy("doc_id")),
+    // General-order stupid backoff (X105, round-11): q130's chain
+    // extended to n=3 — trigram seen → α·bigram → α²·unigram, per-order
+    // hapax pruning, all in exact integer micro-units (α^j·10⁶ divides
+    // exactly). The n=2 slice is spec-pinned ≡ q130; the oracle
+    // re-trains every order's count table itself.
+    "q135_lm_trigram_backoff" -> ((s, dir) =>
+      graft.operators.Lm.ngramBackoffScore(documents(s, dir),
+          "doc_id", "text", 3, 2)
+        .orderBy("doc_id")),
     // Z-order lake layout (X102): per-bucket zone maps under Morton
     // interleaving of two fixed-point-normalized keys — the skip
     // index a scan planner consults — plus the probe fold comparing
@@ -2842,6 +2851,9 @@ object SparkEntry {
     "q130_lm_bigram_backoff" ->
       (s"SELECT * FROM (${graft.operators.Lm.bigramBackoffScoreSql(
           "documents", "doc_id", "text", 2)}) ORDER BY doc_id"),
+    "q135_lm_trigram_backoff" ->
+      (s"SELECT * FROM (${graft.operators.Lm.ngramBackoffScoreSql(
+          "documents", "doc_id", "text", 3, 2)}) ORDER BY doc_id"),
     "q131_zorder_zonemaps" ->
       (s"SELECT * FROM (${graft.operators.Layout.zZoneMapsSql(
           "lineitem", "l_orderkey", "l_partkey", 16, 8)}) ORDER BY bucket"),

@@ -78,4 +78,83 @@ class LmSpec extends SparkTestBase {
     assert(got(1L) === ((1L, 200000L)))
     assert(got === refScores(texts, 2))
   }
+
+  // -------------------------- round-11: general-order backoff (X105)
+
+  /** Independent order-n reference: per n-gram instance, the
+   *  highest-order seen count wins at α^j·10⁶ micro-units. */
+  private def refScoresN(texts: Seq[String], n: Int,
+      minCount: Int): Map[Long, (Long, Long)] = {
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    def grams(k: Int): Map[Seq[String], Long] = texts
+      .flatMap(t => toks(t).sliding(k).filter(_.size == k).map(_.toSeq))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c = (1 to n).map(k => k -> grams(k)).toMap
+    val total = texts.map(toks(_).size.toLong).sum
+    def alpha(j: Int): Long =
+      (0 until j).foldLeft(1000000L)((v, _) => v * 2 / 5)
+    texts.zipWithIndex.map { case (t, i) =>
+      val insts = toks(t).sliding(n).filter(_.size == n).map(_.toSeq).toSeq
+      if (insts.isEmpty) i.toLong -> ((0L, 0L))
+      else {
+        val scores = insts.map { g =>
+          val hit = (0 to n - 2).find { j =>
+            c(n - j).get(g.drop(j)).exists(_ >= minCount)
+          }
+          hit match {
+            case Some(j) =>
+              val num = c(n - j)(g.drop(j))
+              val den = if (n - j - 1 >= 1) c(n - j - 1)(g.slice(j, n - 1))
+                        else total
+              num * alpha(j) / den
+            case None => c(1)(Seq(g.last)) * alpha(n - 1) / total
+          }
+        }
+        i.toLong -> ((insts.size.toLong, scores.sum / insts.size))
+      }
+    }.toMap
+  }
+
+  private def runN(texts: Seq[String], n: Int,
+      minCount: Int): Map[Long, (Long, Long)] =
+    Lm.ngramBackoffScore(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"),
+        "doc_id", "text", n, minCount)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("order-3 scores match the reference: seen trigram, bigram backoff, double backoff") {
+    val texts = Seq(
+      "the cat sat on the mat",
+      "the cat sat on the hat",
+      "the cat sat under a tree",
+      "a dog and a cat sat",
+      "one two", "zyx", "")
+    for (mc <- Seq(1, 2, 3))
+      assert(runN(texts, 3, mc) === refScoresN(texts, 3, mc),
+        s"minCount=$mc")
+  }
+
+  test("the n=2 slice of the general form IS the bigram operator") {
+    val texts = Seq(
+      "the cat sat on the mat", "the cat sat on the hat",
+      "the dog ran under a tree", "a dog and a cat", "zyx", "cat dog")
+    for (mc <- Seq(1, 2))
+      assert(runN(texts, 2, mc) === run(texts, mc), s"minCount=$mc")
+  }
+
+  test("order-4 runs and docs shorter than n score (0, 0)") {
+    val texts = Seq(
+      "alpha beta gamma delta alpha beta gamma delta",
+      "alpha beta gamma delta epsilon",
+      "one two three")
+    val got = runN(texts, 4, 2)
+    assert(got === refScoresN(texts, 4, 2))
+    assert(got(2L) === ((0L, 0L)))
+    // doc 0: instances of (alpha beta gamma delta) appear twice
+    // corpus-wide → seen at full order
+    assert(got(0L)._1 === 5L)
+  }
 }
