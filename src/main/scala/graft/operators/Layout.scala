@@ -167,6 +167,40 @@ object Layout {
       .drop("__mn1", "__mx1", "__mn2", "__mx2", "__z")
   }
 
+  /** ENGINE-level skip proof (round-11 item 5): run a two-predicate
+   *  box probe over a written parquet table and report
+   *  (rows_scanned, rows_matched) — `rows_scanned` is the scan node's
+   *  own output-row metric, i.e. rows the engine's NATIVE row-group
+   *  statistics could not skip after predicate pushdown (q131/q132
+   *  measure the zone-map arithmetic relationally; this measures the
+   *  delivered I/O through Spark's parquet reader against the files
+   *  [[zOrderBy]] laid out). The filters are plain range predicates,
+   *  so they reach the scan as PushedFilters and prune at row-group
+   *  granularity — file boundaries ARE the row groups at these sizes. */
+  def probeScanRows(spark: org.apache.spark.sql.SparkSession,
+      path: String, c1: String, lo1: Long, hi1: Long,
+      c2: String, lo2: Long, hi2: Long): (Long, Long) = {
+    // the aggregate is built EXPLICITLY so the metric is read from the
+    // exact physical plan the action executed (Dataset.count() plans
+    // its own query — its metrics are not visible on `df`)
+    val agg = spark.read.parquet(path)
+      .filter(col(c1) >= lo1 && col(c1) <= hi1 &&
+        col(c2) >= lo2 && col(c2) <= hi2)
+      .groupBy().count()
+    val matched = agg.collect()(0).getLong(0)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan) // AQE stages hide their subtree
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(agg.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value).sum
+    (scanned, matched)
+  }
+
   // ------------------------------------------------- DuckDB twins
 
   private def zInterleaveSql(a: String, b: String, bits: Int): String =

@@ -98,4 +98,34 @@ class LayoutSpec extends SparkTestBase {
     assert(linT === 64, "every linear file spans the k2 slab")
     assert(zT * 2 < linT, s"z files touched $zT should be < half of $linT")
   }
+
+  test("ENGINE skip proof: the parquet reader's own row-group stats skip z files a linear layout cannot") {
+    // round-11 item 5 — the end-to-end proof that zOrderBy's file
+    // boundaries deliver through Spark's native scan machinery, not
+    // just through the relational zone-map arithmetic of q131/q132
+    val base = graft.streaming.Streams.scratchDir("graft_layout_scan_")
+    Layout.zOrderBy(fixture, "k1", "k2", 16, 16)
+      .write.mode("overwrite").parquet(s"$base/z")
+    fixture.repartitionByRange(16, col("k1")).sortWithinPartitions("k1")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    // dim2-only slab: k1 unbounded, k2 tight — linear's blind spot
+    val (zScan, zHit) = Layout.probeScanRows(spark, s"$base/z",
+      "k1", 0L, 5000L, "k2", 0L, 100L)
+    val (lScan, lHit) = Layout.probeScanRows(spark, s"$base/linear",
+      "k1", 0L, 5000L, "k2", 0L, 100L)
+    val want = fixture.filter(col("k2") >= 0L && col("k2") <= 100L).count()
+    assert(zHit === want && lHit === want, "layouts must agree on matches")
+    assert(lScan === fixture.count(),
+      "the linear layout cannot skip anything on a dim2 slab")
+    assert(zScan * 2 < lScan,
+      s"engine scanned $zScan rows under z vs $lScan under linear — " +
+        "row-group stats must deliver the skip")
+    // tight 2-D box: both layouts skip, z at least as well
+    val (zScan2, zHit2) = Layout.probeScanRows(spark, s"$base/z",
+      "k1", 0L, 400L, "k2", 0L, 120L)
+    val (lScan2, lHit2) = Layout.probeScanRows(spark, s"$base/linear",
+      "k1", 0L, 400L, "k2", 0L, 120L)
+    assert(zHit2 === lHit2)
+    assert(zScan2 <= lScan2)
+  }
 }
