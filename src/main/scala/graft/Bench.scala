@@ -70,10 +70,22 @@ object Bench {
       // and is excluded from the total, so it can't shrink the 2x gate
       if (ok) dt else -1.0
     }
+    // ISOLATED-ONLY queries (round-11 item 8): names matching
+    // SPARK_GRAFT_ISOLATED_ONLY are pulled OUT of the in-sequence
+    // pass and measured exclusively as fresh-JVM isolated controls —
+    // the slot for q51 at sf10, whose in-sequence repeats climbed
+    // 367→535 s on inherited heap state while its isolated number
+    // held: one output-contract row must not dominate (and distort)
+    // the sweep total. They ride the artifact under
+    // `queries_isolated` + `isolated_only`, never `queries`/`value`.
+    val isoOnly = sys.env.get("SPARK_GRAFT_ISOLATED_ONLY")
+      .toSeq.flatMap(_.split(','))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
-    val (skipped, run0) =
+    val (skipped, runAll) =
       selected.partition { case (name, _) => skip.exists(name.contains) }
+    val (isoOnlyQ, run0) =
+      runAll.partition { case (name, _) => isoOnly.exists(name.contains) }
     val timed: Seq[(String, Seq[Double])] =
       run0.map { case (name, fn) => (name, Seq.fill(runs)(timeOnce(name, fn))) }
     val results: Seq[(String, Double, Double)] =
@@ -93,13 +105,22 @@ object Bench {
     // 5x each in a FRESH child JVM (same flags/classpath, single
     // query) and their isolated medians ride the artifact alongside
     // the in-sequence medians, so round-over-round comparisons stop
-    // needing manual adjudication. Off for filtered/sweep runs
-    // (SPARK_GRAFT_ONLY / SPARK_GRAFT_SKIP — sf10 is compute-dominated
-    // and a 5x re-run of multi-minute queries would double the sweep);
-    // SPARK_GRAFT_ISOLATED overrides the count (0 disables).
+    // needing manual adjudication. Round-11 item 3: SWEEP runs
+    // (SPARK_GRAFT_SKIP) now emit controls too — the sf10 artifact
+    // previously carried contaminated in-sequence numbers with the
+    // adjudicating controls living only in SCALE.md prose; the child
+    // repeat count is tunable (SPARK_GRAFT_ISOLATED_RUNS, default 5 —
+    // sweeps set 3 so multi-minute rows don't double the wall-clock).
+    // Off for SPARK_GRAFT_ONLY iteration runs; SPARK_GRAFT_ISOLATED
+    // overrides the count (0 disables).
     val isolatedN = sys.env.get("SPARK_GRAFT_ISOLATED")
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
-      .getOrElse(if (only.nonEmpty || skip.nonEmpty) 0 else 6)
+      .getOrElse(if (only.nonEmpty) 0 else 6)
+    val isolatedRuns = math.max(1, sys.env.get("SPARK_GRAFT_ISOLATED_RUNS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(5))
+    val isolatedTimeoutMin = math.max(1,
+      sys.env.get("SPARK_GRAFT_ISOLATED_TIMEOUT_MIN")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(15))
     def runIsolated(name: String): Option[(String, Double)] = {
       val javaBin = new java.io.File(
         new java.io.File(sys.props("java.home"), "bin"), "java").toString
@@ -119,14 +140,33 @@ object Bench {
         "-cp", sys.props("java.class.path"), "graft.Bench")
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_ONLY", name)
-      pb.environment().put("SPARK_GRAFT_RUNS", "5")
+      pb.environment().put("SPARK_GRAFT_RUNS", isolatedRuns.toString)
       pb.environment().put("SPARK_GRAFT_ISOLATED", "0")
+      // the child must actually RUN the query: a sweep parent's skip /
+      // isolated-only filters would otherwise filter it straight back
+      // out of the child's own selection
+      pb.environment().remove("SPARK_GRAFT_SKIP")
+      pb.environment().remove("SPARK_GRAFT_ISOLATED_ONLY")
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      // stdout goes to a FILE and waitFor runs FIRST: reading the
+      // child's stdout to EOF before waitFor made the timeout +
+      // destroyForcibly unreachable when a child JVM hung without
+      // closing stdout — one wedged control could stall the whole
+      // sweep indefinitely (round-11 advice fix)
+      val outFile = java.io.File.createTempFile("graft_iso_", ".out")
+      pb.redirectOutput(outFile)
       try {
         val proc = pb.start()
-        val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
-        val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
-        if (!done) { proc.destroyForcibly(); () }
+        val done = proc.waitFor(isolatedTimeoutMin.toLong,
+          java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) {
+          System.err.println(s"[bench] isolated $name timed out after " +
+            s"$isolatedTimeoutMin min — killed")
+          proc.destroyForcibly()
+          proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        val out = new String(
+          java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
         // first "name":<num> match is the queries map (queries_min
         // repeats the name later)
         (s""""${java.util.regex.Pattern.quote(name)}":(-?[0-9.eE+-]+)""").r
@@ -136,22 +176,24 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")
         None
-      }
+      } finally { outFile.delete(); () }
     }
+    val isolatedNames: Seq[String] =
+      (if (isolatedN <= 0) Seq.empty[String]
+       else timed
+         // sub-0.3 s rows are all jitter — an isolated child JVM on one
+         // of them would burn ~40 s to adjudicate nothing
+         .filter { case (_, ts) =>
+           ts.forall(_ >= 0) && ts.sorted.apply(ts.size / 2) >= 0.3 }
+         .map { case (name, ts) =>
+           (name, (ts.max - ts.min) / ts.sorted.apply(ts.size / 2)) }
+         .sortBy(-_._2).take(isolatedN).map(_._1)
+      ) ++ isoOnlyQ.map(_._1)
     val isolated: Seq[(String, Double)] =
-      if (isolatedN <= 0) Seq.empty
-      else timed
-        // sub-0.3 s rows are all jitter — an isolated child JVM on one
-        // of them would burn ~40 s to adjudicate nothing
-        .filter { case (_, ts) =>
-          ts.forall(_ >= 0) && ts.sorted.apply(ts.size / 2) >= 0.3 }
-        .map { case (name, ts) =>
-          (name, (ts.max - ts.min) / ts.sorted.apply(ts.size / 2)) }
-        .sortBy(-_._2).take(isolatedN).map(_._1).sorted
-        .flatMap { name =>
-          System.err.println(s"[bench] isolated control: $name")
-          runIsolated(name)
-        }
+      isolatedNames.sorted.flatMap { name =>
+        System.err.println(s"[bench] isolated control: $name")
+        runIsolated(name)
+      }
     val qs = results.map { case (k, med, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, _, mn) => s"\"" + k + "\":" + mn }
@@ -162,9 +204,10 @@ object Bench {
     // SELF-DESCRIBING — a consumer can see what was excluded instead
     // of mistaking a sweep run for full coverage
     val skippedJson = skipped.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val isoOnlyJson = isoOnlyQ.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_min":$mins,"queries_isolated":$isoJson,"failed":${failed.mkString("[", ",", "]")},"skipped":$skippedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"isolated_runs":$isolatedRuns,"queries":$qs,"queries_min":$mins,"queries_isolated":$isoJson,"isolated_only":$isoOnlyJson,"failed":${failed.mkString("[", ",", "]")},"skipped":$skippedJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r{N}.json tail truncates (r5 lost q1/q10-q24
     // for the judge) — ALSO persist the complete per-query map to a

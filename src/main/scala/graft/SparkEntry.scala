@@ -1967,6 +1967,48 @@ object SparkEntry {
           0.61, 33000L, 8, "pipe1")
         .orderBy("doc_id")
     }),
+    // STREAMING curation pipeline (X106, round-11): q133's chain run
+    // continuously — two real micro-batches in pinned order, each
+    // exact-deduped against the survivors of everything admitted
+    // before it, quality-gated, and LM-screened under a model trained
+    // on survivors-so-far ∪ the batch's own gated candidates. b2
+    // carries exact copies of b1 docs (dropped iff their b1 twin
+    // SURVIVED — a rejected twin does not block, the copy faces the
+    // gates itself) and in-batch duplicates (keep-first). The oracle
+    // replays the sequential two-batch semantics in SQL.
+    "q136_curation_stream" -> ((s, dir) => {
+      val out = graft.streaming.Streams.scratchDir("graft_q136_")
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val b1 = docs.filter(col("doc_id") % 20 === 0)
+        .unionAll(docs.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val b2 = docs.filter(col("doc_id") % 20 === 10)
+        .unionAll(docs.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") % 40 === 30)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      writeSingleParquet(b1, s"$out/stream", "b1.parquet", 1600000000000L)
+      writeSingleParquet(b2, s"$out/stream", "b2.parquet", 1600000060000L)
+      val stream = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/stream")
+      val q = graft.streaming.Streams
+        .curateIngest(stream, s"$out/state", "doc_id", "text",
+          0.61, 33000L, 8, "pipe1") {
+          (survivors, batchId) => survivors
+            .write.mode("overwrite").parquet(s"$out/data/batch=$batchId")
+        }
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batchDirs = Option(new java.io.File(s"$out/data").listFiles())
+        .map(_.filter(_.isDirectory).map(_.toString).sorted.toSeq)
+        .getOrElse(Seq.empty)
+      require(batchDirs.size >= 2,
+        s"q136: expected a 2-batch drain, got dirs=$batchDirs; recentProgress=" +
+          q.recentProgress.map(_.json).mkString("[", ",", "]"))
+      s.read.parquet(batchDirs: _*).orderBy("doc_id")
+    }),
     // Cross-document repeated-SPAN removal (X91, the Lee et al. 2021
     // exact-substring-dedup shape): every %7==0 doc gains the same
     // 14-word license sentence — boilerplate INSIDE otherwise-unique
@@ -2854,6 +2896,17 @@ object SparkEntry {
     "q135_lm_trigram_backoff" ->
       (s"SELECT * FROM (${graft.operators.Lm.ngramBackoffScoreSql(
           "documents", "doc_id", "text", 3, 2)}) ORDER BY doc_id"),
+    "q136_curation_stream" -> {
+      val docsSql =
+        "SELECT doc_id, text, 'b1' AS grp FROM documents WHERE doc_id % 20 = 0" +
+        " UNION ALL SELECT doc_id + 1000000, text, 'b1' FROM documents WHERE doc_id % 40 = 0" +
+        " UNION ALL SELECT doc_id, text, 'b2' FROM documents WHERE doc_id % 20 = 10" +
+        " UNION ALL SELECT doc_id + 2000000, text, 'b2' FROM documents WHERE doc_id % 40 = 0" +
+        " UNION ALL SELECT doc_id + 3000000, text, 'b2' FROM documents WHERE doc_id % 40 = 30"
+      s"SELECT * FROM (${graft.operators.Curation.curationStreamSql(
+          docsSql, "doc_id", "text", 0.61, 33000L, 8, "pipe1")}) " +
+        "ORDER BY doc_id"
+    },
     "q131_zorder_zonemaps" ->
       (s"SELECT * FROM (${graft.operators.Layout.zZoneMapsSql(
           "lineitem", "l_orderkey", "l_partkey", 16, 8)}) ORDER BY bucket"),

@@ -408,6 +408,65 @@ object Curation {
           % lit(shards.toLong)).as("shard"))
   }
 
+  /** DuckDB twin of [[graft.streaming.Streams.curateFoldBatch]]'s
+   *  TWO-BATCH sequential semantics (round-11 item 7): `docsSql`
+   *  yields (idCol, textCol, grp) with grp ∈ ('b1','b2'). Batch 1 is
+   *  the batch pipeline on its own slice (state empty); batch 2
+   *  dedups against batch-1 SURVIVORS (rejected docs do not block —
+   *  later copies face the gates themselves), gates, and scores under
+   *  an LM trained on b1-survivors ∪ b2-gated with state precedence —
+   *  the identical evolution the stream executes. Output: every
+   *  survivor of both batches with its scores and shard. */
+  def curationStreamSql(docsSql: String, idCol: String, textCol: String,
+      qualityMin: Double, lmMinMicro: Long, shards: Int,
+      salt: String): String = {
+    val q = TextFunctions.qualityScoreSql(textCol)
+    def keepFirst(src: String): String =
+      s"""SELECT d.* FROM $src d JOIN (
+         |    SELECT md5($textCol) AS h, min($idCol) AS $idCol
+         |    FROM $src GROUP BY 1) k ON d.$idCol = k.$idCol""".stripMargin
+    def gate(src: String): String =
+      s"""SELECT * FROM (
+         |    SELECT $idCol, $textCol, $q AS quality FROM $src)
+         |  WHERE quality >= $qualityMin""".stripMargin
+    s"""WITH __docs AS ($docsSql),
+       |__b1 AS (SELECT $idCol, $textCol FROM __docs WHERE grp = 'b1'),
+       |__b1k AS (${keepFirst("__b1")}),
+       |__b1g AS (${gate("__b1k")}),
+       |__b1lm AS (SELECT * FROM (
+       |  ${Lm.bigramBackoffScoreOverSql("__b1g", "__b1g", idCol, textCol, 2)})),
+       |__b1s AS (
+       |  SELECT g.$idCol, g.$textCol, g.quality, l.n_bigrams,
+       |         l.mean_score_micro
+       |  FROM __b1g g JOIN __b1lm l ON g.$idCol = l.$idCol
+       |  WHERE l.mean_score_micro >= $lmMinMicro),
+       |__b2 AS (SELECT $idCol, $textCol FROM __docs WHERE grp = 'b2'),
+       |__b2k AS (${keepFirst("__b2")}),
+       |__b2d AS (
+       |  SELECT d.* FROM __b2k d WHERE NOT EXISTS (
+       |    SELECT 1 FROM __b1s s
+       |    WHERE md5(s.$textCol) = md5(d.$textCol)
+       |      AND s.$idCol <> d.$idCol)),
+       |__b2g AS (${gate("__b2d")}),
+       |__train2 AS (
+       |  SELECT $idCol, $textCol FROM __b1s
+       |  UNION ALL
+       |  SELECT $idCol, $textCol FROM __b2g g WHERE NOT EXISTS (
+       |    SELECT 1 FROM __b1s s WHERE s.$idCol = g.$idCol)),
+       |__b2lm AS (SELECT * FROM (
+       |  ${Lm.bigramBackoffScoreOverSql("__train2", "__b2g", idCol, textCol, 2)})),
+       |__b2s AS (
+       |  SELECT g.$idCol, g.$textCol, g.quality, l.n_bigrams,
+       |         l.mean_score_micro
+       |  FROM __b2g g JOIN __b2lm l ON g.$idCol = l.$idCol
+       |  WHERE l.mean_score_micro >= $lmMinMicro),
+       |__all AS (SELECT * FROM __b1s UNION ALL SELECT * FROM __b2s)
+       |SELECT $idCol, quality, n_bigrams, mean_score_micro,
+       |  ${graft.functions.Hashing.h60Sql(
+            s"'$salt' || CAST($idCol AS VARCHAR)")} % $shards AS shard
+       |FROM __all""".stripMargin
+  }
+
   /** DuckDB twin of [[curationPipeline]]: replays dedup, the quality
    *  gate, the LM training-on-survivors (the nested
    *  [[Lm.bigramBackoffScoreSql]] re-trains both count tables over

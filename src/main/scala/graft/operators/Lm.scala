@@ -69,12 +69,25 @@ object Lm {
    *  judge them, and emitting NULL would turn the mean into a
    *  three-valued logic problem downstream. */
   def bigramBackoffScore(docs: DataFrame, idCol: String,
-      textCol: String, minCount: Int): DataFrame = {
+      textCol: String, minCount: Int): DataFrame =
+    bigramBackoffScoreOver(docs, docs, idCol, textCol, minCount)
+
+  /** [[bigramBackoffScore]] with the TRAINING corpus split from the
+   *  scored documents (round-11 item 7 — the streaming curation
+   *  pipeline trains on survivors-so-far ∪ the current batch's gated
+   *  candidates, then scores only the candidates). Contract: every
+   *  token of `docs` must occur in `train` (callers guarantee it by
+   *  including `docs` in `train`) — the vocabulary joins stay inner
+   *  and lossless, exactly as in the self-trained form, which is the
+   *  `train == docs` special case. */
+  def bigramBackoffScoreOver(train: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, minCount: Int): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val pairs = docBigrams(docs, idCol, textCol)
-    val uni = docs.select(explode(toks(col(textCol))).as("w"))
+    val uni = train.select(explode(toks(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val bi = pairs.groupBy(col("w1"), col("w2"))
+    val bi = docBigrams(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
       .filter(col("c2") >= minCount)
     val total = uni.agg(sum(col("c1")).as("t"))
@@ -249,6 +262,52 @@ object Lm {
        |  COALESCE(a.n_ngrams, 0) AS n_ngrams,
        |  COALESCE(a.mean_score_micro, 0) AS mean_score_micro
        |FROM $table d LEFT JOIN __agg a ON d.$idCol = a.$idCol""".stripMargin
+  }
+
+  /** DuckDB twin of [[bigramBackoffScoreOver]]: the model tables
+   *  train over `trainTable`, scoring runs over `docsTable` (both CTE
+   *  or table names producing (idCol, textExpr)). */
+  def bigramBackoffScoreOverSql(trainTable: String, docsTable: String,
+      idCol: String, textExpr: String, minCount: Int): String = {
+    val t = graft.functions.TextFunctions.lowerTokensSql(textExpr)
+    s"""WITH __ttoks AS (
+       |  SELECT $idCol, list_filter($t, x -> x <> '') AS t FROM $trainTable),
+       |__toks AS (
+       |  SELECT $idCol, list_filter($t, x -> x <> '') AS t FROM $docsTable),
+       |__tpairs AS (
+       |  SELECT $idCol, z[1] AS w1, z[2] AS w2 FROM (
+       |    SELECT $idCol,
+       |           unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+       |    FROM __ttoks WHERE len(t) >= 2)),
+       |__pairs AS (
+       |  SELECT $idCol, z[1] AS w1, z[2] AS w2 FROM (
+       |    SELECT $idCol,
+       |           unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+       |    FROM __toks WHERE len(t) >= 2)),
+       |__uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM (
+       |    SELECT unnest(t) AS w FROM __ttoks) GROUP BY 1),
+       |__bi AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM __tpairs
+       |  GROUP BY 1, 2 HAVING count(*) >= $minCount),
+       |__total AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM __uni),
+       |__scored AS (
+       |  SELECT p.$idCol,
+       |    CASE WHEN b.c2 IS NOT NULL THEN (b.c2 * 1000000) // u1.c1
+       |         ELSE (u2.c1 * 400000) // tt.t END AS s
+       |  FROM __pairs p
+       |  LEFT JOIN __bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+       |  JOIN __uni u1 ON p.w1 = u1.w
+       |  JOIN __uni u2 ON p.w2 = u2.w
+       |  CROSS JOIN __total tt),
+       |__agg AS (
+       |  SELECT $idCol, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(s) // count(*) AS BIGINT) AS mean_score_micro
+       |  FROM __scored GROUP BY 1)
+       |SELECT d.$idCol,
+       |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(a.mean_score_micro, 0) AS mean_score_micro
+       |FROM $docsTable d LEFT JOIN __agg a ON d.$idCol = a.$idCol""".stripMargin
   }
 
   /** DuckDB oracle twin: identical tokenization, pairing, pruning,

@@ -271,6 +271,106 @@ object Streams {
       ()
     }
 
+  /** One micro-batch of the STREAMING curation pipeline — the q133
+   *  batch chain (exact dedup → quality gate → survivor-trained
+   *  stupid-backoff LM screen → shard assignment) folded against
+   *  durable survivor state (round-11 item 7):
+   *
+   *   1. in-batch keep-first exact dedup (min id per content hash),
+   *      then an anti-join against the hashes of EVERY
+   *      already-admitted survivor (state holds survivors only — a
+   *      doc rejected by a gate does NOT block later copies, they
+   *      face the gates themselves);
+   *   2. the quality gate at `qualityMin` (fixed threshold — the
+   *      corpus-median calibration q133 derives offline; a stream
+   *      cannot see its corpus's median before admitting it);
+   *   3. the LM screen TRAINED on survivors-so-far ∪ this batch's
+   *      gated candidates (id-deduped, state precedence — so a
+   *      redelivered batch trains on the identical corpus and scores
+   *      are value-equal) — the model never learns from text the
+   *      pipeline rejected, q133's rule lifted to the evolving corpus.
+   *      A single-batch stream is therefore EXACTLY the batch
+   *      pipeline (spec-pinned);
+   *   4. survivors flow to `sink` (keyed by batchId — at-least-once
+   *      retries overwrite their own output) and their (id, text)
+   *      append to `stateDir/survivors/b<batchId>` (overwrite ⇒
+   *      idempotent), so batch N+1 dedups against and trains on them.
+   *
+   *  Arrival-order admission (the q84/q124 late-data contract): an
+   *  exact copy arriving one batch after its survivor is dropped even
+   *  if it carries the lower id. Per-batch cost is O(|batch| + |state
+   *  text|): the state rescan feeds the LM trainer — the LM is
+   *  corpus-trained by definition, so the model cost is the price of
+   *  the semantics, not an implementation artifact; a deployment
+   *  caps it by materializing count tables incrementally (the q83
+   *  lexicon shape) at the cost of pinning the count-merge order. */
+  def curateFoldBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      idCol: String, textCol: String, qualityMin: Double,
+      lmMinMicro: Long, shards: Int, salt: String)(
+      sink: (DataFrame, Long) => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val segs = graft.core.StoreFs.listDirs(s"$stateDir/survivors")
+    val state =
+      if (segs.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row],
+          batch.select(col(idCol), col(textCol)).schema)
+      else spark.read.parquet(segs: _*)
+    val withH = batch.select(col(idCol), col(textCol))
+      .withColumn("__h", md5(col(textCol)))
+    val keepFirst = withH.groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol))
+    val inBatch = withH.join(keepFirst, Seq("__h", idCol), "left_semi")
+    val stateKeyed = state.select(md5(col(textCol)).as("__h"),
+      col(idCol).as("__sid"))
+    val deduped = inBatch.join(stateKeyed,
+      inBatch("__h") === stateKeyed("__h") &&
+        inBatch(idCol) =!= stateKeyed("__sid"), "left_anti")
+    // persisted: the gated frame feeds the LM trainer, the scorer's
+    // bigram stream, and the survivor join (the q133 multi-arm shape)
+    val gated = deduped
+      .select(col(idCol), col(textCol),
+        graft.functions.TextFunctions.qualityScoreFast(col(textCol))
+          .as("quality"))
+      .filter(col("quality") >= qualityMin)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val train = state.select(col(idCol), col(textCol))
+        .unionByName(gated.select(col(idCol), col(textCol)))
+        .dropDuplicates(idCol)
+      val lm = graft.operators.Lm.bigramBackoffScoreOver(train,
+        gated.select(col(idCol), col(textCol)), idCol, textCol, 2)
+      val survivors = gated.join(lm, Seq(idCol))
+        .filter(col("mean_score_micro") >= lmMinMicro)
+        .select(col(idCol), col(textCol), col("quality"),
+          col("n_bigrams"), col("mean_score_micro"),
+          (graft.functions.Hashing.h60(
+            concat(lit(salt), col(idCol).cast("string")))
+            % lit(shards.toLong)).as("shard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        sink(survivors.drop(textCol), batchId)
+        survivors.select(col(idCol), col(textCol))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/survivors/b$batchId")
+      } finally survivors.unpersist()
+    } finally { gated.unpersist(); () }
+  }
+
+  /** The STREAMING curation pipeline: [[curateFoldBatch]] per
+   *  micro-batch under foreachBatch — q133 run continuously, each
+   *  batch screened against and folded into the survivors of
+   *  everything admitted before it. */
+  def curateIngest(stream: DataFrame, stateDir: String, idCol: String,
+      textCol: String, qualityMin: Double, lmMinMicro: Long,
+      shards: Int, salt: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      curateFoldBatch(batch, batchId, stateDir, idCol, textCol,
+        qualityMin, lmMinMicro, shards, salt)(sink)
+    }
+
   /** Streaming CDC apply — continuous MERGE INTO: each micro-batch of
    *  changes folds into a durable keyed state table, so after batch N
    *  the table is base + changes(1..N) under LATEST-SEQ-wins. The
