@@ -133,9 +133,14 @@ object Bench {
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar"
       ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      // child heap defaults to the parent's but can be capped
+      // independently (SPARK_GRAFT_ISOLATED_MEM) so sweep-scale
+      // controls fit beside whatever the host still holds
+      val childMem = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_MEM",
+        sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       val cmd = Seq(javaBin) ++ opens ++ Seq(
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+        s"-Xmx$childMem",
         "-XX:+ExplicitGCInvokesConcurrent",
         "-cp", sys.props("java.class.path"), "graft.Bench")
       val pb = new ProcessBuilder(cmd: _*)
@@ -189,6 +194,16 @@ object Bench {
            (name, (ts.max - ts.min) / ts.sorted.apply(ts.size / 2)) }
          .sortBy(-_._2).take(isolatedN).map(_._1)
       ) ++ isoOnlyQ.map(_._1)
+    // the parent's Spark session stops BEFORE any child launches: at
+    // sweep scale the parent holds a multi-ten-GB heap it no longer
+    // needs (controls run in fresh JVMs), and parent + 64g child
+    // together tripped the host OOM killer mid-control (round-11,
+    // first sf10 attempt: runner exit 137 during q51's child). A full
+    // GC after stop() lets G1 uncommit the retired heap.
+    if (isolatedNames.nonEmpty) {
+      spark.stop()
+      System.gc()
+    }
     val isolated: Seq[(String, Double)] =
       isolatedNames.sorted.flatMap { name =>
         System.err.println(s"[bench] isolated control: $name")
