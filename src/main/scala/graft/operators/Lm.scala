@@ -51,18 +51,6 @@ object Lm {
   private def toks(c: Column): Column =
     filter(graft.functions.TextFunctions.lowerTokens(c), t => t =!= "")
 
-  /** Adjacent-pair frame (idCol, w1, w2), one row per bigram
-   *  instance. */
-  private def docBigrams(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    docs.select(col(idCol), toks(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= 2)
-      .select(col(idCol), explode(arrays_zip(
-        slice(col("__t"), lit(1), size(col("__t")) - 1),
-        slice(col("__t"), lit(2), size(col("__t")) - 1))).as("__z"))
-      .select(col(idCol), col("__z").getField("0").as("w1"),
-        col("__z").getField("1").as("w2"))
-
   /** Score every document against the corpus-trained stupid-backoff
    *  bigram model: (idCol, n_bigrams, mean_score_micro). Documents
    *  with fewer than two tokens score (0, 0) — no context exists to
@@ -79,35 +67,20 @@ object Lm {
    *  token of `docs` must occur in `train` (callers guarantee it by
    *  including `docs` in `train`) — the vocabulary joins stay inner
    *  and lossless, exactly as in the self-trained form, which is the
-   *  `train == docs` special case. */
+   *  `train == docs` special case.
+   *
+   *  Since round 12 this IS the n = 2 slice of the order-n core
+   *  ([[scoreWithTables]] over [[gramTables]]): identical joins,
+   *  identical integer arithmetic (alphaMicro(0) = 10⁶ seen,
+   *  alphaMicro(1) = 4·10⁵ backoff), value-equal by the n=2 ≡ bigram
+   *  spec pin — one code path, and the model tables are computed once
+   *  each instead of the unigram agg executing three times (the q135
+   *  double-scan fix applied here too). */
   def bigramBackoffScoreOver(train: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, minCount: Int): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val pairs = docBigrams(docs, idCol, textCol)
-    val uni = train.select(explode(toks(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val bi = docBigrams(train, idCol, textCol)
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c2"))
-      .filter(col("c2") >= minCount)
-    val total = uni.agg(sum(col("c1")).as("t"))
-    val scored = pairs
-      .join(bi, Seq("w1", "w2"), "left")
-      .join(uni.select(col("w").as("w1"), col("c1").as("c1w1")), Seq("w1"))
-      .join(uni.select(col("w").as("w2"), col("c1").as("c1w2")), Seq("w2"))
-      .crossJoin(broadcast(total))
-      .select(col(idCol),
-        when(col("c2").isNotNull,
-            expr("(c2 * 1000000) div c1w1"))
-          .otherwise(expr("(c1w2 * 400000) div t")).as("__s"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        expr("sum(__s) div count(1)").as("mean_score_micro"))
-    docs.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("mean_score_micro"), lit(0L)).as("mean_score_micro"))
+    scoreWithTables(docs, idCol, textCol, 2, minCount,
+      gramTables(train, textCol, 2), "n_bigrams")
   }
 
   // ---------------------------------------- general-order backoff
@@ -136,6 +109,85 @@ object Lm {
       .agg(count(lit(1)).as(s"c$k"))
   }
 
+  /** The model: UNPRUNED count tables c₁..cₙ over a training corpus,
+   *  each order computed ONCE (round-12 item 2 — the prior form
+   *  re-derived `gramCounts(t, k)` fresh for every level's numerator
+   *  AND denominator plus the unigram join and the total, ~2n−1
+   *  corpus scans where n+1 suffice; Catalyst does not dedupe
+   *  identical subtrees). The token projection is persisted so the n
+   *  table builds read ONE cache instead of re-tokenizing the corpus
+   *  per order; each table is pinned with an eager localCheckpoint
+   *  (vocabulary-sized under gram saturation — GC-released, never a
+   *  CacheManager leak, the [[Curation.vocabCoverage]] rule) so the
+   *  scoring join's multiple references execute each table exactly
+   *  once. Schema of tables(k−1): (g0..g(k−1), c_k). Counts are
+   *  per-document adjacent grams (slices never pair across doc
+   *  boundaries), so tables over disjoint doc sets ADD — the property
+   *  the incremental streaming fold sums on. */
+  private[graft] def gramTables(train: DataFrame, textCol: String,
+      n: Int): IndexedSeq[DataFrame] = {
+    val t = train.select(toks(col(textCol)).as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try (1 to n).map(k => gramCounts(t, k).localCheckpoint(eager = true))
+    finally { t.unpersist(blocking = false); () }
+  }
+
+  /** Scoring core shared by every backoff entry point: score `docs`'
+   *  n-gram instances against PRE-BUILT model tables (unpruned —
+   *  minCount prunes the numerators here, so summed/merged tables
+   *  prune on their COMBINED counts exactly like a retrained model).
+   *  `tables(k-1)` must be (g0..g(k-1), c_k); the per-doc aggregate
+   *  column is named `countAlias` (n_bigrams for the q130-compatible
+   *  n=2 surface, n_ngrams for general order). Joins and integer
+   *  arithmetic are byte-identical to the round-11 inline form. */
+  private[graft] def scoreWithTables(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minCount: Int,
+      tables: IndexedSeq[DataFrame], countAlias: String): DataFrame = {
+    require(n >= 2 && n <= 7, s"order must be in [2,7], got $n")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(tables.size >= n, s"need $n model tables, got ${tables.size}")
+    val t = docs.select(col(idCol), toks(col(textCol)).as("__t"))
+    val inst = t.filter(size(col("__t")) >= n)
+      .select(col(idCol), explode(arrays_zip((1 to n).map(i =>
+        slice(col("__t"), lit(i), size(col("__t")) - (n - 1))): _*)).as("__z"))
+      .select(col(idCol) +: (0 until n).map(i =>
+        col("__z").getField(s"$i").as(s"w${i + 1}")): _*)
+    var cur = inst
+    for (j <- 0 to n - 2) {
+      val k = n - j
+      val num = tables(k - 1).filter(col(s"c$k") >= minCount)
+        .select((0 until k).map(i =>
+          col(s"g$i").as(s"w${j + 1 + i}")) :+
+          col(s"c$k").as(s"__num$j"): _*)
+      cur = cur.join(num, (j + 1 to n).map(i => s"w$i"), "left")
+      val den = tables(k - 2)
+        .select((0 until k - 1).map(i =>
+          col(s"g$i").as(s"w${j + 1 + i}")) :+
+          col(s"c${k - 1}").as(s"__den$j"): _*)
+      cur = cur.join(den, (j + 1 until j + k).map(i => s"w$i"))
+    }
+    val uni = tables(0)
+      .select(col("g0").as(s"w$n"), col("c1").as("__c1n"))
+    val total = tables(0).agg(sum(col("c1")).as("t"))
+    cur = cur.join(uni, Seq(s"w$n")).crossJoin(broadcast(total))
+    val score = (0 to n - 2).foldRight(
+        expr(s"(__c1n * ${alphaMicro(n - 1)}) div t"): Column) {
+      (j, deeper) =>
+        when(col(s"__num$j").isNotNull,
+          expr(s"(__num$j * ${alphaMicro(j)}) div __den$j"))
+          .otherwise(deeper)
+    }
+    val scored = cur.select(col(idCol), score.as("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as(countAlias),
+        expr("sum(__s) div count(1)").as("mean_score_micro"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(countAlias), lit(0L)).as(countAlias),
+        coalesce(col("mean_score_micro"), lit(0L)).as("mean_score_micro"))
+  }
+
   /** ORDER-N stupid backoff (round-11 item 6 — the judge's "Brants et
    *  al. run 5-grams" gap): per n-gram instance (w₁..wₙ), the score is
    *  the HIGHEST-order hit, each backoff level multiplying α = 2/5:
@@ -153,64 +205,45 @@ object Lm {
    *  slice is definitionally [[bigramBackoffScore]] (spec-pinned
    *  value-equal). Documents with fewer than n tokens score (0, 0).
    *
-   *  Plan shape: one token projection scanned once per order (n small
-   *  hash aggs — the model tables), then the instance frame joins one
-   *  pruned numerator + one unpruned denominator per level plus the
-   *  terminal unigram/total — 2(n−1)+1 equi-joins on high-cardinality
-   *  token keys, the q94 lexicon class; every model table is
+   *  Plan shape: one persisted token projection feeding n model
+   *  builds (each order's table computed ONCE and pinned —
+   *  [[gramTables]]; round 12 removed the ~2n−1 redundant
+   *  tokenize+explode+agg passes the per-level inline `gramCounts`
+   *  calls paid), then the instance frame joins one pruned numerator
+   *  + one unpruned denominator per level plus the terminal
+   *  unigram/total — 2(n−1)+1 equi-joins on high-cardinality token
+   *  keys, the q94 lexicon class; every model table is
    *  vocabulary-sized under pruning, so at 100 TB the joins degrade
    *  gracefully to shuffles exactly like the bigram form. */
   def ngramBackoffScore(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minCount: Int): DataFrame = {
-    require(n >= 2 && n <= 7, s"order must be in [2,7], got $n")
-    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val t = docs.select(col(idCol), toks(col(textCol)).as("__t"))
-    val inst = t.filter(size(col("__t")) >= n)
-      .select(col(idCol), explode(arrays_zip((1 to n).map(i =>
-        slice(col("__t"), lit(i), size(col("__t")) - (n - 1))): _*)).as("__z"))
-      .select(col(idCol) +: (0 until n).map(i =>
-        col("__z").getField(s"$i").as(s"w${i + 1}")): _*)
-    var cur = inst
-    for (j <- 0 to n - 2) {
-      val k = n - j
-      val num = gramCounts(t, k).filter(col(s"c$k") >= minCount)
-        .select((0 until k).map(i =>
-          col(s"g$i").as(s"w${j + 1 + i}")) :+
-          col(s"c$k").as(s"__num$j"): _*)
-      cur = cur.join(num, (j + 1 to n).map(i => s"w$i"), "left")
-      val den = gramCounts(t, k - 1)
-        .select((0 until k - 1).map(i =>
-          col(s"g$i").as(s"w${j + 1 + i}")) :+
-          col(s"c${k - 1}").as(s"__den$j"): _*)
-      cur = cur.join(den, (j + 1 until j + k).map(i => s"w$i"))
-    }
-    val uni = gramCounts(t, 1)
-      .select(col("g0").as(s"w$n"), col("c1").as("__c1n"))
-    val total = gramCounts(t, 1).agg(sum(col("c1")).as("t"))
-    cur = cur.join(uni, Seq(s"w$n")).crossJoin(broadcast(total))
-    val score = (0 to n - 2).foldRight(
-        expr(s"(__c1n * ${alphaMicro(n - 1)}) div t"): Column) {
-      (j, deeper) =>
-        when(col(s"__num$j").isNotNull,
-          expr(s"(__num$j * ${alphaMicro(j)}) div __den$j"))
-          .otherwise(deeper)
-    }
-    val scored = cur.select(col(idCol), score.as("__s"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_ngrams"),
-        expr("sum(__s) div count(1)").as("mean_score_micro"))
-    docs.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
-        coalesce(col("mean_score_micro"), lit(0L)).as("mean_score_micro"))
-  }
+      n: Int, minCount: Int): DataFrame =
+    scoreWithTables(docs, idCol, textCol, n, minCount,
+      gramTables(docs, textCol, n), "n_ngrams")
+
+  /** [[ngramBackoffScore]] with the TRAINING corpus split from the
+   *  scored documents — [[bigramBackoffScoreOver]] at order n (the
+   *  round-12 curation-pipeline config). Same contract: every token
+   *  of `docs` must occur in `train`. */
+  def ngramBackoffScoreOver(train: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, n: Int, minCount: Int): DataFrame =
+    scoreWithTables(docs, idCol, textCol, n, minCount,
+      gramTables(train, textCol, n), "n_ngrams")
 
   /** DuckDB oracle twin of [[ngramBackoffScore]]: re-trains every
    *  order's count table itself and replays the identical CASE chain
    *  and integer arithmetic. */
   def ngramBackoffScoreSql(table: String, idCol: String,
-      textExpr: String, n: Int, minCount: Int): String = {
+      textExpr: String, n: Int, minCount: Int): String =
+    ngramBackoffScoreOverSql(table, table, idCol, textExpr, n, minCount)
+
+  /** DuckDB twin of [[ngramBackoffScoreOver]]: the gram CTEs train
+   *  over `trainTable`, instances and the final left join run over
+   *  `docsTable` (both table/CTE names producing (idCol, the text
+   *  column `textExpr` reads)). `countAlias` lets the n = 2 surface
+   *  keep its historical `n_bigrams` name. */
+  def ngramBackoffScoreOverSql(trainTable: String, docsTable: String,
+      idCol: String, textExpr: String, n: Int, minCount: Int,
+      countAlias: String = "n_ngrams"): String = {
     require(n >= 2 && n <= 7, s"order must be in [2,7], got $n")
     val t = graft.functions.TextFunctions.lowerTokensSql(textExpr)
     def zipK(k: Int): String = (1 to k)
@@ -221,7 +254,7 @@ object Lm {
          |  SELECT ${(0 until k).map(i => s"g$i").mkString(", ")},
          |         CAST(count(*) AS BIGINT) AS c$k FROM (
          |    SELECT $keys FROM (
-         |      SELECT unnest(${zipK(k)}) AS z FROM __toks WHERE len(t) >= $k))
+         |      SELECT unnest(${zipK(k)}) AS z FROM __ttoks WHERE len(t) >= $k))
          |  GROUP BY ALL)""".stripMargin
     }
     val joins = (0 to n - 2).map { j =>
@@ -238,8 +271,10 @@ object Lm {
       val k = n - j
       s"WHEN n$j.c$k IS NOT NULL THEN (n$j.c$k * ${alphaMicro(j)}) // d$j.c${k - 1}"
     }.mkString("\n    ")
-    s"""WITH __toks AS (
-       |  SELECT $idCol, list_filter($t, x -> x <> '') AS t FROM $table),
+    s"""WITH __ttoks AS (
+       |  SELECT $idCol, list_filter($t, x -> x <> '') AS t FROM $trainTable),
+       |__toks AS (
+       |  SELECT $idCol, list_filter($t, x -> x <> '') AS t FROM $docsTable),
        |${(1 to n).map(gramCte).mkString(",\n")},
        |__inst AS (
        |  SELECT $idCol, ${(1 to n).map(i => s"z[$i] AS w$i").mkString(", ")}
@@ -255,13 +290,13 @@ object Lm {
        |  JOIN __c1 u ON p.w$n = u.g0
        |  CROSS JOIN __total tt),
        |__agg AS (
-       |  SELECT $idCol, CAST(count(*) AS BIGINT) AS n_ngrams,
+       |  SELECT $idCol, CAST(count(*) AS BIGINT) AS $countAlias,
        |         CAST(sum(s) // count(*) AS BIGINT) AS mean_score_micro
        |  FROM __scored GROUP BY 1)
        |SELECT d.$idCol,
-       |  COALESCE(a.n_ngrams, 0) AS n_ngrams,
+       |  COALESCE(a.$countAlias, 0) AS $countAlias,
        |  COALESCE(a.mean_score_micro, 0) AS mean_score_micro
-       |FROM $table d LEFT JOIN __agg a ON d.$idCol = a.$idCol""".stripMargin
+       |FROM $docsTable d LEFT JOIN __agg a ON d.$idCol = a.$idCol""".stripMargin
   }
 
   /** DuckDB twin of [[bigramBackoffScoreOver]]: the model tables

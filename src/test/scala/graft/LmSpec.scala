@@ -145,6 +145,58 @@ class LmSpec extends SparkTestBase {
       assert(runN(texts, 2, mc) === run(texts, mc), s"minCount=$mc")
   }
 
+  test("round-12 scan dedup: the scoring plan tokenizes the corpus ONCE — every model table is a pinned leaf, not a re-derived subtree") {
+    // the round-11 form called gramCounts(t, k) fresh for every
+    // level's numerator AND denominator plus the unigram join and the
+    // total — Catalyst does not dedupe identical subtrees, so the
+    // executed plan carried ~2n−1 tokenize+explode passes. With
+    // gramTables each order is built once from a persisted token
+    // projection and pinned (localCheckpoint), so the SCORING plan's
+    // only Generate (explode) is the instance frame's own: exactly 1.
+    val texts = Seq(
+      "the cat sat on the mat", "the cat sat on the hat",
+      "the cat sat under a tree", "a dog and a cat sat")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val scored = Lm.ngramBackoffScore(docs, "doc_id", "text", n, 2)
+      scored.collect() // settle AQE so executedPlan is the final plan
+      // AQE's toString appends an "== Initial Plan ==" section that
+      // duplicates every node — count the FINAL plan only
+      val plan = scored.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val generates = "Generate".r.findAllMatchIn(plan).size
+      assert(generates === 1,
+        s"n=$n: expected the instance explode to be the plan's ONLY " +
+          s"Generate (model tables must be pinned leaves), got " +
+          s"$generates:\n$plan")
+    }
+  }
+
+  test("the train/docs split at order n scores docs identically to the self-trained form over the union") {
+    // scoring depends only on (model tables over train) and the doc's
+    // own instances, so Over(train, docs) must equal the self-trained
+    // score of the union restricted to docs' ids (docs ⊆ train keeps
+    // the vocabulary joins lossless)
+    val trainTexts = Seq(
+      "the cat sat on the mat", "the cat sat on the hat",
+      "a dog and a cat sat", "one two three")
+    val train = trainTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val docs = train.filter($"doc_id" % 2 === 0)
+    for (n <- Seq(2, 3); mc <- Seq(1, 2)) {
+      val over = Lm.ngramBackoffScoreOver(train, docs,
+          "doc_id", "text", n, mc)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val whole = Lm.ngramBackoffScore(train, "doc_id", "text", n, mc)
+        .filter($"doc_id" % 2 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(over === whole, s"n=$n minCount=$mc")
+    }
+  }
+
   test("order-4 runs and docs shorter than n score (0, 0)") {
     val texts = Seq(
       "alpha beta gamma delta alpha beta gamma delta",
