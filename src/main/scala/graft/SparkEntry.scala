@@ -2009,6 +2009,59 @@ object SparkEntry {
           q.recentProgress.map(_.json).mkString("[", ",", "]"))
       s.read.parquet(batchDirs: _*).orderBy("doc_id")
     }),
+    // Curation pipeline at LM order n=3 (X110, round-12): q133's
+    // chain with the fluency screen at TRIGRAM order — the order is
+    // config (Brants et al. run n=5), judged here at n=3 against an
+    // oracle that re-trains every order's count table. Threshold
+    // 67000µ sits at the gated corpus's median n=3 score, so the
+    // screen does real work (q133's calibration rule).
+    "q137_curation_pipeline_n3" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionAll(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Curation.curationPipeline(corpus, "doc_id", "text",
+          0.61, 67000L, 8, "pipe1", lmOrder = 3)
+        .orderBy("doc_id")
+    }),
+    // STREAMING curation at LM order n=3 (X110 × X106, round-12):
+    // the q136 two-batch drain with the incremental per-order count
+    // state at trigram order — judged proof that the round-12
+    // incremental LM fold composes with X105's general-order scoring
+    // (the model is summed, never re-trained; the oracle re-trains
+    // sequentially and must agree).
+    "q138_curation_stream_n3" -> ((s, dir) => {
+      val out = graft.streaming.Streams.scratchDir("graft_q138_")
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val b1 = docs.filter(col("doc_id") % 20 === 0)
+        .unionAll(docs.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val b2 = docs.filter(col("doc_id") % 20 === 10)
+        .unionAll(docs.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") % 40 === 30)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      writeSingleParquet(b1, s"$out/stream", "b1.parquet", 1600000000000L)
+      writeSingleParquet(b2, s"$out/stream", "b2.parquet", 1600000060000L)
+      val stream = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/stream")
+      val q = graft.streaming.Streams
+        .curateIngest(stream, s"$out/state", "doc_id", "text",
+          0.61, 41000L, 8, "pipe1", lmOrder = 3) {
+          (survivors, batchId) => survivors
+            .write.mode("overwrite").parquet(s"$out/data/batch=$batchId")
+        }
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batchDirs = Option(new java.io.File(s"$out/data").listFiles())
+        .map(_.filter(_.isDirectory).map(_.toString).sorted.toSeq)
+        .getOrElse(Seq.empty)
+      require(batchDirs.size >= 2,
+        s"q138: expected a 2-batch drain, got dirs=$batchDirs; recentProgress=" +
+          q.recentProgress.map(_.json).mkString("[", ",", "]"))
+      s.read.parquet(batchDirs: _*).orderBy("doc_id")
+    }),
     // Cross-document repeated-SPAN removal (X91, the Lee et al. 2021
     // exact-substring-dedup shape): every %7==0 doc gains the same
     // 14-word license sentence — boilerplate INSIDE otherwise-unique
@@ -2920,6 +2973,25 @@ object SparkEntry {
         "WHERE doc_id % 5 = 0)"
       s"SELECT * FROM (${graft.operators.Curation.curationPipelineSql(
           corpus, "doc_id", "text", 0.61, 33000L, 8, "pipe1")}) " +
+        "ORDER BY doc_id"
+    },
+    "q137_curation_pipeline_n3" -> {
+      val corpus = "(SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+        "WHERE doc_id % 5 = 0)"
+      s"SELECT * FROM (${graft.operators.Curation.curationPipelineSql(
+          corpus, "doc_id", "text", 0.61, 67000L, 8, "pipe1", 3)}) " +
+        "ORDER BY doc_id"
+    },
+    "q138_curation_stream_n3" -> {
+      val docsSql =
+        "SELECT doc_id, text, 'b1' AS grp FROM documents WHERE doc_id % 20 = 0" +
+        " UNION ALL SELECT doc_id + 1000000, text, 'b1' FROM documents WHERE doc_id % 40 = 0" +
+        " UNION ALL SELECT doc_id, text, 'b2' FROM documents WHERE doc_id % 20 = 10" +
+        " UNION ALL SELECT doc_id + 2000000, text, 'b2' FROM documents WHERE doc_id % 40 = 0" +
+        " UNION ALL SELECT doc_id + 3000000, text, 'b2' FROM documents WHERE doc_id % 40 = 30"
+      s"SELECT * FROM (${graft.operators.Curation.curationStreamSql(
+          docsSql, "doc_id", "text", 0.61, 41000L, 8, "pipe1", 3)}) " +
         "ORDER BY doc_id"
     },
     "q134_pack_token_ids" ->

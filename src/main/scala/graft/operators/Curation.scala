@@ -388,8 +388,10 @@ object Curation {
    *  one the component operators already pay alone. */
   def curationPipeline(docs: DataFrame, idCol: String, textCol: String,
       qualityMin: Double, lmMinMicro: Long, shards: Int,
-      salt: String): DataFrame = {
+      salt: String, lmOrder: Int = 2): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(lmOrder >= 2 && lmOrder <= 7,
+      s"lmOrder must be in [2,7], got $lmOrder")
     val keep = Dedup.exactGroups(docs, textCol, idCol)
       .select(col("keep_id").as(idCol))
     val gated = docs
@@ -398,10 +400,16 @@ object Curation {
         TextFunctions.qualityScoreFast(col(textCol)).as("quality"))
       .filter(col("quality") >= qualityMin)
       .persist()
-    val lm = Lm.bigramBackoffScore(gated, idCol, textCol, 2)
+    // the LM order is config (round-12 item: Brants et al. run n = 5;
+    // q133 judges n = 2, q137 judges n = 3). The n = 2 surface keeps
+    // its historical n_bigrams column name.
+    val countAlias = if (lmOrder == 2) "n_bigrams" else "n_ngrams"
+    val lm =
+      if (lmOrder == 2) Lm.bigramBackoffScore(gated, idCol, textCol, 2)
+      else Lm.ngramBackoffScore(gated, idCol, textCol, lmOrder, 2)
     gated.join(lm, Seq(idCol))
       .filter(col("mean_score_micro") >= lmMinMicro)
-      .select(col(idCol), col("quality"), col("n_bigrams"),
+      .select(col(idCol), col("quality"), col(countAlias),
         col("mean_score_micro"),
         (graft.functions.Hashing.h60(
           concat(lit(salt), col(idCol).cast("string")))
@@ -419,8 +427,14 @@ object Curation {
    *  survivor of both batches with its scores and shard. */
   def curationStreamSql(docsSql: String, idCol: String, textCol: String,
       qualityMin: Double, lmMinMicro: Long, shards: Int,
-      salt: String): String = {
+      salt: String, lmOrder: Int = 2): String = {
     val q = TextFunctions.qualityScoreSql(textCol)
+    val alias = if (lmOrder == 2) "n_bigrams" else "n_ngrams"
+    def lmSql(train: String, docs: String): String =
+      if (lmOrder == 2)
+        Lm.bigramBackoffScoreOverSql(train, docs, idCol, textCol, 2)
+      else Lm.ngramBackoffScoreOverSql(train, docs, idCol, textCol,
+        lmOrder, 2)
     def keepFirst(src: String): String =
       s"""SELECT d.* FROM $src d JOIN (
          |    SELECT md5($textCol) AS h, min($idCol) AS $idCol
@@ -434,9 +448,9 @@ object Curation {
        |__b1k AS (${keepFirst("__b1")}),
        |__b1g AS (${gate("__b1k")}),
        |__b1lm AS (SELECT * FROM (
-       |  ${Lm.bigramBackoffScoreOverSql("__b1g", "__b1g", idCol, textCol, 2)})),
+       |  ${lmSql("__b1g", "__b1g")})),
        |__b1s AS (
-       |  SELECT g.$idCol, g.$textCol, g.quality, l.n_bigrams,
+       |  SELECT g.$idCol, g.$textCol, g.quality, l.$alias,
        |         l.mean_score_micro
        |  FROM __b1g g JOIN __b1lm l ON g.$idCol = l.$idCol
        |  WHERE l.mean_score_micro >= $lmMinMicro),
@@ -454,14 +468,14 @@ object Curation {
        |  SELECT $idCol, $textCol FROM __b2g g WHERE NOT EXISTS (
        |    SELECT 1 FROM __b1s s WHERE s.$idCol = g.$idCol)),
        |__b2lm AS (SELECT * FROM (
-       |  ${Lm.bigramBackoffScoreOverSql("__train2", "__b2g", idCol, textCol, 2)})),
+       |  ${lmSql("__train2", "__b2g")})),
        |__b2s AS (
-       |  SELECT g.$idCol, g.$textCol, g.quality, l.n_bigrams,
+       |  SELECT g.$idCol, g.$textCol, g.quality, l.$alias,
        |         l.mean_score_micro
        |  FROM __b2g g JOIN __b2lm l ON g.$idCol = l.$idCol
        |  WHERE l.mean_score_micro >= $lmMinMicro),
        |__all AS (SELECT * FROM __b1s UNION ALL SELECT * FROM __b2s)
-       |SELECT $idCol, quality, n_bigrams, mean_score_micro,
+       |SELECT $idCol, quality, $alias, mean_score_micro,
        |  ${graft.functions.Hashing.h60Sql(
             s"'$salt' || CAST($idCol AS VARCHAR)")} % $shards AS shard
        |FROM __all""".stripMargin
@@ -473,8 +487,12 @@ object Curation {
    *  the same gated frame), and the shard hash. */
   def curationPipelineSql(table: String, idCol: String, textCol: String,
       qualityMin: Double, lmMinMicro: Long, shards: Int,
-      salt: String): String = {
+      salt: String, lmOrder: Int = 2): String = {
     val q = TextFunctions.qualityScoreSql(textCol)
+    val alias = if (lmOrder == 2) "n_bigrams" else "n_ngrams"
+    val lmSql =
+      if (lmOrder == 2) Lm.bigramBackoffScoreSql("__gated", idCol, textCol, 2)
+      else Lm.ngramBackoffScoreSql("__gated", idCol, textCol, lmOrder, 2)
     s"""WITH __keep AS (
        |  SELECT min($idCol) AS $idCol FROM $table GROUP BY md5($textCol)),
        |__gated AS (
@@ -483,8 +501,8 @@ object Curation {
        |    FROM $table d JOIN __keep k USING ($idCol))
        |  WHERE quality >= $qualityMin),
        |__lm AS (SELECT * FROM (
-       |  ${Lm.bigramBackoffScoreSql("__gated", idCol, textCol, 2)}))
-       |SELECT g.$idCol, g.quality, l.n_bigrams, l.mean_score_micro,
+       |  $lmSql))
+       |SELECT g.$idCol, g.quality, l.$alias, l.mean_score_micro,
        |  ${graft.functions.Hashing.h60Sql(
             s"'$salt' || CAST(g.$idCol AS VARCHAR)")} % $shards AS shard
        |FROM __gated g JOIN __lm l ON g.$idCol = l.$idCol

@@ -81,6 +81,148 @@ class StreamCurationSpec extends SparkTestBase {
     assert(segs === Seq("b0", "b1"), "redelivery overwrites its own segment")
   }
 
+  test("late-data contract: a copy arriving LATER is dropped even with the LOWER id — admission is arrival-order and never re-litigated") {
+    val dir = Streams.scratchDir("graft_cur5_")
+    // batch 0 admits id 100; batch 2 delivers the SAME text under id 5
+    // (lower — the one-shot batch pipeline would keep 5) plus a novel
+    // doc, after an unrelated batch 1 in between
+    fold(Seq((100L, goodA)).toDF("doc_id", "text"), 0L, s"$dir/state")
+    fold(Seq((200L, goodB)).toDF("doc_id", "text"), 1L, s"$dir/state")
+    val late = fold(Seq((5L, goodA), (6L, goodC)).toDF("doc_id", "text"),
+      2L, s"$dir/state")
+    assert(late.map(_._1) === Seq(6L),
+      "the late lower-id twin must be dropped; the novel doc admitted")
+    // the admitted survivor is untouched — not evicted, not re-scored
+    val s0 = spark.read.parquet(s"$dir/state/survivors/b0")
+    assert(s0.select("doc_id").as[Long].collect().toSeq === Seq(100L))
+  }
+
+  test("round-12 incremental state: survivor hashes are stored at admit time and the per-fold job count is FLAT in state size") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    def mkDocs(n: Int, offset: Long) = {
+      // distinct stopword-rich texts (pass the 0.35 gate), unique per id
+      spark.range(n).select((col("id") + offset).as("doc_id"),
+        concat_ws(" ", lit("the cat sat on the mat with a hat and"),
+          lit("w"), col("id") + offset, lit("of the day")).as("text"))
+    }
+    def seedAndTime(dir: String, stateDocs: Int): (Long, Seq[(Long, Long)]) = {
+      fold(mkDocs(stateDocs, 0L), 0L, s"$dir/state", qualityMin = 0.0,
+        lmMin = 0L)
+      // the TIMED fold: identical batch against the seeded state
+      val batch = mkDocs(50, 9000000L).localCheckpoint(true)
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val out = fold(batch, 1L, s"$dir/state", qualityMin = 0.0, lmMin = 0L)
+        // listener events are asynchronous; a short quiesce poll makes
+        // the count exact (job STARTS all fire synchronously with the
+        // fold's blocking actions, so 500 ms is generous)
+        var last = -1
+        var quiet = 0
+        while (quiet < 2) {
+          Thread.sleep(100)
+          val n = counter.get()
+          if (n == last) quiet += 1 else quiet = 0
+          last = n
+        }
+        (counter.get().toLong, out)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val small = Streams.scratchDir("graft_cur6s_")
+    val big = Streams.scratchDir("graft_cur6b_")
+    val (jobsSmall, outSmall) = seedAndTime(small, 200)
+    val (jobsBig, outBig) = seedAndTime(big, 1600)
+    assert(outSmall === outBig,
+      "the identical batch must admit the identical set at either state size")
+    assert(jobsBig === jobsSmall,
+      s"per-fold Spark job count must not grow with state size " +
+        s"(small=$jobsSmall big=$jobsBig) — state feeds the fold as " +
+        "data, never as extra plan arms")
+    // the admit-time hash index: survivor segments carry __h, so the
+    // dedup anti-join reads (doc_id, __h) under column pruning and
+    // never re-hashes state text
+    val seg = spark.read.parquet(s"$big/state/survivors/b0")
+    assert(seg.columns.toSet === Set("doc_id", "text", "__h"))
+    import org.apache.spark.sql.functions.md5
+    val bad = seg.filter(col("__h") =!= md5(col("text"))).count()
+    assert(bad === 0L, "stored hashes must equal md5(text)")
+    // per-order count segments exist and sum to the survivor corpus
+    val c1 = spark.read.parquet(s"$big/state/lm/o1/b0", s"$big/state/lm/o1/b1")
+    val stateToks = spark.read.parquet(s"$big/state/survivors/b0",
+        s"$big/state/survivors/b1")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.filter(
+          graft.functions.TextFunctions.lowerTokens(col("text")),
+          t => t =!= "")).as("w"))
+    assert(c1.agg(org.apache.spark.sql.functions.sum("c1")).head().getLong(0)
+      === stateToks.count())
+  }
+
+  test("fold-state compaction bounds segments, preserves results, and survives redelivery") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    def mkBatch(ids: Seq[Long]) =
+      ids.map(i => (i, s"the cat sat on mat $i with a hat and a bat"))
+        .toDF("doc_id", "text")
+    def foldC(batch: org.apache.spark.sql.DataFrame, id: Long, dir: String) = {
+      var out: Seq[(Long, Long)] = null
+      Streams.curateFoldBatch(batch, id, dir, "doc_id", "text",
+        0.0, 0L, 8, "s", lmOrder = 2, compactAfterSegments = 1) { (df, _) =>
+        out = df.collect().map(r => (r.getLong(0), r.getLong(4))).toSeq.sorted
+      }
+      out
+    }
+    val dir = Streams.scratchDir("graft_cur7_")
+    val ctl = Streams.scratchDir("graft_cur7c_")
+    val batches = Seq(Seq(1L, 2L), Seq(3L, 1000001L), Seq(4L), Seq(5L, 6L))
+    // control: default compaction threshold (never triggers here)
+    val want = batches.zipWithIndex.map { case (ids, i) =>
+      fold(mkBatch(ids), i.toLong, s"$ctl/state", qualityMin = 0.0,
+        lmMin = 0L)
+    }
+    val got = batches.zipWithIndex.map { case (ids, i) =>
+      foldC(mkBatch(ids), i.toLong, s"$dir/state")
+    }
+    assert(got === want, "compaction must never change admissions/scores")
+    val segNames = graft.core.StoreFs.listDirNames(s"$dir/state/survivors")
+    assert(segNames.exists(_.startsWith("base-upto-")),
+      s"expected a compacted base, got $segNames")
+    assert(segNames.count(_.startsWith("base-upto-")) === 1,
+      s"superseded bases must be GC'd, got $segNames")
+    // redelivery of the LAST batch after its predecessors were folded
+    // into a base converges to the identical output and state
+    val redelivered = foldC(mkBatch(batches.last), 3L, s"$dir/state")
+    assert(redelivered === want.last)
+    val finalState = spark.read.parquet(
+      Streams.foldStateSegs(s"$dir/state/survivors", Long.MaxValue): _*)
+    val ctlState = spark.read.parquet(
+      Streams.foldStateSegs(s"$ctl/state/survivors", Long.MaxValue): _*)
+    assert(finalState.select("doc_id").as[Long].collect().sorted.toSeq ===
+      ctlState.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("order-n config: a single-batch fold at n=3 IS the batch pipeline at n=3") {
+    val docs = Seq((1L, goodA), (2L, goodB), (3L, goodA), (4L, junk),
+      (5L, goodC)).toDF("doc_id", "text")
+    val dir = Streams.scratchDir("graft_cur8_")
+    var got: Seq[(Long, Double, Long, Long, Long)] = null
+    Streams.curateFoldBatch(docs, 0L, s"$dir/state", "doc_id", "text",
+      0.35, 1L, 8, "s", lmOrder = 3) { (df, _) =>
+      got = df.collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq.sorted
+    }
+    val want = Curation.curationPipeline(docs, "doc_id", "text",
+        0.35, 1L, 8, "s", lmOrder = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sorted
+    assert(got === want)
+  }
+
   test("the LM screen gates against the survivor-trained model, not the batch alone") {
     // batch 2's candidate scores against a model trained on batch-1
     // survivors ∪ its own gated docs: a bigram frequent in state makes
