@@ -1937,6 +1937,55 @@ object SparkEntry {
           Sources.table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
           16, 8, zorderProbes)
         .orderBy("probe_id")),
+    // ENGINE-level z-order skip proof as a JUDGED row (X111, round-12
+    // item 6 — X109's scan-metric claim promoted from spec+artifact
+    // into the per-round CORRECTNESS/bench harness): write the SAME
+    // two-column projection under the z-order and the linear layout,
+    // probe the dim2-only slab (full l_orderkey range, middle 10% of
+    // l_partkey — linear's blind spot) through Spark's real parquet
+    // reader, and emit per layout (rows_matched, scanned_lt_half)
+    // where scanned is FileSourceScanExec's own numOutputRows. The
+    // oracle predicts the matched counts from the same parquet and
+    // the ratio booleans (z skips >half; linear CANNOT — every linear
+    // file spans the full l_partkey range): a pruning regression or a
+    // false skip hash-fails the row at every scale factor.
+    "q139_zorder_scan_probe" -> ((s, dir) => {
+      import s.implicits._
+      val li = Sources.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val out = graft.streaming.Streams.scratchDir("graft_q139_")
+      graft.operators.Layout.zOrderBy(li, "l_orderkey", "l_partkey",
+          16, 128)
+        .write.mode("overwrite").parquet(s"$out/z")
+      li.repartitionByRange(128, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(s"$out/linear")
+      val mm = li.agg(min("l_orderkey"), max("l_orderkey"),
+        min("l_partkey"), max("l_partkey"), count(lit(1))).head()
+      val (lo1, hi1) = (mm.getLong(0), mm.getLong(1))
+      val (mn2, mx2) = (mm.getLong(2), mm.getLong(3))
+      val total = mm.getLong(4)
+      val lo2 = mn2 + (mx2 - mn2) * 45 / 100
+      val hi2 = mn2 + (mx2 - mn2) * 55 / 100
+      Seq("linear" -> s"$out/linear", "z" -> s"$out/z").map {
+        case (tag, p) =>
+          val (scanned, matched) = graft.operators.Layout.probeScanRows(
+            s, p, "l_orderkey", lo1, hi1, "l_partkey", lo2, hi2)
+          (tag, matched, scanned * 2 <= total)
+      }.toDF("layout", "rows_matched", "scanned_lt_half")
+        .orderBy("layout")
+    }),
+    // k-dimensional z-order zone maps (X112, round-12 item 7): real
+    // lakes cluster 3–4 columns — the same fixed-point bit algebra at
+    // k = 3 (column j's bit i at position 3i + (2−j)), judged against
+    // an oracle that re-derives normalization, the 3-way interleave,
+    // and every bounding box itself. 10 bits/key keeps 3·bits inside
+    // a long with the same per-mille exactness contract.
+    "q140_zorder3_zonemaps" -> ((s, dir) =>
+      graft.operators.Layout.zZoneMapsK(
+          Sources.table(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey"), 10, 8)
+        .orderBy("bucket")),
     // Fixed-length token-ID sequence packing (X104): the last-mile
     // artifact a training run memory-maps — q129's id stream (same
     // 1-in-20 slice), EOS-joined in doc order, split into 64-token
@@ -2967,6 +3016,27 @@ object SparkEntry {
       (s"SELECT * FROM (${graft.operators.Layout.pruneCompareSql(
           "lineitem", "l_orderkey", "l_partkey", 16, 8, zorderProbes)}) " +
         "ORDER BY probe_id"),
+    "q139_zorder_scan_probe" ->
+      """WITH __mm AS (
+        |  SELECT CAST(min(l_orderkey) AS BIGINT) AS mn1,
+        |         CAST(max(l_orderkey) AS BIGINT) AS mx1,
+        |         CAST(min(l_partkey) AS BIGINT) AS mn2,
+        |         CAST(max(l_partkey) AS BIGINT) AS mx2 FROM lineitem),
+        |__m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS rows_matched
+        |  FROM lineitem, __mm
+        |  WHERE l_orderkey BETWEEN mn1 AND mx1
+        |    AND l_partkey BETWEEN mn2 + ((mx2 - mn2) * 45) // 100
+        |                      AND mn2 + ((mx2 - mn2) * 55) // 100)
+        |SELECT 'linear' AS layout, rows_matched, false AS scanned_lt_half
+        |FROM __m
+        |UNION ALL
+        |SELECT 'z', rows_matched, true FROM __m
+        |ORDER BY layout""".stripMargin,
+    "q140_zorder3_zonemaps" ->
+      (s"SELECT * FROM (${graft.operators.Layout.zZoneMapsKSql(
+          "lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"),
+          10, 8)}) ORDER BY bucket"),
     "q133_curation_pipeline" -> {
       val corpus = "(SELECT doc_id, text FROM documents UNION ALL " +
         "SELECT doc_id + 1000000 AS doc_id, text FROM documents " +

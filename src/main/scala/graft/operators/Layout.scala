@@ -34,51 +34,78 @@ import org.apache.spark.sql.functions._
  */
 object Layout {
 
-  /** Morton-interleave two `bits`-wide non-negative longs: `a`'s bit
-   *  i lands at position 2i+1, `b`'s at 2i. */
-  def zInterleave(a: Column, b: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+  /** Morton-interleave k `bits`-wide non-negative longs (round-12
+   *  item 7 — real lakes cluster 3–4 columns): column j's bit i lands
+   *  at position k·i + (k−1−j), so column 0 holds the most
+   *  significant bit of every group — for k = 2 this is exactly the
+   *  historical two-key layout (a's bit i at 2i+1, b's at 2i), which
+   *  q131/q132's unchanged hashes pin. k·bits must fit a non-negative
+   *  long. */
+  def zInterleaveK(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, s"need at least 2 columns, got $k")
+    require(bits >= 1 && k * bits <= 63,
+      s"k*bits must be in [k,63], got $k*$bits")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(c, i).bitwiseAND(lit(1L)), k * i + (k - 1 - j)))
+      }
     }
   }
 
-  /** (v1, v2, n1, n2) — the two keys plus their fixed-point
-   *  normalizations against the frame's own global min/max. */
-  private def normalized(df: DataFrame, c1: String, c2: String,
-      bits: Int): DataFrame = {
-    val cap = (1L << bits) - 1
-    val mm = df.agg(
-      min(col(c1)).as("__mn1"), max(col(c1)).as("__mx1"),
-      min(col(c2)).as("__mn2"), max(col(c2)).as("__mx2"))
-    df.select(col(c1).as("v1"), col(c2).as("v2"))
-      .crossJoin(broadcast(mm))
-      .select(col("v1"), col("v2"),
-        expr(s"((v1 - __mn1) * ${cap}L) div greatest(__mx1 - __mn1, 1L)")
-          .as("n1"),
-        expr(s"((v2 - __mn2) * ${cap}L) div greatest(__mx2 - __mn2, 1L)")
-          .as("n2"))
+  /** Morton-interleave two `bits`-wide non-negative longs: `a`'s bit
+   *  i lands at position 2i+1, `b`'s at 2i — the k = 2 slice of
+   *  [[zInterleaveK]]. */
+  def zInterleave(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    zInterleaveK(Seq(a, b), bits)
   }
 
-  /** Per-bucket zone maps under the Z-ORDER layout: 2^log2Buckets
-   *  buckets by the z-value's high bits → (bucket, n_rows, min/max of
-   *  both keys). The bounding boxes ARE the skip index a scan planner
-   *  consults. */
-  def zZoneMaps(df: DataFrame, c1: String, c2: String, bits: Int,
-      log2Buckets: Int): DataFrame = {
-    require(log2Buckets >= 1 && log2Buckets <= 2 * bits,
-      s"log2Buckets must be in [1, ${2 * bits}], got $log2Buckets")
-    normalized(df, c1, c2, bits)
-      .select(col("v1"), col("v2"),
-        shiftright(zInterleave(col("n1"), col("n2"), bits),
-          2 * bits - log2Buckets).as("bucket"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("v1")).as("min1"), max(col("v1")).as("max1"),
-        min(col("v2")).as("min2"), max(col("v2")).as("max2"))
+  /** (v1..vk, n1..nk) — the keys plus their fixed-point
+   *  normalizations against the frame's own global min/max. */
+  private def normalizedK(df: DataFrame, cs: Seq[String],
+      bits: Int): DataFrame = {
+    val cap = (1L << bits) - 1
+    val k = cs.size
+    val aggs = cs.zipWithIndex.flatMap { case (c, i) => Seq(
+      min(col(c)).as(s"__mn${i + 1}"), max(col(c)).as(s"__mx${i + 1}")) }
+    val mm = df.agg(aggs.head, aggs.tail: _*)
+    df.select(cs.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"v${i + 1}") }: _*)
+      .crossJoin(broadcast(mm))
+      .select((1 to k).map(i => col(s"v$i")) ++ (1 to k).map(i =>
+        expr(s"((v$i - __mn$i) * ${cap}L) div greatest(__mx$i - __mn$i, 1L)")
+          .as(s"n$i")): _*)
   }
+
+  private def normalized(df: DataFrame, c1: String, c2: String,
+      bits: Int): DataFrame = normalizedK(df, Seq(c1, c2), bits)
+
+  /** Per-bucket zone maps under the k-dim Z-ORDER layout:
+   *  2^log2Buckets buckets by the z-value's high bits → (bucket,
+   *  n_rows, min/max of every key). The bounding boxes ARE the skip
+   *  index a scan planner consults. */
+  def zZoneMapsK(df: DataFrame, cs: Seq[String], bits: Int,
+      log2Buckets: Int): DataFrame = {
+    val k = cs.size
+    require(log2Buckets >= 1 && log2Buckets <= k * bits,
+      s"log2Buckets must be in [1, ${k * bits}], got $log2Buckets")
+    val aggs = count(lit(1)).as("n_rows") +: (1 to k).flatMap(i => Seq(
+      min(col(s"v$i")).as(s"min$i"), max(col(s"v$i")).as(s"max$i")))
+    normalizedK(df, cs, bits)
+      .select((1 to k).map(i => col(s"v$i")) :+
+        shiftright(zInterleaveK((1 to k).map(i => col(s"n$i")), bits),
+          k * bits - log2Buckets).as("bucket"): _*)
+      .groupBy(col("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-bucket zone maps under the two-key Z-ORDER layout — the
+   *  k = 2 slice of [[zZoneMapsK]] (q131's judged surface). */
+  def zZoneMaps(df: DataFrame, c1: String, c2: String, bits: Int,
+      log2Buckets: Int): DataFrame =
+    zZoneMapsK(df, Seq(c1, c2), bits, log2Buckets)
 
   /** Zone maps under the LINEAR layout (equal-width buckets on the
    *  first key alone) — the baseline a z-order migration is judged
@@ -145,27 +172,35 @@ object Layout {
         coalesce(col("rows_z"), lit(0L)).as("rows_z"))
   }
 
-  /** The physical layout operator: range-partition on the z-value and
-   *  sort within partitions, so a parquet write of the result
-   *  produces `numFiles` files whose row-group min/max stats (the
-   *  zone maps engines read natively) are tight in both keys. One
-   *  range exchange; the sort is the write order. */
-  def zOrderBy(df: DataFrame, c1: String, c2: String, bits: Int,
+  /** The physical layout operator at k dims: range-partition on the
+   *  z-value and sort within partitions, so a parquet write of the
+   *  result produces `numFiles` files whose row-group min/max stats
+   *  (the zone maps engines read natively) are tight in every key.
+   *  One range exchange; the sort is the write order. */
+  def zOrderByK(df: DataFrame, cs: Seq[String], bits: Int,
       numFiles: Int): DataFrame = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val k = cs.size
     val cap = (1L << bits) - 1
-    val mm = df.agg(
-      min(col(c1)).as("__mn1"), max(col(c1)).as("__mx1"),
-      min(col(c2)).as("__mn2"), max(col(c2)).as("__mx2"))
+    val aggs = cs.zipWithIndex.flatMap { case (c, i) => Seq(
+      min(col(c)).as(s"__mn${i + 1}"), max(col(c)).as(s"__mx${i + 1}")) }
+    val mm = df.agg(aggs.head, aggs.tail: _*)
+    val drops = (1 to k).flatMap(i => Seq(s"__mn$i", s"__mx$i")) :+ "__z"
     df.crossJoin(broadcast(mm))
-      .withColumn("__z", zInterleave(
-        expr(s"((`$c1` - __mn1) * ${cap}L) div greatest(__mx1 - __mn1, 1L)"),
-        expr(s"((`$c2` - __mn2) * ${cap}L) div greatest(__mx2 - __mn2, 1L)"),
-        bits))
+      .withColumn("__z", zInterleaveK(
+        cs.zipWithIndex.map { case (c, i) =>
+          expr(s"((`$c` - __mn${i + 1}) * ${cap}L) div " +
+            s"greatest(__mx${i + 1} - __mn${i + 1}, 1L)")
+        }, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__mn1", "__mx1", "__mn2", "__mx2", "__z")
+      .drop(drops: _*)
   }
+
+  /** Two-key [[zOrderByK]] (the judged X102 surface). */
+  def zOrderBy(df: DataFrame, c1: String, c2: String, bits: Int,
+      numFiles: Int): DataFrame =
+    zOrderByK(df, Seq(c1, c2), bits, numFiles)
 
   /** ENGINE-level skip proof (round-11 item 5): run a two-predicate
    *  box probe over a written parquet table and report
@@ -179,13 +214,22 @@ object Layout {
    *  granularity — file boundaries ARE the row groups at these sizes. */
   def probeScanRows(spark: org.apache.spark.sql.SparkSession,
       path: String, c1: String, lo1: Long, hi1: Long,
-      c2: String, lo2: Long, hi2: Long): (Long, Long) = {
+      c2: String, lo2: Long, hi2: Long): (Long, Long) =
+    probeScanRowsK(spark, path, Seq((c1, lo1, hi1), (c2, lo2, hi2)))
+
+  /** [[probeScanRows]] at k predicates — the k-dim box probe backing
+   *  the [[zOrderByK]] evidence (tools/ProbeLayout's 3-predicate
+   *  run). */
+  def probeScanRowsK(spark: org.apache.spark.sql.SparkSession,
+      path: String, preds: Seq[(String, Long, Long)]): (Long, Long) = {
+    require(preds.nonEmpty, "at least one range predicate required")
     // the aggregate is built EXPLICITLY so the metric is read from the
     // exact physical plan the action executed (Dataset.count() plans
     // its own query — its metrics are not visible on `df`)
+    val cond = preds.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi }.reduce(_ && _)
     val agg = spark.read.parquet(path)
-      .filter(col(c1) >= lo1 && col(c1) <= hi1 &&
-        col(c2) >= lo2 && col(c2) <= hi2)
+      .filter(cond)
       .groupBy().count()
     val matched = agg.collect()(0).getLong(0)
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
@@ -203,36 +247,58 @@ object Layout {
 
   // ------------------------------------------------- DuckDB twins
 
-  private def zInterleaveSql(a: String, b: String, bits: Int): String =
-    (0 until bits).flatMap(i => Seq(
-      s"((($a >> $i) & 1) << ${2 * i + 1})",
-      s"((($b >> $i) & 1) << ${2 * i})"))
+  private def zInterleaveKSql(ns: Seq[String], bits: Int): String = {
+    val k = ns.size
+    (0 until bits).flatMap(i => ns.zipWithIndex.map { case (n, j) =>
+      s"((($n >> $i) & 1) << ${k * i + (k - 1 - j)})" })
       .mkString(" | ")
+  }
 
-  private def normCtes(table: String, c1: String, c2: String,
+  private def zInterleaveSql(a: String, b: String, bits: Int): String =
+    zInterleaveKSql(Seq(a, b), bits)
+
+  private def normCtesK(table: String, cs: Seq[String],
       bits: Int): String = {
     val cap = (1L << bits) - 1
-    s"""__mm AS (SELECT CAST(min($c1) AS BIGINT) AS mn1,
-       |    CAST(max($c1) AS BIGINT) AS mx1,
-       |    CAST(min($c2) AS BIGINT) AS mn2,
-       |    CAST(max($c2) AS BIGINT) AS mx2 FROM $table),
-       |__norm AS (SELECT $c1 AS v1, $c2 AS v2,
-       |    (($c1 - mn1) * $cap) // greatest(mx1 - mn1, 1) AS n1,
-       |    (($c2 - mn2) * $cap) // greatest(mx2 - mn2, 1) AS n2
+    val mins = cs.zipWithIndex.map { case (c, i) =>
+      s"CAST(min($c) AS BIGINT) AS mn${i + 1},\n    " +
+        s"CAST(max($c) AS BIGINT) AS mx${i + 1}" }.mkString(",\n    ")
+    val norms = cs.zipWithIndex.map { case (c, i) =>
+      s"$c AS v${i + 1},\n    (($c - mn${i + 1}) * $cap) // " +
+        s"greatest(mx${i + 1} - mn${i + 1}, 1) AS n${i + 1}" }
+      .mkString(",\n    ")
+    s"""__mm AS (SELECT $mins FROM $table),
+       |__norm AS (SELECT $norms
        |  FROM $table CROSS JOIN __mm)""".stripMargin
   }
 
-  private def zoneMapSelect(bucketExpr: String): String =
+  private def normCtes(table: String, c1: String, c2: String,
+      bits: Int): String = normCtesK(table, Seq(c1, c2), bits)
+
+  private def zoneMapSelectK(bucketExpr: String, k: Int): String = {
+    val mm = (1 to k).map(i =>
+      s"min(v$i) AS min$i, max(v$i) AS max$i").mkString(",\n    ")
     s"""SELECT $bucketExpr AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
-       |    min(v1) AS min1, max(v1) AS max1,
-       |    min(v2) AS min2, max(v2) AS max2
+       |    $mm
        |  FROM __norm GROUP BY 1""".stripMargin
+  }
+
+  private def zoneMapSelect(bucketExpr: String): String =
+    zoneMapSelectK(bucketExpr, 2)
 
   /** DuckDB twin of [[zZoneMaps]]. */
   def zZoneMapsSql(table: String, c1: String, c2: String, bits: Int,
       log2Buckets: Int): String =
-    s"""WITH ${normCtes(table, c1, c2, bits)}
-       |${zoneMapSelect(s"((${zInterleaveSql("n1", "n2", bits)}) >> ${2 * bits - log2Buckets})")}""".stripMargin
+    zZoneMapsKSql(table, Seq(c1, c2), bits, log2Buckets)
+
+  /** DuckDB twin of [[zZoneMapsK]]. */
+  def zZoneMapsKSql(table: String, cs: Seq[String], bits: Int,
+      log2Buckets: Int): String = {
+    val k = cs.size
+    val z = zInterleaveKSql((1 to k).map(i => s"n$i"), bits)
+    s"""WITH ${normCtesK(table, cs, bits)}
+       |${zoneMapSelectK(s"(($z) >> ${k * bits - log2Buckets})", k)}""".stripMargin
+  }
 
   /** DuckDB twin of [[pruneCompare]]: both layouts' zone maps, the
    *  per-mille probe resolution, and the probe fold, all re-derived

@@ -52,6 +52,37 @@ object ProbeLayout {
         s""""rows_scanned_z":$zScan,"rows_scanned_linear":$lScan,""" +
         s""""files":$numFiles,"sf":"$sfDir"}""")
     }
+    // ---- k = 3 (round-12 item 7): the same engine-level evidence on
+    // a 3-predicate box — l_suppkey joins the cluster, probes are the
+    // 3-D analogues (tight box; k2+k3 slab invisible to linear;
+    // single-dim k3 slab where 3-way interleaving pays its dilution)
+    val li3 = graft.sources.Sources.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    Layout.zOrderByK(li3, Seq("l_orderkey", "l_partkey", "l_suppkey"),
+        10, numFiles)
+      .write.mode("overwrite").parquet(s"$base/z3")
+    li3.repartitionByRange(numFiles, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(s"$base/linear3")
+    val mm3 = li3.agg(min("l_suppkey"), max("l_suppkey")).head()
+    val (k3lo, k3hi) = (mm3.getLong(0), mm3.getLong(1))
+    val probes3 = Seq(
+      ("box3d", (100L, 200L), (100L, 200L), (100L, 200L)),
+      ("dim23_slab", (0L, 1000L), (450L, 550L), (450L, 550L)),
+      ("dim3_slab", (0L, 1000L), (0L, 1000L), (450L, 500L)))
+    for ((name, p1, p2, p3) <- probes3) {
+      val (lo1, hi1) = at(k1lo, k1hi, p1)
+      val (lo2, hi2) = at(k2lo, k2hi, p2)
+      val (lo3, hi3) = at(k3lo, k3hi, p3)
+      val preds = Seq(("l_orderkey", lo1, hi1), ("l_partkey", lo2, hi2),
+        ("l_suppkey", lo3, hi3))
+      val (zScan, zHit) = Layout.probeScanRowsK(spark, s"$base/z3", preds)
+      val (lScan, lHit) = Layout.probeScanRowsK(spark, s"$base/linear3", preds)
+      require(zHit == lHit, s"$name: layouts disagree on matches")
+      println(s"""{"probe":"$name","rows_total":$total,"rows_matched":$zHit,""" +
+        s""""rows_scanned_z3":$zScan,"rows_scanned_linear":$lScan,""" +
+        s""""files":$numFiles,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

@@ -128,4 +128,86 @@ class LayoutSpec extends SparkTestBase {
     assert(zHit2 === lHit2)
     assert(zScan2 <= lScan2)
   }
+
+  // -------------------------------------------- k-dim generalization
+
+  private def refZK(vs: Seq[Long], bits: Int): Long = {
+    val k = vs.size
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      vs.zipWithIndex.foldLeft(acc) { case (a, (v, j)) =>
+        a | (((v >> i) & 1L) << (k * i + (k - 1 - j)))
+      }
+    }
+  }
+
+  test("zInterleaveK matches the reference at k=3/4 and its k=2 slice IS zInterleave") {
+    val cases = Seq(Seq(0L, 0L, 0L), Seq(1L, 0L, 0L), Seq(0L, 0L, 1L),
+      Seq(1023L, 0L, 512L), Seq(345L, 678L, 901L))
+    val got = cases.map(_ match { case Seq(a, b, c) => (a, b, c) })
+      .toDF("a", "b", "c")
+      .select(Layout.zInterleaveK(
+        Seq(col("a"), col("b"), col("c")), 10).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === cases.map(refZK(_, 10)))
+    // column 0 carries the most significant bit of each group
+    assert(refZK(Seq(1023L, 0L, 0L), 10) ===
+      (0 until 10).map(i => 1L << (3 * i + 2)).sum)
+    // k=2 slice ≡ the judged 2-key operator (q131/q132's bit layout)
+    val two = Seq((43690L, 21845L), (12345L, 54321L)).toDF("a", "b")
+    val viaK = two.select(Layout.zInterleaveK(
+      Seq(col("a"), col("b")), 16)).collect().map(_.getLong(0)).toSeq
+    val via2 = two.select(Layout.zInterleave(col("a"), col("b"), 16))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaK === via2)
+    // k=4 fits and round-trips through the reference
+    val four = Seq((1L, 2L, 3L, 4L)).toDF("a", "b", "c", "d")
+      .select(Layout.zInterleaveK(
+        Seq(col("a"), col("b"), col("c"), col("d")), 8))
+      .head().getLong(0)
+    assert(four === refZK(Seq(1L, 2L, 3L, 4L), 8))
+  }
+
+  private lazy val fixture3 = (0L until 4000L)
+    .map(i => (i, (i * 37 + (i * i) % 613) % 5000,
+      (i * 3 + (i * 7) % 211) % 800, (i * 11 + (i * 5) % 97) % 300))
+    .toDF("id", "k1", "k2", "k3")
+
+  test("k=3 zone maps partition the frame and never under-read a 3-predicate box") {
+    val zm = Layout.zZoneMapsK(fixture3, Seq("k1", "k2", "k3"), 10, 6)
+      .collect()
+    assert(zm.map(_.getLong(0)).distinct.length === zm.length)
+    assert(zm.map(_.getLong(1)).sum === 4000L)
+    // no false skip: candidate-bucket mass covers every true match
+    val data = fixture3.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val box = (300L, 2000L, 100L, 500L, 50L, 200L)
+    val matches = data.count { case (a, b, c) =>
+      a >= box._1 && a <= box._2 && b >= box._3 && b <= box._4 &&
+        c >= box._5 && c <= box._6 }.toLong
+    val candMass = zm.filter { r =>
+      !(r.getLong(3) < box._1 || r.getLong(2) > box._2 ||
+        r.getLong(5) < box._3 || r.getLong(4) > box._4 ||
+        r.getLong(7) < box._5 || r.getLong(6) > box._6) }
+      .map(_.getLong(1)).sum
+    assert(candMass >= matches)
+    assert(candMass < 4000L, "the 3-D box must prune SOMETHING")
+  }
+
+  test("ENGINE skip proof at k=3: a 3-predicate box through the real parquet reader") {
+    val base = graft.streaming.Streams.scratchDir("graft_layout3_")
+    Layout.zOrderByK(fixture3, Seq("k1", "k2", "k3"), 10, 16)
+      .write.mode("overwrite").parquet(s"$base/z3")
+    fixture3.repartitionByRange(16, col("k1")).sortWithinPartitions("k1")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    // k2+k3 slab (k1 unbounded): invisible to the linear layout
+    val preds = Seq(("k1", 0L, 5000L), ("k2", 0L, 200L), ("k3", 0L, 80L))
+    val (zScan, zHit) = Layout.probeScanRowsK(spark, s"$base/z3", preds)
+    val (lScan, lHit) = Layout.probeScanRowsK(spark, s"$base/linear", preds)
+    val want = fixture3.filter(col("k2") <= 200L && col("k3") <= 80L).count()
+    assert(zHit === want && lHit === want, "layouts must agree on matches")
+    assert(lScan === 4000L,
+      "the linear layout cannot skip anything on a k2/k3 slab")
+    assert(zScan * 2 < lScan,
+      s"engine scanned $zScan rows under z3 vs $lScan under linear")
+  }
 }
