@@ -152,6 +152,9 @@ object Bench {
       // out of the child's own selection
       pb.environment().remove("SPARK_GRAFT_SKIP")
       pb.environment().remove("SPARK_GRAFT_ISOLATED_ONLY")
+      // the child must never run its own regression/extra selection
+      pb.environment().remove("SPARK_GRAFT_PREV_BENCH")
+      pb.environment().remove("SPARK_GRAFT_ISOLATED_EXTRA")
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       // stdout goes to a FILE and waitFor runs FIRST: reading the
       // child's stdout to EOF before waitFor made the timeout +
@@ -174,17 +177,74 @@ object Bench {
           java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
         // first "name":<num> match is the queries map (queries_min
         // repeats the name later)
-        (s""""${java.util.regex.Pattern.quote(name)}":(-?[0-9.eE+-]+)""").r
+        val parsed = (s""""${java.util.regex.Pattern.quote(name)}":(-?[0-9.eE+-]+)""").r
           .findFirstMatchIn(out)
           .map(m => name -> m.group(1).toDouble)
-          .filter(_._2 >= 0)
+        // a child whose query FAILED records sentinel -1.0 — surface
+        // it instead of publishing it as a valid isolated median
+        parsed.filter(_._2 < 0).foreach { _ =>
+          System.err.println(s"[bench] isolated $name FAILED in the " +
+            "child JVM (sentinel -1.0) — excluded from queries_isolated")
+        }
+        parsed.filter(_._2 >= 0)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")
         None
       } finally { outFile.delete(); () }
     }
+    // ROUND-OVER-ROUND regression adjudication (round-11 verdict item
+    // 3: the in-run-variance rule alone let q27/q34/q35/q37's sf10
+    // regressions escape fresh-JVM controls): when
+    // SPARK_GRAFT_PREV_BENCH names the prior round's artifact, any
+    // query whose in-sequence median exceeds 1.5x its prior value
+    // (and is slow enough to adjudicate) joins the isolated set.
+    // SPARK_GRAFT_ISOLATED_EXTRA force-adds names (comma tokens,
+    // substring match) regardless of either rule.
+    val prevMedians: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_PREV_BENCH").toSeq.flatMap { path =>
+        try {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+            "UTF-8")
+          val qSec = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse("")
+          """"([^"]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(qSec)
+            .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] prev-bench parse failed: ${e.getMessage}")
+          Seq.empty
+        }
+      }.toMap
+    val medianOf: Map[String, Double] = timed.collect {
+      case (name, ts) if ts.forall(_ >= 0) =>
+        name -> ts.sorted.apply(ts.size / 2) }.toMap
+    // capped at the 8 worst ratios: a systematically-slow RUN (host
+    // contention inflating everything) must queue a bounded control
+    // set, not one child JVM per query
+    val regressed: Seq[String] =
+      if (isolatedN <= 0 || prevMedians.isEmpty) Seq.empty
+      else medianOf.toSeq.collect { case (name, med)
+        if med >= 0.3 && prevMedians.get(name).exists(p => p > 0 && med > 1.5 * p) =>
+          (name, med / prevMedians(name))
+      }.sortBy(-_._2).take(8).map { case (name, ratio) =>
+        System.err.println(f"[bench] $name regressed vs prior artifact " +
+          f"(${prevMedians(name)}%.2f -> ${medianOf(name)}%.2f s, " +
+          f"${ratio}%.1fx) — isolated control queued")
+        name
+      }
+    // guarded by isolatedN like every other selection rule: a child
+    // JVM runs with SPARK_GRAFT_ISOLATED=0 and must NEVER select
+    // isolated controls itself (an inherited EXTRA token matching the
+    // child's own query would otherwise recurse — child spawning
+    // child forever; found by a runaway smoke run, and the child env
+    // now also drops the variable, belt and braces)
+    val extra =
+      if (isolatedN <= 0) Seq.empty
+      else sys.env.get("SPARK_GRAFT_ISOLATED_EXTRA")
+        .toSeq.flatMap(_.split(','))
+        .flatMap(tok => medianOf.keys.filter(_.contains(tok)))
     val isolatedNames: Seq[String] =
-      (if (isolatedN <= 0) Seq.empty[String]
+      ((if (isolatedN <= 0) Seq.empty[String]
        else timed
          // sub-0.3 s rows are all jitter — an isolated child JVM on one
          // of them would burn ~40 s to adjudicate nothing
@@ -193,7 +253,7 @@ object Bench {
          .map { case (name, ts) =>
            (name, (ts.max - ts.min) / ts.sorted.apply(ts.size / 2)) }
          .sortBy(-_._2).take(isolatedN).map(_._1)
-      ) ++ isoOnlyQ.map(_._1)
+      ) ++ regressed ++ extra).distinct ++ isoOnlyQ.map(_._1)
     // the parent's Spark session stops BEFORE any child launches: at
     // sweep scale the parent holds a multi-ten-GB heap it no longer
     // needs (controls run in fresh JVMs), and parent + 64g child

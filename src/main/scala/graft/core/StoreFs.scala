@@ -63,11 +63,15 @@ import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSyst
  *    install-then-delete ordering every store here already follows: a
  *    partially-moved install is a SUBSET of its input segments, which
  *    stay visible until the caller deletes them after install
- *    returns. A writer that crashes between winning the commit key
- *    and completing the move leaves the key held — the same
- *    crashed-claim posture as the version-chain CAS, recovered the
- *    same way: any partial attempt changes the next fold's input
- *    segment set, hence its target name and commit key. Driven
+ *    returns. A writer that crashes AFTER the move begins leaves the
+ *    target present — recovered as the version-chain CAS is: the
+ *    partial install changes the next fold's input segment set,
+ *    hence its target name and commit key. A writer that crashes
+ *    BETWEEN winning the key and starting the move leaves a held key
+ *    with an ABSENT target — a STALE claim the next attempt of the
+ *    same fold reclaims (delete + one re-contended putIfAbsent;
+ *    round-12 advice fix — previously every retry of that fold
+ *    re-raised SECOND WRITER forever). Driven
  *    end-to-end by a `condput:` test filesystem exposing exactly the
  *    conditional-put primitives (SecondWriterSpec, EvolvingAnnSpec).
  */
@@ -89,7 +93,12 @@ private[graft] object StoreFs {
   private def fsOf(p: Path): FileSystem = p.getFileSystem(hconf)
 
   /** Is this FS the local POSIX disk (directly, checksum-wrapped, or
-   *  Spark's Hive ProxyLocalFileSystem)? Decides between the
+   *  filter-wrapped — Spark's Hive ProxyLocalFileSystem extends
+   *  FilterFileSystem around a local FS, so it must UNWRAP to match:
+   *  round-12 advice fix — the instanceof alone sent proxied local
+   *  filesystems down the rename-contract branch, whose claim
+   *  exclusivity assumes rename fails on an existing destination,
+   *  which local disk does not guarantee)? Decides between the
    *  syscall-atomic local branch and the rename-contract branch of
    *  the three primitives. The match requires the `file` SCHEME on
    *  top of the local classes: the test filesystems (`strict:`,
@@ -100,8 +109,17 @@ private[graft] object StoreFs {
    *  routing fix; the racing-install spec now fails if this
    *  regresses, because the local branch bypasses `fs.rename`). */
   private def isLocal(fs: FileSystem): Boolean =
-    fs.getScheme == "file" &&
-      (fs.isInstanceOf[RawLocalFileSystem] || fs.isInstanceOf[LocalFileSystem])
+    fs.getScheme == "file" && (unwrapFilter(fs) match {
+      case _: RawLocalFileSystem => true
+      case _: LocalFileSystem => true
+      case _ => false
+    })
+
+  @scala.annotation.tailrec
+  private def unwrapFilter(fs: FileSystem): FileSystem = fs match {
+    case f: org.apache.hadoop.fs.FilterFileSystem => unwrapFilter(f.getRawFileSystem)
+    case other => other
+  }
 
   private def localFile(p: Path): java.io.File =
     new java.io.File(p.toUri.getPath)
@@ -372,7 +390,21 @@ private[graft] object StoreFs {
         if (fs.exists(t)) secondWriter()
         val key = new Path(t.getParent, s".${t.getName}.__commit")
         val nonce = java.util.UUID.randomUUID().toString
-        if (!cp.putIfAbsent(key, nonce.getBytes("UTF-8"))) secondWriter()
+        if (!cp.putIfAbsent(key, nonce.getBytes("UTF-8"))) {
+          // a held key with an ABSENT target is a STALE claim: its
+          // writer crashed after winning the key and before the data
+          // move began (once the move starts the target exists), so
+          // nothing is installing — reclaim by deleting the stale key
+          // and re-contending ONCE (round-12 advice fix: the previous
+          // behavior raised SECOND WRITER on every retry of the same
+          // logical fold, wedging it forever — the "partial attempt
+          // changes the input set" recovery only holds after the move
+          // has begun). If the retry ALSO loses, a live writer is
+          // mid-claim — a genuine second writer.
+          if (fs.exists(t)) secondWriter()
+          fs.delete(key, false)
+          if (!cp.putIfAbsent(key, nonce.getBytes("UTF-8"))) secondWriter()
+        }
         val moved =
           try fs.rename(s, t)
           catch { case _: java.io.FileNotFoundException => false }

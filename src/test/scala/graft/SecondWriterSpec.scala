@@ -271,6 +271,33 @@ class SecondWriterSpec extends SparkTestBase {
     assert(StoreFs.exists(s"$d/t/base-aa"))
   }
 
+  test("condput FS: a held commit key with an ABSENT target is a stale claim — the retry reclaims instead of raising SECOND WRITER") {
+    import graft.core.StoreFs
+    val d = condputPath("graft_2w_cpstale_")
+    // simulate a writer that crashed between winning the commit key
+    // and STARTING the data move: key present, target absent
+    StoreFs.mkdirs(s"$d/t")
+    StoreFs.writeUTF8(s"$d/t/.base-aa.__commit", "crashed-writer-nonce")
+    StoreFs.mkdirs(s"$d/t/.scratch1")
+    StoreFs.writeUTF8(s"$d/t/.scratch1/part-0", "w1")
+    // round-12 advice fix: the SAME logical fold retries with the
+    // same input set → same target name → same key; it must reclaim
+    // the stale key and install, not wedge on SECOND WRITER forever
+    StoreFs.casInstallDir(s"$d/t/.scratch1", s"$d/t/base-aa", "spec")
+    assert(StoreFs.exists(s"$d/t/base-aa"))
+    assert(StoreFs.readUTF8(s"$d/t/base-aa/part-0") === "w1")
+    // once the target EXISTS, a held key is a completed install — a
+    // second writer of the same input still loses loudly
+    StoreFs.mkdirs(s"$d/t/.scratch2")
+    StoreFs.writeUTF8(s"$d/t/.scratch2/part-0", "w2")
+    val e = intercept[IllegalStateException] {
+      StoreFs.casInstallDir(s"$d/t/.scratch2", s"$d/t/base-aa", "spec")
+    }
+    assert(e.getMessage.contains("SECOND WRITER"))
+    assert(StoreFs.readUTF8(s"$d/t/base-aa/part-0") === "w1",
+      "the reclaimed install must be untouched by the loser")
+  }
+
   test("condput FS: pointer swap is one atomic object put (no absence window)") {
     import graft.core.StoreFs
     val d = condputPath("graft_2w_cpptr_")
