@@ -113,7 +113,7 @@ object Bpe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (words.count() <= driverFoldMaxWords)
-        trainLocal(words.collect().map(r => (r.getString(0), r.getLong(1))),
+        trainLocalIndexed(words.collect().map(r => (r.getString(0), r.getLong(1))),
           numMerges)
       else trainDistributed(words, numMerges)
     } finally { words.unpersist(); () }
@@ -189,6 +189,113 @@ object Bpe {
         val pat = l + Sep + r
         val rep = l + r
         cur = cur.map { case (s, c) => (s.replace(pat, rep), c) }
+      }
+    }
+    acc.toSeq
+  }
+
+  /** INDEXED driver-side merge loop — the production-vocabulary form
+   *  of [[trainLocal]] (round-12 item: the 32k-merge proof). The
+   *  naive fold rebuilds the full pair-count table every merge —
+   *  O(total chars) per merge, ~30+ minutes at 32k merges over a
+   *  100k-type vocabulary. This is the standard fast BPE trainer
+   *  (the subword-nmt shape): pair counts live in a hashmap
+   *  maintained INCREMENTALLY (a merge recounts only the words that
+   *  contain the merged pair, found through a pair→word-ids
+   *  occurrence index), and the argmax comes off a lazily-invalidated
+   *  max-heap keyed (count DESC, pair ASC — the exact trainLocal
+   *  tie-break; a popped entry is discarded unless it matches the
+   *  pair's CURRENT count). Per-word recounting reuses the exact
+   *  enumeration and the exact `String.replace` rewrite of the
+   *  reference fold, so the merge sequence is equal BY CONSTRUCTION
+   *  and spec-pinned equal on randomized vocabularies
+   *  (BpeSpec "indexed trainer"). Work per merge is
+   *  O(Σ |words containing the pair| · wordLen) instead of
+   *  O(total chars) — the difference between minutes and sub-second
+   *  at a 32k-merge production vocabulary (ProbeBpe32k). */
+  private[graft] def trainLocalIndexed(rows: Array[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    val words = rows.map(_._1)
+    val cnts = rows.map(_._2)
+    val pc = new java.util.HashMap[String, Long]()
+    // candidate index — by SEPARATOR CHARACTER CONTEXT, not by exact
+    // pair: the reference fold rewrites every SUBSTRING match of
+    // `l SEP r`, which includes tail/prefix matches inside longer
+    // symbols (the documented boundary-fusion artifact: `xa SEP bc`
+    // under merge (a,b) fuses to `xabc`). Any such match sits at a
+    // separator whose neighboring characters are (l.last, r.head), so
+    // bucketing separators by that char pair finds EVERY candidate
+    // word — at most alphabet² (36² here) buckets, each a small slice
+    // of the vocabulary — and the per-candidate `contains` decides.
+    val ctx = new java.util.HashMap[Int, java.util.HashSet[Integer]]()
+    // heap of (count-at-push, key): lazy invalidation — every pc
+    // update pushes, pop discards entries whose count is stale
+    val heap = new java.util.PriorityQueue[(Long, String)](64,
+      (a: (Long, String), b: (Long, String)) =>
+        if (a._1 != b._1) java.lang.Long.compare(b._1, a._1)
+        else a._2.compareTo(b._2))
+    def eachSep(s: String)(f: (String, Int) => Unit): Unit = {
+      var from = 0
+      var sep = s.indexOf(Sep.charAt(0))
+      while (sep >= 0) {
+        val next = s.indexOf(Sep.charAt(0), sep + 1)
+        val until = if (next >= 0) next else s.length
+        f(s.substring(from, until),
+          s.charAt(sep - 1) * 65536 + s.charAt(sep + 1))
+        from = sep + 1
+        sep = next
+      }
+    }
+    def add(i: Int): Unit = {
+      val c = cnts(i)
+      eachSep(words(i)) { (key, cc) =>
+        val v = pc.merge(key, c, (x, y) => x + y)
+        heap.add((v, key))
+        ctx.computeIfAbsent(cc, _ => new java.util.HashSet[Integer]())
+          .add(i)
+        ()
+      }
+    }
+    def remove(i: Int): Unit = {
+      val c = cnts(i)
+      eachSep(words(i)) { (key, cc) =>
+        val v = pc.merge(key, -c, (x, y) => x + y)
+        if (v <= 0L) { pc.remove(key); () } else heap.add((v, key))
+        val set = ctx.get(cc)
+        if (set != null) { set.remove(i); () }
+      }
+    }
+    var i = 0
+    while (i < words.length) { add(i); i += 1 }
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (acc.size < numMerges && !exhausted) {
+      var top: (Long, String) = null
+      while (top == null && !heap.isEmpty) {
+        val cand = heap.poll()
+        if (pc.getOrDefault(cand._2, 0L) == cand._1) top = cand
+      }
+      if (top == null) exhausted = true
+      else {
+        val key = top._2
+        val cut = key.indexOf(Sep.charAt(0))
+        val (l, r) = (key.substring(0, cut), key.substring(cut + 1))
+        acc += ((l, r))
+        val rep = l + r
+        val bucket = ctx.get(l.charAt(l.length - 1) * 65536 + r.charAt(0))
+        if (bucket != null) {
+          val ids = bucket.toArray(new Array[Integer](bucket.size))
+          var j = 0
+          while (j < ids.length) {
+            val w = ids(j).intValue()
+            if (words(w).contains(key)) {
+              remove(w)
+              words(w) = words(w).replace(key, rep)
+              add(w)
+            }
+            j += 1
+          }
+        }
       }
     }
     acc.toSeq

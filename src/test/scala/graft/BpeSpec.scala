@@ -280,6 +280,29 @@ class BpeSpec extends SparkTestBase {
     assert(viaKernel === viaFold)
   }
 
+  test("indexed trainer: merge sequences equal the reference fold on randomized vocabularies") {
+    // the round-12 incremental trainer (pair-occurrence index + lazy
+    // max-heap) must be sequence-equal to the naive full-recount
+    // fold, including count ties (small alphabets force them) and
+    // tail-match artifacts
+    val rnd = new scala.util.Random(1231L)
+    for (trial <- 0 until 40) {
+      val alpha = "ab0" + ("cdefg".take(rnd.nextInt(4)))
+      val corpus = Seq.fill(30 + rnd.nextInt(60))(
+        Seq.fill(1 + rnd.nextInt(12))(alpha(rnd.nextInt(alpha.length)))
+          .mkString)
+      val table = corpus.groupBy(identity).map { case (w, g) =>
+        (w.map(_.toString).mkString(Bpe.Sep), g.size.toLong) }.toArray
+      val n = 4 + rnd.nextInt(24)
+      assert(Bpe.trainLocalIndexed(table.clone(), n) ===
+        Bpe.trainLocal(table.clone(), n), s"trial $trial")
+    }
+    // exhaustion parity: both stop at the same point past the stock
+    val tiny = Array(("a" + Bpe.Sep + "b", 3L), ("b" + Bpe.Sep + "a", 2L))
+    assert(Bpe.trainLocalIndexed(tiny.clone(), 100) ===
+      Bpe.trainLocal(tiny.clone(), 100))
+  }
+
   test("driver-side and distributed training derive the same merge list") {
     val texts = Seq("low low lower", "newest newest newest widest",
       "low lowest", "ab ab ab ab xbc xbc xbc abc")
