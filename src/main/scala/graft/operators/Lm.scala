@@ -132,6 +132,17 @@ object Lm {
     finally { t.unpersist(blocking = false); () }
   }
 
+  /** [[gramTables]] WITHOUT the pins — for consumers that read each
+   *  table exactly once (the streaming fold's survivor-count WRITES):
+   *  each table's single write job re-tokenizes, which for a
+   *  batch-sized frame is cheaper than n checkpoint materializations
+   *  plus a corpus-sized cache. */
+  private[graft] def gramTablesLazy(train: DataFrame, textCol: String,
+      n: Int): IndexedSeq[DataFrame] = {
+    val t = train.select(toks(col(textCol)).as("__t"))
+    (1 to n).map(k => gramCounts(t, k))
+  }
+
   /** Scoring core shared by every backoff entry point: score `docs`'
    *  n-gram instances against PRE-BUILT model tables (unpruned —
    *  minCount prunes the numerators here, so summed/merged tables

@@ -369,7 +369,7 @@ object Streams {
    *      `dropDuplicates` order luck). The model's per-order count
    *      tables are ASSOCIATIVE INTEGER SUMS, so they fold
    *      incrementally: each admitted batch writes its survivors'
-   *      count tables to `stateDir/lm/o<k>/b<batchId>`, and a fold
+   *      count tables to `stateDir/lm/grams/b<batchId>` (one array-keyed table for all orders), and a fold
    *      reads the accumulated tables (vocabulary-sized under gram
    *      saturation — NOT corpus-sized) and sums in the batch's own
    *      counts instead of re-training over all state text (round 11
@@ -382,7 +382,7 @@ object Streams {
    *   4. survivors flow to `sink` (keyed by batchId — at-least-once
    *      retries overwrite their own output); their (id, text, __h)
    *      appends to `stateDir/survivors/b<batchId>` and their count
-   *      tables to `stateDir/lm/o<k>/b<batchId>` (overwrite ⇒
+   *      tables to `stateDir/lm/grams/b<batchId>` (overwrite ⇒
    *      idempotent), so batch N+1 dedups against and trains on them.
    *      Segment counts stay bounded: every fold first compacts
    *      tables past `compactAfterSegments` into a `base-upto-<m>`
@@ -427,16 +427,18 @@ object Streams {
       s"lmOrder must be in [2,7], got $lmOrder")
     val spark = batch.sparkSession
     val countAlias = if (lmOrder == 2) "n_bigrams" else "n_ngrams"
+    // ALL orders share one array-keyed count table (g: array<string>,
+    // o: order, c: count) — one write, one read, one compaction per
+    // fold instead of one per order (the per-fold fixed job count is
+    // what a two-batch drain actually pays; the probe's flatness
+    // claim is about state GROWTH, this keeps the constant small)
+    val countDir = s"$stateDir/lm/grams"
     // fold-start compaction: every touched table is bounded to
     // compactAfterSegments + 1 segments before this fold reads it
     compactFoldState(spark, s"$stateDir/survivors", batchId,
       compactAfterSegments)(identity)
-    for (k <- 1 to lmOrder)
-      compactFoldState(spark, s"$stateDir/lm/o$k", batchId,
-        compactAfterSegments) { df =>
-        val keys = (0 until k).map(i => col(s"g$i"))
-        df.groupBy(keys: _*).agg(sum(col(s"c$k")).as(s"c$k"))
-      }
+    compactFoldState(spark, countDir, batchId, compactAfterSegments)(
+      df => df.groupBy(col("g"), col("o")).agg(sum(col("c")).as("c")))
     val survivorSegs = foldStateSegs(s"$stateDir/survivors", batchId)
     // the admit-time hash index: (hash, id) only — column pruning
     // keeps the state TEXT out of this scan entirely (spec-pinned)
@@ -467,19 +469,32 @@ object Streams {
       val trainNew = stateKeyed.fold(gated.select(col(idCol), col(textCol)))(
         sk => gated.select(col(idCol), col(textCol))
           .join(sk.select(col("__sid").as(idCol)), Seq(idCol), "left_anti"))
-      val batchTables = graft.operators.Lm.gramTables(
-        trainNew, textCol, lmOrder)
+      // with count state present, each batch table feeds exactly one
+      // union+sum (whose result is pinned) — lazy is cheaper; with no
+      // state (first batch) the batch tables ARE the model and the
+      // scoring joins reference them 2–3× each, so they must pin
+      val countSegs = foldStateSegs(countDir, batchId)
+      val batchTables =
+        if (countSegs.nonEmpty)
+          graft.operators.Lm.gramTablesLazy(trainNew, textCol, lmOrder)
+        else graft.operators.Lm.gramTables(trainNew, textCol, lmOrder)
+      // the state table is read ONCE and pinned; per-order slices are
+      // filters of the pin, so the fold's state I/O is one scan
+      val stateGrams = countSegs.headOption.map(_ =>
+        spark.read.parquet(countSegs: _*).localCheckpoint(true))
       val model = (1 to lmOrder).map { k =>
-        val segs = foldStateSegs(s"$stateDir/lm/o$k", batchId)
-        if (segs.isEmpty) batchTables(k - 1)
-        else {
-          val keys = (0 until k).map(i => col(s"g$i"))
-          spark.read.parquet(segs: _*)
-            .unionByName(batchTables(k - 1))
-            .groupBy(keys: _*).agg(sum(col(s"c$k")).as(s"c$k"))
-            // pinned: each model table is referenced by 2–3 scoring
-            // joins (the gramTables rule)
-            .localCheckpoint(true)
+        stateGrams match {
+          case None => batchTables(k - 1)
+          case Some(sg) =>
+            val keys = (0 until k).map(i => col(s"g$i"))
+            sg.filter(col("o") === k)
+              .select((0 until k).map(i =>
+                col("g").getItem(i).as(s"g$i")) :+ col("c").as(s"c$k"): _*)
+              .unionByName(batchTables(k - 1))
+              .groupBy(keys: _*).agg(sum(col(s"c$k")).as(s"c$k"))
+              // pinned: each model table is referenced by 2–3 scoring
+              // joins (the gramTables rule)
+              .localCheckpoint(true)
         }
       }
       val lm = graft.operators.Lm.scoreWithTables(
@@ -501,11 +516,18 @@ object Streams {
         survivors.select(col(idCol), col(textCol), col("__h"))
           .write.mode("overwrite")
           .parquet(s"$stateDir/survivors/b$batchId")
-        val survTables = graft.operators.Lm.gramTables(
+        // lazy tables, folded into ONE array-keyed frame and written
+        // once — the write job re-tokenizes the (persisted) survivor
+        // frame per order, cheaper than eager per-order checkpoints
+        // plus per-order write jobs on a batch-sized frame
+        val survTables = graft.operators.Lm.gramTablesLazy(
           survivors.select(col(idCol), col(textCol)), textCol, lmOrder)
-        for (k <- 1 to lmOrder)
-          survTables(k - 1).write.mode("overwrite")
-            .parquet(s"$stateDir/lm/o$k/b$batchId")
+        (1 to lmOrder).map { k =>
+          survTables(k - 1).select(
+            array((0 until k).map(i => col(s"g$i")): _*).as("g"),
+            lit(k).as("o"), col(s"c$k").as("c"))
+        }.reduce(_.unionByName(_))
+          .write.mode("overwrite").parquet(s"$countDir/b$batchId")
       } finally survivors.unpersist()
     } finally { gated.unpersist(); () }
   }

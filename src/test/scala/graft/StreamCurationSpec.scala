@@ -152,15 +152,18 @@ class StreamCurationSpec extends SparkTestBase {
     import org.apache.spark.sql.functions.md5
     val bad = seg.filter(col("__h") =!= md5(col("text"))).count()
     assert(bad === 0L, "stored hashes must equal md5(text)")
-    // per-order count segments exist and sum to the survivor corpus
-    val c1 = spark.read.parquet(s"$big/state/lm/o1/b0", s"$big/state/lm/o1/b1")
+    // the array-keyed count segments exist and their order-1 slice
+    // sums to the survivor corpus's token count
+    val c1 = spark.read.parquet(s"$big/state/lm/grams/b0",
+        s"$big/state/lm/grams/b1")
+      .filter(col("o") === 1)
     val stateToks = spark.read.parquet(s"$big/state/survivors/b0",
         s"$big/state/survivors/b1")
       .select(org.apache.spark.sql.functions.explode(
         org.apache.spark.sql.functions.filter(
           graft.functions.TextFunctions.lowerTokens(col("text")),
           t => t =!= "")).as("w"))
-    assert(c1.agg(org.apache.spark.sql.functions.sum("c1")).head().getLong(0)
+    assert(c1.agg(org.apache.spark.sql.functions.sum("c")).head().getLong(0)
       === stateToks.count())
   }
 
