@@ -110,34 +110,25 @@ object Lm {
   }
 
   /** The model: UNPRUNED count tables c₁..cₙ over a training corpus,
-   *  each order computed ONCE (round-12 item 2 — the prior form
-   *  re-derived `gramCounts(t, k)` fresh for every level's numerator
-   *  AND denominator plus the unigram join and the total, ~2n−1
-   *  corpus scans where n+1 suffice; Catalyst does not dedupe
-   *  identical subtrees). The token projection is persisted so the n
-   *  table builds read ONE cache instead of re-tokenizing the corpus
-   *  per order; each table is pinned with an eager localCheckpoint
-   *  (vocabulary-sized under gram saturation — GC-released, never a
-   *  CacheManager leak, the [[Curation.vocabCoverage]] rule) so the
-   *  scoring join's multiple references execute each table exactly
-   *  once. Schema of tables(k−1): (g0..g(k−1), c_k). Counts are
+   *  each order built as ONE shared subtree (round-12 item 2 — the
+   *  prior form constructed a fresh `gramCounts(t, k)` tree for every
+   *  level's numerator AND denominator plus the unigram join and the
+   *  total, ~2n−1 tokenize+explode+agg trees where n+1 suffice).
+   *  Deliberately LAZY, not pinned: every reference to a table shares
+   *  the same aggregation subtree, so Spark's ReuseExchange executes
+   *  each table's shuffle exactly once and later references read the
+   *  reused stage — measured at sf1, the pinned form (persisted token
+   *  projection + eager per-table localCheckpoints) ran q135 at
+   *  6.66 s where this form runs 3.90 s (round 11's duplicated trees:
+   *  4.86 s); the pins paid materialization for work exchange reuse
+   *  already deduplicates. The LmSpec pass-count pin holds on the
+   *  EXECUTED plan: n+1 Generate (tokenize+explode) operators, the
+   *  extra table references appearing as ReusedExchange leaves.
+   *  Schema of tables(k−1): (g0..g(k−1), c_k). Counts are
    *  per-document adjacent grams (slices never pair across doc
    *  boundaries), so tables over disjoint doc sets ADD — the property
    *  the incremental streaming fold sums on. */
   private[graft] def gramTables(train: DataFrame, textCol: String,
-      n: Int): IndexedSeq[DataFrame] = {
-    val t = train.select(toks(col(textCol)).as("__t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try (1 to n).map(k => gramCounts(t, k).localCheckpoint(eager = true))
-    finally { t.unpersist(blocking = false); () }
-  }
-
-  /** [[gramTables]] WITHOUT the pins — for consumers that read each
-   *  table exactly once (the streaming fold's survivor-count WRITES):
-   *  each table's single write job re-tokenizes, which for a
-   *  batch-sized frame is cheaper than n checkpoint materializations
-   *  plus a corpus-sized cache. */
-  private[graft] def gramTablesLazy(train: DataFrame, textCol: String,
       n: Int): IndexedSeq[DataFrame] = {
     val t = train.select(toks(col(textCol)).as("__t"))
     (1 to n).map(k => gramCounts(t, k))
@@ -179,7 +170,14 @@ object Lm {
     }
     val uni = tables(0)
       .select(col("g0").as(s"w$n"), col("c1").as("__c1n"))
-    val total = tables(0).agg(sum(col("c1")).as("t"))
+    // g0 is never null (the unigram zip has no padding), so the filter
+    // is a semantic no-op — but the INNER joins above make Catalyst
+    // infer isnotnull(g0) and push it below c1's exchange; without the
+    // same predicate here the total's subtree canonicalizes UNEQUAL
+    // and re-executes the whole tokenize+agg instead of reading the
+    // ReusedExchange (the LmSpec n+1-Generate pin catches this)
+    val total = tables(0).filter(col("g0").isNotNull)
+      .agg(sum(col("c1")).as("t"))
     cur = cur.join(uni, Seq(s"w$n")).crossJoin(broadcast(total))
     val score = (0 to n - 2).foldRight(
         expr(s"(__c1n * ${alphaMicro(n - 1)}) div t"): Column) {

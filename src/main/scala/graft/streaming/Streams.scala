@@ -469,19 +469,15 @@ object Streams {
       val trainNew = stateKeyed.fold(gated.select(col(idCol), col(textCol)))(
         sk => gated.select(col(idCol), col(textCol))
           .join(sk.select(col("__sid").as(idCol)), Seq(idCol), "left_anti"))
-      // with count state present, each batch table feeds exactly one
-      // union+sum (whose result is pinned) — lazy is cheaper; with no
-      // state (first batch) the batch tables ARE the model and the
-      // scoring joins reference them 2–3× each, so they must pin
+      // model tables are LAZY shared subtrees: the scoring joins'
+      // multiple references resolve to ReusedExchange stages (the
+      // gramTables rule), and the per-order state slice is a filter
+      // over a column-pruned parquet scan of the count segments
       val countSegs = foldStateSegs(countDir, batchId)
-      val batchTables =
-        if (countSegs.nonEmpty)
-          graft.operators.Lm.gramTablesLazy(trainNew, textCol, lmOrder)
-        else graft.operators.Lm.gramTables(trainNew, textCol, lmOrder)
-      // the state table is read ONCE and pinned; per-order slices are
-      // filters of the pin, so the fold's state I/O is one scan
+      val batchTables = graft.operators.Lm.gramTables(
+        trainNew, textCol, lmOrder)
       val stateGrams = countSegs.headOption.map(_ =>
-        spark.read.parquet(countSegs: _*).localCheckpoint(true))
+        spark.read.parquet(countSegs: _*))
       val model = (1 to lmOrder).map { k =>
         stateGrams match {
           case None => batchTables(k - 1)
@@ -492,9 +488,6 @@ object Streams {
                 col("g").getItem(i).as(s"g$i")) :+ col("c").as(s"c$k"): _*)
               .unionByName(batchTables(k - 1))
               .groupBy(keys: _*).agg(sum(col(s"c$k")).as(s"c$k"))
-              // pinned: each model table is referenced by 2–3 scoring
-              // joins (the gramTables rule)
-              .localCheckpoint(true)
         }
       }
       val lm = graft.operators.Lm.scoreWithTables(
@@ -517,10 +510,9 @@ object Streams {
           .write.mode("overwrite")
           .parquet(s"$stateDir/survivors/b$batchId")
         // lazy tables, folded into ONE array-keyed frame and written
-        // once — the write job re-tokenizes the (persisted) survivor
-        // frame per order, cheaper than eager per-order checkpoints
-        // plus per-order write jobs on a batch-sized frame
-        val survTables = graft.operators.Lm.gramTablesLazy(
+        // once — each order's agg re-reads the persisted survivor
+        // frame inside the single write job
+        val survTables = graft.operators.Lm.gramTables(
           survivors.select(col(idCol), col(textCol)), textCol, lmOrder)
         (1 to lmOrder).map { k =>
           survTables(k - 1).select(

@@ -145,14 +145,20 @@ class LmSpec extends SparkTestBase {
       assert(runN(texts, 2, mc) === run(texts, mc), s"minCount=$mc")
   }
 
-  test("round-12 scan dedup: the scoring plan tokenizes the corpus ONCE — every model table is a pinned leaf, not a re-derived subtree") {
+  test("round-12 scan dedup: each model table's tokenize+explode executes ONCE — extra references are ReusedExchange leaves") {
     // the round-11 form called gramCounts(t, k) fresh for every
     // level's numerator AND denominator plus the unigram join and the
-    // total — Catalyst does not dedupe identical subtrees, so the
-    // executed plan carried ~2n−1 tokenize+explode passes. With
-    // gramTables each order is built once from a persisted token
-    // projection and pinned (localCheckpoint), so the SCORING plan's
-    // only Generate (explode) is the instance frame's own: exactly 1.
+    // total — Catalyst does not dedupe identical LOGICAL subtrees, so
+    // the executed plan carried ~2n−1 tokenize+explode passes. With
+    // gramTables each order is ONE shared lazy subtree: physical
+    // ReuseExchange executes each table's aggregation shuffle once,
+    // so the executed plan carries exactly n+1 Generate (explode)
+    // operators — one tokenize per order plus the instance frame's
+    // own — and every further table reference is a ReusedExchange
+    // leaf. (An eager localCheckpoint pin would also give one pass
+    // per table, but measured at sf1 the pins ran q135 at 6.66 s vs
+    // 3.90 s lazy — materialization cost for reuse the exchange
+    // cache already provides.)
     val texts = Seq(
       "the cat sat on the mat", "the cat sat on the hat",
       "the cat sat under a tree", "a dog and a cat sat")
@@ -166,10 +172,14 @@ class LmSpec extends SparkTestBase {
       val plan = scored.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
       val generates = "Generate".r.findAllMatchIn(plan).size
-      assert(generates === 1,
-        s"n=$n: expected the instance explode to be the plan's ONLY " +
-          s"Generate (model tables must be pinned leaves), got " +
+      assert(generates === n + 1,
+        s"n=$n: expected one tokenize+explode per model table plus " +
+          s"the instance explode (${n + 1} Generates; further table " +
+          s"references must be ReusedExchange leaves), got " +
           s"$generates:\n$plan")
+      assert(plan.contains("ReusedExchange"),
+        s"n=$n: expected repeated table references to resolve to " +
+          s"ReusedExchange leaves:\n$plan")
     }
   }
 
