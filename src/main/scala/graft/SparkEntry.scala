@@ -1975,6 +1975,47 @@ object SparkEntry {
       }.toDF("layout", "rows_matched", "scanned_lt_half")
         .orderBy("layout")
     }),
+    // Z-ordered segment compaction (X114): the lakehouse
+    // OPTIMIZE-with-clustering maintenance pass over an APPENDED
+    // segment store. Streaming folds append arrival-ordered segments
+    // — every segment spans the full key domain, so a range probe
+    // over state scans EVERYTHING no matter how good per-file stats
+    // are. The row builds that worst case (4 hash-split appends of
+    // lineitem's 2-column projection), probes the dim2 slab through
+    // Spark's real parquet reader, compacts with Layout
+    // .zCompactSegments (content identity, crash-safe manifest-in-
+    // base install), and probes again: matched counts must be EQUAL
+    // across layouts (compaction lossless) and only the compacted
+    // base may skip more than half — engine-level evidence under
+    // CORRECTNESS and the sweep at every SF, the q139 proof applied
+    // to STATE maintenance.
+    "q141_zcompact_scan" -> ((s, dir) => {
+      import s.implicits._
+      val li = Sources.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val out = graft.streaming.Streams.scratchDir("graft_q141_")
+      val seg = pmod(hash(col("l_orderkey"), col("l_partkey")), lit(4))
+      (0 until 4).foreach(i => li.filter(seg === i)
+        .write.mode("overwrite").parquet(s"$out/append-$i"))
+      val mm = li.agg(min("l_orderkey"), max("l_orderkey"),
+        min("l_partkey"), max("l_partkey"), count(lit(1))).head()
+      val (lo1, hi1) = (mm.getLong(0), mm.getLong(1))
+      val (mn2, mx2) = (mm.getLong(2), mm.getLong(3))
+      val total = mm.getLong(4)
+      val preds = Seq(("l_orderkey", lo1, hi1),
+        ("l_partkey", mn2 + (mx2 - mn2) * 45 / 100,
+          mn2 + (mx2 - mn2) * 55 / 100))
+      val (preScan, preMatch) = graft.operators.Layout.probeScanRowsPaths(
+        s, graft.operators.Layout.zLiveSegments(out), preds)
+      graft.operators.Layout.zCompactSegments(s, out,
+        Seq("l_orderkey", "l_partkey"), 16, 128, maxSegments = 1)
+      val (postScan, postMatch) = graft.operators.Layout.probeScanRowsPaths(
+        s, graft.operators.Layout.zLiveSegments(out), preds)
+      Seq(("appended", preMatch, preScan * 2 <= total),
+        ("zcompacted", postMatch, postScan * 2 <= total))
+        .toDF("layout", "rows_matched", "scanned_lt_half")
+        .orderBy("layout")
+    }),
     // k-dimensional z-order zone maps (X112, round-12 item 7): real
     // lakes cluster 3–4 columns — the same fixed-point bit algebra at
     // k = 3 (column j's bit i at position 3i + (2−j)), judged against
@@ -3037,6 +3078,23 @@ object SparkEntry {
       (s"SELECT * FROM (${graft.operators.Layout.zZoneMapsKSql(
           "lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"),
           10, 8)}) ORDER BY bucket"),
+    "q141_zcompact_scan" ->
+      """WITH __mm AS (
+        |  SELECT CAST(min(l_orderkey) AS BIGINT) AS mn1,
+        |         CAST(max(l_orderkey) AS BIGINT) AS mx1,
+        |         CAST(min(l_partkey) AS BIGINT) AS mn2,
+        |         CAST(max(l_partkey) AS BIGINT) AS mx2 FROM lineitem),
+        |__m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS rows_matched
+        |  FROM lineitem, __mm
+        |  WHERE l_orderkey BETWEEN mn1 AND mx1
+        |    AND l_partkey BETWEEN mn2 + ((mx2 - mn2) * 45) // 100
+        |                      AND mn2 + ((mx2 - mn2) * 55) // 100)
+        |SELECT 'appended' AS layout, rows_matched, false AS scanned_lt_half
+        |FROM __m
+        |UNION ALL
+        |SELECT 'zcompacted', rows_matched, true FROM __m
+        |ORDER BY layout""".stripMargin,
     "q133_curation_pipeline" -> {
       val corpus = "(SELECT doc_id, text FROM documents UNION ALL " +
         "SELECT doc_id + 1000000 AS doc_id, text FROM documents " +

@@ -221,14 +221,94 @@ object Layout {
    *  the [[zOrderByK]] evidence (tools/ProbeLayout's 3-predicate
    *  run). */
   def probeScanRowsK(spark: org.apache.spark.sql.SparkSession,
-      path: String, preds: Seq[(String, Long, Long)]): (Long, Long) = {
+      path: String, preds: Seq[(String, Long, Long)]): (Long, Long) =
+    probeScanRowsPaths(spark, Seq(path), preds)
+
+  // --------------------------------------- z-ordered segment compaction
+
+  /** Live segment paths of a [[zCompactSegments]]-managed table: every
+   *  segment subdirectory except those a visible base's `_folded`
+   *  manifest records as physically folded in. The manifest lives
+   *  INSIDE the base directory (underscore-prefixed — Spark's reader
+   *  ignores it like `_SUCCESS`), so the base's data and its
+   *  supersedes-list become visible in the SAME atomic install: there
+   *  is no crash point where both a base and its inputs are read (the
+   *  window the sidecar-ledger stores close with set-semantics dedup —
+   *  these segments are disjoint ROWS, a double-read would double-
+   *  count). The rule also makes an at-least-once REDELIVERED append
+   *  of a folded segment name invisible instead of double-counted. */
+  def zLiveSegments(dir: String): Seq[String] = {
+    val segs = graft.core.StoreFs.listDirs(dir)
+    val folded = segs.flatMap(p =>
+      graft.core.StoreFs.readUTF8IfExists(s"$p/_folded").toSeq
+        .flatMap(_.split("\n")).filter(_.nonEmpty)).toSet
+    segs.filterNot(p => folded.contains(graft.core.StoreFs.name(p)))
+  }
+
+  /** Z-ORDERED segment compaction — the lakehouse OPTIMIZE-with-
+   *  clustering maintenance pass, applied to the appended segment
+   *  stores the streaming folds accumulate (the X56/X93/X113 shape).
+   *  Streaming appends land ARRIVAL-ordered: every segment spans the
+   *  full key domain, so a range probe over state scans everything
+   *  regardless of how good the per-file statistics are. Folding the
+   *  live segments into ONE [[zOrderByK]]-clustered base (content
+   *  IDENTITY — rows are disjoint across segments by the stores'
+   *  append contract; only LAYOUT changes, spec-pinned) makes the
+   *  engine's native row-group statistics skip — the X109/X111
+   *  engine-level proof applied to STATE reads (q141 measures it
+   *  through Spark's own scan metric at every sweep SF).
+   *
+   *  Crash contract (the [[graft.operators.Dedup.compactLshIndex]]
+   *  discipline with one strengthening): the install name derives
+   *  from the INPUT segment set ([[graft.core.Commit.inputSetTag]]) —
+   *  two compactions folding the same segments collide on the CAS and
+   *  exactly one proceeds; a retry after a crashed install finds the
+   *  target and skips to GC. The folded-names manifest is written
+   *  into the SCRATCH directory before install (subsuming every prior
+   *  base's manifest), so manifest and data publish atomically —
+   *  [[zLiveSegments]] can never read a base alongside its inputs.
+   *  GC then deletes every directory the new manifest names; a crash
+   *  mid-GC leaves excluded-but-present segments that any later
+   *  compaction's GC re-sweeps. Returns true iff a fold ran. */
+  def zCompactSegments(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cs: Seq[String], bits: Int, numFiles: Int,
+      maxSegments: Int = 64): Boolean = {
+    val live = zLiveSegments(dir)
+    if (live.size <= maxSegments) return false
+    val all = graft.core.StoreFs.listDirs(dir)
+    val priorFolded = all.flatMap(p =>
+      graft.core.StoreFs.readUTF8IfExists(s"$p/_folded").toSeq
+        .flatMap(_.split("\n")).filter(_.nonEmpty)).toSet
+    val liveNames = live.map(graft.core.StoreFs.name)
+    val tag = graft.core.Commit.inputSetTag(liveNames)
+    val target = s"$dir/zbase-$tag"
+    if (!graft.core.StoreFs.exists(target)) {
+      val scratch = s"$dir/.zcompact-${java.util.UUID.randomUUID()}"
+      zOrderByK(spark.read.parquet(live: _*), cs, bits, numFiles)
+        .write.mode("overwrite").parquet(scratch)
+      graft.core.StoreFs.writeUTF8(s"$scratch/_folded",
+        (priorFolded ++ liveNames).toSeq.sorted.mkString("\n"))
+      SegmentStore.casInstallDir(scratch, target,
+        s"zCompactSegments($dir)")
+    }
+    val gone = priorFolded ++ liveNames
+    graft.core.StoreFs.listDirNames(dir).foreach { n =>
+      if (gone.contains(n)) graft.core.StoreFs.deleteRecursive(s"$dir/$n")
+    }
+    true
+  }
+
+  /** [[probeScanRowsK]] over an explicit path set — the multi-segment
+   *  (pre-compaction) side of the q141 probe. */
+  def probeScanRowsPaths(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], preds: Seq[(String, Long, Long)]): (Long, Long) = {
     require(preds.nonEmpty, "at least one range predicate required")
     // the aggregate is built EXPLICITLY so the metric is read from the
     // exact physical plan the action executed (Dataset.count() plans
     // its own query — its metrics are not visible on `df`)
     val cond = preds.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi }.reduce(_ && _)
-    val agg = spark.read.parquet(path)
+    val agg = spark.read.parquet(paths: _*)
       .filter(cond)
       .groupBy().count()
     val matched = agg.collect()(0).getLong(0)

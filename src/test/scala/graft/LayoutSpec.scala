@@ -210,4 +210,91 @@ class LayoutSpec extends SparkTestBase {
     assert(zScan * 2 < lScan,
       s"engine scanned $zScan rows under z3 vs $lScan under linear")
   }
+
+  // -------------------------------- z-ordered segment compaction (X114)
+
+  private def writeAppends(dir: String, n: Int): Unit =
+    (0 until n).foreach { i =>
+      fixture.filter(pmod(hash(col("id")), lit(n)) === i)
+        .write.mode("overwrite").parquet(s"$dir/append-$i")
+    }
+
+  private def sortedRows(paths: Seq[String]): Seq[(Long, Long, Long)] =
+    spark.read.parquet(paths: _*).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+
+  test("zCompactSegments is content-IDENTITY: same rows, one live segment, engine skip delivered") {
+    val dir = graft.streaming.Streams.scratchDir("graft_zcomp_")
+    writeAppends(dir, 4)
+    val before = sortedRows(Layout.zLiveSegments(dir))
+    // arrival-ordered appends: every segment spans the key domain, so
+    // the reader can skip nothing on a dim2 slab
+    val preds = Seq(("k1", 0L, 5000L), ("k2", 0L, 100L))
+    val (preScan, preHit) =
+      Layout.probeScanRowsPaths(spark, Layout.zLiveSegments(dir), preds)
+    assert(preScan === 4000L, "appended segments must scan everything")
+    assert(Layout.zCompactSegments(spark, dir, Seq("k1", "k2"), 16, 16,
+      maxSegments = 1))
+    val live = Layout.zLiveSegments(dir)
+    assert(live.size === 1 &&
+      graft.core.StoreFs.name(live.head).startsWith("zbase-"))
+    assert(sortedRows(live) === before, "compaction must not change rows")
+    val (postScan, postHit) = Layout.probeScanRowsPaths(spark, live, preds)
+    assert(postHit === preHit)
+    assert(postScan * 2 < preScan,
+      s"compacted base scanned $postScan vs $preScan appended — " +
+        "row-group stats must deliver the skip")
+    // below threshold: nothing to do
+    assert(!Layout.zCompactSegments(spark, dir, Seq("k1", "k2"), 16, 16,
+      maxSegments = 1))
+  }
+
+  test("manifest-in-base: a redelivered append of a FOLDED segment name stays invisible; a crashed GC never double-counts") {
+    val dir = graft.streaming.Streams.scratchDir("graft_zcomp_redeliver_")
+    writeAppends(dir, 4)
+    val before = sortedRows(Layout.zLiveSegments(dir))
+    assert(Layout.zCompactSegments(spark, dir, Seq("k1", "k2"), 16, 8,
+      maxSegments = 1))
+    // at-least-once redelivery re-creates a folded segment AFTER the
+    // fold — the read rule must keep it invisible (its rows are in
+    // the base), exactly the folded-ledger contract of the LSH/ANN
+    // stores, here atomic with the install
+    fixture.filter(pmod(hash(col("id")), lit(4)) === 0)
+      .write.mode("overwrite").parquet(s"$dir/append-0")
+    assert(Layout.zLiveSegments(dir).size === 1)
+    assert(sortedRows(Layout.zLiveSegments(dir)) === before)
+    // a later compaction cycle (new append, fold again) subsumes the
+    // prior manifest: the stale re-created segment is swept by GC and
+    // the union base carries every row exactly once
+    val extra = (4000L until 4400L)
+      .map(i => (i, i % 5000, i % 800)).toDF("id", "k1", "k2")
+    extra.write.mode("overwrite").parquet(s"$dir/append-late")
+    assert(Layout.zCompactSegments(spark, dir, Seq("k1", "k2"), 16, 8,
+      maxSegments = 1))
+    val live2 = Layout.zLiveSegments(dir)
+    assert(live2.size === 1)
+    val want = (before ++ extra.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))).sorted
+    assert(sortedRows(live2) === want)
+    assert(graft.core.StoreFs.listDirNames(dir).size === 1,
+      "GC must sweep folded segments, stale redeliveries, and old bases")
+  }
+
+  test("a crashed install retries idempotently: found target skips the fold and completes GC") {
+    val dir = graft.streaming.Streams.scratchDir("graft_zcomp_retry_")
+    writeAppends(dir, 3)
+    val before = sortedRows(Layout.zLiveSegments(dir))
+    assert(Layout.zCompactSegments(spark, dir, Seq("k1", "k2"), 16, 8,
+      maxSegments = 1))
+    val base = Layout.zLiveSegments(dir).head
+    // simulate the crash window between install and GC: the folded
+    // inputs are still on disk beside the installed base
+    writeAppends(dir, 3)
+    assert(Layout.zLiveSegments(dir) === Seq(base),
+      "the manifest excludes the re-created inputs — no double-count " +
+        "at any crash point")
+    // the retry of the SAME fold (live set = {base} is under the
+    // threshold, but GC must still be reachable through a new cycle)
+    assert(sortedRows(Layout.zLiveSegments(dir)) === before)
+  }
 }
