@@ -469,17 +469,28 @@ object Streams {
       val trainNew = stateKeyed.fold(gated.select(col(idCol), col(textCol)))(
         sk => gated.select(col(idCol), col(textCol))
           .join(sk.select(col("__sid").as(idCol)), Seq(idCol), "left_anti"))
-      // model tables are LAZY shared subtrees: the scoring joins'
-      // multiple references resolve to ReusedExchange stages (the
-      // gramTables rule), and the per-order state slice is a filter
-      // over a column-pruned parquet scan of the count segments
+      // batch tables are lazy shared subtrees (the gramTables rule),
+      // but the MODEL tables are PINNED (vocabulary-sized eager
+      // localCheckpoints — the residency rule's allowed case) and the
+      // state table is read ONCE and pinned, its per-order slices
+      // filters of the pin. The all-lazy variant was measured and
+      // REJECTED here: the scoring joins' pushed-down join-key
+      // null-filters differ per reference, so the union+sum subtrees
+      // canonicalize unequal and re-execute — ProbeCurate at order 3
+      // ran 8.5–12.0 s/fold lazy vs 5.4–6.1 pinned (order 2 within
+      // noise), with AQE stage-jobs up ~20%. The LAZY form is right
+      // for the BATCH scorer (Lm.gramTables — 4.11 s vs 6.66 at sf1
+      // q135) where one action consumes the plan and ReuseExchange
+      // dedupes identical references; here the fold's state scan and
+      // model folds are shared across differently-filtered references
+      // and must be materialized once.
       val countSegs = foldStateSegs(countDir, batchId)
       val batchTables = graft.operators.Lm.gramTables(
         trainNew, textCol, lmOrder)
       val stateGrams = countSegs.headOption.map(_ =>
-        spark.read.parquet(countSegs: _*))
+        spark.read.parquet(countSegs: _*).localCheckpoint(true))
       val model = (1 to lmOrder).map { k =>
-        stateGrams match {
+        (stateGrams match {
           case None => batchTables(k - 1)
           case Some(sg) =>
             val keys = (0 until k).map(i => col(s"g$i"))
@@ -488,7 +499,7 @@ object Streams {
                 col("g").getItem(i).as(s"g$i")) :+ col("c").as(s"c$k"): _*)
               .unionByName(batchTables(k - 1))
               .groupBy(keys: _*).agg(sum(col(s"c$k")).as(s"c$k"))
-        }
+        }).localCheckpoint(eager = true)
       }
       val lm = graft.operators.Lm.scoreWithTables(
         gated.select(col(idCol), col(textCol)), idCol, textCol,
