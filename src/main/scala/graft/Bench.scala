@@ -262,7 +262,16 @@ object Bench {
     // GC after stop() lets G1 uncommit the retired heap.
     if (isolatedNames.nonEmpty) {
       spark.stop()
-      System.gc()
+      // two passes + settle: under -XX:+ExplicitGCInvokesConcurrent
+      // these only start concurrent cycles (heap stays COMMITTED —
+      // run sweeps with SPARK_GRAFT_STW_EXPLICIT_GC=1 so this is a
+      // compacting full GC that uncommits); the RSS line below is the
+      // audit trail for whether the release actually happened
+      System.gc(); Thread.sleep(3000); System.gc(); Thread.sleep(2000)
+      val rt = Runtime.getRuntime
+      System.err.println("[bench] parent heap before controls: " +
+        s"committed=${(rt.totalMemory() / (1L << 20))}M " +
+        s"used=${((rt.totalMemory() - rt.freeMemory()) / (1L << 20))}M")
     }
     val isolated: Seq[(String, Double)] =
       isolatedNames.sorted.flatMap { name =>
