@@ -278,6 +278,13 @@ object Bench {
         System.err.println(s"[bench] isolated control: $name")
         runIsolated(name)
       }
+    // raw per-run values in SEQUENCE order: an in-sequence
+    // contamination window (rounds 10-12 all carried one) shows up as
+    // one deviant run per affected row, adjudicable straight from the
+    // artifact without waiting on fresh-JVM controls
+    val runsJson = timed.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, med, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, _, mn) => s"\"" + k + "\":" + mn }
@@ -291,7 +298,7 @@ object Bench {
     val isoOnlyJson = isoOnlyQ.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"isolated_runs":$isolatedRuns,"queries":$qs,"queries_min":$mins,"queries_isolated":$isoJson,"isolated_only":$isoOnlyJson,"failed":${failed.mkString("[", ",", "]")},"skipped":$skippedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"isolated_runs":$isolatedRuns,"queries":$qs,"queries_min":$mins,"queries_runs":$runsJson,"queries_isolated":$isoJson,"isolated_only":$isoOnlyJson,"failed":${failed.mkString("[", ",", "]")},"skipped":$skippedJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r{N}.json tail truncates (r5 lost q1/q10-q24
     // for the judge) — ALSO persist the complete per-query map to a
