@@ -2295,7 +2295,106 @@ object SparkEntry {
           length(col("text_clean")).cast("long").as("n_chars_clean"))
         .orderBy("doc_id")
     }),
+    // DSIR hashed importance resampling (X116, round-12): select the
+    // 100 non-English docs whose hashed-bigram profile is most
+    // English-like — Xie et al. 2023's target/raw log-ratio scoring
+    // with the engine-wide integer digit-count log proxy, 8192
+    // buckets, bounded global top-N heap. The oracle re-derives the
+    // bucket model and replays the scoring sum.
+    "q142_dsir_select" -> ((s, dir) =>
+      Curation.dsirSelect(documents(s, dir), "doc_id", "text",
+          col("lang") === "en", 8192, 100)
+        .orderBy("rank")),
+    // Hybrid lexical+dense retrieval with reciprocal-rank fusion
+    // (X117, round-12): token-set-Jaccard channel over `documents` ∪
+    // exact-cosine channel over the aligned `embeddings` (q19's
+    // kernel verbatim), each a top-20 rank list per query (ids < 5),
+    // fused by integer-unit RRF (k=60) to a top-10. The oracle
+    // replays both channels and the fusion.
+    "q143_hybrid_rrf" -> ((s, dir) =>
+      Retrieval.hybridRrfTopK(documents(s, dir),
+          Sources.table(s, dir, "embeddings"), "doc_id", "text",
+          5, 20, 10)
+        .orderBy("q_id", "rank")),
+    // Gopher rule gate (X118, round-12): Rae et al. 2021 §A.1.1's
+    // seven quality heuristics as one fused zero-shuffle projection —
+    // every ratio test a cross-multiplied integer comparison, per-doc
+    // rule flags + the conjunction. The synthetic corpus is a
+    // single-line stopword-free word soup on which five of the rules
+    // would be vacuous, so the judged row injects rule-triggering
+    // variants (the q133/q109 fixture precedent): %3 docs gain the
+    // Gopher stopwords (r_stop flips TRUE), %7 docs a 10-line bullet
+    // list (r_bullet FALSE), %11 docs ellipsis-ended lines
+    // (r_ellipsis FALSE), %13 docs '#' spam (r_symbol FALSE), %17
+    // docs 30 numeric words (r_alpha FALSE, short docs also lose
+    // r_word_len) — composing where moduli overlap, so `keep` is a
+    // worked conjunction, not an all-false column. The oracle applies
+    // the same injections then replays each rule.
+    "q144_gopher_rules" -> ((s, dir) => {
+      val t0 = col("text")
+      val t1 = when(col("doc_id") % 3 === 0,
+        concat(t0, lit(gopherFixStops))).otherwise(t0)
+      val t2 = when(col("doc_id") % 7 === 0,
+        concat(lit(gopherFixBullets), t1)).otherwise(t1)
+      val t3 = when(col("doc_id") % 11 === 0,
+        concat(t2, lit(gopherFixEllipsis))).otherwise(t2)
+      val t4 = when(col("doc_id") % 13 === 0,
+        concat(t3, lit(gopherFixHashes))).otherwise(t3)
+      val t5 = when(col("doc_id") % 17 === 0,
+        concat(t4, lit(gopherFixNumerics))).otherwise(t4)
+      Quality.gopherRules(
+          documents(s, dir).select(col("doc_id"), t5.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // ANN recall@k (X119, round-12): measured retrieval quality of
+    // the sign-LSH bucketed search against q19's exact ground truth —
+    // the number an ANN deployment tunes plane count by. Pure id-set
+    // intersection in integer micro-units; both arms are this repo's
+    // already-judged kernels.
+    "q145_ann_recall" -> ((s, dir) =>
+      Similarity.annRecallAtK(Sources.table(s, dir, "embeddings"),
+          5, 5, 6, 64)
+        .orderBy("q_id")),
+    // Tokenizer fertility per language (X120, round-12): tokens-per-
+    // word and chars-per-token of the learned 16-merge BPE vocabulary
+    // by `lang` — the vocabulary-acceptance report. The oracle
+    // re-trains the merges and re-encodes the corpus itself.
+    "q146_bpe_fertility" -> ((s, dir) =>
+      graft.operators.Bpe.fertilityByGroup(documents(s, dir), "text",
+          "doc_id", "lang", bpeMerges(s, dir, 16))
+        .orderBy("lang")),
+    // Packing efficiency (X121, round-12): window-utilization stats
+    // of q134's fixed-length sequence packing — n_seqs, full windows,
+    // fill_micro. The oracle replays train → ids → pack → aggregate.
+    "q147_pack_stats" -> ((s, dir) =>
+      graft.operators.Bpe.packingStats(
+          graft.operators.Bpe.packIdSequences(
+            graft.operators.Bpe.encodeIds(
+              documents(s, dir).filter(col("doc_id") % 20 === 0),
+              "text", "doc_id", bpeMerges(s, dir, 16)),
+            "doc_id", 64, 0), 64)
+        .orderBy("n_seqs")),
+    // Per-vector k-means assignment (X122, round-12): the clustered-
+    // corpus column SemDeDup-style dedup and cluster-balanced
+    // sampling consume, under the SAME deterministic Lloyd codebook
+    // q43 judges (one shared training/assignment code path — no
+    // second loop to drift). k=8, 4 fixed iterations; the oracle
+    // re-runs the whole fixed-budget loop as unrolled CTEs.
+    "q148_kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssign(Sources.table(s, dir, "embeddings"), 8, 4)
+        .orderBy("vec_id")),
   )
+
+  /** q144's rule-triggering injection texts — shared verbatim by the
+   *  Spark row and its oracle twin so the two corpora are
+   *  byte-identical by construction. */
+  private val gopherFixStops = " with the and of that have"
+  private val gopherFixBullets = (1 to 10).map(i => s"• b$i\n").mkString
+  private val gopherFixEllipsis = "\ntrails off...\nand more…"
+  private val gopherFixHashes = " ############ ##"
+  private val gopherFixNumerics =
+    (1 to 30).map(i => s" ${i * 10}").mkString
 
   /** q35/q45's shared pre-aggregation: lineitem reduced on the FULL
    *  grouping key before the grouping-sets Expand. sum of longs and
@@ -3215,6 +3314,41 @@ object SparkEntry {
          |FROM (SELECT doc_id, ${Curation.c4LineCleanSql(s"($dirty)", 3)}
          |        AS text_clean FROM documents)
          |ORDER BY doc_id""".stripMargin
+    },
+    "q142_dsir_select" ->
+      (s"SELECT * FROM (${Curation.dsirSelectSql("documents", "doc_id",
+          "text", "lang = 'en'", 8192, 100)}) ORDER BY rank"),
+    "q143_hybrid_rrf" ->
+      (s"SELECT * FROM (${Retrieval.hybridRrfTopKSql("documents",
+          "embeddings", "doc_id", "text", 5, 20, 10)})" +
+        " ORDER BY q_id, rank"),
+    "q145_ann_recall" ->
+      (s"SELECT * FROM (${Similarity.annRecallAtKSql("embeddings",
+          5, 5, 6, 64)}) ORDER BY q_id"),
+    "q146_bpe_fertility" ->
+      (s"SELECT * FROM (${graft.operators.Bpe.fertilityByGroupSql(
+          "documents", "text", "doc_id", "lang", 16)}) ORDER BY lang"),
+    "q147_pack_stats" ->
+      (s"SELECT * FROM (${graft.operators.Bpe.packingStatsSql(
+          "documents", "text", "doc_id", 16, "doc_id % 20 = 0", 64, 0)}) " +
+        "ORDER BY n_seqs"),
+    "q148_kmeans_assign" ->
+      (s"SELECT * FROM (${Similarity.kmeansAssignSql(
+          "embeddings", 8, 4)}) ORDER BY vec_id"),
+    "q144_gopher_rules" -> {
+      def sl(s: String): String = "'" + s.replace("'", "''") + "'"
+      def layer(src: String, m: Int, exprTxt: String): String =
+        s"(SELECT doc_id, CASE WHEN doc_id % $m = 0 THEN $exprTxt " +
+          s"ELSE text END AS text FROM $src)"
+      val dirty = Seq[(Int, String)](
+        3 -> s"text || ${sl(gopherFixStops)}",
+        7 -> s"${sl(gopherFixBullets)} || text",
+        11 -> s"text || ${sl(gopherFixEllipsis)}",
+        13 -> s"text || ${sl(gopherFixHashes)}",
+        17 -> s"text || ${sl(gopherFixNumerics)}")
+        .foldLeft("documents") { case (src, (m, e)) => layer(src, m, e) }
+      s"SELECT * FROM (${Quality.gopherRulesSql(dirty, "doc_id",
+        "text")}) ORDER BY doc_id"
     },
   )
 }

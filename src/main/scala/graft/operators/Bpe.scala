@@ -627,4 +627,101 @@ object Bpe {
        |  arg_max(token_id, gpos) AS last_id,
        |  CAST(sum((gpos % $seqLen + 1) * token_id) AS BIGINT) AS ids_hash
        |FROM __stream GROUP BY 1""".stripMargin
+
+  // ------------------------------------------- tokenizer evaluation
+
+  /** Tokenizer FERTILITY report per corpus group (X120) — the
+   *  acceptance metric a tokenizer team reads before shipping a
+   *  vocabulary: tokens-per-word (fertility; Ács 2019 popularized
+   *  the term for multilingual BPE audits) and chars-per-token
+   *  (compression), grouped by a corpus dimension (language here).
+   *  High fertility on a language = the vocabulary under-serves it —
+   *  exactly what a per-`lang` row surfaces. Ratios are exact
+   *  integer micro-units over per-group BIGINT sums (the q94 rule),
+   *  NULL-guarded for token-free groups in both engines.
+   *
+   *  Shape at 100 TB: ONE corpus scan through the same fused
+   *  fixed-size encode kernel q126 judges ([[encodeTokens]] probing
+   *  the broadcast merge-rank table), folded into a groups-row
+   *  map-side-combined aggregate — no joins, no explode, output =
+   *  |groups| rows. */
+  def fertilityByGroup(docs: DataFrame, textCol: String, idCol: String,
+      groupCol: String, merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(groupCol),
+        length(col(textCol)).cast("long").as("__ch"),
+        size(wordTokens(col(textCol))).cast("long").as("__w"),
+        aggregate(
+          transform(encodeTokens(wordTokens(col(textCol)), merges),
+            s => size(symbols(s)).cast("long")),
+          lit(0L), (a, b) => a + b).as("__t"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__t")).as("n_tokens"), sum(col("__ch")).as("n_chars"))
+      .select(col(groupCol), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_chars"),
+        when(col("n_words") === 0L, lit(null).cast("long"))
+          .otherwise(expr("n_tokens * 1000000 div n_words"))
+          .as("fertility_micro"),
+        when(col("n_tokens") === 0L, lit(null).cast("long"))
+          .otherwise(expr("n_chars * 1000000 div n_tokens"))
+          .as("chars_per_token_micro"))
+
+  /** DuckDB oracle twin of [[fertilityByGroup]] — re-trains the
+   *  merges and re-encodes via [[encodeSql]], joins the group column
+   *  back on the id, and replays the integer ratios. */
+  def fertilityByGroupSql(table: String, textExpr: String, idCol: String,
+      groupCol: String, numMerges: Int): String =
+    s"""SELECT $groupCol, n_docs, n_words, n_tokens, n_chars,
+       |  CASE WHEN n_words = 0 THEN NULL
+       |       ELSE CAST(n_tokens * 1000000 // n_words AS BIGINT)
+       |  END AS fertility_micro,
+       |  CASE WHEN n_tokens = 0 THEN NULL
+       |       ELSE CAST(n_chars * 1000000 // n_tokens AS BIGINT)
+       |  END AS chars_per_token_micro
+       |FROM (
+       |  SELECT d.$groupCol, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(e.n_words) AS BIGINT) AS n_words,
+       |    CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(length(d.$textExpr)) AS BIGINT) AS n_chars
+       |  FROM (${encodeSql(table, textExpr, idCol, numMerges)}) e
+       |  JOIN $table d ON e.$idCol = d.$idCol
+       |  GROUP BY d.$groupCol)""".stripMargin
+
+  /** Packing-efficiency report over a [[packIdSequences]] output
+   *  (X121) — the utilization number a training-infra team tracks:
+   *  how much of every fixed-length window actually carries tokens.
+   *  One row: sequence count, full-window count, token sum, and
+   *  fill_micro = ⌊10⁶·Σ n_tokens / (n_seqs·seqLen)⌋ (exact
+   *  integers; NULL on an empty packing, never ÷0). A single bounded
+   *  aggregate over the sequence-volume frame — map-side combined,
+   *  one row out at any scale. */
+  def packingStats(packed: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    packed.agg(count(lit(1)).as("n_seqs"),
+        coalesce(sum(when(col("n_tokens") === seqLen.toLong, 1L)
+          .otherwise(0L)), lit(0L)).as("n_full"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("sum_tokens"))
+      .select(col("n_seqs"), col("n_full"), col("sum_tokens"),
+        when(col("n_seqs") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"sum_tokens * 1000000 div (n_seqs * $seqLen)"))
+          .as("fill_micro"))
+  }
+
+  /** DuckDB oracle twin of [[packingStats]] over the full
+   *  [[packIdSequencesSql]] replay (re-train, re-derive ids,
+   *  re-pack, then the same bounded aggregate). */
+  def packingStatsSql(table: String, textExpr: String, idCol: String,
+      numMerges: Int, filterSql: String, seqLen: Int, eosId: Int): String =
+    s"""SELECT n_seqs, n_full, sum_tokens,
+       |  CASE WHEN n_seqs = 0 THEN NULL
+       |       ELSE CAST(sum_tokens * 1000000 // (n_seqs * $seqLen)
+       |         AS BIGINT)
+       |  END AS fill_micro
+       |FROM (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+       |    CAST(coalesce(sum(CASE WHEN n_tokens = $seqLen THEN 1
+       |      ELSE 0 END), 0) AS BIGINT) AS n_full,
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS sum_tokens
+       |  FROM (${packIdSequencesSql(table, textExpr, idCol, numMerges,
+              filterSql, seqLen, eosId)}))""".stripMargin
 }

@@ -508,4 +508,112 @@ object Curation {
        |FROM __gated g JOIN __lm l ON g.$idCol = l.$idCol
        |WHERE l.mean_score_micro >= $lmMinMicro""".stripMargin
   }
+
+  // ------------------------------- DSIR hashed importance resampling
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+   *  Language Models via Importance Resampling"): score every
+   *  CANDIDATE document (rows failing `targetPred`) by how much its
+   *  hashed-bigram feature profile looks like the TARGET slice (rows
+   *  passing `targetPred`), and keep the global top N.
+   *
+   *  The importance weight of hash bucket b is the paper's
+   *  log(p_target(b)) − log(p_raw(b)), computed here as the DECIMAL
+   *  DIGIT COUNT difference digits(c_tgt(b)+1) − digits(c_raw(b)+1) —
+   *  the engine-wide integer log₁₀ proxy (the q94 rule: no libm `ln`
+   *  hostaging the oracle hash; +1 is the add-one smoothing that
+   *  keeps target-absent buckets finite). The per-corpus normalizers
+   *  log N_tgt − log N_raw shift every instance by the same constant
+   *  and are dropped. A doc's score is the MEAN over its bigram
+   *  instances, in exact integer micro-units: dsir_micro =
+   *  (Σ_inst dw(bucket) · 10⁶) div n_inst — Σ_inst dw ≡ the paper's
+   *  Σ_b c_b(x)·dw(b) without ever materializing per-doc feature
+   *  vectors, and the mean removes the length bias the raw sum has
+   *  under a mostly-negative dw (c_tgt ≤ c_all pointwise, so longer
+   *  docs would otherwise always lose to shorter ones regardless of
+   *  profile). Both engines' integer division truncates toward zero
+   *  (Spark IntegralDivide ≡ DuckDB `//`: −7÷2 → −3 in both —
+   *  verified, not assumed), so negative means floor identically.
+   *  Docs with < 2 tokens have no features and are not selectable
+   *  (both engines).
+   *
+   *  Shape at 100 TB: the bigram-instance stream (one narrow
+   *  slice-zip explode, the q130 idiom) is scanned twice, q94-style —
+   *  once into the BUCKETS-row model aggregate (map-side combined;
+   *  the model is broadcast back), once through the broadcast model
+   *  join into the per-doc score aggregate (map-side combinable on
+   *  the doc key) — rescanning text beats persisting a token-volume
+   *  frame. Selection is the bounded global top-N heap
+   *  ([[graft.functions.TopKAggregate]], one group): each map task
+   *  ships ≤ N candidates, never the corpus. Output: N rows
+   *  (rank, id, dsir_score), tie-broken (score DESC, id ASC). */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int, topN: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    def inst = {
+      val toks = filter(TextFunctions.lowerTokens(col(textCol)), w => w =!= "")
+      docs.select(col(idCol), targetPred.as("__t"), toks.as("__w"))
+        .filter(size(col("__w")) >= 2)
+        .select(col(idCol), col("__t"), explode(arrays_zip(
+          slice(col("__w"), lit(1), size(col("__w")) - 1),
+          slice(col("__w"), lit(2), size(col("__w")) - 1))).as("__z"))
+        .select(col(idCol), col("__t"),
+          pmod(graft.functions.Hashing.h60(
+            concat(col("__z").getField("0"), lit(" "),
+              col("__z").getField("1"))), lit(buckets.toLong))
+            .as("__b"))
+    }
+    def digits(c: Column): Column = length(c.cast("string")).cast("long")
+    val model = inst.groupBy(col("__b"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+        count(lit(1)).as("__ca"))
+      .select(col("__b"),
+        (digits(col("__ct") + 1L) - digits(col("__ca") + 1L)).as("__dw"))
+    val scored = inst.filter(!col("__t"))
+      .join(broadcast(model), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nf"), sum(col("__dw")).as("__sum"))
+      .select(col(idCol), expr("__sum * 1000000 div __nf").as("dsir_micro"))
+    scored.groupBy(lit(1).as("__g"))
+      .agg(graft.functions.TopKAggregate.simTopK(
+        col("dsir_micro").cast("double"), col(idCol), topN).as("__tk"))
+      .select(posexplode(col("__tk")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.n_id").as(idCol),
+        col("col.sim").cast("long").as("dsir_micro"))
+  }
+
+  /** DuckDB oracle twin of [[dsirSelect]]: same tokenizer contract,
+   *  same h60-mod bucketing, same digit-count weights, row_number
+   *  tie-break (score DESC, id ASC) ≡ the heap's order. */
+  def dsirSelectSql(table: String, idCol: String, textCol: String,
+      targetPredSql: String, buckets: Int, topN: Int): String = {
+    val toks = TextFunctions.lowerTokensSql(textCol)
+    val h = graft.functions.Hashing.h60Sql("t[i] || ' ' || t[i + 1]")
+    s"""WITH __tok AS (
+       |  SELECT $idCol, ($targetPredSql) AS is_t,
+       |    list_filter($toks, w -> w <> '') AS t
+       |  FROM $table),
+       |__inst AS (
+       |  SELECT $idCol, is_t, $h % $buckets AS b
+       |  FROM (SELECT $idCol, is_t, t,
+       |          unnest(range(1, length(t))) AS i FROM __tok)),
+       |__model AS (
+       |  SELECT b,
+       |    length(CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1
+       |      AS VARCHAR)) - length(CAST(count(*) + 1 AS VARCHAR)) AS dw
+       |  FROM __inst GROUP BY b),
+       |__scored AS (
+       |  SELECT $idCol,
+       |    CAST(CAST(sum(dw) AS BIGINT) * 1000000 // count(*)
+       |      AS BIGINT) AS dsir_micro
+       |  FROM __inst JOIN __model USING (b)
+       |  WHERE NOT is_t GROUP BY $idCol)
+       |SELECT * FROM (
+       |  SELECT CAST(row_number() OVER
+       |      (ORDER BY dsir_micro DESC, $idCol) AS BIGINT) AS rank,
+       |    $idCol, dsir_micro
+       |  FROM __scored) WHERE rank <= $topN""".stripMargin
+  }
 }

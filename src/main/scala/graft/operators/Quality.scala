@@ -342,4 +342,126 @@ object Quality {
        |FROM (SELECT $idCol, list_filter($toks, x -> x <> '') AS toks
        |      FROM $table)""".stripMargin
   }
+
+  // ------------------------------------------------- Gopher rule gate
+
+  /** Bullet markers and the stopword list of the Gopher repetition/
+   *  quality rules (Rae et al. 2021 §A.1.1). The stopword rule counts
+   *  DISTINCT list members present, so a doc spamming "the" doesn't
+   *  pass on one word. Shared by the Spark and SQL twins — any edit
+   *  lands in both automatically. */
+  private val gopherBullets = Seq("•", "‣", "▪", "-", "*")
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality heuristics (Rae et al. 2021, "Scaling
+   *  Language Models" §A.1.1) as a single fused projection — the
+   *  rule gate MassiveWeb-style curation runs before dedup. Per doc:
+   *
+   *   - r_words:    50 ≤ n_words ≤ 100 000
+   *   - r_word_len: mean word length in [3, 10] chars
+   *   - r_symbol:   (count '#' + count '...') / n_words ≤ 0.1
+   *   - r_bullet:   ≤ 90% of lines start with a bullet marker
+   *   - r_ellipsis: ≤ 30% of lines end with '...'/'…'
+   *   - r_alpha:    ≥ 80% of words contain ≥ 1 [A-Za-z] char
+   *   - r_stop:     ≥ 2 DISTINCT Gopher stopwords present
+   *   - keep:       every rule holds
+   *
+   *  Every ratio test is a CROSS-MULTIPLIED integer comparison
+   *  (10·n_sym ≤ n_words, 3·n ≤ chars ≤ 10·n, 10·bullets ≤ 9·lines,
+   *  10·ell ≤ 3·lines, 5·alpha ≥ 4·n) — no float division anywhere,
+   *  so the booleans are bit-identical cross-engine by construction.
+   *  Words are the engine-wide whitespace-token contract (trimmed
+   *  split, empties dropped); lines split on '\n' with trailing
+   *  empties KEPT (Spark needs the explicit -1 limit; DuckDB's
+   *  string_split keeps them natively); "alphabetic" is ASCII
+   *  [A-Za-z] — the Java/RE2-identical class (the repo-wide regex
+   *  parity rule) — which makes r_alpha an ENGLISH gate exactly as
+   *  Gopher intends.
+   *
+   *  Shape at 100 TB: one narrow whole-stage-codegen projection —
+   *  zero shuffles, zero joins, embarrassingly parallel; codegen
+   *  subexpression elimination dedups the repeated split() trees.
+   *  Output is corpus-sized (id + 2 counts + 8 booleans). */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(trim(t), "\\s+"), w => w =!= "")
+    val wordsL = transform(words, w => lower(w))
+    val lines = split(t, "\n", -1)
+    val nW = size(words).cast("long")
+    val nL = size(lines).cast("long")
+    val chars = aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), (a, b) => a + b)
+    val nSym = (length(t) - length(regexp_replace(t, lit("#"), lit("")))).cast("long") +
+      ((length(t) - length(regexp_replace(t, lit("\\.\\.\\."), lit("")))) / 3).cast("long")
+    val firstChar = (l: Column) => substring(ltrim(l), 1, 1)
+    val nBullet = size(filter(lines,
+      l => firstChar(l).isInCollection(gopherBullets))).cast("long")
+    val nEll = size(filter(lines,
+      l => l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(filter(array(gopherStops.map(lit): _*),
+      s => array_contains(wordsL, s))).cast("long")
+    docs.select(col(idCol), nW.as("__nw"), nL.as("__nl"), chars.as("__ch"),
+        nSym.as("__sym"), nBullet.as("__bul"), nEll.as("__ell"),
+        nAlpha.as("__al"), nStop.as("__st"))
+      .select(col(idCol),
+        col("__nw").as("n_words"), col("__nl").as("n_lines"),
+        (col("__nw") >= 50L && col("__nw") <= 100000L).as("r_words"),
+        (lit(3L) * col("__nw") <= col("__ch") &&
+          col("__ch") <= lit(10L) * col("__nw")).as("r_word_len"),
+        (lit(10L) * col("__sym") <= col("__nw")).as("r_symbol"),
+        (lit(10L) * col("__bul") <= lit(9L) * col("__nl")).as("r_bullet"),
+        (lit(10L) * col("__ell") <= lit(3L) * col("__nl")).as("r_ellipsis"),
+        (lit(5L) * col("__al") >= lit(4L) * col("__nw")).as("r_alpha"),
+        (col("__st") >= 2L).as("r_stop"))
+      .withColumn("keep",
+        col("r_words") && col("r_word_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stop"))
+  }
+
+  /** DuckDB oracle twin of [[gopherRules]] — same whitespace-token
+   *  contract ([[graft.functions.TextFunctions.wsClassSql]]: RE2's \s
+   *  excludes VT), same '\n' line split with trailing empties kept,
+   *  same cross-multiplied integer comparisons. */
+  def gopherRulesSql(table: String, idCol: String, textExpr: String): String = {
+    val ws = graft.functions.TextFunctions.wsClassSql
+    val bullets = gopherBullets.map(b => s"'$b'").mkString(", ")
+    val stops = gopherStops.map(s => s"'$s'").mkString(", ")
+    s"""SELECT $idCol, nw AS n_words, nl AS n_lines,
+       |  (nw >= 50 AND nw <= 100000) AS r_words,
+       |  (3 * nw <= ch AND ch <= 10 * nw) AS r_word_len,
+       |  (10 * sym <= nw) AS r_symbol,
+       |  (10 * bul <= 9 * nl) AS r_bullet,
+       |  (10 * ell <= 3 * nl) AS r_ellipsis,
+       |  (5 * al >= 4 * nw) AS r_alpha,
+       |  (st >= 2) AS r_stop,
+       |  (nw >= 50 AND nw <= 100000 AND 3 * nw <= ch AND ch <= 10 * nw
+       |    AND 10 * sym <= nw AND 10 * bul <= 9 * nl
+       |    AND 10 * ell <= 3 * nl AND 5 * al >= 4 * nw AND st >= 2) AS keep
+       |FROM (
+       |  SELECT $idCol,
+       |    CAST(length(words) AS BIGINT) AS nw,
+       |    CAST(length(lines) AS BIGINT) AS nl,
+       |    CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+       |      AS BIGINT) AS ch,
+       |    CAST(length(t) - length(replace(t, '#', ''))
+       |      + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS sym,
+       |    CAST(length(list_filter(lines,
+       |      l -> substr(ltrim(l), 1, 1) IN ($bullets))) AS BIGINT) AS bul,
+       |    CAST(length(list_filter(lines, l -> l LIKE '%...'
+       |      OR l LIKE '%' || chr(8230))) AS BIGINT) AS ell,
+       |    CAST(length(list_filter(words,
+       |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS al,
+       |    CAST(length(list_filter([$stops],
+       |      s -> list_contains(list_transform(words, w -> lower(w)), s)))
+       |      AS BIGINT) AS st
+       |  FROM (
+       |    SELECT $idCol, t,
+       |      list_filter(regexp_split_to_array(trim(t), '$ws+'),
+       |        w -> w <> '') AS words,
+       |      string_split(t, chr(10)) AS lines
+       |    FROM (SELECT $idCol, $textExpr AS t FROM $table)))""".stripMargin
+  }
 }

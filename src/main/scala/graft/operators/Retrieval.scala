@@ -363,4 +363,110 @@ object Retrieval {
        |  FROM scored WHERE score > 0.0
        |) WHERE rank <= $k""".stripMargin
   }
+
+  // ------------------------------------ hybrid retrieval (RRF fusion)
+
+  /** Hybrid lexical+dense retrieval with reciprocal-rank fusion
+   *  (Cormack et al. 2009) — the two-channel search shape production
+   *  retrieval stacks run: a LEXICAL channel (token-set Jaccard
+   *  between query and document text) and a DENSE channel (exact
+   *  cosine over the aligned embedding table, [[Similarity.knnBrute]]
+   *  verbatim), each reduced to a per-query top-`chanK` rank list,
+   *  fused by rrf(d) = Σ_channels ⌊10⁹ / (kRrf + rank_ch(d))⌋ — the
+   *  integer-unit RRF (exact, associative; a float 1/(k+r) sum would
+   *  hostage the oracle hash to addition order), absent channels
+   *  contributing 0 exactly as RRF over top lists prescribes.
+   *  Queries are the docs with id < nQueries (the q19 convention;
+   *  doc_id aligns with vec_id by the testdata contract). Output:
+   *  (q_id, n_id, rrf_units, rank), k rows per query, every ranking
+   *  tie-broken (score DESC, n_id ASC).
+   *
+   *  Shape at 100 TB: each channel is ONE corpus scan (text /
+   *  embeddings) against BROADCAST queries, ranked by the bounded
+   *  [[TopKAggregate.simTopK]] heap — the exchanges carry
+   *  chanK×maps×queries heap entries, never scored corpus rows. The
+   *  fusion full-outer join and the final heap touch only the
+   *  queries×chanK channel lists — corpus-size-independent.
+   *  Jaccard is exact integers: jacc_micro = ⌊10⁶·|∩| / |∪|⌋ over
+   *  DISTINCT token sets; zero-union pairs (both sides tokenless)
+   *  are unrankable and dropped. */
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame, idCol: String,
+      textCol: String, nQueries: Int, chanK: Int, k: Int,
+      kRrf: Int = 60): DataFrame = {
+    require(nQueries >= 1 && chanK >= 1 && k >= 1 && kRrf >= 1,
+      s"nQueries/chanK/k/kRrf must be >= 1, got $nQueries/$chanK/$k/$kRrf")
+    val ts = docs.select(col(idCol), array_distinct(filter(
+      graft.functions.TextFunctions.lowerTokens(col(textCol)),
+      w => w =!= "")).as("__ts"))
+    val q = ts.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("q_id"), col("__ts").as("__qs"))
+    val jacc = ts.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        size(array_intersect(col("__ts"), col("__qs"))).cast("long").as("__i"),
+        (size(col("__ts")) + size(col("__qs"))).cast("long").as("__s"))
+      .filter(col("__s") - col("__i") > 0L)
+      .select(col("q_id"), col("n_id"),
+        expr("__i * 1000000 div (__s - __i)").as("__jm"))
+    val lex = jacc.groupBy(col("q_id"))
+      .agg(TopKAggregate.simTopK(col("__jm").cast("double"), col("n_id"),
+        chanK).as("__tk"))
+      .select(col("q_id"), posexplode(col("__tk")))
+      .select(col("q_id"), col("col.n_id").as("n_id"),
+        (col("pos") + 1).cast("long").as("__rl"))
+    val dense = Similarity.knnBrute(emb, nQueries, chanK)
+      .select(col("q_id"), col("n_id"), col("rank").as("__rd"))
+    val fused = dense.join(lex, Seq("q_id", "n_id"), "full_outer")
+      .select(col("q_id"), col("n_id"),
+        (coalesce(expr(s"1000000000 div ($kRrf + __rd)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($kRrf + __rl)"), lit(0L)))
+          .as("rrf_units"))
+    fused.groupBy(col("q_id"))
+      .agg(TopKAggregate.simTopK(col("rrf_units").cast("double"),
+        col("n_id"), k).as("__tk"))
+      .select(col("q_id"), posexplode(col("__tk")))
+      .select(col("q_id"), col("col.n_id").as("n_id"),
+        col("col.sim").cast("long").as("rrf_units"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** DuckDB oracle twin of [[hybridRrfTopK]]: the dense channel IS
+   *  [[Similarity.knnBruteSql]]; the lexical channel replays the
+   *  distinct-token Jaccard in exact integers; both rank lists fuse
+   *  through the same integer RRF with row_number tie-breaks. */
+  def hybridRrfTopKSql(docsTable: String, embTable: String, idCol: String,
+      textCol: String, nQueries: Int, chanK: Int, k: Int,
+      kRrf: Int = 60): String = {
+    val toks = graft.functions.TextFunctions.lowerTokensSql(textCol)
+    s"""WITH __dense AS (
+       |  SELECT q_id, n_id, rank AS rd FROM (
+       |    ${Similarity.knnBruteSql(embTable, nQueries, chanK)})),
+       |__toks AS (
+       |  SELECT $idCol, list_distinct(list_filter($toks, w -> w <> '')) AS ts
+       |  FROM $docsTable),
+       |__q AS (SELECT $idCol AS q_id, ts AS qs FROM __toks
+       |        WHERE $idCol < $nQueries),
+       |__jacc AS (
+       |  SELECT q_id, n_id, i * 1000000 // (s - i) AS jm FROM (
+       |    SELECT q_id, t.$idCol AS n_id,
+       |      CAST(length(list_filter(qs, x -> list_contains(ts, x)))
+       |        AS BIGINT) AS i,
+       |      CAST(length(ts) + length(qs) AS BIGINT) AS s
+       |    FROM __toks t CROSS JOIN __q WHERE t.$idCol <> q_id)
+       |  WHERE s - i > 0),
+       |__lex AS (
+       |  SELECT q_id, n_id, rank AS rl FROM (
+       |    SELECT q_id, n_id, CAST(row_number() OVER
+       |      (PARTITION BY q_id ORDER BY jm DESC, n_id) AS BIGINT) AS rank
+       |    FROM __jacc) WHERE rank <= $chanK),
+       |__fused AS (
+       |  SELECT q_id, n_id,
+       |    CAST(coalesce(1000000000 // ($kRrf + rd), 0)
+       |       + coalesce(1000000000 // ($kRrf + rl), 0) AS BIGINT) AS rrf_units
+       |  FROM __dense FULL OUTER JOIN __lex USING (q_id, n_id))
+       |SELECT q_id, n_id, rrf_units, rank FROM (
+       |  SELECT q_id, n_id, rrf_units, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY rrf_units DESC, n_id) AS BIGINT) AS rank
+       |  FROM __fused) WHERE rank <= $k""".stripMargin
+  }
 }

@@ -273,6 +273,72 @@ object Similarity {
     else annLsh(emb, adaptivePlanes(n), dim)
   }
 
+  /** ANN quality measurement — recall@k of the sign-LSH bucketed
+   *  search against the exact [[knnBrute]] ground truth, per query:
+   *  the metric an ANN deployment actually monitors when tuning
+   *  plane count against the recall/cost trade. Both arms are this
+   *  module's own judged kernels (q19's brute scorer, q20's family
+   *  bucketing); the comparison is pure id-set intersection —
+   *  recall_micro = ⌊10⁶·|ann∩exact| / |exact|⌋, exact integers, no
+   *  float hazard beyond the already-pinned per-channel rankings.
+   *
+   *  Shape at 100 TB: the exact arm broadcasts the nQueries query
+   *  vectors over one corpus scan (bounded simTopK heaps); the ANN
+   *  arm joins the corpus to the BROADCAST bucketed queries on the
+   *  bucket key, so it scores only same-bucket rows (~n/2^planes per
+   *  query). The recall join touches nQueries×k rows. A query whose
+   *  bucket holds < k neighbors simply scores what exists — recall
+   *  reports the truth, it does not pad. */
+  def annRecallAtK(emb: DataFrame, nQueries: Int, k: Int, nPlanes: Int,
+      dim: Int): DataFrame = {
+    require(nQueries >= 1 && k >= 1 && nPlanes >= 1,
+      s"nQueries/k/nPlanes must be >= 1, got $nQueries/$k/$nPlanes")
+    val exact = knnBrute(emb, nQueries, k).select(col("q_id"), col("n_id"))
+    val e = prepared(emb).withColumn("bucket", lshBucket("v", nPlanes, dim))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dotExpr("qv", "v") / (col("qn") * col("nrm"))).as("sim"))
+    val ann = topKPerQuery(scored, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
+    exact.join(ann, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("k_exact"), col("n_hits"),
+        expr("n_hits * 1000000 div k_exact").as("recall_micro"))
+  }
+
+  /** DuckDB oracle twin of [[annRecallAtK]] — both arms replayed
+   *  ([[knnBruteSql]] verbatim, the same plane constants via
+   *  [[lshBucketSql]]), row_number rank twins, integer recall. */
+  def annRecallAtKSql(table: String, nQueries: Int, k: Int, nPlanes: Int,
+      dim: Int): String =
+    s"""WITH e AS (SELECT *, ${lshBucketSql("v", nPlanes, dim)} AS bucket
+       |           FROM (${preparedSql(table)})),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket
+       |      FROM e WHERE vec_id < $nQueries),
+       |scored AS (SELECT q_id, e.vec_id AS n_id,
+       |                  ${dotSql("qv", "v")} / (qn * nrm) AS sim
+       |           FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),
+       |ann AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+       |  FROM scored) WHERE rk <= $k),
+       |exact AS (SELECT q_id, n_id FROM (
+       |  ${knnBruteSql(table, nQueries, k)}))
+       |SELECT x.q_id, CAST(count(*) AS BIGINT) AS k_exact,
+       |  CAST(sum(CASE WHEN a.q_id IS NULL THEN 0 ELSE 1 END)
+       |    AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN a.q_id IS NULL THEN 0 ELSE 1 END) * 1000000
+       |    // count(*) AS BIGINT) AS recall_micro
+       |FROM exact x LEFT JOIN ann a
+       |  ON x.q_id = a.q_id AND x.n_id = a.n_id
+       |GROUP BY x.q_id""".stripMargin
+
   /** SQL twin of [[annRouted]]: ONE bucketed query whose bucket
    *  expression is selected per the same integer skew flag (scalar
    *  subqueries over identical counts) — the un-taken branch's bucket
@@ -1205,7 +1271,20 @@ object Similarity {
     }.toDF("c_id", "n_members", "cnorm")
   }
 
-  def kmeansSummarySql(table: String, k: Int, iters: Int): String = {
+  def kmeansSummarySql(table: String, k: Int, iters: Int): String =
+    s"""WITH ${lloydChainSql(table, k, iters)},
+       |sizes AS (SELECT c_id, count(*) AS n FROM afin GROUP BY c_id)
+       |SELECT c.c_id AS c_id, COALESCE(s.n, 0) AS n_members,
+       |       sqrt(${dotSql("c.cv", "c.cv")}) AS cnorm
+       |FROM c$iters c LEFT JOIN sizes s ON c.c_id = s.c_id""".stripMargin
+
+  /** The shared Lloyd-loop CTE chain (init, every assignment + fixed-
+   *  point mean update with empty-cell inheritance, final assignment
+   *  `afin`) — ONE SQL builder behind [[kmeansSummarySql]] and
+   *  [[kmeansAssignSql]], mirroring [[lloydIterate]] being the one
+   *  Scala path: an update-rule change can never drift the two
+   *  judged k-means rows apart. */
+  private def lloydChainSql(table: String, k: Int, iters: Int): String = {
     def assignSql(cents: String, out: String): String =
       s"""$out AS (SELECT vec_id, v, c_id FROM (
          |  SELECT e.vec_id, e.v, c.c_id,
@@ -1228,15 +1307,34 @@ object Similarity {
          |                              FROM m$i GROUP BY c_id) mm
          |          ON c.c_id = mm.c_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, v FROM (${preparedSql(table)})),
+    s"""e AS (SELECT vec_id, v FROM (${preparedSql(table)})),
        |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $k),
        |$iterCtes,
-       |${assignSql(s"c$iters", "afin")},
-       |sizes AS (SELECT c_id, count(*) AS n FROM afin GROUP BY c_id)
-       |SELECT c.c_id AS c_id, COALESCE(s.n, 0) AS n_members,
-       |       sqrt(${dotSql("c.cv", "c.cv")}) AS cnorm
-       |FROM c$iters c LEFT JOIN sizes s ON c.c_id = s.c_id""".stripMargin
+       |${assignSql(s"c$iters", "afin")}""".stripMargin
   }
+
+  /** Per-vector cluster assignment under the SAME trained codebook
+   *  q43 judges — the clustered-corpus artifact SemDeDup-style dedup
+   *  (Abbas et al. 2023) and cluster-balanced sampling (Tirumala et
+   *  al. 2023) actually consume: one cell id per vector, judged as
+   *  its own row so the assignment path (not only q43's summary)
+   *  rides CORRECTNESS and the sweep. ONE code path by construction:
+   *  training is [[trainedCentroids]] (the shared [[lloydIterate]]),
+   *  assignment is [[assignByLiterals]] — no second Lloyd loop to
+   *  drift. Plan: the iters driver loop (k×dim literal centroids,
+   *  the codebook pattern) + ONE final narrow zero-shuffle
+   *  projection. Output (vec_id, cell). */
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = prepared(emb).select(col("vec_id"), col("v"))
+    assignByLiterals(e, trainedCentroids(emb, k, iters))
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** DuckDB oracle twin of [[kmeansAssign]] — the same shared Lloyd
+   *  chain, final assignment projected per vector. */
+  def kmeansAssignSql(table: String, k: Int, iters: Int): String =
+    s"""WITH ${lloydChainSql(table, k, iters)}
+       |SELECT vec_id, CAST(c_id AS BIGINT) AS cell FROM afin""".stripMargin
 
   // ------------------------------------------------- embedding near-dup
 

@@ -346,4 +346,52 @@ class BpeSpec extends SparkTestBase {
       .count()
     assert(nIds === expected.values.map(_._1).sum)
   }
+
+  // ----------------------------- fertility + packing stats (X120/X121)
+
+  test("fertilityByGroup: hand-checked integer ratios, zero-token NULL guard") {
+    // merges (a,b),(ab,c): "abc" -> 1 token, "ab" -> 1, "ad" -> 2
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val docs = Seq(
+      (1L, "g1", "abc abc"), // 2 words, 2 tokens, 7 chars
+      (2L, "g1", "ab ad"),   // 2 words, 3 tokens, 5 chars
+      (3L, "g2", "zzzz"),    // 1 word, 4 tokens (no merges apply), 4 chars
+      (4L, "g3", "?!"))      // 0 alphabet words: NULL ratios
+      .toDF("doc_id", "grp", "text")
+    val got = Bpe.fertilityByGroup(docs, "text", "doc_id", "grp", merges)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6))).toMap
+    assert(got("g1") === ((2L, 4L, 5L, 12L, 1250000L, 2400000L)))
+    assert(got("g2") === ((1L, 1L, 4L, 4L, 4000000L, 1000000L)))
+    assert(got("g3") === ((1L, 0L, 0L, 2L, -1L, -1L)))
+  }
+
+  test("packingStats: fill arithmetic, full-window count, empty packing") {
+    val packed = Seq((0L, 64L), (1L, 64L), (2L, 30L))
+      .toDF("seq", "n_tokens")
+    val got = Bpe.packingStats(packed, 64).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ===
+      ((3L, 2L, 158L, 158L * 1000000L / 192L)))
+    val empty = Bpe.packingStats(
+      packed.filter(lit(false)), 64).collect().head
+    assert((empty.getLong(0), empty.getLong(1), empty.getLong(2)) ===
+      ((0L, 0L, 0L)) && empty.isNullAt(3))
+  }
+
+  test("packingStats agrees with a replayed q134 packing on the real corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 20 === 0)
+    val merges = Bpe.train(docs, "text", 8)
+    val packed = Bpe.packIdSequences(
+      Bpe.encodeIds(docs, "text", "doc_id", merges), "doc_id", 64, 0)
+    val got = Bpe.packingStats(packed, 64).collect().head
+    val rows = packed.select(col("n_tokens")).collect().map(_.getLong(0))
+    assert(got.getLong(0) === rows.length.toLong)
+    assert(got.getLong(1) === rows.count(_ == 64L).toLong)
+    assert(got.getLong(2) === rows.sum)
+    assert(got.getLong(3) === rows.sum * 1000000L / (rows.length * 64L))
+  }
 }

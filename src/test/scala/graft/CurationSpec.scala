@@ -101,4 +101,70 @@ class CurationSpec extends SparkTestBase {
     // and the corpus genuinely exercises the signal (word-bag docs)
     assert(real.exists(_.getDouble(1) > 0.3))
   }
+
+  // -------------------------------- DSIR importance resampling (X116)
+
+  /** Independent map-based DSIR reference: same tokenizer contract,
+   *  same md5-h60 bucketing, same digit-count weights, same
+   *  truncating integer mean, (score DESC, id ASC) selection. */
+  private def dsirRef(corpus: Seq[(Long, String, Boolean)], buckets: Int,
+      topN: Int): Seq[(Long, Long, Long)] = {
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    def feats(t: String): Seq[Long] = {
+      val w = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      w.zip(w.drop(1)).map { case (a, b) => h60(s"$a $b") % buckets }
+    }
+    val all = corpus.flatMap { case (_, t, isT) => feats(t).map(_ -> isT) }
+    val dw = all.groupBy(_._1).map { case (b, xs) =>
+      b -> ((xs.count(_._2) + 1).toString.length.toLong -
+        (xs.size + 1).toString.length.toLong)
+    }
+    corpus.collect { case (id, t, false) if feats(t).nonEmpty =>
+      val f = feats(t)
+      (id, f.map(dw).sum * 1000000L / f.size)
+    }.sortBy { case (id, s) => (-s, id) }.take(topN)
+      .zipWithIndex.map { case ((id, s), i) => (i + 1L, id, s) }
+  }
+
+  test("dsirSelect ≡ independent reference, including ties and short-doc exclusion") {
+    import spark.implicits._
+    // the digit-count proxy only discriminates once counts cross a
+    // power of ten, so the fixture repeats each phrase 12×: target
+    // bigrams land at c_tgt=12 (dw = digits(13)−digits(c_all+1) = 0
+    // for target-like candidates), the alien phrase at c_tgt=0,
+    // c_all=24 (dw = 1−2 = −1) — target-like mean 0 beats alien −10⁶
+    val corpus =
+      (1L to 12L).map(i => (i, "the quick brown fox jumps", true)) ++
+      Seq((20L, "the quick brown fox naps", false),
+        (21L, "the quick brown fox naps", false)) ++ // exact twin: tie, id order
+      (30L to 41L).map(i => (i, "zzz yyy xxx zzz yyy", false)) ++
+      Seq((50L, "single", false), (51L, "", false)) // < 2 tokens: unselectable
+    val df = corpus.toDF("doc_id", "text", "is_t")
+    val got = Curation.dsirSelect(df, "doc_id", "text", col("is_t"), 4096, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = dsirRef(corpus, 4096, 20)
+    assert(got === want)
+    // the reference itself behaves: target-like twins tie first in id
+    // order, every alien scores a full digit below, shorts absent
+    val byId = want.map(w => w._2 -> w._1).toMap
+    val score = want.map(w => w._2 -> w._3).toMap
+    assert(byId(20L) === 1L && byId(21L) === 2L)
+    assert(score(20L) === 0L && score(30L) === -1000000L)
+    assert((30L to 41L).forall(i => byId(i) > byId(21L)))
+    assert(!byId.contains(50L) && !byId.contains(51L))
+  }
+
+  test("dsirSelect: topN bounds the output and empty candidate pools are empty") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d", true), (2L, "a b c e", false),
+      (3L, "a b c f", false), (4L, "x y z w", false))
+    val df = corpus.toDF("doc_id", "text", "is_t")
+    assert(Curation.dsirSelect(df, "doc_id", "text", col("is_t"), 32, 2)
+      .count() === 2L)
+    assert(Curation.dsirSelect(df.filter(col("is_t")), "doc_id", "text",
+      col("is_t"), 32, 2).count() === 0L)
+  }
 }

@@ -118,7 +118,11 @@ class PlanAuditSpec extends SparkTestBase {
       // q135/q137 attach the same 1-row corpus-total frame as q130;
       // q140 the same 1-row min-max frame as q131
       "q135_lm_trigram_backoff", "q137_curation_pipeline_n3",
-      "q140_zorder3_zonemaps")
+      "q140_zorder3_zonemaps",
+      // q143's lexical channel and q145's exact arm fan the BOUNDED
+      // broadcast query set across one corpus scan — the judged q19
+      // shape (their other arms join hash keys: bucket/fusion)
+      "q143_hybrid_rrf", "q145_ann_recall")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = executed(name).toString
       assert(!plan.contains("CartesianProduct"), s"$name planned a cartesian join")

@@ -176,4 +176,60 @@ class QualitySpec extends SparkTestBase {
     assert(exp("not_null:`it's v`") === 1L)
     assert(exp("matches:`the tag`") === 1L)
   }
+
+  // ------------------------------------------ Gopher rule gate (X118)
+
+  private def gopherFlags(texts: (Long, String)*): Map[Long, Map[String, Boolean]] = {
+    val df = texts.toSeq.toDF("doc_id", "text")
+    Quality.gopherRules(df, "doc_id", "text").collect().map { r =>
+      r.getLong(0) -> Seq("r_words", "r_word_len", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stop", "keep")
+        .map(c => c -> r.getBoolean(r.fieldIndex(c))).toMap
+    }.toMap
+  }
+
+  test("gopher: every ratio rule flips exactly at its cross-multiplied boundary") {
+    val w50 = Seq.fill(50)("aaa").mkString(" ")
+    val out = gopherFlags(
+      1L -> Seq.fill(49)("aaa").mkString(" "), // 49 words: under the floor
+      2L -> w50, // 50 words, mean len 3: both word rules hold
+      3L -> Seq.fill(50)("aa").mkString(" "), // mean 2 < 3
+      4L -> Seq.fill(50)("abcdefghijk").mkString(" "), // mean 11 > 10
+      5L -> (w50 + " #####"), // 5 syms over 51 words: 50 <= 51
+      6L -> (w50 + " ######"), // 6 syms over 51 words: 60 > 51
+      7L -> ((1 to 9).map(i => s"- x$i").mkString("\n") + "\nplain"), // 9/10 bullet lines: 90 <= 90
+      8L -> (1 to 10).map(i => s"- x$i").mkString("\n"), // 10/10: 100 > 90
+      9L -> ("a...\nb…\nc...\nplain\nplain\nplain\nplain\nplain\nplain\nplain"), // 3/10: 30 <= 30
+      10L -> ("a...\nb…\nc...\nd...\nplain\nplain\nplain\nplain\nplain\nplain"), // 4/10: 40 > 30
+      11L -> ("a1 b2 c3 d4 e5 f6 g7 h8 99 00"), // 8/10 alpha: 40 >= 40
+      12L -> ("a1 b2 c3 d4 e5 f6 g7 88 99 00"), // 7/10: 35 < 40
+      13L -> "the the the the", // one DISTINCT stopword
+      14L -> "The wiTH them", // case-folds to 2 distinct ("them" is not a hit)
+      15L -> "") // empty: zero words, zero-guard sanity
+    assert(!out(1L)("r_words") && out(2L)("r_words"))
+    assert(out(2L)("r_word_len") && !out(3L)("r_word_len") && !out(4L)("r_word_len"))
+    assert(out(5L)("r_symbol") && !out(6L)("r_symbol"))
+    assert(out(7L)("r_bullet") && !out(8L)("r_bullet"))
+    assert(out(9L)("r_ellipsis") && !out(10L)("r_ellipsis"))
+    assert(out(11L)("r_alpha") && !out(12L)("r_alpha"))
+    assert(!out(13L)("r_stop") && out(14L)("r_stop"))
+    assert(!out(15L)("r_words") && out(15L)("r_word_len") &&
+      out(15L)("r_symbol") && !out(15L)("keep"))
+  }
+
+  test("gopher: '...' symbol counting is non-overlapping left-to-right and '…' counts line-ends") {
+    val w = Seq.fill(60)("word").mkString(" ")
+    // '....' = ONE non-overlapping '...' match in both engines; 6 '#'
+    // plus it = 7 symbols over 62 words -> 70 > 62
+    val out = gopherFlags(
+      1L -> (w + " ###### ...."),
+      2L -> (w + " ##### ....")) // 6 symbols over 62: 60 <= 62
+    assert(!out(1L)("r_symbol") && out(2L)("r_symbol"))
+  }
+
+  test("gopher: keep is the exact conjunction and a fully-clean doc passes") {
+    val clean = (Seq.fill(48)("alpha").mkString(" ") + " the with")
+    val out = gopherFlags(1L -> clean)
+    assert(out(1L).forall(_._2), s"every flag should hold: ${out(1L)}")
+  }
 }

@@ -174,4 +174,80 @@ class SimilarityRoutingSpec extends SparkTestBase {
       assert(pruned === exact)
     }
   }
+
+  // --------------------------------------------- ANN recall@k (X119)
+
+  /** Independent recall reference: same plane constants
+   *  ([[Similarity.planeWeight]]), same ascending-index cosine, same
+   *  (sim DESC, id ASC) ranks, integer recall. */
+  private def recallRef(rows: Seq[(Long, Seq[Float], Int)], nQ: Int,
+      k: Int, nPlanes: Int): Seq[(Long, Long, Long, Long)] = {
+    val v = rows.map { case (id, e, _) => id -> e.map(_.toDouble) }.toMap
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val planes = Similarity.planes(nPlanes, dim)
+    def bucket(e: Seq[Double]): Long =
+      planes.zipWithIndex.map { case (w, p) =>
+        if (dot(e, w) > 0) 1L << p else 0L }.sum
+    def topK(q: Long, pool: Seq[Long]): Seq[Long] =
+      pool.filter(_ != q).map(id => id -> cos(v(q), v(id)))
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+    (0L until nQ.toLong).map { q =>
+      val exact = topK(q, v.keys.toSeq)
+      val ann = topK(q,
+        v.keys.filter(id => bucket(v(id)) == bucket(v(q))).toSeq).toSet
+      val hits = exact.count(ann)
+      (q, exact.size.toLong, hits.toLong,
+        hits.toLong * 1000000L / exact.size)
+    }
+  }
+
+  test("annRecallAtK ≡ independent reference; exhaustive bucketing gives perfect recall") {
+    val rows = (0L until 120L).map(i => (i, vec(i, 9), (i % 3).toInt))
+    val got = Similarity.annRecallAtK(embDF(rows), 4, 5, 5, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got === recallRef(rows, 4, 5, 5))
+    // recall is a real measurement on this corpus: bounded, nonzero
+    // somewhere, imperfect somewhere (5 planes split 120 vectors)
+    assert(got.forall(r => r._4 >= 0L && r._4 <= 1000000L))
+    // positive scalings of ONE vector land on the same side of every
+    // plane = one bucket = the exact search itself: recall 10^6
+    val u = vec(0L, 5)
+    val oneSided = (0L until 40L).map(i =>
+      (i, u.map(x => x * (i + 1) / 40.0f), 0))
+    val perfect = Similarity.annRecallAtK(embDF(oneSided), 3, 4, 1, dim)
+      .collect().map(_.getLong(3))
+    assert(perfect.length === 3 && perfect.forall(_ === 1000000L))
+  }
+
+  // -------------------------------- per-vector k-means assignment (X122)
+
+  test("kmeansAssign: cell sizes ≡ q43's summary, separable blobs recover their classes") {
+    // three well-separated blobs with deterministic jitter; init ids
+    // 0/1/2 are one seed per class
+    val rows = (0 until 90).map { i =>
+      val center = i % 3
+      val v = (0 until dim).map { d =>
+        val base = if (d % 3 == center) 0.8f else -0.2f
+        base + ((i * 31 + d * 7) % 11) * 0.01f
+      }
+      (i.toLong, v, center)
+    }
+    val e = embDF(rows.map { case (id, v, _) => (id, v, 0) })
+    val asg = Similarity.kmeansAssign(e, 3, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg.size === 90)
+    // every vector of one generator class lands in one cell
+    val byClass = rows.groupBy(_._3).values
+    assert(byClass.forall(g => g.map(x => asg(x._1)).distinct.size == 1))
+    // the assignment is the SAME codebook q43 summarizes: per-cell
+    // counts must match n_members exactly
+    val sizes = asg.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val summary = Similarity.kmeansSummary(e, 3, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(summary.filter(_._2 > 0L) === sizes)
+  }
 }
