@@ -2384,6 +2384,18 @@ object SparkEntry {
     "q148_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(Sources.table(s, dir, "embeddings"), 8, 4)
         .orderBy("vec_id")),
+    // Cluster-balanced diversity sampling (X123, round-12): the
+    // Tirumala et al. 2023 selection recipe as a COMPOSITION of two
+    // judged operators — q148's k-means cells feed q40's
+    // deterministic per-stratum hash-rank cap (20 per cell), so the
+    // sample covers every region of embedding space instead of
+    // following corpus density. One plan: assignment projection →
+    // bounded longMinK heap per cell → broadcast semi join.
+    "q149_cluster_sample" -> ((s, dir) =>
+      Sampling.stratifiedCap(
+          Similarity.kmeansAssign(Sources.table(s, dir, "embeddings"), 8, 4),
+          "cell", "vec_id", 20, "div1")
+        .orderBy("vec_id")),
   )
 
   /** q144's rule-triggering injection texts — shared verbatim by the
@@ -3335,6 +3347,14 @@ object SparkEntry {
     "q148_kmeans_assign" ->
       (s"SELECT * FROM (${Similarity.kmeansAssignSql(
           "embeddings", 8, 4)}) ORDER BY vec_id"),
+    "q149_cluster_sample" -> {
+      val h = graft.functions.Hashing.h60Sql("'div1' || CAST(vec_id AS VARCHAR)")
+      s"""SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER
+         |    (PARTITION BY cell ORDER BY $h, vec_id) AS rn
+         |  FROM (${Similarity.kmeansAssignSql("embeddings", 8, 4)}))
+         |WHERE rn <= 20 ORDER BY vec_id""".stripMargin
+    },
     "q144_gopher_rules" -> {
       def sl(s: String): String = "'" + s.replace("'", "''") + "'"
       def layer(src: String, m: Int, exprTxt: String): String =
