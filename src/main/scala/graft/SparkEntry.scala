@@ -2396,6 +2396,32 @@ object SparkEntry {
           Similarity.kmeansAssign(Sources.table(s, dir, "embeddings"), 8, 4),
           "cell", "vec_id", 20, "div1")
         .orderBy("vec_id")),
+    // Product-quantization encode (X124, round-12): each vector
+    // compresses to m=4 codes from per-subspace ks=8 codebooks — the
+    // stored representation IVF-PQ search runs on. Training reuses
+    // the judged Lloyd loop per 16-dim slice; encode is ONE
+    // zero-shuffle literal-codebook projection. The oracle re-runs
+    // all four subspace chains as unrolled CTEs.
+    "q150_pq_codes" -> ((s, dir) =>
+      Similarity.pqEncode(Sources.table(s, dir, "embeddings"), 4, 8, 2, 64)
+        .orderBy("vec_id", "sub")),
+    // PQ distortion report (X125, round-12): per-subspace count +
+    // exact-integer sum of quantized reconstruction errors — the
+    // (m, ks) tuning metric. Quantize-then-sum (the gramMatrix rule)
+    // keeps the total order-free BIGINT arithmetic.
+    "q151_pq_distortion" -> ((s, dir) =>
+      Similarity.pqDistortion(Sources.table(s, dir, "embeddings"), 4, 8, 2, 64)
+        .orderBy("sub")),
+    // IVF-PQ ADC top-k (X126, round-12): coarse cells (kc=8) prune to
+    // nprobe=2, candidates scored by per-query integer lookup tables
+    // over the PQ codes — no float vector touched after encode. One
+    // corpus projection + broadcast LUT join + bounded SimTopK heap.
+    // The oracle replays coarse + 4 subspace chains, the probe
+    // ranking, the LUT relation, and the exact BIGINT ADC group-sum.
+    "q152_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Sources.table(s, dir, "embeddings"),
+          8, 5, 8, 4, 8, 2, 64, 2)
+        .orderBy("q_id", "rank")),
   )
 
   /** q144's rule-triggering injection texts — shared verbatim by the
@@ -3355,6 +3381,15 @@ object SparkEntry {
          |  FROM (${Similarity.kmeansAssignSql("embeddings", 8, 4)}))
          |WHERE rn <= 20 ORDER BY vec_id""".stripMargin
     },
+    "q150_pq_codes" ->
+      (s"SELECT * FROM (${Similarity.pqEncodeSql("embeddings", 4, 8, 2, 64)}) " +
+        "ORDER BY vec_id, sub"),
+    "q151_pq_distortion" ->
+      (s"SELECT * FROM (${Similarity.pqDistortionSql(
+          "embeddings", 4, 8, 2, 64)}) ORDER BY sub"),
+    "q152_ivfpq_topk" ->
+      (s"SELECT * FROM (${Similarity.ivfPqTopKSql(
+          "embeddings", 8, 5, 8, 4, 8, 2, 64, 2)}) ORDER BY q_id, rank"),
     "q144_gopher_rules" -> {
       def sl(s: String): String = "'" + s.replace("'", "''") + "'"
       def layer(src: String, m: Int, exprTxt: String): String =

@@ -1244,15 +1244,24 @@ object Similarity {
    *  array in the projection; argmin with ties to the lower c_id via
    *  lexicographic least(struct(score, c_id)). Zero shuffle. */
   private def assignByLiterals(e: DataFrame,
-      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    e.withColumn("cell", nearestCodeExpr(col("v"), cents))
+
+  /** The argmin-centroid id for an arbitrary vector EXPRESSION — the
+   *  one nearest-code kernel behind [[assignByLiterals]] (full
+   *  vectors) and the product-quantization encoders (subspace
+   *  slices): score = −2·⟨v,c⟩ + ‖c‖² (the ‖v‖²-free L2 argmin),
+   *  ties to the lower c_id via lexicographic least(struct). */
+  private def nearestCodeExpr(vExpr: Column,
+      cents: Seq[(Long, Seq[Double])]): Column = {
     val scored = cents.map { case (cid, cv) =>
       val cvArr = array(cv.map(lit): _*)
       struct(
-        (graft.functions.VectorExpressions.dot(col("v"), cvArr) * lit(-2.0)
+        (graft.functions.VectorExpressions.dot(vExpr, cvArr) * lit(-2.0)
           + lit(dotLocal(cv, cv))).as("score"),
         lit(cid).as("c_id"))
     }
-    e.withColumn("cell", least(scored: _*).getField("c_id"))
+    least(scored: _*).getField("c_id")
   }
 
   /** Trained-codebook summary query: per-cell member count and
@@ -1284,33 +1293,46 @@ object Similarity {
    *  [[kmeansAssignSql]], mirroring [[lloydIterate]] being the one
    *  Scala path: an update-rule change can never drift the two
    *  judged k-means rows apart. */
-  private def lloydChainSql(table: String, k: Int, iters: Int): String = {
+  private def lloydChainSql(table: String, k: Int, iters: Int): String =
+    lloydChainSqlOn(s"SELECT vec_id, v FROM (${preparedSql(table)})",
+      k, iters, "")
+
+  /** [[lloydChainSql]] generalized to an arbitrary (vec_id, v) base
+   *  query and a CTE-name prefix, so several independent chains can
+   *  coexist in ONE oracle statement — the product-quantization twins
+   *  run one chain per subspace (prefix `s<j>_`) plus a coarse chain,
+   *  all over slices of the same base projection. Prefix "" keeps the
+   *  historical q43/q148 chain semantics unchanged (the assignment
+   *  subquery now aliases the prefixed base CTE as `e`, so every
+   *  inner reference reads identically at any prefix). */
+  private def lloydChainSqlOn(baseSql: String, k: Int, iters: Int,
+      p: String): String = {
     def assignSql(cents: String, out: String): String =
       s"""$out AS (SELECT vec_id, v, c_id FROM (
          |  SELECT e.vec_id, e.v, c.c_id,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |      (${dotSql("e.v", "c.cv")}) * -2.0 + c.cn2 ASC, c.c_id) AS r
-         |  FROM e CROSS JOIN
+         |  FROM ${p}e e CROSS JOIN
          |    (SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2 FROM $cents) c
          |) WHERE r = 1)""".stripMargin
     val iterCtes = (0 until iters).map { i =>
-      s"""${assignSql(s"c$i", s"a$i")},
-         |m$i AS (SELECT c_id, pos,
+      s"""${assignSql(s"${p}c$i", s"${p}a$i")},
+         |${p}m$i AS (SELECT c_id, pos,
          |          (CAST(sum(CAST(floor(x * 1073741824.0 + 0.5) AS BIGINT))
          |                AS DOUBLE)
          |           / CAST(count(*) AS DOUBLE)) / 1073741824.0 AS m
          |        FROM (SELECT c_id, generate_subscripts(v, 1) AS pos,
-         |                unnest(v) AS x FROM a$i)
+         |                unnest(v) AS x FROM ${p}a$i)
          |        GROUP BY c_id, pos),
-         |c${i + 1} AS (SELECT c.c_id, COALESCE(mm.cv, c.cv) AS cv
-         |        FROM c$i c LEFT JOIN (SELECT c_id, list(m ORDER BY pos) AS cv
-         |                              FROM m$i GROUP BY c_id) mm
+         |${p}c${i + 1} AS (SELECT c.c_id, COALESCE(mm.cv, c.cv) AS cv
+         |        FROM ${p}c$i c LEFT JOIN (SELECT c_id, list(m ORDER BY pos) AS cv
+         |                              FROM ${p}m$i GROUP BY c_id) mm
          |          ON c.c_id = mm.c_id)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, v FROM (${preparedSql(table)})),
-       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $k),
+    s"""${p}e AS ($baseSql),
+       |${p}c0 AS (SELECT vec_id AS c_id, v AS cv FROM ${p}e WHERE vec_id < $k),
        |$iterCtes,
-       |${assignSql(s"c$iters", "afin")}""".stripMargin
+       |${assignSql(s"${p}c$iters", s"${p}afin")}""".stripMargin
   }
 
   /** Per-vector cluster assignment under the SAME trained codebook
@@ -2120,6 +2142,269 @@ object Similarity {
        |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
        |  FROM scored
        |) WHERE rank <= $k""".stripMargin
+
+  // ------------------------------------------- product quantization
+
+  /** 1-based subspace slice: subspace `j` of `m` over `dim` covers
+   *  positions [j·d+1, (j+1)·d], d = dim/m (`m` must divide `dim` —
+   *  the standard PQ layout, Jégou et al. 2011 §III). */
+  private def subSliceExpr(j: Int, m: Int, dim: Int): Column = {
+    val d = dim / m
+    expr(s"slice(v, ${j * d + 1}, $d)")
+  }
+
+  /** Per-subspace PQ codebooks: subspace `j`'s codebook is k-means
+   *  over the corpus' j-th vector slices under the SAME deterministic
+   *  Lloyd contract q43/q148 judge (k-lowest-vec_id init, fixed-point
+   *  quantized order-free means, lower-c_id ties, empty cells
+   *  inherit) — [[lloydIterate]] is the one training loop in this
+   *  module, so a PQ codebook can never drift from the judged
+   *  k-means rows. Driver-side list of m codebooks, each ks entries
+   *  of d doubles: m·ks·d values — trivially literal-embeddable. */
+  private[graft] def pqCodebooks(emb: DataFrame, m: Int, ks: Int,
+      iters: Int, dim: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    (0 until m).map { j =>
+      val e = prepared(emb)
+        .select(col("vec_id"), subSliceExpr(j, m, dim).as("v"))
+      lloydIterate(e, initCentroids(e, ks), iters, assignByLiterals)
+    }
+  }
+
+  /** Product-quantization encode (X124): each vector compresses to m
+   *  small codes — the corpus representation IVF-PQ search and
+   *  SemDeDup-at-scale actually store (64 float32 dims → 4 bytes at
+   *  m=4, ks≤256: a 64× reduction). Output long-format
+   *  (vec_id, sub, code) — schema-stable in both engines at any m.
+   *
+   *  Shape at 100 TB: training is the driver-side codebook fold over
+   *  m small Lloyd chains (on a real deployment, over a bounded
+   *  sample); ENCODE — the part that touches every row — is ONE
+   *  narrow zero-shuffle projection whose m argmins are literal
+   *  centroid arrays (the q43 codebook pattern), then a width-m
+   *  posexplode. No join, no shuffle, no per-row state. */
+  def pqEncode(emb: DataFrame, m: Int, ks: Int, iters: Int,
+      dim: Int): DataFrame = {
+    val books = pqCodebooks(emb, m, ks, iters, dim)
+    val e = prepared(emb).select(col("vec_id"), col("v"))
+    val codeCols = (0 until m).map(j =>
+      nearestCodeExpr(subSliceExpr(j, m, dim), books(j)))
+    e.select(col("vec_id"), posexplode(array(codeCols: _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("sub"),
+        col("col").as("code"))
+  }
+
+  /** DuckDB oracle twin of [[pqEncode]] — m independent Lloyd CTE
+   *  chains over the slices (the SAME [[lloydChainSqlOn]] builder as
+   *  q43's oracle), final assignments unioned into long format. */
+  def pqEncodeSql(table: String, m: Int, ks: Int, iters: Int,
+      dim: Int): String = {
+    val sel = (0 until m).map(j =>
+      s"SELECT vec_id, CAST($j AS BIGINT) AS sub, " +
+        s"CAST(c_id AS BIGINT) AS code FROM s${j}_afin")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${pqChainsSql(table, m, ks, iters, dim)}\n$sel"
+  }
+
+  /** The shared PQ oracle preamble: the double-cast base projection
+   *  `gb` plus one prefixed Lloyd chain per subspace (`s<j>_…`). */
+  private def pqChainsSql(table: String, m: Int, ks: Int, iters: Int,
+      dim: Int): String = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val d = dim / m
+    val chains = (0 until m).map { j =>
+      lloydChainSqlOn(
+        s"SELECT vec_id, v[${j * d + 1}:${(j + 1) * d}] AS v FROM gb",
+        ks, iters, s"s${j}_")
+    }.mkString(",\n")
+    s"""gb AS (SELECT vec_id, $toDoubleSql AS v FROM $table),
+       |$chains""".stripMargin
+  }
+
+  /** The argmin struct of [[nearestCodeExpr]] extended with the
+   *  quantized reconstruction error of each candidate centroid —
+   *  err = ⟨v−c, v−c⟩ folded ascending (bit-identical to the oracle's
+   *  list_reduce), quantized ⌊err·2³⁰+½⌋ exact-integer. The third
+   *  field never participates in the comparison (c_id is unique), so
+   *  the CHOSEN code is exactly [[nearestCodeExpr]]'s. */
+  private def codeErrExpr(vExpr: Column,
+      cents: Seq[(Long, Seq[Double])]): Column = {
+    val scored = cents.map { case (cid, cv) =>
+      val cvArr = array(cv.map(lit): _*)
+      val w = zip_with(vExpr, cvArr, (a, b) => a - b)
+      struct(
+        (graft.functions.VectorExpressions.dot(vExpr, cvArr) * lit(-2.0)
+          + lit(dotLocal(cv, cv))).as("score"),
+        lit(cid).as("c_id"),
+        floor(graft.functions.VectorExpressions.dot(w, w)
+          * lit(1073741824.0) + lit(0.5)).cast("long").as("errq"))
+    }
+    least(scored: _*)
+  }
+
+  /** PQ distortion report (X125): per-subspace vector count and the
+   *  exact-integer sum of quantized reconstruction errors — the
+   *  metric a PQ deployment tunes (m, ks) by before committing a
+   *  100 TB re-encode. Quantizing each row's ‖v_j − c‖² to
+   *  ⌊err·2³⁰+½⌋ BEFORE summing makes the total order-free exact
+   *  BIGINT arithmetic (the gramMatrix rule) — partitioning-
+   *  independent and engine-identical, where a double Σ would hash
+   *  differently under every shuffle schedule. One zero-shuffle
+   *  encode projection + one m-row map-side-combined aggregate.
+   *  Headroom: unit-normalized corpus ⇒ err ≤ 4 per subspace ⇒
+   *  row terms ≤ 2³², safe to ~2³⁰ rows per sub. Output
+   *  (sub, n_vecs, errq). */
+  def pqDistortion(emb: DataFrame, m: Int, ks: Int, iters: Int,
+      dim: Int): DataFrame = {
+    val books = pqCodebooks(emb, m, ks, iters, dim)
+    val e = prepared(emb).select(col("vec_id"), col("v"))
+    val errCols = (0 until m).map(j =>
+      codeErrExpr(subSliceExpr(j, m, dim), books(j)).getField("errq"))
+    e.select(posexplode(array(errCols: _*)))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("col")).as("errq"))
+      .select(col("pos").cast("long").as("sub"), col("n_vecs"),
+        col("errq"))
+  }
+
+  /** DuckDB oracle twin of [[pqDistortion]]: each subspace's final
+   *  assignment joined back to its codebook, the error folded over
+   *  the explicit difference list in the same ascending order. */
+  def pqDistortionSql(table: String, m: Int, ks: Int, iters: Int,
+      dim: Int): String = {
+    val perSub = (0 until m).map { j =>
+      s"""SELECT CAST($j AS BIGINT) AS sub,
+         |  CAST(floor((${dotSql("w", "w")}) * 1073741824.0 + 0.5)
+         |    AS BIGINT) AS eq
+         |FROM (SELECT list_transform(range(1, length(a.v) + 1),
+         |        i -> a.v[i] - c.cv[i]) AS w
+         |      FROM s${j}_afin a JOIN s${j}_c$iters c
+         |        ON a.c_id = c.c_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${pqChainsSql(table, m, ks, iters, dim)}
+       |SELECT sub, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(sum(eq) AS BIGINT) AS errq
+       |FROM ($perSub) GROUP BY sub""".stripMargin
+  }
+
+  /** IVF-PQ top-k search with asymmetric-distance scoring (X126) —
+   *  the architecture a 100 TB ANN deployment actually runs (Jégou
+   *  et al. 2011; the FAISS IVFPQ shape): a coarse k-means quantizer
+   *  partitions the corpus into kc cells; each vector is stored as
+   *  its cell id + m PQ codes; a query probes only its `nprobe`
+   *  nearest cells and scores candidates WITHOUT touching any float
+   *  vector — adc(q, x) = Σ_j lut_q[j][code_j(x)], the per-query
+   *  lookup table of quantized subspace inner products
+   *  ⌊⟨q_j, c⟩·2³⁰+½⌋. Integer LUT entries make the m-way sum exact
+   *  and order-free, so the ranking (adc DESC, ties to lower n_id)
+   *  is deterministic and engine-identical — recall is reproducible,
+   *  not seed- or fold-order-dependent. Inner-product flavor: the
+   *  corpus is unit-normalized, so IP ≈ cosine up to the neighbor's
+   *  reconstruction norm (approximate BY DESIGN; nprobe and (m, ks)
+   *  are the recall knobs — q145's recall row is the measurement
+   *  pattern).
+   *
+   *  Shape at 100 TB: training + LUTs are driver-side folds over
+   *  bounded collections (kc + m·ks centroids, nQueries query rows);
+   *  the corpus pass is ONE zero-shuffle projection emitting
+   *  (cell, code_0..code_{m−1}) — at rest this is the 64×-compressed
+   *  table [[pqEncode]] materializes — then a BROADCAST join against
+   *  the nQueries-row probe/LUT frame whose predicate
+   *  `array_contains(probed, cell)` prunes to the probed cells, a
+   *  width-m integer add chain, and the bounded SimTopK heap (k rows
+   *  per query per map task on the exchange). No shuffle touches
+   *  corpus-sized data. Output (q_id, n_id, rank, adc). */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int, kc: Int,
+      m: Int, ks: Int, iters: Int, dim: Int, nprobe: Int): DataFrame = {
+    require(nQueries >= 1 && k >= 1 && nprobe >= 1,
+      s"nQueries/k/nprobe must be >= 1, got $nQueries/$k/$nprobe")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = prepared(emb).select(col("vec_id"), col("v"))
+    val coarse = lloydIterate(e, initCentroids(e, kc), iters,
+      assignByLiterals)
+    val books = pqCodebooks(emb, m, ks, iters, dim)
+    val d = dim / m
+    val codeCols = (0 until m).map(j =>
+      nearestCodeExpr(subSliceExpr(j, m, dim), books(j)).as(s"code$j"))
+    val enc = e.select(col("vec_id")
+      +: nearestCodeExpr(col("v"), coarse).as("cell") +: codeCols: _*)
+    // driver-side probe lists + ADC LUTs, keyed by code (never by
+    // array position — codebook ids are vec_ids, not ordinals)
+    val qRows = e.filter(col("vec_id") < nQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+      .map { case (qid, qv) =>
+        val probed = coarse
+          .map { case (cid, cv) =>
+            (dotLocal(qv, cv) * -2.0 + dotLocal(cv, cv), cid) }
+          .sortBy(identity).take(nprobe).map(_._2)
+        val lut: Seq[Map[Long, Long]] = (0 until m).map { j =>
+          val qj = qv.slice(j * d, (j + 1) * d)
+          books(j).map { case (cid, cv) =>
+            cid -> math.floor(dotLocal(qj, cv) * 1073741824.0 + 0.5)
+              .toLong
+          }.toMap
+        }
+        (qid, probed, lut)
+      }.toDF("q_id", "probed", "lut")
+    val scored = enc.join(broadcast(qRows),
+        array_contains(col("probed"), col("cell"))
+          && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (0 until m).map(j =>
+            element_at(element_at(col("lut"), j + 1), col(s"code$j")))
+          .reduce(_ + _).cast("double").as("sim"))
+    topKPerQuery(scored, k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        col("sim").cast("long").as("adc"))
+  }
+
+  /** DuckDB oracle twin of [[ivfPqTopK]] — the full chain replayed:
+   *  coarse + m subspace Lloyd chains ([[lloydChainSqlOn]]), the
+   *  probe ranking, the quantized LUT as a (q_id, sub, code, w)
+   *  relation, ADC as an exact BIGINT group-sum, row_number rank. */
+  def ivfPqTopKSql(table: String, nQueries: Int, k: Int, kc: Int,
+      m: Int, ks: Int, iters: Int, dim: Int, nprobe: Int): String = {
+    val d = dim / m
+    val qvSubs = (0 until m).map(j =>
+      s"v[${j * d + 1}:${(j + 1) * d}] AS qv$j").mkString(", ")
+    val lutSel = (0 until m).map(j =>
+      s"""SELECT q_id, $j AS sub, c.c_id AS code,
+         |  CAST(floor((${dotSql(s"qv$j", "c.cv")}) * 1073741824.0 + 0.5)
+         |    AS BIGINT) AS w
+         |FROM q CROSS JOIN s${j}_c$iters c""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    val encSel = (0 until m).map(j =>
+      s"SELECT vec_id, $j AS sub, c_id AS code FROM s${j}_afin")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${pqChainsSql(table, m, ks, iters, dim)},
+       |${lloydChainSqlOn("SELECT vec_id, v FROM gb", kc, iters, "cg_")},
+       |q AS (SELECT vec_id AS q_id, v AS qv, $qvSubs FROM gb
+       |      WHERE vec_id < $nQueries),
+       |qc AS (SELECT q_id, c_id AS cell FROM (
+       |  SELECT q.q_id, c.c_id, row_number() OVER (PARTITION BY q.q_id
+       |    ORDER BY (${dotSql("q.qv", "c.cv")}) * -2.0 + c.cn2 ASC,
+       |      c.c_id) AS r
+       |  FROM q CROSS JOIN (SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2
+       |                     FROM cg_c$iters) c
+       |) WHERE r <= $nprobe),
+       |lut AS ($lutSel),
+       |enc AS ($encSel),
+       |cells AS (SELECT vec_id, c_id AS cell FROM cg_afin),
+       |scored AS (
+       |  SELECT l.q_id, e.vec_id AS n_id, CAST(sum(l.w) AS BIGINT) AS adc
+       |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+       |  JOIN cells ce ON ce.vec_id = e.vec_id
+       |  JOIN qc ON qc.q_id = l.q_id AND qc.cell = ce.cell
+       |  WHERE e.vec_id <> l.q_id
+       |  GROUP BY l.q_id, e.vec_id)
+       |SELECT q_id, n_id, rank, adc FROM (
+       |  SELECT q_id, n_id, adc, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY adc DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k""".stripMargin
+  }
 
   // ------------------------------------------------ gram / covariance
 

@@ -122,7 +122,11 @@ class PlanAuditSpec extends SparkTestBase {
       // q143's lexical channel and q145's exact arm fan the BOUNDED
       // broadcast query set across one corpus scan — the judged q19
       // shape (their other arms join hash keys: bucket/fusion)
-      "q143_hybrid_rrf", "q145_ann_recall")
+      "q143_hybrid_rrf", "q145_ann_recall",
+      // q152 joins the encoded corpus to the BOUNDED broadcast
+      // probe/LUT frame on array_contains(probed, cell) — a non-equi
+      // predicate by design (nprobe cells per query), same q19 shape
+      "q152_ivfpq_topk")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = executed(name).toString
       assert(!plan.contains("CartesianProduct"), s"$name planned a cartesian join")

@@ -1,0 +1,204 @@
+package graft
+
+import graft.operators.Similarity
+
+/** Product-quantization contracts (X124–X126):
+ *   - pqEncode ≡ an INDEPENDENT plain-Scala replay of the documented
+ *     Lloyd contract (k-lowest-id init, fixed-point quantized means,
+ *     lower-c_id ties, empty-cell inheritance) applied per subspace;
+ *   - the m=1 slice is EXACTLY kmeansAssign — one degenerate subspace
+ *     is the judged q43/q148 codebook, so the PQ path can never drift
+ *     from the k-means rows it reuses;
+ *   - distortion is analytically ZERO when every vector is its own
+ *     centroid (the fixed-point mean of a singleton cell dequantizes
+ *     within 2⁻³¹ per dim — under the ⌊err·2³⁰+½⌋ quantum), and
+ *     otherwise ≡ the reference's quantize-then-sum integers;
+ *   - ivfPqTopK ≡ an independent replay of probe → LUT → integer ADC
+ *     → (adc DESC, n_id) rank, and probing ALL cells equals the
+ *     unpruned PQ-ADC brute ranking. */
+class PqSpec extends SparkTestBase {
+
+  private val dim = 16
+
+  private def vec(id: Long, salt: Int): Seq[Float] =
+    (0 until dim).map { d =>
+      val h = scala.util.hashing.MurmurHash3
+        .productHash((id, d, salt)) & 0xffff
+      (h.toFloat / 65536.0f) * 2.0f - 1.0f
+    }
+
+  private def embDF(rows: Seq[(Long, Seq[Float], Int)]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  private def corpus(n: Int, salt: Int): Map[Long, Seq[Double]] =
+    (0L until n.toLong).map(i => i -> vec(i, salt).map(_.toDouble)).toMap
+
+  private def corpusDF(vs: Map[Long, Seq[Double]]) =
+    embDF(vs.toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toFloat), 0) })
+
+  // ---------------------------------------------- independent reference
+
+  private def dot(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def q30(x: Double): Long =
+    math.floor(x * 1073741824.0 + 0.5).toLong
+
+  private def nearest(v: Seq[Double],
+      cents: Seq[(Long, Seq[Double])]): Long =
+    cents.map { case (cid, cv) =>
+      (dot(v, cv) * -2.0 + dot(cv, cv), cid) }.minBy(identity)._2
+
+  /** The documented Lloyd contract, re-implemented from the prose —
+   *  no shared code with Similarity. */
+  private def refLloyd(vs: Map[Long, Seq[Double]], k: Int,
+      iters: Int): Seq[(Long, Seq[Double])] = {
+    var cents = vs.filter(_._1 < k).toSeq.sortBy(_._1)
+    for (_ <- 0 until iters) {
+      val byCell = vs.toSeq.map { case (_, v) => (nearest(v, cents), v) }
+        .groupBy(_._1).map { case (cid, xs) =>
+          val d = xs.head._2.length
+          cid -> (0 until d).map { p =>
+            val sq = xs.map(x => q30(x._2(p))).sum
+            (sq.toDouble / xs.size.toDouble) / 1073741824.0
+          }
+        }
+      cents = cents.map { case (cid, cv) => (cid, byCell.getOrElse(cid, cv)) }
+    }
+    cents
+  }
+
+  private def slices(v: Seq[Double], m: Int): Seq[Seq[Double]] = {
+    val d = v.length / m
+    (0 until m).map(j => v.slice(j * d, (j + 1) * d))
+  }
+
+  private def refBooks(vs: Map[Long, Seq[Double]], m: Int, ks: Int,
+      iters: Int): Seq[Seq[(Long, Seq[Double])]] =
+    (0 until m).map { j =>
+      refLloyd(vs.map { case (id, v) => id -> slices(v, m)(j) }, ks, iters)
+    }
+
+  private def refCodes(vs: Map[Long, Seq[Double]], m: Int, ks: Int,
+      iters: Int): Map[(Long, Long), Long] = {
+    val books = refBooks(vs, m, ks, iters)
+    vs.flatMap { case (id, v) =>
+      slices(v, m).zipWithIndex.map { case (vj, j) =>
+        (id, j.toLong) -> nearest(vj, books(j))
+      }
+    }
+  }
+
+  // ----------------------------------------------------------- encode
+
+  test("pqEncode ≡ independent per-subspace Lloyd reference") {
+    val vs = corpus(60, 3)
+    val got = Similarity.pqEncode(corpusDF(vs), 4, 4, 2, dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size === 60 * 4)
+    assert(got === refCodes(vs, 4, 4, 2))
+  }
+
+  test("pqEncode m=1 is EXACTLY kmeansAssign — the degenerate subspace is q43's codebook") {
+    val vs = corpus(50, 5)
+    val codes = Similarity.pqEncode(corpusDF(vs), 1, 5, 3, dim).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val cells = Similarity.kmeansAssign(corpusDF(vs), 5, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes === cells)
+  }
+
+  // ------------------------------------------------------- distortion
+
+  test("pqDistortion ≡ reference quantize-then-sum; zero when every vector is a centroid") {
+    val vs = corpus(40, 7)
+    val m = 4; val ks = 4; val iters = 2
+    val books = refBooks(vs, m, ks, iters)
+    val want = (0 until m).map { j =>
+      val errs = vs.values.map { v =>
+        val vj = slices(v, m)(j)
+        val cv = books(j).find(_._1 == nearest(vj, books(j))).get._2
+        val w = vj.zip(cv).map { case (a, b) => a - b }
+        q30(dot(w, w))
+      }
+      (j.toLong, errs.size.toLong, errs.sum)
+    }
+    val got = Similarity.pqDistortion(corpusDF(vs), m, ks, iters, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got === want)
+    // singleton cells: the fixed-point mean dequantizes within 2⁻³¹
+    // per dim — err·2³⁰ < ½ everywhere, so the report is exactly 0
+    val tiny = corpus(6, 9)
+    val zero = Similarity.pqDistortion(corpusDF(tiny), 2, 6, 1, dim)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(zero.toSeq === Seq.fill(2)((6L, 0L)))
+  }
+
+  // ----------------------------------------------------------- IVF-PQ
+
+  private def refIvfPq(vs: Map[Long, Seq[Double]], nQueries: Int, k: Int,
+      kc: Int, m: Int, ks: Int, iters: Int,
+      nprobe: Int): Seq[(Long, Long, Long, Long)] = {
+    val coarse = refLloyd(vs, kc, iters)
+    val books = refBooks(vs, m, ks, iters)
+    val codes = refCodes(vs, m, ks, iters)
+    val cells = vs.map { case (id, v) => id -> nearest(v, coarse) }
+    vs.keys.filter(_ < nQueries).toSeq.sorted.flatMap { qid =>
+      val qv = vs(qid)
+      val probed = coarse.map { case (cid, cv) =>
+        (dot(qv, cv) * -2.0 + dot(cv, cv), cid) }
+        .sorted.take(nprobe).map(_._2).toSet
+      val lut = slices(qv, m).zipWithIndex.map { case (qj, j) =>
+        books(j).map { case (cid, cv) => cid -> q30(dot(qj, cv)) }.toMap
+      }
+      val scored = vs.keys
+        .filter(id => id != qid && probed(cells(id))).toSeq
+        .map { id =>
+          (id, (0 until m).map(j => lut(j)(codes((id, j.toLong)))).sum)
+        }
+      scored.sortBy { case (id, adc) => (-adc, id) }.take(k)
+        .zipWithIndex.map { case ((id, adc), r) =>
+          (qid, id, (r + 1).toLong, adc) }
+    }
+  }
+
+  test("ivfPqTopK ≡ independent probe→LUT→integer-ADC→rank replay") {
+    val vs = corpus(80, 11)
+    val got = Similarity.ivfPqTopK(corpusDF(vs), 3, 4, 4, 4, 4, 2, dim, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(got === refIvfPq(vs, 3, 4, 4, 4, 4, 2, 2))
+    // pruning is real: fewer candidates reachable than the corpus
+    assert(got.nonEmpty && got.size <= 3 * 4)
+  }
+
+  test("ivfPqTopK probing ALL cells ≡ the unpruned PQ-ADC brute ranking") {
+    val vs = corpus(48, 13)
+    val kc = 3
+    val got = Similarity.ivfPqTopK(corpusDF(vs), 2, 5, kc, 4, 4, 2, dim, kc)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    // reference with every cell probed = no coarse filter at all
+    val books = refBooks(vs, 4, 4, 2)
+    val codes = refCodes(vs, 4, 4, 2)
+    val want = vs.keys.filter(_ < 2).toSeq.sorted.flatMap { qid =>
+      val lut = slices(vs(qid), 4).zipWithIndex.map { case (qj, j) =>
+        books(j).map { case (cid, cv) => cid -> q30(dot(qj, cv)) }.toMap
+      }
+      vs.keys.filter(_ != qid).toSeq
+        .map(id => (id, (0 until 4).map(j => lut(j)(codes((id, j.toLong)))).sum))
+        .sortBy { case (id, adc) => (-adc, id) }.take(5)
+        .zipWithIndex.map { case ((id, adc), r) => (qid, id, (r + 1).toLong, adc) }
+    }
+    assert(got === want)
+  }
+}
