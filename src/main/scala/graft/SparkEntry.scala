@@ -2422,6 +2422,15 @@ object SparkEntry {
       Similarity.ivfPqTopK(Sources.table(s, dir, "embeddings"),
           8, 5, 8, 4, 8, 2, 64, 2)
         .orderBy("q_id", "rank")),
+    // IVF-PQ + exact re-rank (X127, round-12): the full production
+    // retrieval stack — q152's integer-ADC pass generates k·4
+    // candidates from the compressed codes, full-precision cosine
+    // re-scores ONLY those (the q90 second stage). rerank/nprobe are
+    // the recall knobs; candidate cuts are integer-deterministic.
+    "q153_ivfpq_rerank" -> ((s, dir) =>
+      Similarity.ivfPqRerank(Sources.table(s, dir, "embeddings"),
+          8, 5, 8, 4, 8, 2, 64, 2, 4)
+        .orderBy("q_id", "rank")),
   )
 
   /** q144's rule-triggering injection texts — shared verbatim by the
@@ -3390,6 +3399,9 @@ object SparkEntry {
     "q152_ivfpq_topk" ->
       (s"SELECT * FROM (${Similarity.ivfPqTopKSql(
           "embeddings", 8, 5, 8, 4, 8, 2, 64, 2)}) ORDER BY q_id, rank"),
+    "q153_ivfpq_rerank" ->
+      (s"SELECT * FROM (${Similarity.ivfPqRerankSql(
+          "embeddings", 8, 5, 8, 4, 8, 2, 64, 2, 4)}) ORDER BY q_id, rank"),
     "q144_gopher_rules" -> {
       def sl(s: String): String = "'" + s.replace("'", "''") + "'"
       def layer(src: String, m: Int, exprTxt: String): String =

@@ -2406,6 +2406,55 @@ object Similarity {
        |) WHERE rank <= $k""".stripMargin
   }
 
+  /** IVF-PQ search with exact re-rank (X127) — the full production
+   *  retrieval stack: [[ivfPqTopK]]'s integer-ADC pass generates
+   *  k·`rerank` candidates per query from the compressed codes, then
+   *  ONLY those candidates are re-scored in full-precision cosine
+   *  (the [[sq8TopK]] second stage verbatim). At 100 TB the scan that
+   *  touches every row reads m bytes per vector; float vectors are
+   *  fetched for ≤ k·rerank·nQueries rows total — a broadcast id
+   *  join (a filter, no row multiplication). `rerank` and `nprobe`
+   *  are the recall knobs; the candidate cut is deterministic
+   *  (integer ADC, ties to lower id), so recall is reproducible. */
+  def ivfPqRerank(emb: DataFrame, nQueries: Int, k: Int, kc: Int,
+      m: Int, ks: Int, iters: Int, dim: Int, nprobe: Int,
+      rerank: Int = 4): DataFrame = {
+    val cand = ivfPqTopK(emb, nQueries, k * rerank, kc, m, ks, iters,
+        dim, nprobe)
+      .select(col("q_id"), col("n_id"))
+    val e = prepared(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid2"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = e.join(broadcast(cand), e("vec_id") === cand("n_id"))
+      .join(broadcast(q), col("q_id") === col("qid2"))
+      .select(col("q_id"), col("n_id"),
+        (dotExpr("qv", "v") / (col("qn") * col("nrm"))).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** DuckDB oracle twin of [[ivfPqRerank]] — the ADC statement
+   *  nested as the candidate relation, the exact cosine re-rank and
+   *  row_number cut replayed (the sq8TopKSql second stage). */
+  def ivfPqRerankSql(table: String, nQueries: Int, k: Int, kc: Int,
+      m: Int, ks: Int, iters: Int, dim: Int, nprobe: Int,
+      rerank: Int = 4): String =
+    s"""WITH cand AS (SELECT q_id, n_id FROM (
+       |  ${ivfPqTopKSql(table, nQueries, k * rerank, kc, m, ks, iters,
+            dim, nprobe)})),
+       |e AS (${preparedSql(table)}),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+       |      WHERE vec_id < $nQueries),
+       |scored AS (SELECT cand.q_id, cand.n_id,
+       |             ${dotSql("qv", "v")} / (qn * nrm) AS sim
+       |           FROM cand JOIN e ON e.vec_id = cand.n_id
+       |                JOIN q ON q.q_id = cand.q_id)
+       |SELECT * FROM (
+       |  SELECT q_id, n_id, sim, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k""".stripMargin
+
   // ------------------------------------------------ gram / covariance
 
   /** Distributed Gram matrix of the embedding corpus: the upper

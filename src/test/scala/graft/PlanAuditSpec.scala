@@ -125,8 +125,9 @@ class PlanAuditSpec extends SparkTestBase {
       "q143_hybrid_rrf", "q145_ann_recall",
       // q152 joins the encoded corpus to the BOUNDED broadcast
       // probe/LUT frame on array_contains(probed, cell) — a non-equi
-      // predicate by design (nprobe cells per query), same q19 shape
-      "q152_ivfpq_topk")
+      // predicate by design (nprobe cells per query), same q19 shape;
+      // q153 embeds that pass as its candidate generator
+      "q152_ivfpq_topk", "q153_ivfpq_rerank")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = executed(name).toString
       assert(!plan.contains("CartesianProduct"), s"$name planned a cartesian join")

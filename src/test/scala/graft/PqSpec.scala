@@ -180,6 +180,37 @@ class PqSpec extends SparkTestBase {
     assert(got.nonEmpty && got.size <= 3 * 4)
   }
 
+  test("ivfPqRerank ≡ reference ADC candidates re-scored in exact cosine") {
+    val vs = corpus(70, 17)
+    val (nq, k, kc, m, ks, iters, nprobe, rr) = (3, 3, 4, 4, 4, 2, 2, 3)
+    val got = Similarity.ivfPqRerank(corpusDF(vs), nq, k, kc, m, ks,
+        iters, dim, nprobe, rr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    def nrm(v: Seq[Double]) = math.sqrt(dot(v, v))
+    val want = refIvfPq(vs, nq, k * rr, kc, m, ks, iters, nprobe)
+      .groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qid, cands) =>
+        cands.map { case (_, id, _, _) =>
+          (id, dot(vs(qid), vs(id)) / (nrm(vs(qid)) * nrm(vs(id)))) }
+          .sortBy { case (id, sim) => (-sim, id) }.take(k)
+          .zipWithIndex.map { case ((id, _), r) => (qid, id, (r + 1).toLong) }
+      }
+    assert(got === want)
+  }
+
+  test("ivfPqRerank exhaustive limit (probe ALL, rerank ≥ n/k) ≡ knnBrute exactly") {
+    val vs = corpus(36, 19)
+    val kc = 3
+    val got = Similarity.ivfPqRerank(corpusDF(vs), 2, 4, kc, 4, 4, 2,
+        dim, kc, 9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    val brute = Similarity.knnBrute(corpusDF(vs), 2, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    assert(got === brute)
+  }
+
   test("ivfPqTopK probing ALL cells ≡ the unpruned PQ-ADC brute ranking") {
     val vs = corpus(48, 13)
     val kc = 3
