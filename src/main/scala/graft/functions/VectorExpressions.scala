@@ -73,11 +73,141 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * `PqArgmin(array<double>) → long` — nearest-centroid id over a
+ * LITERAL codebook, as one codegen'd LOOP instead of an unrolled
+ * `least(struct(...))` tree.
+ *
+ * Why: the literal-projection argmin (the q43 codebook pattern) is
+ * an expression TREE of size O(ks·d) — at the judged ks = 8 it
+ * whole-stage-codegens fine, but a production PQ codebook (ks = 256,
+ * the FAISS byte-code default) blows the generated method past
+ * janino's limits, the WHOLE projection falls back to interpreted
+ * eval, and every `slice` child re-evaluates per centroid — measured
+ * catastrophic on the ProbePq replicated corpus (the run that
+ * motivated this expression never finished its first ks = 256 row).
+ * This expression embeds the codebook as flat `double[]` REFERENCES
+ * (constant-folded once per task, never per row), subsumes the
+ * subspace slice as a base OFFSET into the full vector (zero array
+ * allocation), and emits two nested primitive loops — method size
+ * independent of ks.
+ *
+ * Semantics are BIT-IDENTICAL to the tree it replaces: score_c =
+ * (Σ_i v[off+i]·c[i]) · −2.0 + ‖c‖² with the dot accumulated in
+ * ascending index order (the [[DotProduct]] fold), centroids visited
+ * in ascending c_id order with a strict `<` improvement test — ties
+ * keep the LOWER c_id, exactly `least(struct(score, c_id))`. Short
+ * vectors take the slice-semantics prefix (n = min(d, len − off)).
+ */
+case class PqArgmin(child: Expression, centIds: Seq[Long],
+    centFlat: Seq[Double], d: Int, off: Int, emitRank: Boolean = false)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_argmin expects array<double>, got ${dt.simpleString}")
+    }
+
+  private lazy val ids: Array[Long] = centIds.toArray
+  private lazy val flat: Array[Double] = centFlat.toArray
+  private lazy val cn2: Array[Double] = {
+    val nc = ids.length
+    Array.tabulate(nc) { c =>
+      var s = 0.0; var i = 0
+      while (i < d) { s += flat(c * d + i) * flat(c * d + i); i += 1 }
+      s
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.max(0, math.min(d, v.numElements() - off))
+    var best = 0
+    var bestScore = Double.PositiveInfinity
+    var c = 0
+    while (c < ids.length) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getDouble(off + i) * flat(c * d + i); i += 1 }
+      val score = acc * -2.0 + cn2(c)
+      if (score < bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    if (emitRank) best.toLong else ids(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val idsRef = ctx.addReferenceObj("pqIds", ids, "long[]")
+      val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+      val cn2Ref = ctx.addReferenceObj("pqCn2", cn2, "double[]")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val score = ctx.freshName("score")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      s"""
+         |final int $n = java.lang.Math.max(0,
+         |  java.lang.Math.min($d, $v.numElements() - $off));
+         |int $best = 0;
+         |double $bestScore = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < ${ids.length}; $c++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $v.getDouble($off + $i) * $flatRef[$c * $d + $i];
+         |  }
+         |  final double $score = $acc * -2.0 + $cn2Ref[$c];
+         |  if ($score < $bestScore) { $bestScore = $score; $best = $c; }
+         |}
+         |${ev.value} = ${if (emitRank) s"(long) $best" else s"$idsRef[$best]"};
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqArgmin =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-DSL entry point for [[DotProduct]]. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-DSL entry point for [[PqArgmin]]: nearest-centroid id of
+   *  `v[off, off+d)` over `cents` (sorted by c_id internally). */
+  def pqArgmin(v: Column, off: Int,
+      cents: Seq[(Long, Seq[Double])]): Column =
+    pqArgminImpl(v, off, cents, emitRank = false)
+
+  /** [[pqArgmin]] emitting the centroid's RANK (its position in
+   *  ascending-c_id order, 0-based) instead of the id — the internal
+   *  form the IVF-PQ scorers use so ADC lookup tables can be
+   *  POSITIONAL arrays (`element_at(arr, rank+1)`, O(1)) instead of
+   *  maps (Spark's `MapData.element_at` is a LINEAR key scan — O(ks)
+   *  per lookup, measured to erase the ADC advantage at ks = 64).
+   *  rank↔id is a bijection over one codebook, so any score derived
+   *  through either keying is identical. */
+  def pqArgminRank(v: Column, off: Int,
+      cents: Seq[(Long, Seq[Double])]): Column =
+    pqArgminImpl(v, off, cents, emitRank = true)
+
+  private def pqArgminImpl(v: Column, off: Int,
+      cents: Seq[(Long, Seq[Double])], emitRank: Boolean): Column = {
+    val sorted = cents.sortBy(_._1)
+    val d = sorted.head._2.length
+    require(sorted.forall(_._2.length == d),
+      "pq_argmin centroids must share one dimension")
+    ColumnBridge.column(PqArgmin(ColumnBridge.expression(v),
+      sorted.map(_._1), sorted.flatMap(_._2), d, off, emitRank))
+  }
 }
 
 /**

@@ -123,11 +123,13 @@ class PlanAuditSpec extends SparkTestBase {
       // broadcast query set across one corpus scan — the judged q19
       // shape (their other arms join hash keys: bucket/fusion)
       "q143_hybrid_rrf", "q145_ann_recall",
-      // q152 joins the encoded corpus to the BOUNDED broadcast
-      // probe/LUT frame on array_contains(probed, cell) — a non-equi
-      // predicate by design (nprobe cells per query), same q19 shape;
-      // q153 embeds that pass as its candidate generator
-      "q152_ivfpq_topk", "q153_ivfpq_rerank")
+      // q152/q154/q155 join the encoded corpus (on-the-fly, residual,
+      // or stored codes) to the BOUNDED broadcast probe/LUT frame on
+      // array_contains(probed, cell) — a non-equi predicate by design
+      // (nprobe cells per query), same q19 shape; q153 embeds the
+      // q152 pass as its candidate generator
+      "q152_ivfpq_topk", "q153_ivfpq_rerank", "q154_ivfpq_residual",
+      "q155_ivfpq_indexed")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = executed(name).toString
       assert(!plan.contains("CartesianProduct"), s"$name planned a cartesian join")

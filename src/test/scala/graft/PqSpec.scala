@@ -211,6 +211,105 @@ class PqSpec extends SparkTestBase {
     assert(got === brute)
   }
 
+  // ------------------------------------------------- residual IVF-PQ
+
+  private def refIvfPqRes(vs: Map[Long, Seq[Double]], nQueries: Int,
+      k: Int, kc: Int, m: Int, ks: Int, iters: Int,
+      nprobe: Int): Seq[(Long, Long, Long, Long)] = {
+    val coarse = refLloyd(vs, kc, iters)
+    val cents = coarse.toMap
+    val cells = vs.map { case (id, v) => id -> nearest(v, coarse) }
+    val residuals = vs.map { case (id, v) =>
+      id -> v.zip(cents(cells(id))).map { case (a, b) => a - b } }
+    val books = refBooks(residuals, m, ks, iters)
+    val codes = residuals.flatMap { case (id, r) =>
+      slices(r, m).zipWithIndex.map { case (rj, j) =>
+        (id, j) -> nearest(rj, books(j)) }
+    }
+    vs.keys.filter(_ < nQueries).toSeq.sorted.flatMap { qid =>
+      val qv = vs(qid)
+      val probed = coarse.map { case (cid, cv) =>
+        (dot(qv, cv) * -2.0 + dot(cv, cv), cid) }
+        .sorted.take(nprobe).map(_._2).toSet
+      val wc = coarse.map { case (cid, cv) => cid -> q30(dot(qv, cv)) }.toMap
+      val lutr = slices(qv, m).zipWithIndex.map { case (qj, j) =>
+        books(j).map { case (cid, cv) => cid -> q30(dot(qj, cv)) }.toMap
+      }
+      vs.keys.filter(id => id != qid && probed(cells(id))).toSeq
+        .map { id =>
+          (id, wc(cells(id))
+            + (0 until m).map(j => lutr(j)(codes((id, j)))).sum)
+        }
+        .sortBy { case (id, adc) => (-adc, id) }.take(k)
+        .zipWithIndex.map { case ((id, adc), r) =>
+          (qid, id, (r + 1).toLong, adc) }
+    }
+  }
+
+  test("ivfPqResTopK ≡ independent residual-IVFADC replay") {
+    val vs = corpus(75, 23)
+    val got = Similarity.ivfPqResTopK(corpusDF(vs), 3, 4, 4, 4, 4, 2,
+        dim, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(got === refIvfPqRes(vs, 3, 4, 4, 4, 4, 2, 2))
+  }
+
+  test("residual codes beat raw-vector codes: lower reconstruction error on a clustered corpus") {
+    // tight clusters around far-apart centers: the residual (within-
+    // cluster displacement) has far lower variance than the vector,
+    // so residual codebooks reconstruct better — the reason IVFADC
+    // encodes residuals. Measured via each family's own ADC score
+    // error against the exact dot product, summed over query 0.
+    val centers = (0 until 3).map(c => vec(c * 100L + 57L, 29).map(_ * 3.0f))
+    val vs: Map[Long, Seq[Double]] = (0L until 60L).map { i =>
+      val c = centers((i % 3).toInt)
+      i -> c.zipWithIndex.map { case (x, d) =>
+        x + 0.05 * (((i * 17 + d * 3) % 9) - 4) }.map(_.toFloat.toDouble)
+    }.toMap
+    val (kc, m, ks, iters) = (3, 4, 4, 2)
+    def adcErr(rows: Seq[(Long, Long, Long, Long)]): Double = {
+      val exact = vs.map { case (id, v) => id -> dot(vs(0L), v) }
+      rows.filter(_._1 == 0L)
+        .map { case (_, id, _, adc) =>
+          math.abs(adc / 1073741824.0 - exact(id)) }.sum
+    }
+    val plain = Similarity.ivfPqTopK(corpusDF(vs), 1, 59, kc, m, ks,
+        iters, dim, kc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val resid = Similarity.ivfPqResTopK(corpusDF(vs), 1, 59, kc, m, ks,
+        iters, dim, kc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(plain.size === 59 && resid.size === 59)
+    assert(adcErr(resid) < adcErr(plain),
+      s"residual ADC error ${adcErr(resid)} not below plain ${adcErr(plain)}")
+  }
+
+  test("materialized PQ index ≡ the direct ivfPqTopK; foreign fingerprint rejected") {
+    import org.apache.spark.sql.functions.col
+    val vs = corpus(60, 31)
+    val df = corpusDF(vs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqix_spec")
+      .toString
+    Similarity.materializePqIndex(df, dir, 4, 4, 4, 2, dim, "fp1")
+    val q = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val got = Similarity.ivfPqTopKIndexed(spark, dir, q, 4, 2, Some("fp1"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    val direct = Similarity.ivfPqTopK(df, 3, 4, 4, 4, 4, 2, dim, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(got === direct,
+      "stored-codebook probe must equal the direct one-shot search")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(spark, dir, q, 4, 2, Some("other"))
+    }
+    assert(ex.getMessage.contains("fp1"))
+  }
+
   test("ivfPqTopK probing ALL cells ≡ the unpruned PQ-ADC brute ranking") {
     val vs = corpus(48, 13)
     val kc = 3
