@@ -334,7 +334,7 @@ object SparkEntry {
   private def sharedPqIndexDir(s: SparkSession, dir: String): String = {
     val fp = tableFingerprint(dir, "embeddings.parquet")
     val path = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_shared_pqix_v1_$fp")
+      s"${System.getProperty("java.io.tmpdir")}/graft_shared_pqix_v2_$fp")
     this.synchronized {
       if (!new java.io.File(path, "_DONE").exists()) {
         val tmp = new java.io.File(path.getParent,
@@ -2484,6 +2484,61 @@ object SparkEntry {
             .withColumn("batch", lit(2L)))
         .orderBy("batch", "q_id", "rank")
     }),
+    // Packed-sequence DOCUMENT-SPAN index (X130): for every q134
+    // fixed-length window, which documents occupy it and where —
+    // the frame a doc-masked attention build reads (tokens must not
+    // attend across the EOS into an unrelated packed neighbor). Same
+    // corpus slice, merges, window length and EOS id as q134, so the
+    // two artifacts describe ONE packing; spans never merge across a
+    // window boundary.
+    "q156_pack_doc_spans" -> ((s, dir) =>
+      graft.operators.Bpe.packDocSpans(
+          graft.operators.Bpe.encodeIds(
+            documents(s, dir).filter(col("doc_id") % 20 === 0),
+            "text", "doc_id", bpeMerges(s, dir, 16)),
+          "doc_id", 64, 0)
+        .orderBy("seq", "doc_id")),
+    // Appendable IVF-PQ index (X131): codebooks train ONCE on the
+    // base slice and FREEZE (the FAISS train/add contract); growth
+    // batches append as encode-only segments. The row probes the
+    // SAME ten queries between appends: probe 1 must see base+b1 and
+    // NOT the un-appended b2 rows (segment isolation), probe 2 sees
+    // everything — the oracle re-derives both visible-corpus states
+    // from the raw table with the train slice pinned.
+    "q157_ivfpq_append" -> ((s, dir) => {
+      val fp = tableFingerprint(dir, "embeddings.parquet")
+      val emb = Sources.table(s, dir, "embeddings")
+      val ix = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q157_pqix_${ProcessHandle.current().pid()}_$fp"
+      // the row MUTATES its index (two appends), so the scratch must
+      // be FRESH per invocation: a prior run's b1/b2 segments would
+      // both corrupt probe-1's visible-corpus contract and dangle
+      // pinned file listings across this run's own overwrites
+      val ixDir = new java.io.File(ix)
+      if (ixDir.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(ixDir)
+      Similarity.materializePqIndex(
+        emb.filter(col("vec_id") % 4 =!= 3), ix, 8, 4, 8, 2, 64, fp)
+      Similarity.appendToPqIndex(ix,
+        emb.filter(col("vec_id") % 8 === 3), "b1", Some(fp))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val p1 = Similarity.ivfPqTopKIndexed(s, ix, qs, 5, 2, Some(fp))
+        .withColumn("probe", lit(1L))
+      Similarity.appendToPqIndex(ix,
+        emb.filter(col("vec_id") % 8 === 7), "b2", Some(fp))
+      val p2 = Similarity.ivfPqTopKIndexed(s, ix, qs, 5, 2, Some(fp))
+        .withColumn("probe", lit(2L))
+      p1.unionAll(p2).orderBy("probe", "q_id", "rank")
+    }),
+    // JL random-projection prefilter (X132): r=8 Rademacher planes
+    // (the sign-LSH md5 constants), projected shortlist of 20, exact
+    // re-rank, recall@5 vs the q19 brute ground truth — the
+    // project→shortlist→re-rank stack measured the way a deployment
+    // tunes (r, shortlist).
+    "q158_rp_recall" -> ((s, dir) =>
+      Similarity.rpRecallAtK(Sources.table(s, dir, "embeddings"),
+        8, 5, 8, 64, 20).orderBy("q_id")),
   )
 
   /** q144's rule-triggering injection texts — shared verbatim by the
@@ -3467,6 +3522,22 @@ object SparkEntry {
         block(2, "vec_id >= 5 AND vec_id < 10") +
         " ORDER BY batch, q_id, rank"
     },
+    "q156_pack_doc_spans" ->
+      (s"SELECT * FROM (${graft.operators.Bpe.packDocSpansSql(
+          "documents", "text", "doc_id", 16, "doc_id % 20 = 0", 64, 0)}) " +
+        "ORDER BY seq, doc_id"),
+    "q157_ivfpq_append" -> {
+      def block(tag: Int, corpusFilter: String) =
+        s"SELECT CAST($tag AS BIGINT) AS probe, q_id, n_id, rank, adc " +
+          s"FROM (${Similarity.ivfPqAppendSql("embeddings",
+            "vec_id % 4 <> 3", corpusFilter, "vec_id < 10",
+            5, 8, 4, 8, 2, 64, 2)})"
+      block(1, "vec_id % 8 <> 7") + " UNION ALL " +
+        block(2, "TRUE") + " ORDER BY probe, q_id, rank"
+    },
+    "q158_rp_recall" ->
+      (s"SELECT * FROM (${Similarity.rpRecallAtKSql(
+          "embeddings", 8, 5, 8, 64, 20)}) ORDER BY q_id"),
     "q144_gopher_rules" -> {
       def sl(s: String): String = "'" + s.replace("'", "''") + "'"
       def layer(src: String, m: Int, exprTxt: String): String =

@@ -578,21 +578,10 @@ object Bpe {
    *  frame, and ONE map-side-combinable agg on the sequence key. */
   def packIdSequences(ids: DataFrame, idCol: String, seqLen: Int,
       eosId: Int): DataFrame = {
-    require(seqLen >= 2, s"seqLen must be >= 2, got $seqLen")
-    require(eosId >= 0 && eosId < 48,
-      s"eosId must sit below the [a-z0-9] code-point range, got $eosId")
-    val n = ids.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-      // each doc also contributes its EOS to every LATER offset
-      .withColumn("__np1", col("n") + lit(1L))
-    val off = Curation.withRunningTotal(n, idCol, "__np1", "off")
-    val toks = ids.join(off.select(col(idCol), col("off")), Seq(idCol))
-      .select((col("off") + col("pos")).as("gpos"), col("token_id"))
-    val eos = off.select((col("off") + col("n")).as("gpos"),
-      lit(eosId).cast("int").as("token_id"))
     // first/last ride a lexicographic struct min/max on the UNIQUE
     // gpos (min_by/max_by sporadically returned NULL under partial
     // aggregation here; the struct form is declarative and total)
-    toks.unionAll(eos)
+    eosJoinedStream(ids, idCol, seqLen, eosId)
       .groupBy(expr(s"gpos div $seqLen").as("seq"))
       .agg(count(lit(1)).as("n_tokens"),
         min(struct(col("gpos"), col("token_id")))
@@ -601,6 +590,85 @@ object Bpe {
           .getField("token_id").as("last_id"),
         expr(s"sum((gpos % $seqLen + 1) * token_id)").as("ids_hash"))
   }
+
+  /** The EOS-joined global token stream both packing artifacts fold:
+   *  documents concatenate in `idCol` order, an EOS id follows each
+   *  document, and every emitted id carries its GLOBAL position.
+   *  Returns (idCol, gpos, token_id) — the EOS row is attributed to
+   *  the document it terminates, the convention a doc-masked
+   *  attention span wants (the separator belongs to the finished
+   *  document, never to the next one). */
+  private def eosJoinedStream(ids: DataFrame, idCol: String,
+      seqLen: Int, eosId: Int): DataFrame = {
+    require(seqLen >= 2, s"seqLen must be >= 2, got $seqLen")
+    require(eosId >= 0 && eosId < 48,
+      s"eosId must sit below the [a-z0-9] code-point range, got $eosId")
+    val n = ids.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      // each doc also contributes its EOS to every LATER offset
+      .withColumn("__np1", col("n") + lit(1L))
+    val off = Curation.withRunningTotal(n, idCol, "__np1", "off")
+    val toks = ids.join(off.select(col(idCol), col("off")), Seq(idCol))
+      .select(col(idCol), (col("off") + col("pos")).as("gpos"),
+        col("token_id"))
+    val eos = off.select(col(idCol), (col("off") + col("n")).as("gpos"),
+      lit(eosId).cast("int").as("token_id"))
+    toks.unionAll(eos)
+  }
+
+  /** Per-sequence DOCUMENT-SPAN index over the [[packIdSequences]]
+   *  windows (X130) — the second half of the packed training
+   *  artifact: modern packed-sequence training masks attention at
+   *  document boundaries (a token must not attend across the EOS
+   *  into an unrelated neighbor — Krell et al. 2021's packed-BERT
+   *  mask, the Llama-class "document causal mask"), and the mask is
+   *  built from exactly this frame: for every fixed-length window,
+   *  which documents occupy it and where. One row per (sequence,
+   *  document) incidence: (seq, doc, start = the doc's first slot in
+   *  the window, len = its token count there, incl. its EOS). A
+   *  document longer than what remains of its window continues into
+   *  the next sequence as a separate row — spans never merge across
+   *  the window boundary, because attention windows don't.
+   *
+   *  Scale shape: the SAME plan class as the packing itself — the
+   *  doc-count-sized prefix sum, one equi-join stamping offsets onto
+   *  the id stream, ONE map-side-combinable agg keyed (seq, doc);
+   *  output is (seq, doc)-incidence volume, ≈ token volume / seqLen
+   *  + doc count. Within a window a document's positions are
+   *  CONTIGUOUS by construction (the stream is doc-major), so
+   *  min + count fully determine the span — no sort, no window
+   *  function, no per-token materialization. */
+  def packDocSpans(ids: DataFrame, idCol: String, seqLen: Int,
+      eosId: Int): DataFrame =
+    eosJoinedStream(ids, idCol, seqLen, eosId)
+      .groupBy(expr(s"gpos div $seqLen").as("seq"), col(idCol))
+      .agg(min(expr(s"gpos % $seqLen")).as("start_pos"),
+        count(lit(1)).as("len"))
+
+  /** DuckDB twin of [[train]] + [[encodeIds]] + [[packDocSpans]]:
+   *  re-trains the merges, re-derives the id stream, and replays the
+   *  EOS-joined stream grouped by (window, document). */
+  def packDocSpansSql(table: String, textExpr: String, idCol: String,
+      numMerges: Int, filterSql: String, seqLen: Int,
+      eosId: Int): String =
+    s"""WITH __ids AS (SELECT * FROM (
+       |  ${encodeIdsSql(table, textExpr, idCol, numMerges, filterSql)})),
+       |__n AS (SELECT $idCol, CAST(count(*) AS BIGINT) AS n
+       |  FROM __ids GROUP BY 1),
+       |__off AS (SELECT $idCol, n,
+       |    CAST(COALESCE(sum(n + 1) OVER (ORDER BY $idCol
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS off FROM __n),
+       |__stream AS (
+       |  SELECT i.$idCol, o.off + i.pos AS gpos, i.token_id
+       |  FROM __ids i JOIN __off o USING ($idCol)
+       |  UNION ALL
+       |  SELECT $idCol, off + n AS gpos,
+       |    CAST($eosId AS INTEGER) AS token_id
+       |  FROM __off)
+       |SELECT gpos // $seqLen AS seq, $idCol,
+       |  CAST(min(gpos % $seqLen) AS BIGINT) AS start_pos,
+       |  CAST(count(*) AS BIGINT) AS len
+       |FROM __stream GROUP BY 1, 2""".stripMargin
 
   /** DuckDB twin of [[train]] + [[encodeIds]] + [[packIdSequences]]:
    *  re-trains the merges, re-derives the id stream, and replays the

@@ -339,6 +339,116 @@ object Similarity {
        |  ON x.q_id = a.q_id AND x.n_id = a.n_id
        |GROUP BY x.q_id""".stripMargin
 
+  /** Johnson–Lindenstrauss random-projection prefilter, measured by
+   *  recall@k (X132) — the OTHER classic compression lever next to
+   *  PQ (X124): project every vector onto `r` deterministic ±1
+   *  hyperplanes (the Achlioptas 2003 Rademacher construction — the
+   *  SAME md5-derived [[planes]] the sign-LSH family uses, so one
+   *  plane table serves both ops), shortlist per query in the r-dim
+   *  space, exact-cosine re-rank ONLY the shortlist, and report
+   *  recall against the [[knnBrute]] ground truth per query.
+   *
+   *  Shape at 100 TB: the projection is a zero-shuffle narrow map
+   *  (r dots per row, computed once); the shortlist pass scans the
+   *  r-dim table against broadcast queries — the same join shape as
+   *  the brute arm but at r/dim the arithmetic and r/dim the bytes
+   *  when the projected table is materialized (r = 8 over dim = 64:
+   *  8× on both axes). Exact vectors are touched for only
+   *  nQueries·`shortlist` rows (a broadcast id join — a filter, no
+   *  row multiplication). `r` and `shortlist` are the recall knobs;
+   *  a shortlist the size of the corpus makes the approximation
+   *  error vanish (spec-pinned ≡ knnBrute). Recall is pure id-set
+   *  intersection in exact integers, and reports the truth — a
+   *  query whose shortlist misses true neighbors scores what it
+   *  got, never padded. */
+  def rpRecallAtK(emb: DataFrame, nQueries: Int, k: Int, r: Int,
+      dim: Int, shortlist: Int): DataFrame = {
+    require(nQueries >= 1 && k >= 1 && r >= 1 && shortlist >= k,
+      s"need nQueries/k/r >= 1 and shortlist >= k, " +
+        s"got $nQueries/$k/$r/$shortlist")
+    val exact = knnBrute(emb, nQueries, k).select(col("q_id"), col("n_id"))
+    val e = prepared(emb)
+    val pCols = planes(r, dim).zipWithIndex.map { case (w, i) =>
+      graft.functions.VectorExpressions.dot(col("v"),
+        array(w.map(lit): _*)).as(s"p$i") }
+    val ep = e.select(col("vec_id") +: col("v") +: col("nrm") +: pCols: _*)
+      .withColumn("pn", sqrt((0 until r)
+        .map(i => col(s"p$i") * col(s"p$i")).reduce(_ + _)))
+    val pq = ep.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id")
+        +: (0 until r).map(i => col(s"p$i").as(s"qp$i"))
+        :+ col("pn").as("qpn"): _*)
+    val pscored = ep.crossJoin(broadcast(pq))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        ((0 until r).map(i => col(s"p$i") * col(s"qp$i")).reduce(_ + _)
+          / (col("pn") * col("qpn"))).as("sim"))
+    val cand = topKPerQuery(pscored, shortlist)
+      .select(col("q_id"), col("n_id"))
+    val q2 = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid2"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val rer = e.join(broadcast(cand), e("vec_id") === cand("n_id"))
+      .join(broadcast(q2), col("q_id") === col("qid2"))
+      .select(col("q_id"), col("n_id"),
+        (dotExpr("qv", "v") / (col("qn") * col("nrm"))).as("sim"))
+    val ann = topKPerQuery(rer, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
+    exact.join(ann, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("k_exact"), col("n_hits"),
+        expr("n_hits * 1000000 div k_exact").as("recall_micro"))
+  }
+
+  /** DuckDB oracle twin of [[rpRecallAtK]] — the same md5 plane
+   *  constants, projection/shortlist/re-rank/recall all replayed
+   *  with identically-ordered float expression trees. */
+  def rpRecallAtKSql(table: String, nQueries: Int, k: Int, r: Int,
+      dim: Int, shortlist: Int): String = {
+    val pl = planes(r, dim)
+    val pSel = pl.zipWithIndex.map { case (w, i) =>
+      s"(${dotSql("v", w.mkString("[", ", ", "]"))}) AS p$i"
+    }.mkString(",\n    ")
+    val pn2 = (0 until r).map(i => s"p$i * p$i").mkString(" + ")
+    val qpSel = (0 until r).map(i => s"p$i AS qp$i").mkString(", ")
+    val pdot = (0 until r).map(i => s"e.p$i * q.qp$i").mkString(" + ")
+    s"""WITH e0 AS (${preparedSql(table)}),
+       |ep0 AS (SELECT vec_id, v, nrm,
+       |    $pSel
+       |  FROM e0),
+       |ep AS (SELECT *, sqrt($pn2) AS pn FROM ep0),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, $qpSel,
+       |             pn AS qpn
+       |      FROM ep WHERE vec_id < $nQueries),
+       |ps AS (SELECT q.q_id, e.vec_id AS n_id,
+       |              ($pdot) / (e.pn * q.qpn) AS psim
+       |       FROM ep e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |cand AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY psim DESC, n_id) AS rk
+       |  FROM ps) WHERE rk <= $shortlist),
+       |rer AS (SELECT c.q_id, c.n_id,
+       |               (${dotSql("q.qv", "e.v")}) / (q.qn * e.nrm) AS sim
+       |        FROM cand c JOIN ep e ON e.vec_id = c.n_id
+       |        JOIN q ON q.q_id = c.q_id),
+       |ann AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+       |  FROM rer) WHERE rk <= $k),
+       |exact AS (SELECT q_id, n_id FROM (
+       |  ${knnBruteSql(table, nQueries, k)}))
+       |SELECT x.q_id, CAST(count(*) AS BIGINT) AS k_exact,
+       |  CAST(sum(CASE WHEN a.q_id IS NULL THEN 0 ELSE 1 END)
+       |    AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN a.q_id IS NULL THEN 0 ELSE 1 END) * 1000000
+       |    // count(*) AS BIGINT) AS recall_micro
+       |FROM exact x LEFT JOIN ann a
+       |  ON x.q_id = a.q_id AND x.n_id = a.n_id
+       |GROUP BY x.q_id""".stripMargin
+  }
+
   /** SQL twin of [[annRouted]]: ONE bucketed query whose bucket
    *  expression is selected per the same integer skew flag (scalar
    *  subqueries over identical counts) — the un-taken branch's bucket
@@ -2370,8 +2480,12 @@ object Similarity {
    *  ints instead of dim floats: the scan that touches every row at
    *  query time reads ~m bytes, the 64× compression PQ exists for),
    *  range-clustered by cell so parquet row-group min/max prune the
-   *  un-probed cells (the q131 zone-map effect on the IVF key);
-   *  `books/` and `meta/` hold the codebooks and parameters as
+   *  un-probed cells (the q131 zone-map effect on the IVF key).
+   *  `codes/` is SEGMENTED (the build lands as segment `base`): new
+   *  corpus batches append as sibling segments encoded with the
+   *  frozen stored codebooks ([[appendToPqIndex]]), probes list
+   *  segments at plan time — the lifecycle contract the LSH/ANN
+   *  stores established. `books/` and `meta/` hold the codebooks and parameters as
    *  parquet (doubles round-trip EXACTLY — no text serialization in
    *  the determinism path). Repeated query batches then probe the
    *  written table and never rescan or re-encode the corpus — the
@@ -2393,7 +2507,7 @@ object Similarity {
           coarse).as("cell") +: codeCols: _*)
       .repartitionByRange(col("cell"), col("vec_id"))
       .sortWithinPartitions("cell", "vec_id")
-      .write.mode("overwrite").parquet(s"$dir/codes")
+      .write.mode("overwrite").parquet(s"$dir/codes/base")
     val bookRows = coarse.sortBy(_._1).zipWithIndex.map {
       case ((cid, cv), r) => (-1, r, cid, cv)
     } ++ books.zipWithIndex.flatMap { case (b, j) =>
@@ -2405,6 +2519,64 @@ object Similarity {
     Seq((kc, m, ks, iters, dim, fingerprint))
       .toDF("kc", "m", "ks", "iters", "dim", "fingerprint")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Stored codebooks of a [[materializePqIndex]] dir, (c_id, cv)
+   *  keyed, in ascending-c_id order (== the stored rank order —
+   *  rank IS the centroid's position in ascending c_id). Key −1 is
+   *  the coarse book; 0..m−1 the subspace books. Feeding these back
+   *  through [[graft.functions.VectorExpressions.pqArgminRank]]
+   *  reproduces the build-time encode bit-for-bit, which is what
+   *  makes the index APPENDABLE: frozen codebooks are the contract
+   *  (FAISS `add` after `train` — new vectors are encoded, never
+   *  re-trained). */
+  private def readPqBooksById(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[Int, Seq[(Long, Seq[Double])]] =
+    spark.read.parquet(s"$dir/books").collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("rank"),
+        r.getAs[Long]("c_id"),
+        r.getAs[scala.collection.Seq[Double]]("cv").toSeq))
+      .groupBy(_._1).map { case (sub, rs) =>
+        sub -> rs.sortBy(_._2).map(t => (t._3, t._4)).toSeq }
+
+  /** Append a vector batch to a materialized IVF-PQ index (X131) —
+   *  the maintenance operation a served 100 TB index lives by: the
+   *  corpus grows continuously, but codebooks are FROZEN at train
+   *  time (the FAISS train-once/add-forever contract; re-training
+   *  would re-key every stored code), so an append is ONE narrow
+   *  zero-shuffle encode of the batch through the STORED books —
+   *  the corpus is never rescanned, cost is O(|batch|). The batch
+   *  lands as its own segment dir under `codes/` (the X56/X93
+   *  segmented-store listing contract: probes list segments at plan
+   *  time, so a probe frame built before an append never half-sees
+   *  it); `mode=overwrite` per segment makes a redelivered batch
+   *  replace its own contribution (idempotent under foreachBatch
+   *  at-least-once). Segment-count growth is bounded by the same
+   *  maintenance the other stores run (X114's z-compaction applies —
+   *  codes are disjoint rows by the append contract).
+   *  `expectFingerprint` pins the index LINEAGE: appending to an
+   *  index built from a different corpus version is refused. */
+  def appendToPqIndex(dir: String, batch: DataFrame, segment: String,
+      expectFingerprint: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val (m, dim) = (meta.getAs[Int]("m"), meta.getAs[Int]("dim"))
+    expectFingerprint.foreach { fp =>
+      val got = meta.getAs[String]("fingerprint")
+      require(got == fp,
+        s"PQ index at $dir was built from corpus $got, expected $fp")
+    }
+    val d = dim / m
+    val books = readPqBooksById(spark, dir)
+    val e = prepared(batch).select(col("vec_id"), col("v"))
+    val codeCols = (0 until m).map(j =>
+      graft.functions.VectorExpressions.pqArgminRank(col("v"), j * d,
+        books(j)).as(s"code$j"))
+    e.select(col("vec_id")
+        +: graft.functions.VectorExpressions.pqArgminRank(col("v"), 0,
+          books(-1)).as("cell") +: codeCols: _*)
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").parquet(s"$dir/codes/$segment")
   }
 
   /** IVF-PQ search against a [[materializePqIndex]] directory: the
@@ -2429,11 +2601,8 @@ object Similarity {
         s"PQ index at $dir was built from corpus $got, expected $fp")
     }
     val d = dim / m
-    val bookRows = spark.read.parquet(s"$dir/books").collect()
-      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("rank"),
-        r.getAs[scala.collection.Seq[Double]]("cv").toSeq))
-    def ranked(sub: Int): Seq[Seq[Double]] =
-      bookRows.filter(_._1 == sub).sortBy(_._2).map(_._3).toSeq
+    val byId = readPqBooksById(spark, dir)
+    def ranked(sub: Int): Seq[Seq[Double]] = byId(sub).map(_._2)
     val coarse = ranked(-1)
     val books = (0 until m).map(ranked)
     val qRows = queries
@@ -2453,7 +2622,8 @@ object Similarity {
         }
         (qid, probed, lut)
       }.toDF("q_id", "probed", "lut")
-    val scored = spark.read.parquet(s"$dir/codes")
+    val scored = spark.read
+      .parquet(SegmentStore.segDirs(s"$dir/codes"): _*)
       .join(broadcast(qRows),
         array_contains(col("probed"), col("cell"))
           && col("vec_id") =!= col("q_id"))
@@ -2475,6 +2645,83 @@ object Similarity {
       kc: Int, m: Int, ks: Int, iters: Int, dim: Int,
       nprobe: Int): String =
     ivfPqTopKSqlWhere(table, qFilter, k, kc, m, ks, iters, dim, nprobe)
+
+  /** DuckDB oracle twin of one [[ivfPqTopKIndexed]] probe against an
+   *  index built on `trainFilter` rows and grown by [[appendToPqIndex]]
+   *  until the visible corpus is `corpusFilter` (X131): codebooks
+   *  train ONLY on the build slice (the frozen-codebook contract —
+   *  appended vectors are encoded by those books, never re-trained),
+   *  every `corpusFilter` row is encoded/assigned against the FROZEN
+   *  final centroids, and the ADC scoring is [[ivfPqTopKSql]]'s. A
+   *  row outside `corpusFilter` (a not-yet-appended segment) is
+   *  invisible — which is exactly what the judged row asserts by
+   *  probing between appends. */
+  def ivfPqAppendSql(table: String, trainFilter: String,
+      corpusFilter: String, qFilter: String, k: Int, kc: Int, m: Int,
+      ks: Int, iters: Int, dim: Int, nprobe: Int): String = {
+    val d = dim / m
+    // assignment of EVERY visible corpus row against a FROZEN
+    // centroid CTE (the chains' own afin only covers training rows)
+    def assignAll(cents: String, vExpr: String, out: String): String =
+      s"""$out AS (SELECT vec_id, c_id FROM (
+         |  SELECT g.vec_id, c.c_id,
+         |    row_number() OVER (PARTITION BY g.vec_id ORDER BY
+         |      (${dotSql(vExpr, "c.cv")}) * -2.0 + c.cn2 ASC, c.c_id) AS r
+         |  FROM gc g CROSS JOIN
+         |    (SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2 FROM $cents) c
+         |) WHERE r = 1)""".stripMargin
+    val chains = (0 until m).map { j =>
+      lloydChainSqlOn(
+        s"SELECT vec_id, v[${j * d + 1}:${(j + 1) * d}] AS v FROM gbt",
+        ks, iters, s"s${j}_")
+    }.mkString(",\n")
+    val encCtes = (0 until m).map { j =>
+      assignAll(s"s${j}_c$iters", s"g.v[${j * d + 1}:${(j + 1) * d}]",
+        s"enc$j")
+    }.mkString(",\n")
+    val encSel = (0 until m).map(j =>
+      s"SELECT vec_id, $j AS sub, c_id AS code FROM enc$j")
+      .mkString("\nUNION ALL\n")
+    val qvSubs = (0 until m).map(j =>
+      s"v[${j * d + 1}:${(j + 1) * d}] AS qv$j").mkString(", ")
+    val lutSel = (0 until m).map(j =>
+      s"""SELECT q_id, $j AS sub, c.c_id AS code,
+         |  CAST(floor((${dotSql(s"qv$j", "c.cv")}) * 1073741824.0 + 0.5)
+         |    AS BIGINT) AS w
+         |FROM q CROSS JOIN s${j}_c$iters c""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH gb AS (SELECT vec_id, $toDoubleSql AS v FROM $table),
+       |gbt AS (SELECT vec_id, v FROM gb WHERE $trainFilter),
+       |gc AS (SELECT vec_id, v FROM gb WHERE $corpusFilter),
+       |$chains,
+       |${lloydChainSqlOn("SELECT vec_id, v FROM gbt", kc, iters, "cg_")},
+       |$encCtes,
+       |${assignAll(s"cg_c$iters", "g.v", "cellsr")},
+       |q AS (SELECT vec_id AS q_id, v AS qv, $qvSubs FROM gb
+       |      WHERE $qFilter),
+       |qc AS (SELECT q_id, c_id AS cell FROM (
+       |  SELECT q.q_id, c.c_id, row_number() OVER (PARTITION BY q.q_id
+       |    ORDER BY (${dotSql("q.qv", "c.cv")}) * -2.0 + c.cn2 ASC,
+       |      c.c_id) AS r
+       |  FROM q CROSS JOIN (SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2
+       |                     FROM cg_c$iters) c
+       |) WHERE r <= $nprobe),
+       |lut AS ($lutSel),
+       |enc AS ($encSel),
+       |cells AS (SELECT vec_id, c_id AS cell FROM cellsr),
+       |scored AS (
+       |  SELECT l.q_id, e.vec_id AS n_id, CAST(sum(l.w) AS BIGINT) AS adc
+       |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+       |  JOIN cells ce ON ce.vec_id = e.vec_id
+       |  JOIN qc ON qc.q_id = l.q_id AND qc.cell = ce.cell
+       |  WHERE e.vec_id <> l.q_id
+       |  GROUP BY l.q_id, e.vec_id)
+       |SELECT q_id, n_id, rank, adc FROM (
+       |  SELECT q_id, n_id, adc, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY adc DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k""".stripMargin
+  }
 
   /** DuckDB oracle twin of [[ivfPqTopK]] — the full chain replayed:
    *  coarse + m subspace Lloyd chains ([[lloydChainSqlOn]]), the

@@ -221,6 +221,61 @@ class BpeSpec extends SparkTestBase {
     assert(run(base.repartition(13)) === run(base.repartition(1)))
   }
 
+  // ------------------------------ X130 packed-sequence doc spans
+
+  /** Plain-Scala reference spans: the same EOS-joined stream keyed by
+   *  the owning doc (EOS belongs to the doc it terminates), grouped
+   *  by (window, doc) → (first slot, token count). */
+  private def refSpans(ids: Seq[(Long, Long, Int)], L: Int)
+      : Set[(Long, Long, Long, Long)] = {
+    val stream = ids.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (d, rows) => rows.sortBy(_._2).map(_ => d) :+ d
+    }
+    stream.zipWithIndex.groupBy { case (d, g) => (g / L, d) }
+      .map { case ((s, d), w) =>
+        (s.toLong, d, (w.map(_._2).min % L).toLong, w.size.toLong) }
+      .toSet
+  }
+
+  test("packDocSpans matches the reference and tiles each window") {
+    val rows = Seq(
+      (10L, 0L, 100), (10L, 1L, 101), (10L, 2L, 102), (10L, 3L, 103),
+      (10L, 4L, 104),
+      (20L, 0L, 200), (20L, 1L, 201), (20L, 2L, 202),
+      (30L, 0L, 300), (30L, 1L, 301), (30L, 2L, 302), (30L, 3L, 303),
+      (30L, 4L, 304), (30L, 5L, 305), (30L, 6L, 306))
+    val ids = rows.toDF("doc_id", "pos", "token_id")
+    val got = Bpe.packDocSpans(ids, "doc_id", 4, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === refSpans(rows, 4))
+    // doc 10 (5 ids + EOS) crosses the L=4 boundary: one span per
+    // window, never a merged cross-window span
+    assert(got.count(_._2 === 10L) === 2)
+    // spans tile each window: starts ∪ lens partition [0, n_tokens)
+    val packed = Bpe.packIdSequences(ids, "doc_id", 4, 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((s, n) <- packed) {
+      val spans = got.filter(_._1 === s).toSeq.sortBy(_._3)
+      assert(spans.map(_._4).sum === n)
+      assert(spans.head._3 === 0L)
+      for (Seq(a, b) <- spans.sliding(2) if spans.size >= 2)
+        assert(b._3 === a._3 + a._4)
+    }
+  }
+
+  test("packDocSpans is invariant to the input's partitioning") {
+    val rows = (0L until 50L).flatMap(d =>
+      (0L until (d % 5 + 1)).map(p => (d, p, (d * 10 + p).toInt % 1000)))
+    val base = rows.toDF("doc_id", "pos", "token_id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Bpe.packDocSpans(df, "doc_id", 8, 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sorted.toSeq
+    assert(run(base.repartition(13)) === run(base.repartition(1)))
+    assert(run(base.repartition(13)) === refSpans(rows, 8).toSeq.sorted)
+  }
+
   // ----------------------- round-11: vocab-scale encode + training
 
   import graft.functions.BpeOps

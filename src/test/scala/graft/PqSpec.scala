@@ -331,4 +331,81 @@ class PqSpec extends SparkTestBase {
     }
     assert(got === want)
   }
+
+  // --------------------------------- X131 appendable IVF-PQ index
+
+  /** Independent replay of a probe against an index TRAINED on
+   *  `trainIds` and currently holding `visibleIds` — the frozen-
+   *  codebook contract re-derived from the prose: books/coarse from
+   *  the train slice only, every visible row encoded against them. */
+  private def refAppendProbe(vs: Map[Long, Seq[Double]],
+      trainIds: Set[Long], visibleIds: Set[Long], qids: Seq[Long],
+      k: Int, kc: Int, m: Int, ks: Int, iters: Int,
+      nprobe: Int): Seq[(Long, Long, Long, Long)] = {
+    val trainVs = vs.filter(t => trainIds(t._1))
+    val coarse = refLloyd(trainVs, kc, iters)
+    val books = (0 until m).map { j =>
+      refLloyd(trainVs.map { case (id, v) => id -> slices(v, m)(j) },
+        ks, iters)
+    }
+    qids.sorted.flatMap { qid =>
+      val qv = vs(qid)
+      val probed = coarse.map { case (cid, cv) =>
+          (dot(qv, cv) * -2.0 + dot(cv, cv), cid) }
+        .sortBy(identity).take(nprobe).map(_._2).toSet
+      val lut = slices(qv, m).zipWithIndex.map { case (qj, j) =>
+        books(j).map { case (cid, cv) => cid -> q30(dot(qj, cv)) }.toMap
+      }
+      visibleIds.filter(_ != qid).toSeq
+        .filter(id => probed(nearest(vs(id), coarse)))
+        .map { id =>
+          val adc = slices(vs(id), m).zipWithIndex
+            .map { case (vj, j) => lut(j)(nearest(vj, books(j))) }.sum
+          (id, adc)
+        }
+        .sortBy { case (id, adc) => (-adc, id) }.take(k)
+        .zipWithIndex.map { case ((id, adc), r) =>
+          (qid, id, (r + 1).toLong, adc) }
+    }
+  }
+
+  test("appendToPqIndex: frozen-codebook growth ≡ replay; un-appended rows invisible; idempotent; foreign fp rejected") {
+    import org.apache.spark.sql.functions.col
+    val vs = corpus(60, 47)
+    val df = corpusDF(vs)
+    val train = vs.keys.filter(_ % 4 != 3).toSet
+    val b1 = vs.keys.filter(_ % 8 == 3).toSet
+    val b2 = vs.keys.filter(_ % 8 == 7).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pqix_append_spec").toString
+    Similarity.materializePqIndex(df.filter(col("vec_id") % 4 =!= 3),
+      dir, 4, 4, 4, 2, dim, "fpA")
+    Similarity.appendToPqIndex(dir,
+      df.filter(col("vec_id") % 8 === 3), "b1", Some("fpA"))
+    val q = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    def probe() = Similarity
+      .ivfPqTopKIndexed(spark, dir, q, 4, 2, Some("fpA"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    val got1 = probe()
+    assert(got1 === refAppendProbe(vs, train, train ++ b1,
+      Seq(0L, 1L, 2L), 4, 4, 4, 4, 2, 2))
+    // segment isolation: nothing from the un-appended b2 surfaces
+    assert(got1.forall(t => !b2.contains(t._2)))
+    Similarity.appendToPqIndex(dir,
+      df.filter(col("vec_id") % 8 === 7), "b2", Some("fpA"))
+    val got2 = probe()
+    assert(got2 === refAppendProbe(vs, train, vs.keySet,
+      Seq(0L, 1L, 2L), 4, 4, 4, 4, 2, 2))
+    // redelivered append (same segment name) replaces itself
+    Similarity.appendToPqIndex(dir,
+      df.filter(col("vec_id") % 8 === 7), "b2", Some("fpA"))
+    assert(probe() === got2)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(dir, df, "bX", Some("other"))
+    }
+    assert(ex.getMessage.contains("fpA"))
+  }
 }

@@ -223,6 +223,49 @@ class SimilarityRoutingSpec extends SparkTestBase {
     assert(perfect.length === 3 && perfect.forall(_ === 1000000L))
   }
 
+  // ------------------------- JL random-projection prefilter (X132)
+
+  /** Independent replay of project→shortlist→re-rank→recall from the
+   *  documented contract: the same md5 ±1 planes, projected cosine
+   *  shortlist with (−sim, id) order, exact-cosine re-rank. */
+  private def rpRef(rows: Seq[(Long, Seq[Float], Int)], nQ: Int,
+      k: Int, r: Int, shortlist: Int): Seq[(Long, Long, Long, Long)] = {
+    val v = rows.map { case (id, e, _) => id -> e.map(_.toDouble) }.toMap
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val pl = Similarity.planes(r, dim)
+    val pv = v.map { case (id, e) => id -> pl.map(w => dot(e, w)) }
+    (0L until nQ.toLong).map { q =>
+      val exact = v.keys.filter(_ != q).toSeq
+        .map(id => id -> cos(v(q), v(id)))
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+      val cand = v.keys.filter(_ != q).toSeq
+        .map(id => id -> cos(pv(q), pv(id)))
+        .sortBy { case (id, s) => (-s, id) }.take(shortlist).map(_._1)
+      val ann = cand.map(id => id -> cos(v(q), v(id)))
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+      val hits = exact.count(ann)
+      (q, exact.size.toLong, hits.toLong,
+        hits.toLong * 1000000L / exact.size)
+    }
+  }
+
+  test("rpRecallAtK ≡ independent reference; exhaustive shortlist recovers brute exactly") {
+    val rows = (0L until 120L).map(i => (i, vec(i, 11), (i % 3).toInt))
+    val got = Similarity.rpRecallAtK(embDF(rows), 4, 5, 4, dim, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got === rpRef(rows, 4, 5, 4, 12))
+    assert(got.forall(r => r._4 >= 0L && r._4 <= 1000000L))
+    // a corpus-sized shortlist makes the re-rank THE brute search:
+    // the approximation error provably vanishes as the knob opens
+    val full = Similarity.rpRecallAtK(embDF(rows), 3, 5, 4, dim, 200)
+      .collect().map(_.getLong(3))
+    assert(full.length === 3 && full.forall(_ === 1000000L))
+  }
+
   // -------------------------------- per-vector k-means assignment (X122)
 
   test("kmeansAssign: cell sizes ≡ q43's summary, separable blobs recover their classes") {
