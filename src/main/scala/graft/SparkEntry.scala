@@ -2539,6 +2539,38 @@ object SparkEntry {
     "q158_rp_recall" -> ((s, dir) =>
       Similarity.rpRecallAtK(Sources.table(s, dir, "embeddings"),
         8, 5, 8, 64, 20).orderBy("q_id")),
+    // PQ index compaction (X133): q157's grown index folded to ONE
+    // cell-clustered base, probed after the fold (probe 1) and again
+    // after a redelivered append of an already-folded segment name
+    // (probe 2 — the no-op rule judged by hash-equality: a re-created
+    // b1 would double every b1 row's ADC row count). Both probes must
+    // equal the oracle's full-corpus replay.
+    "q159_ivfpq_compact" -> ((s, dir) => {
+      val fp = tableFingerprint(dir, "embeddings.parquet")
+      val emb = Sources.table(s, dir, "embeddings")
+      val ix = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q159_pqix_${ProcessHandle.current().pid()}_$fp"
+      val ixDir = new java.io.File(ix)
+      if (ixDir.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(ixDir)
+      Similarity.materializePqIndex(
+        emb.filter(col("vec_id") % 4 =!= 3), ix, 8, 4, 8, 2, 64, fp)
+      Similarity.appendToPqIndex(ix,
+        emb.filter(col("vec_id") % 8 === 3), "b1", Some(fp))
+      Similarity.appendToPqIndex(ix,
+        emb.filter(col("vec_id") % 8 === 7), "b2", Some(fp))
+      require(Similarity.compactPqIndex(s, ix),
+        "compaction must fold the three segments")
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val p1 = Similarity.ivfPqTopKIndexed(s, ix, qs, 5, 2, Some(fp))
+        .withColumn("probe", lit(1L))
+      Similarity.appendToPqIndex(ix,
+        emb.filter(col("vec_id") % 8 === 3), "b1", Some(fp))
+      val p2 = Similarity.ivfPqTopKIndexed(s, ix, qs, 5, 2, Some(fp))
+        .withColumn("probe", lit(2L))
+      p1.unionAll(p2).orderBy("probe", "q_id", "rank")
+    }),
   )
 
   /** q144's rule-triggering injection texts — shared verbatim by the
@@ -3538,6 +3570,14 @@ object SparkEntry {
     "q158_rp_recall" ->
       (s"SELECT * FROM (${Similarity.rpRecallAtKSql(
           "embeddings", 8, 5, 8, 64, 20)}) ORDER BY q_id"),
+    "q159_ivfpq_compact" -> {
+      def block(tag: Int) =
+        s"SELECT CAST($tag AS BIGINT) AS probe, q_id, n_id, rank, adc " +
+          s"FROM (${Similarity.ivfPqAppendSql("embeddings",
+            "vec_id % 4 <> 3", "TRUE", "vec_id < 10",
+            5, 8, 4, 8, 2, 64, 2)})"
+      block(1) + " UNION ALL " + block(2) + " ORDER BY probe, q_id, rank"
+    },
     "q144_gopher_rules" -> {
       def sl(s: String): String = "'" + s.replace("'", "''") + "'"
       def layer(src: String, m: Int, exprTxt: String): String =

@@ -239,11 +239,18 @@ object Layout {
    *  of a folded segment name invisible instead of double-counted. */
   def zLiveSegments(dir: String): Seq[String] = {
     val segs = graft.core.StoreFs.listDirs(dir)
-    val folded = segs.flatMap(p =>
-      graft.core.StoreFs.readUTF8IfExists(s"$p/_folded").toSeq
-        .flatMap(_.split("\n")).filter(_.nonEmpty)).toSet
+    val folded = foldedNames(dir)
     segs.filterNot(p => folded.contains(graft.core.StoreFs.name(p)))
   }
+
+  /** Segment names some visible base's `_folded` manifest records as
+   *  physically folded in — an at-least-once redelivered APPEND of
+   *  one of these names must be a no-op (its rows live inside the
+   *  fold; re-creating the segment would double-count them). */
+  def foldedNames(dir: String): Set[String] =
+    graft.core.StoreFs.listDirs(dir).flatMap(p =>
+      graft.core.StoreFs.readUTF8IfExists(s"$p/_folded").toSeq
+        .flatMap(_.split("\n")).filter(_.nonEmpty)).toSet
 
   /** Z-ORDERED segment compaction — the lakehouse OPTIMIZE-with-
    *  clustering maintenance pass, applied to the appended segment
@@ -272,7 +279,22 @@ object Layout {
    *  compaction's GC re-sweeps. Returns true iff a fold ran. */
   def zCompactSegments(spark: org.apache.spark.sql.SparkSession,
       dir: String, cs: Seq[String], bits: Int, numFiles: Int,
-      maxSegments: Int = 64): Boolean = {
+      maxSegments: Int = 64): Boolean =
+    compactSegmentsWith(spark, dir, "zbase", maxSegments)(
+      zOrderByK(_, cs, bits, numFiles))
+
+  /** The compaction DISCIPLINE of [[zCompactSegments]] with the
+   *  clustering layout as a parameter — one copy of the crash
+   *  contract (input-set-tagged CAS install, manifest-in-base,
+   *  install-then-GC, idempotent retry) serving every segmented
+   *  store whose rows are disjoint across segments, whatever layout
+   *  its probes want: z-interleave for multi-predicate boxes, plain
+   *  range clustering for single-key probes (the IVF-PQ code table —
+   *  [[Similarity.compactPqIndex]]). */
+  def compactSegmentsWith(spark: org.apache.spark.sql.SparkSession,
+      dir: String, basePrefix: String, maxSegments: Int)(
+      layout: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame): Boolean = {
     val live = zLiveSegments(dir)
     if (live.size <= maxSegments) return false
     val all = graft.core.StoreFs.listDirs(dir)
@@ -281,15 +303,15 @@ object Layout {
         .flatMap(_.split("\n")).filter(_.nonEmpty)).toSet
     val liveNames = live.map(graft.core.StoreFs.name)
     val tag = graft.core.Commit.inputSetTag(liveNames)
-    val target = s"$dir/zbase-$tag"
+    val target = s"$dir/$basePrefix-$tag"
     if (!graft.core.StoreFs.exists(target)) {
-      val scratch = s"$dir/.zcompact-${java.util.UUID.randomUUID()}"
-      zOrderByK(spark.read.parquet(live: _*), cs, bits, numFiles)
+      val scratch = s"$dir/.${basePrefix}compact-${java.util.UUID.randomUUID()}"
+      layout(spark.read.parquet(live: _*))
         .write.mode("overwrite").parquet(scratch)
       graft.core.StoreFs.writeUTF8(s"$scratch/_folded",
         (priorFolded ++ liveNames).toSeq.sorted.mkString("\n"))
       SegmentStore.casInstallDir(scratch, target,
-        s"zCompactSegments($dir)")
+        s"compactSegmentsWith($dir)")
     }
     val gone = priorFolded ++ liveNames
     graft.core.StoreFs.listDirNames(dir).foreach { n =>

@@ -2566,6 +2566,13 @@ object Similarity {
       require(got == fp,
         s"PQ index at $dir was built from corpus $got, expected $fp")
     }
+    if (Layout.foldedNames(s"$dir/codes").contains(segment)) {
+      // a compaction physically folded this segment name into a base
+      // after the original append: the redelivered batch's rows live
+      // inside the fold, so re-creating the segment would double-
+      // count every one of them (the X56 redelivery rule)
+      return
+    }
     val d = dim / m
     val books = readPqBooksById(spark, dir)
     val e = prepared(batch).select(col("vec_id"), col("v"))
@@ -2578,6 +2585,28 @@ object Similarity {
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite").parquet(s"$dir/codes/$segment")
   }
+
+  /** Compact an appendable PQ index's code segments (X133) — the
+   *  maintenance pass that keeps [[appendToPqIndex]]'s per-batch
+   *  segments from degrading probes at 100 TB: every appended
+   *  segment spans the full cell domain (batches arrive in id order,
+   *  not cell order), so the probed-cell pushdown stops skipping as
+   *  segments accumulate. Folding live segments into ONE
+   *  cell-range-clustered base restores the row-group min/max prune
+   *  the `base` segment was written with. Content IDENTITY (codes
+   *  are disjoint rows by the append contract; only layout changes)
+   *  under [[Layout.compactSegmentsWith]]'s one-copy crash contract:
+   *  input-set-tagged CAS install, `_folded` manifest inside the
+   *  base (atomic with the data), install-then-GC, redelivered
+   *  appends of folded names no-ops. Plain range clustering, not
+   *  z-order — IVF probes filter on the ONE cell key. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, numFiles: Int = 8, maxSegments: Int = 1): Boolean =
+    Layout.compactSegmentsWith(spark, s"$dir/codes", "cbase",
+        maxSegments) { df =>
+      df.repartitionByRange(numFiles, col("cell"), col("vec_id"))
+        .sortWithinPartitions("cell", "vec_id")
+    }
 
   /** IVF-PQ search against a [[materializePqIndex]] directory: the
    *  query batch's probe lists and rank-positional ADC LUTs derive
@@ -2623,7 +2652,7 @@ object Similarity {
         (qid, probed, lut)
       }.toDF("q_id", "probed", "lut")
     val scored = spark.read
-      .parquet(SegmentStore.segDirs(s"$dir/codes"): _*)
+      .parquet(Layout.zLiveSegments(s"$dir/codes"): _*)
       .join(broadcast(qRows),
         array_contains(col("probed"), col("cell"))
           && col("vec_id") =!= col("q_id"))

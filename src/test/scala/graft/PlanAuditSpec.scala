@@ -129,7 +129,12 @@ class PlanAuditSpec extends SparkTestBase {
       // (nprobe cells per query), same q19 shape; q153 embeds the
       // q152 pass as its candidate generator
       "q152_ivfpq_topk", "q153_ivfpq_rerank", "q154_ivfpq_residual",
-      "q155_ivfpq_indexed")
+      "q155_ivfpq_indexed",
+      // q157/q159 are q155's stored-code probe over a grown /
+      // compacted segment set — the same bounded array_contains
+      // broadcast; q158's shortlist and re-rank arms broadcast the
+      // bounded query / candidate frames (the q19/q145 shape)
+      "q157_ivfpq_append", "q158_rp_recall", "q159_ivfpq_compact")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = executed(name).toString
       assert(!plan.contains("CartesianProduct"), s"$name planned a cartesian join")

@@ -407,5 +407,22 @@ class PqSpec extends SparkTestBase {
       Similarity.appendToPqIndex(dir, df, "bX", Some("other"))
     }
     assert(ex.getMessage.contains("fpA"))
+
+    // ---- X133 compaction: content identity, one live segment,
+    // redelivered folded append invisible, second compact a no-op
+    assert(Similarity.compactPqIndex(spark, dir),
+      "three live segments must fold")
+    val liveAfter = graft.operators.Layout.zLiveSegments(s"$dir/codes")
+    assert(liveAfter.size === 1 &&
+      graft.core.StoreFs.name(liveAfter.head).startsWith("cbase-"))
+    assert(probe() === got2,
+      "compaction is content identity: probe unchanged")
+    // a redelivered append of a FOLDED segment name must be a no-op
+    Similarity.appendToPqIndex(dir,
+      df.filter(col("vec_id") % 8 === 7), "b2", Some("fpA"))
+    assert(graft.operators.Layout.zLiveSegments(s"$dir/codes").size === 1)
+    assert(probe() === got2)
+    // nothing left to fold
+    assert(!Similarity.compactPqIndex(spark, dir))
   }
 }
