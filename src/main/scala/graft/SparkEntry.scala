@@ -2571,6 +2571,13 @@ object SparkEntry {
         .withColumn("probe", lit(2L))
       p1.unionAll(p2).orderBy("probe", "q_id", "rank")
     }),
+    // CCNet fluency thirds (X134): q130's LM scores split head /
+    // middle / tail at cut points calibrated on a deterministic h60
+    // sample (fixed thresholds applied at scale, as CCNet does) —
+    // exact integer tuple-compares, one 3-row report aggregate.
+    "q160_ccnet_buckets" -> ((s, dir) =>
+      graft.operators.Curation.ccnetBuckets(documents(s, dir),
+        "doc_id", "text", 2, 0.2, "ccnet|").orderBy("bucket")),
   )
 
   /** q144's rule-triggering injection texts — shared verbatim by the
@@ -3578,6 +3585,10 @@ object SparkEntry {
             5, 8, 4, 8, 2, 64, 2)})"
       block(1) + " UNION ALL " + block(2) + " ORDER BY probe, q_id, rank"
     },
+    "q160_ccnet_buckets" ->
+      (s"SELECT * FROM (${graft.operators.Curation.ccnetBucketsSql(
+          "documents", "doc_id", "text", 2, 0.2, "ccnet|")}) " +
+        "ORDER BY bucket"),
     "q144_gopher_rules" -> {
       def sl(s: String): String = "'" + s.replace("'", "''") + "'"
       def layer(src: String, m: Int, exprTxt: String): String =

@@ -509,6 +509,97 @@ object Curation {
        |WHERE l.mean_score_micro >= $lmMinMicro""".stripMargin
   }
 
+  // ----------------------------- CCNet perplexity buckets (X134)
+
+  /** CCNet-style LM-fluency bucketing (Wenzek et al. 2020 §4.3):
+   *  score every document with the judged stupid-backoff LM (q130's
+   *  kernel), split the corpus into head / middle / tail THIRDS by
+   *  fluency, and report each bucket's occupancy and score range —
+   *  the artifact the CCNet pipeline uses to keep head+middle and to
+   *  weight sampling by fluency tier.
+   *
+   *  The cut points come from a deterministic h60 CALIBRATION SAMPLE
+   *  (exactly as CCNet computes its perplexity cutoffs on a sample,
+   *  then applies FIXED thresholds at scale): cut k is the
+   *  (k·ns div 3)-th smallest (score, id) pair of the sample —
+   *  lexicographic on the integer micro-unit score with the id
+   *  tie-break, so the cuts and every bucket assignment are exact
+   *  integer comparisons, engine-identical by construction. No
+   *  corpus-sized sort anywhere: scoring is the q130 plan (token
+   *  equi-joins), the sample is rate-bounded (persisted — it is the
+   *  only frame read twice), each cut is one bounded TakeOrdered
+   *  job, and the report is ONE 3-row map-side-combined aggregate
+   *  over the fixed cut literals. Output: (bucket 0/1/2, label
+   *  tail/middle/head ascending fluency, n_docs, sum/min/max score
+   *  micro-units). */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int, sampleRate: Double, salt: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def scored = Lm.bigramBackoffScore(docs, idCol, textCol, minCount)
+      .select(col(idCol).as("__id"), col("mean_score_micro").as("__s"))
+    val sm = Sampling.hashSample(scored, col("__id"), sampleRate, salt)
+      .persist(MEMORY_AND_DISK)
+    try {
+      val ns = sm.count()
+      require(ns >= 3,
+        s"calibration sample holds $ns rows — raise sampleRate")
+      def cut(r: Long): (Long, Long) = {
+        val row = sm.orderBy(col("__s"), col("__id"))
+          .limit(java.lang.Math.toIntExact(r))
+          .agg(max(struct(col("__s"), col("__id"))).as("m"))
+          .select(col("m.__s"), col("m.__id")).head()
+        (row.getLong(0), row.getLong(1))
+      }
+      val (c1s, c1i) = cut(ns / 3)
+      val (c2s, c2i) = cut(2 * ns / 3)
+      def le(s: Long, i: Long): Column =
+        col("__s") < lit(s) || (col("__s") === lit(s) && col("__id") <= lit(i))
+      scored.select(col("__s"),
+          when(le(c1s, c1i), lit(0L)).when(le(c2s, c2i), lit(1L))
+            .otherwise(lit(2L)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__s")).as("sum_score_micro"),
+          min(col("__s")).as("min_score_micro"),
+          max(col("__s")).as("max_score_micro"))
+        .select(col("bucket"),
+          when(col("bucket") === 0L, lit("tail"))
+            .when(col("bucket") === 1L, lit("middle"))
+            .otherwise(lit("head")).as("label"),
+          col("n_docs"), col("sum_score_micro"),
+          col("min_score_micro"), col("max_score_micro"))
+    } finally { sm.unpersist(); () }
+  }
+
+  /** DuckDB oracle twin of [[ccnetBuckets]] — LM scores via the q130
+   *  twin, the same h60 sample predicate, rank-based cuts, tuple-
+   *  compare buckets, 3-row report. */
+  def ccnetBucketsSql(table: String, idCol: String, textExpr: String,
+      minCount: Int, sampleRate: Double, salt: String): String =
+    s"""WITH __scored AS (
+       |  SELECT $idCol AS id, mean_score_micro AS s FROM (
+       |    ${Lm.bigramBackoffScoreSql(table, idCol, textExpr, minCount)})),
+       |__smp AS (SELECT * FROM __scored
+       |  WHERE ${Sampling.hashSampleSqlPredicate("id", sampleRate, salt)}),
+       |__ord AS (SELECT s, id, row_number() OVER (ORDER BY s, id) AS r,
+       |                 count(*) OVER () AS n
+       |          FROM __smp),
+       |__c1 AS (SELECT s, id FROM __ord WHERE r = n // 3),
+       |__c2 AS (SELECT s, id FROM __ord WHERE r = (2 * n) // 3),
+       |__b AS (SELECT CASE
+       |    WHEN sc.s < c1.s OR (sc.s = c1.s AND sc.id <= c1.id) THEN 0
+       |    WHEN sc.s < c2.s OR (sc.s = c2.s AND sc.id <= c2.id) THEN 1
+       |    ELSE 2 END AS bucket, sc.s
+       |  FROM __scored sc CROSS JOIN __c1 c1 CROSS JOIN __c2 c2)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CASE bucket WHEN 0 THEN 'tail' WHEN 1 THEN 'middle'
+       |       ELSE 'head' END AS label,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(s) AS BIGINT) AS sum_score_micro,
+       |  CAST(min(s) AS BIGINT) AS min_score_micro,
+       |  CAST(max(s) AS BIGINT) AS max_score_micro
+       |FROM __b GROUP BY 1, 2""".stripMargin
+
   // ------------------------------- DSIR hashed importance resampling
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for

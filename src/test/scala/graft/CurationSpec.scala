@@ -167,4 +167,50 @@ class CurationSpec extends SparkTestBase {
     assert(Curation.dsirSelect(df.filter(col("is_t")), "doc_id", "text",
       col("is_t"), 32, 2).count() === 0L)
   }
+
+  // ------------------------------- CCNet perplexity buckets (X134)
+
+  test("ccnetBuckets ≡ plain-Scala replay of sample-calibrated thirds over judged LM scores") {
+    import spark.implicits._
+    // fluency gradient: docs repeat frequent bigrams more or less
+    val corpus = (0L until 60L).map { i =>
+      val fluent = "the cat sat on the mat " * (1 + (i % 5).toInt)
+      val noise = s"zq$i xw${i * 7} " * (1 + ((i / 5) % 4).toInt)
+      (i, fluent + noise)
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val got = Curation.ccnetBuckets(df, "doc_id", "text", 2, 0.5, "s|")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    // reference: the judged LM scores, replayed bucketing
+    val scores = graft.operators.Lm
+      .bigramBackoffScore(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def h60(s: String): Long =
+      graft.functions.HashOps.h60(s.getBytes("UTF-8"))
+    val sample = scores.keys.toSeq
+      .filter(id => h60("s|" + id) % 10000L < 5000L)
+      .map(id => (scores(id), id)).sorted
+    assert(sample.size >= 3)
+    val c1 = sample((sample.size / 3) - 1)
+    val c2 = sample((2 * sample.size / 3) - 1)
+    def bucket(id: Long): Long = {
+      val t = (scores(id), id)
+      if (t._1 < c1._1 || (t._1 == c1._1 && t._2 <= c1._2)) 0L
+      else if (t._1 < c2._1 || (t._1 == c2._1 && t._2 <= c2._2)) 1L
+      else 2L
+    }
+    val want = scores.keys.toSeq.groupBy(bucket).toSeq.sortBy(_._1)
+      .map { case (b, ids) =>
+        val ss = ids.map(scores)
+        (b, Seq("tail", "middle", "head")(b.toInt), ids.size.toLong,
+          ss.sum, ss.min, ss.max)
+      }
+    assert(got === want)
+    // thirds cover the corpus, and score ranges are ordered:
+    // every tail score ≤ every head score boundary-wise
+    assert(got.map(_._3).sum === 60L)
+    assert(got.size === 3)
+    assert(got(0)._6 <= got(1)._6 && got(1)._5 <= got(2)._5)
+  }
 }
