@@ -105,6 +105,38 @@ object ProbePq {
     println(s"""{"probe":"pq_candidates","pairs_adc":$pairsAdc,""" +
       s""""pairs_brute":$pairsBrute,""" +
       s""""prune_factor":${pairsBrute.toDouble / pairsAdc}}""")
+
+    // 3) X131/X133 lifecycle: what segment growth does to the
+    // probed-cell scan, and what compaction recovers — measured
+    // through FileSourceScanExec's own numOutputRows (the q139/q141
+    // engine-level metric, applied to the code table). Build on the
+    // lower half (init ids 0..kc-1 live there), append the upper
+    // half as 8 arrival-ordered segments, probe ONE cell.
+    import graft.operators.Layout
+    val ix2 = java.nio.file.Files.createTempDirectory("graft_probe_pqgrow")
+      .toString
+    val half = n / 2
+    Similarity.materializePqIndex(corpus.filter(col("vec_id") < half),
+      ix2, kc, m, ks, iters, dim, "probe2")
+    for (b <- 0 until 8)
+      Similarity.appendToPqIndex(ix2,
+        corpus.filter(col("vec_id") >= half && col("vec_id") % 8 === b),
+        s"b$b", Some("probe2"))
+    val cellPred = Seq(("cell", 0L, 0L))
+    val preLive = Layout.zLiveSegments(s"$ix2/codes")
+    val (scan1, match1) =
+      Layout.probeScanRowsPaths(spark, preLive, cellPred)
+    require(Similarity.compactPqIndex(spark, ix2, numFiles = kc),
+      "9 live segments must fold")
+    val postLive = Layout.zLiveSegments(s"$ix2/codes")
+    val (scan2, match2) =
+      Layout.probeScanRowsPaths(spark, postLive, cellPred)
+    require(match1 == match2,
+      s"compaction changed probe content: $match1 vs $match2")
+    println(s"""{"probe":"pq_compact_scan","rows":$n,"cell":0,""" +
+      s""""segments_pre":${preLive.size},"segments_post":${postLive.size},""" +
+      s""""matched":$match1,"scanned_pre":$scan1,"scanned_post":$scan2,""" +
+      s""""skip_factor":${scan1.toDouble / math.max(scan2, 1L)}}""")
     spark.stop()
   }
 }
