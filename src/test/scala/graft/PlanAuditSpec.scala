@@ -134,7 +134,10 @@ class PlanAuditSpec extends SparkTestBase {
       // compacted segment set — the same bounded array_contains
       // broadcast; q158's shortlist and re-rank arms broadcast the
       // bounded query / candidate frames (the q19/q145 shape)
-      "q157_ivfpq_append", "q158_rp_recall", "q159_ivfpq_compact")
+      "q157_ivfpq_append", "q158_rp_recall", "q159_ivfpq_compact",
+      // q160 scores through the q130 LM kernel, inheriting its 1-row
+      // corpus-total broadcast frame
+      "q160_ccnet_buckets")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = executed(name).toString
       assert(!plan.contains("CartesianProduct"), s"$name planned a cartesian join")
