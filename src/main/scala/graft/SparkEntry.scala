@@ -2578,6 +2578,15 @@ object SparkEntry {
     "q160_ccnet_buckets" -> ((s, dir) =>
       graft.operators.Curation.ccnetBuckets(documents(s, dir),
         "doc_id", "text", 2, 0.2, "ccnet|").orderBy("bucket")),
+    // BPE decode + round-trip certificate (X135): the inference-side
+    // half of the tokenizer codec — every doc's q129 id stream decoded
+    // back through the inverse vocabulary and certified against the
+    // doc's own normalized token stream. Boundary-fusion UNK ids are
+    // counted and decode to a non-token marker, so lossy docs can
+    // never compare equal by luck. One zero-shuffle projection.
+    "q161_bpe_decode" -> ((s, dir) =>
+      graft.operators.Bpe.decodeRoundTrip(documents(s, dir),
+        "text", "doc_id", bpeMerges(s, dir, 16)).orderBy("doc_id")),
   )
 
   /** q144's rule-triggering injection texts — shared verbatim by the
@@ -3589,6 +3598,9 @@ object SparkEntry {
       (s"SELECT * FROM (${graft.operators.Curation.ccnetBucketsSql(
           "documents", "doc_id", "text", 2, 0.2, "ccnet|")}) " +
         "ORDER BY bucket"),
+    "q161_bpe_decode" ->
+      (s"SELECT * FROM (${graft.operators.Bpe.decodeRoundTripSql(
+          "documents", "text", "doc_id", 16)}) ORDER BY doc_id"),
     "q144_gopher_rules" -> {
       def sl(s: String): String = "'" + s.replace("'", "''") + "'"
       def layer(src: String, m: Int, exprTxt: String): String =

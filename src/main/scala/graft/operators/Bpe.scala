@@ -403,6 +403,64 @@ object Bpe {
           .cast("int").as("token_id"))
   }
 
+  /** Marker a decoded [[UnkId]] renders as. Outside `[a-z0-9]`, so an
+   *  UNK can never round-trip by coincidence: the normalized source
+   *  contains only token characters. */
+  val UnkSym = "#"
+
+  /** Inverse vocabulary: token id → symbol string. Injective by
+   *  construction — [[vocabIds]] keys each concatenation on its
+   *  min-step id, so every id maps back to exactly one string; base
+   *  ids are the `[a-z0-9]` code points; [[UnkId]] renders [[UnkSym]]
+   *  (fused-across-boundary artifact symbols are not invertible, and
+   *  the decode says so instead of guessing). */
+  def decodeVocab(merges: Seq[(String, String)]): Map[Int, String] =
+    vocabIds(merges).map { case (sym, id) => id -> sym } ++
+      (('a' to 'z') ++ ('0' to '9')).map(c => c.toInt -> c.toString) +
+      (UnkId -> UnkSym)
+
+  /** DECODE + lossless round-trip certificate (X135) — the
+   *  inference-side half of the codec: every judged artifact so far
+   *  runs text → ids ([[encodeIds]], [[packIdSequences]]); this is the
+   *  ids → text direction a pipeline needs to inspect, debug, or
+   *  detokenize its tokenized corpus, judged as the property that
+   *  makes a codec a codec. Per document: re-encode to the id stream
+   *  (the SAME fused kernel + id map q129 judges), decode every id
+   *  through [[decodeVocab]], and compare the concatenation against
+   *  the document's own normalized token stream. `roundtrip_exact`
+   *  holds iff the inverse map is exactly right AND no
+   *  boundary-fusion UNK occurred (n_unk counts those — [[UnkId]]
+   *  decodes to [[UnkSym]], which cannot appear in normalized text,
+   *  so a lossy doc can never compare equal by luck).
+   *
+   *  Output is doc-volume: (idCol, n_ids, n_unk, decoded_len,
+   *  roundtrip_exact). Plan: ONE zero-shuffle narrow projection — the
+   *  encode kernel, two literal-map lookups (merge-list-sized,
+   *  broadcast as literals), string concat and compare; nothing
+   *  leaves the scan stage, same 100 TB posture as q126. */
+  def decodeRoundTrip(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vids = typedLit(vocabIds(merges))
+    val inv = typedLit(decodeVocab(merges))
+    val idArr = transform(
+      flatten(transform(encodeTokens(wordTokens(col(textCol)), merges),
+        symbols(_))),
+      sym => when(length(sym) === 1, ascii(sym))
+        .otherwise(coalesce(element_at(vids, sym), lit(UnkId))).cast("int"))
+    docs
+      .select(col(idCol), idArr.as("__ids"),
+        array_join(wordTokens(col(textCol)), "").as("__norm"))
+      .select(col(idCol),
+        size(col("__ids")).cast("long").as("n_ids"),
+        size(filter(col("__ids"), _ === lit(UnkId))).cast("long").as("n_unk"),
+        array_join(transform(col("__ids"),
+          i => coalesce(element_at(inv, i), lit(UnkSym))), "").as("__dec"),
+        col("__norm"))
+      .select(col(idCol), col("n_ids"), col("n_unk"),
+        length(col("__dec")).cast("long").as("decoded_len"),
+        (col("__dec") === col("__norm")).as("roundtrip_exact"))
+  }
+
   // ------------------------------------------------- DuckDB twins
 
   private val SepSql = "chr(31)"
@@ -520,6 +578,64 @@ object Bpe {
        |       ELSE COALESCE(v.vid, 1) END
        |       AS INTEGER) AS token_id
        |FROM __flat f LEFT JOIN __vocab v ON f.sym = v.sym""".stripMargin
+  }
+
+  /** DuckDB twin of [[train]] + [[decodeRoundTrip]]: re-trains the
+   *  merges, replays the id derivation (the encodeIdsSql chain), then
+   *  decodes each id back through the INVERSE vocabulary join —
+   *  chr() for code-point ids, the min-step symbol for 256+ ids,
+   *  '#' for UNK — and certifies the ordered concatenation against
+   *  the document's own normalized token stream. The oracle decodes
+   *  from the IDS (never passes symbols through), so a wrong id→sym
+   *  inverse on either engine hash-fails the row. */
+  def decodeRoundTripSql(table: String, textExpr: String, idCol: String,
+      numMerges: Int): String = {
+    val encChain = (1 to numMerges).map(k =>
+      s"""i$k AS MATERIALIZED (SELECT id, wpos,
+         |    COALESCE(replace(s, b.l || $SepSql || b.r, b.l || b.r), s) AS s
+         |  FROM i${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin)
+      .mkString(",\n")
+    val steps = (1 to numMerges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, l, r FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${trainCtes(table, textExpr, numMerges)},
+       |i0 AS MATERIALIZED (SELECT id, i - 1 AS wpos,
+       |    array_to_string(regexp_extract_all(t, '.'), $SepSql) AS s
+       |  FROM (SELECT $idCol AS id, unnest(toks) AS t,
+       |          generate_subscripts(toks, 1) AS i
+       |        FROM (SELECT $idCol,
+       |                regexp_extract_all(lower($textExpr), '[a-z0-9]+') AS toks
+       |              FROM $table))),
+       |$encChain,
+       |__vocab AS (SELECT sym, 255 + min(step) AS vid
+       |  FROM (SELECT step, l || r AS sym FROM ($steps)) GROUP BY 1),
+       |__flat AS (SELECT id, wpos, generate_subscripts(syms, 1) AS si,
+       |    unnest(syms) AS sym
+       |  FROM (SELECT id, wpos, string_split(s, $SepSql) AS syms
+       |        FROM i$numMerges)),
+       |__ids AS (SELECT f.id, f.wpos, f.si,
+       |    CAST(CASE WHEN length(f.sym) = 1 THEN ord(f.sym)
+       |         ELSE COALESCE(v.vid, 1) END AS INTEGER) AS token_id
+       |  FROM __flat f LEFT JOIN __vocab v ON f.sym = v.sym),
+       |__dec AS (SELECT i.id,
+       |    CAST(count(*) AS BIGINT) AS n_ids,
+       |    CAST(sum(CASE WHEN i.token_id = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_unk,
+       |    string_agg(CASE WHEN i.token_id < 256 THEN chr(i.token_id)
+       |                    ELSE COALESCE(v2.sym, '#') END, ''
+       |               ORDER BY i.wpos, i.si) AS decoded
+       |  FROM __ids i LEFT JOIN __vocab v2 ON i.token_id = v2.vid
+       |  GROUP BY i.id),
+       |__norm AS (SELECT $idCol AS id,
+       |    array_to_string(regexp_extract_all(lower($textExpr), '[a-z0-9]+'),
+       |      '') AS norm
+       |  FROM $table)
+       |SELECT n.id AS $idCol,
+       |  COALESCE(d.n_ids, 0) AS n_ids,
+       |  COALESCE(d.n_unk, 0) AS n_unk,
+       |  CAST(length(COALESCE(d.decoded, '')) AS BIGINT) AS decoded_len,
+       |  COALESCE(d.decoded, '') = n.norm AS roundtrip_exact
+       |FROM __norm n LEFT JOIN __dec d ON n.id = d.id""".stripMargin
   }
 
   /** DuckDB twin of [[train]] + [[encode]] end to end: the oracle

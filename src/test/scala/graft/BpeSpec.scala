@@ -449,4 +449,53 @@ class BpeSpec extends SparkTestBase {
     assert(got.getLong(2) === rows.sum)
     assert(got.getLong(3) === rows.sum * 1000000L / (rows.length * 64L))
   }
+
+  // ---- X135 decode + round-trip certificate (q161)
+
+  test("decodeVocab inverts vocabIds, covers the base alphabet and UNK") {
+    // steps 3 and 4 both concatenate to "abcd" → one id 258, so 259
+    // must NOT exist in the inverse (no phantom ids)
+    val merges = Seq(("a", "b"), ("c", "d"), ("ab", "cd"), ("abc", "d"))
+    val inv = Bpe.decodeVocab(merges)
+    assert(inv(256) === "ab" && inv(257) === "cd" && inv(258) === "abcd")
+    assert(!inv.contains(259))
+    assert(inv(97) === "a" && inv(122) === "z" &&
+      inv(48) === "0" && inv(57) === "9")
+    assert(inv(Bpe.UnkId) === Bpe.UnkSym)
+  }
+
+  test("decodeRoundTrip: exact on UNK-free docs, counted loss on fusions") {
+    // (b,c) tail-matches inside the fused `ab`: "abc" becomes ONE
+    // artifact symbol with no learned id → UNK → certified lossy
+    val merges = Seq(("a", "b"), ("b", "c"))
+    val docs = Seq(
+      (1L, "ab ab ab ab xbc xbc xbc"), // ab→[256], xbc→[x, bc] — exact
+      (2L, "abc"),                     // boundary fusion → UNK
+      (3L, "Hello, WORLD 42!"),        // normalization: helloworld42
+      (4L, "??!!")                     // token-free: 0 ids, exact
+    ).toDF("doc_id", "text")
+    val got = Bpe.decodeRoundTrip(docs, "text", "doc_id", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got === Array(
+      (1L, 10L, 0L, 17L, true),  // 4x[ab] + 3x[x,bc] = 10 ids
+      (2L, 1L, 1L, 1L, false),   // one UNK decodes to "#": length 1 vs 3
+      (3L, 12L, 0L, 12L, true),
+      (4L, 0L, 0L, 0L, true)))
+  }
+
+  test("decodeRoundTrip on the real corpus: exact iff UNK-free") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+    val merges = Bpe.train(docs, "text", 12)
+    val rows = Bpe.decodeRoundTrip(docs, "text", "doc_id", merges)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) === (r.getLong(2) == 0L),
+        s"doc ${r.getLong(0)}: roundtrip_exact must hold iff n_unk == 0")
+    }
+  }
 }
