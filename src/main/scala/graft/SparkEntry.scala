@@ -331,6 +331,28 @@ object SparkEntry {
   /** Build the materialized IVF-PQ index once per corpus fingerprint
    *  (the q114 shared-cache shape applied to q155's compressed code
    *  table — params are the judged IVF-PQ family's). */
+  /** Store-once tokenizer artifact for q162 (the sharedPqIndexDir
+   *  discipline): trained on the full documents table, pinned by the
+   *  corpus fingerprint, installed atomically via tmp-dir rename. */
+  private def sharedTokenizerDir(s: SparkSession, dir: String): String = {
+    val fp = corpusFingerprint(dir)
+    val path = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_shared_tok_v1_$fp")
+    this.synchronized {
+      if (!new java.io.File(path, "_DONE").exists()) {
+        val tmp = new java.io.File(path.getParent,
+          s"${path.getName}.tmp${ProcessHandle.current().pid()}")
+        graft.operators.Bpe.storeTokenizer(s, tmp.toString,
+          bpeMerges(s, dir, 16), fp)
+        new java.io.File(tmp, "_DONE").createNewFile()
+        if (!tmp.renameTo(path)) {
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        }
+      }
+    }
+    path.toString
+  }
+
   private def sharedPqIndexDir(s: SparkSession, dir: String): String = {
     val fp = tableFingerprint(dir, "embeddings.parquet")
     val path = new java.io.File(
@@ -2587,6 +2609,25 @@ object SparkEntry {
     "q161_bpe_decode" -> ((s, dir) =>
       graft.operators.Bpe.decodeRoundTrip(documents(s, dir),
         "text", "doc_id", bpeMerges(s, dir, 16)).orderBy("doc_id")),
+    // Tokenizer AT REST (X136): train once, store (merges + corpus
+    // fingerprint), and serve every later encode job from the LOADED
+    // artifact — the train-once/serve-forever contract every consumer
+    // of the token-id artifact depends on (a retrained list re-keys
+    // every id downstream). The row encodes the corpus through the
+    // STORED list under the fingerprint guard; the oracle re-trains
+    // from scratch, so any fidelity loss in store/load (a dropped,
+    // reordered, or corrupted merge) hash-fails the row. tok_merges
+    // comes from the stored META, judging the manifest read too.
+    "q162_bpe_tokenizer_store" -> ((s, dir) => {
+      val tok = sharedTokenizerDir(s, dir)
+      val merges = graft.operators.Bpe.loadTokenizer(
+        s, tok, Some(corpusFingerprint(dir)))
+      val nMerges = s.read.parquet(s"$tok/meta")
+        .collect().head.getAs[Long]("n_merges")
+      graft.operators.Bpe.encode(documents(s, dir), "text", "doc_id", merges)
+        .withColumn("tok_merges", lit(nMerges))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q144's rule-triggering injection texts — shared verbatim by the
@@ -3601,6 +3642,10 @@ object SparkEntry {
     "q161_bpe_decode" ->
       (s"SELECT * FROM (${graft.operators.Bpe.decodeRoundTripSql(
           "documents", "text", "doc_id", 16)}) ORDER BY doc_id"),
+    "q162_bpe_tokenizer_store" ->
+      (s"SELECT *, CAST(16 AS BIGINT) AS tok_merges FROM " +
+        s"(${graft.operators.Bpe.encodeSql("documents", "text",
+            "doc_id", 16)}) ORDER BY doc_id"),
     "q144_gopher_rules" -> {
       def sl(s: String): String = "'" + s.replace("'", "''") + "'"
       def layer(src: String, m: Int, exprTxt: String): String =

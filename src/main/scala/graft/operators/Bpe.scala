@@ -461,6 +461,50 @@ object Bpe {
         (col("__dec") === col("__norm")).as("roundtrip_exact"))
   }
 
+  // --------------------------------------- tokenizer at rest (X136)
+
+  /** Materialize a trained tokenizer AT REST — the `tokenizer.json`
+   *  of this engine (X136). A production pipeline trains its
+   *  tokenizer ONCE and pins it: every later encode job (and every
+   *  consumer of the token-id artifact — packing, spans, fertility,
+   *  decode) must run the EXACT stored merge list, because a
+   *  retrained list re-keys every id downstream — the same
+   *  train-once/serve-forever contract as the PQ index's frozen
+   *  codebooks (X129/X131). Layout: `merges/` parquet
+   *  (step, l, r — the full ordered list; strings round-trip parquet
+   *  exactly) + `meta/` (corpus fingerprint, n_merges). Vocab-sized:
+   *  a 32k-merge production list is a few hundred KB. */
+  def storeTokenizer(spark: org.apache.spark.sql.SparkSession,
+      dir: String, merges: Seq[(String, String)],
+      fingerprint: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i + 1L, l, r) }
+      .toDF("step", "l", "r")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    Seq((fingerprint, merges.size.toLong)).toDF("fingerprint", "n_merges")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[storeTokenizer]] artifact: the ordered merge list, with
+   *  the same foreign-fingerprint guard as the stored PQ index — an
+   *  encode job pinned to corpus A must refuse a tokenizer trained on
+   *  corpus B instead of silently emitting re-keyed ids. */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      expectFingerprint: Option[String] = None): Seq[(String, String)] = {
+    expectFingerprint.foreach { fp =>
+      val stored = spark.read.parquet(s"$dir/meta")
+        .collect().head.getAs[String]("fingerprint")
+      require(stored == fp,
+        s"tokenizer at $dir was trained on a different corpus " +
+          s"(stored fingerprint $stored, expected $fp)")
+    }
+    spark.read.parquet(s"$dir/merges").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("l"),
+        r.getAs[String]("r")))
+      .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+  }
+
   // ------------------------------------------------- DuckDB twins
 
   private val SepSql = "chr(31)"

@@ -498,4 +498,41 @@ class BpeSpec extends SparkTestBase {
         s"doc ${r.getLong(0)}: roundtrip_exact must hold iff n_unk == 0")
     }
   }
+
+  // ---- X136 tokenizer at rest (q162)
+
+  test("storeTokenizer/loadTokenizer: identity, fingerprint guard, idempotent re-store") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+    val merges = Bpe.train(docs, "text", 12)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tok_spec_").toString
+    try {
+      Bpe.storeTokenizer(spark, dir, merges, "fpA")
+      // round-trip identity: order AND content
+      assert(Bpe.loadTokenizer(spark, dir, Some("fpA")) === merges)
+      // foreign fingerprint rejected, never silently re-keyed
+      val err = intercept[IllegalArgumentException] {
+        Bpe.loadTokenizer(spark, dir, Some("fpB"))
+      }
+      assert(err.getMessage.contains("different corpus"))
+      // unguarded load (caller owns the pinning) still round-trips
+      assert(Bpe.loadTokenizer(spark, dir) === merges)
+      // idempotent re-store: overwrite with the same content
+      Bpe.storeTokenizer(spark, dir, merges, "fpA")
+      assert(Bpe.loadTokenizer(spark, dir, Some("fpA")) === merges)
+      // encode through the LOADED list equals encode through the
+      // trained list — the fidelity the judged row rides on
+      val direct = Bpe.encode(docs, "text", "doc_id", merges)
+        .orderBy("doc_id").collect().toSeq
+      val loaded = Bpe.encode(docs, "text", "doc_id",
+        Bpe.loadTokenizer(spark, dir, Some("fpA")))
+        .orderBy("doc_id").collect().toSeq
+      assert(loaded === direct)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
 }
