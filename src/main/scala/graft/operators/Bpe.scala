@@ -591,7 +591,13 @@ object Bpe {
    *  `doc_id % 20 = 0`) — id-level output is token-volume-sized, so
    *  both engines encode the same subset. */
   def encodeIdsSql(table: String, textExpr: String, idCol: String,
-      numMerges: Int, filterSql: String): String = {
+      numMerges: Int, filterSql: String,
+      encodeFrom: String = ""): String = {
+    // `encodeFrom` splits the TRAIN relation from the ENCODE relation
+    // (empty = same table): the q163 streaming-pack oracle encodes an
+    // arrival-ordered union through a tokenizer trained on the full
+    // corpus — the X136 pre-trained-tokenizer deployment shape.
+    val src = if (encodeFrom.isEmpty) table else encodeFrom
     val encChain = (1 to numMerges).map(k =>
       s"""i$k AS MATERIALIZED (SELECT id, wpos,
          |    COALESCE(replace(s, b.l || $SepSql || b.r, b.l || b.r), s) AS s
@@ -607,7 +613,7 @@ object Bpe {
        |          generate_subscripts(toks, 1) AS i
        |        FROM (SELECT $idCol,
        |                regexp_extract_all(lower($textExpr), '[a-z0-9]+') AS toks
-       |              FROM $table WHERE $filterSql))),
+       |              FROM $src WHERE $filterSql))),
        |$encChain,
        |__vocab AS (SELECT sym, 255 + min(step) AS vid
        |  FROM (SELECT step, l || r AS sym FROM ($steps)) GROUP BY 1),
@@ -758,7 +764,7 @@ object Bpe {
    *  the document it terminates, the convention a doc-masked
    *  attention span wants (the separator belongs to the finished
    *  document, never to the next one). */
-  private def eosJoinedStream(ids: DataFrame, idCol: String,
+  private[graft] def eosJoinedStream(ids: DataFrame, idCol: String,
       seqLen: Int, eosId: Int): DataFrame = {
     require(seqLen >= 2, s"seqLen must be >= 2, got $seqLen")
     require(eosId >= 0 && eosId < 48,
@@ -835,9 +841,10 @@ object Bpe {
    *  EOS-joined fixed-window packing and positional checksum. */
   def packIdSequencesSql(table: String, textExpr: String, idCol: String,
       numMerges: Int, filterSql: String, seqLen: Int,
-      eosId: Int): String =
+      eosId: Int, encodeFrom: String = ""): String =
     s"""WITH __ids AS (SELECT * FROM (
-       |  ${encodeIdsSql(table, textExpr, idCol, numMerges, filterSql)})),
+       |  ${encodeIdsSql(table, textExpr, idCol, numMerges, filterSql,
+            encodeFrom)})),
        |__n AS (SELECT $idCol, CAST(count(*) AS BIGINT) AS n
        |  FROM __ids GROUP BY 1),
        |__off AS (SELECT $idCol, n,
