@@ -232,6 +232,13 @@ object SparkEntry {
         write(tmp.toString)
         if (!tmp.renameTo(path)) { // lost the race: someone else won
           org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+          // ... unless the rename failed for a non-race reason
+          // (cross-device, permissions): then nothing complete exists
+          // at `path` and the caller would die later on an opaque
+          // read error — surface it at the cache site instead
+          require(new java.io.File(path, "_SUCCESS").exists(),
+            s"shared-artifact install rename to $path failed and no " +
+              "complete artifact exists there — not a lost race")
         }
       }
     }
@@ -269,6 +276,9 @@ object SparkEntry {
         new java.io.File(tmp, "_DONE").createNewFile()
         if (!tmp.renameTo(path)) {
           org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+          require(new java.io.File(path, "_DONE").exists(),
+            s"shared-index install rename to $path failed and no " +
+              "complete artifact exists there — not a lost race")
         }
       }
     }
@@ -318,6 +328,9 @@ object SparkEntry {
         new java.io.File(tmp, "_DONE").createNewFile()
         if (!tmp.renameTo(path)) {
           org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+          require(new java.io.File(path, "_DONE").exists(),
+            s"shared-index install rename to $path failed and no " +
+              "complete artifact exists there — not a lost race")
         }
       }
     }
@@ -333,20 +346,38 @@ object SparkEntry {
    *  table — params are the judged IVF-PQ family's). */
   /** Store-once tokenizer artifact for q162 (the sharedPqIndexDir
    *  discipline): trained on the full documents table, pinned by the
-   *  corpus fingerprint, installed atomically via tmp-dir rename. */
-  private def sharedTokenizerDir(s: SparkSession, dir: String): String = {
+   *  corpus fingerprint, installed atomically via tmp-dir rename.
+   *  `numMerges` is part of the cache key — two callers wanting
+   *  different merge counts can never be served each other's
+   *  artifact — and the trained list's size is asserted to EQUAL the
+   *  request, so the q162 oracle's literal merge count agrees with
+   *  the stored meta by construction (a pair-exhausted short train
+   *  fails loudly here, not as a downstream hash mismatch). */
+  private def sharedTokenizerDir(s: SparkSession, dir: String,
+      numMerges: Int = 16): String = {
     val fp = corpusFingerprint(dir)
     val path = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_shared_tok_v1_$fp")
+      s"${System.getProperty("java.io.tmpdir")}/graft_shared_tok_v1_" +
+        s"m${numMerges}_$fp")
     this.synchronized {
       if (!new java.io.File(path, "_DONE").exists()) {
         val tmp = new java.io.File(path.getParent,
           s"${path.getName}.tmp${ProcessHandle.current().pid()}")
-        graft.operators.Bpe.storeTokenizer(s, tmp.toString,
-          bpeMerges(s, dir, 16), fp)
+        val merges = bpeMerges(s, dir, numMerges)
+        require(merges.size == numMerges,
+          s"tokenizer train exhausted pairs at ${merges.size} of the " +
+            s"requested $numMerges merges — corpus too small for this key")
+        graft.operators.Bpe.storeTokenizer(s, tmp.toString, merges, fp)
         new java.io.File(tmp, "_DONE").createNewFile()
         if (!tmp.renameTo(path)) {
+          // lost the install race — or a real rename failure
+          // (cross-device, permissions). Either way the caller needs
+          // a COMPLETE artifact at `path`; surface anything else here
+          // instead of as an opaque parquet read error downstream.
           org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+          require(new java.io.File(path, "_DONE").exists(),
+            s"tokenizer install rename to $path failed and no complete " +
+              "artifact exists there — not a lost race; check filesystem")
         }
       }
     }
@@ -366,6 +397,9 @@ object SparkEntry {
         new java.io.File(tmp, "_DONE").createNewFile()
         if (!tmp.renameTo(path)) {
           org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+          require(new java.io.File(path, "_DONE").exists(),
+            s"shared-index install rename to $path failed and no " +
+              "complete artifact exists there — not a lost race")
         }
       }
     }
@@ -398,6 +432,9 @@ object SparkEntry {
         new java.io.File(tmp, "_DONE").createNewFile()
         if (!tmp.renameTo(path)) {
           org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+          require(new java.io.File(path, "_DONE").exists(),
+            s"shared-index install rename to $path failed and no " +
+              "complete artifact exists there — not a lost race")
         }
       }
     }

@@ -671,8 +671,9 @@ object Bpe {
        |    CAST(count(*) AS BIGINT) AS n_ids,
        |    CAST(sum(CASE WHEN i.token_id = 1 THEN 1 ELSE 0 END) AS BIGINT)
        |      AS n_unk,
-       |    string_agg(CASE WHEN i.token_id < 256 THEN chr(i.token_id)
-       |                    ELSE COALESCE(v2.sym, '#') END, ''
+       |    string_agg(CASE WHEN i.token_id = 1 THEN '$UnkSym'
+       |                    WHEN i.token_id < 256 THEN chr(i.token_id)
+       |                    ELSE COALESCE(v2.sym, '$UnkSym') END, ''
        |               ORDER BY i.wpos, i.si) AS decoded
        |  FROM __ids i LEFT JOIN __vocab v2 ON i.token_id = v2.vid
        |  GROUP BY i.id),

@@ -535,10 +535,15 @@ object Curation {
   def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
       minCount: Int, sampleRate: Double, salt: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def scored = Lm.bigramBackoffScore(docs, idCol, textCol, minCount)
+    // persist the (id, score) projection ONCE: the calibration arm
+    // (sample count + two cut jobs) and the final bucketing pass both
+    // read it, and each would otherwise re-execute the FULL q130
+    // scoring plan — model-train aggregations included, which no
+    // pushdown can shrink. The cached frame is doc-count × 16 bytes.
+    val scored = Lm.bigramBackoffScore(docs, idCol, textCol, minCount)
       .select(col(idCol).as("__id"), col("mean_score_micro").as("__s"))
-    val sm = Sampling.hashSample(scored, col("__id"), sampleRate, salt)
       .persist(MEMORY_AND_DISK)
+    val sm = Sampling.hashSample(scored, col("__id"), sampleRate, salt)
     try {
       val ns = sm.count()
       require(ns >= 3,
@@ -554,7 +559,7 @@ object Curation {
       val (c2s, c2i) = cut(2 * ns / 3)
       def le(s: Long, i: Long): Column =
         col("__s") < lit(s) || (col("__s") === lit(s) && col("__id") <= lit(i))
-      scored.select(col("__s"),
+      val report = scored.select(col("__s"),
           when(le(c1s, c1i), lit(0L)).when(le(c2s, c2i), lit(1L))
             .otherwise(lit(2L)).as("bucket"))
         .groupBy(col("bucket"))
@@ -568,7 +573,14 @@ object Curation {
             .otherwise(lit("head")).as("label"),
           col("n_docs"), col("sum_score_micro"),
           col("min_score_micro"), col("max_score_micro"))
-    } finally { sm.unpersist(); () }
+      // the report is ≤ 3 rows — materialize it EAGERLY off the cache
+      // before the unpersist below (returning the lazy plan would
+      // recompute the full scoring subtree at the caller's action)
+      val spark = docs.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(report.collect().toSeq, 1),
+        report.schema)
+    } finally { scored.unpersist(); () }
   }
 
   /** DuckDB oracle twin of [[ccnetBuckets]] — LM scores via the q130

@@ -213,4 +213,38 @@ class CurationSpec extends SparkTestBase {
     assert(got.size === 3)
     assert(got(0)._6 <= got(1)._6 && got(1)._5 <= got(2)._5)
   }
+
+  test("ccnetBuckets trains the LM model ONCE per run (round-13, closes the q160 doubled-train finding)") {
+    import spark.implicits._
+    // Instrument the corpus source with an accumulator-bumping filter
+    // (test-only UDF): every execution of the scoring subtree scans
+    // the source, so the accumulated row count measures how many
+    // times the model-train plan actually ran. The round-12 form held
+    // `scored` as a def — the calibration sample and the bucket pass
+    // each re-executed the FULL q130 plan, model-train aggregations
+    // included. The fixed form persists the 2-column (id, score)
+    // frame once, so a whole ccnetBuckets run must scan the source
+    // exactly as often as ONE bigramBackoffScore execution does
+    // (that plan legitimately references the corpus k times within
+    // one pass — the baseline measures k, the assertion pins 1×k,
+    // not 2×k).
+    val corpus = (0L until 40L)
+      .map(i => (i, s"the cat sat on the mat zq$i"))
+    def instrumented(name: String) = {
+      val acc = spark.sparkContext.longAccumulator(name)
+      val bump = udf { (_: Long) => acc.add(1L); true }
+      (corpus.toDF("doc_id", "text").filter(bump(col("doc_id"))), acc)
+    }
+    val (base, accBase) = instrumented("q160_base")
+    graft.operators.Lm.bigramBackoffScore(base, "doc_id", "text", 2)
+      .collect()
+    val perTrain = accBase.value
+    assert(perTrain >= 40L, s"baseline scan count $perTrain is implausible")
+    val (df, acc) = instrumented("q160_ccnet")
+    Curation.ccnetBuckets(df, "doc_id", "text", 2, 0.5, "s|").collect()
+    assert(acc.value === perTrain,
+      s"ccnetBuckets scanned the corpus ${acc.value} source-rows, " +
+        s"expected ONE model-train's worth ($perTrain) — the scored " +
+        "frame is being recomputed instead of read from cache")
+  }
 }
