@@ -2397,6 +2397,19 @@ object SparkEntry {
           Sources.table(s, dir, "embeddings"), "doc_id", "text",
           5, 20, 10)
         .orderBy("q_id", "rank")),
+    // Hybrid retrieval, POSTINGS lexical channel (X138, round-13,
+    // closes VERDICT r12 missing #2): same queries/channels/fusion as
+    // q143, but the lexical arm is the q86 posting-join shape — the
+    // corpus explodes to distinct-token postings joined against the
+    // BROADCAST query-token frame, so only token-sharing (query, doc)
+    // pairs ever materialize (the postings-index contract; q143's
+    // crossJoin arm ranks zero-overlap docs at jm=0). The oracle
+    // replays the posting-join channel and the integer RRF fusion.
+    "q164_hybrid_postings" -> ((s, dir) =>
+      Retrieval.hybridRrfPostingsTopK(documents(s, dir),
+          Sources.table(s, dir, "embeddings"), "doc_id", "text",
+          5, 20, 10)
+        .orderBy("q_id", "rank")),
     // Gopher rule gate (X118, round-12): Rae et al. 2021 §A.1.1's
     // seven quality heuristics as one fused zero-shuffle projection —
     // every ratio test a cross-multiplied integer comparison, per-doc
@@ -3641,6 +3654,10 @@ object SparkEntry {
           "text", "lang = 'en'", 8192, 100)}) ORDER BY rank"),
     "q143_hybrid_rrf" ->
       (s"SELECT * FROM (${Retrieval.hybridRrfTopKSql("documents",
+          "embeddings", "doc_id", "text", 5, 20, 10)})" +
+        " ORDER BY q_id, rank"),
+    "q164_hybrid_postings" ->
+      (s"SELECT * FROM (${Retrieval.hybridRrfPostingsTopKSql("documents",
           "embeddings", "doc_id", "text", 5, 20, 10)})" +
         " ORDER BY q_id, rank"),
     "q145_ann_recall" ->

@@ -121,8 +121,11 @@ class PlanAuditSpec extends SparkTestBase {
       "q140_zorder3_zonemaps",
       // q143's lexical channel and q145's exact arm fan the BOUNDED
       // broadcast query set across one corpus scan — the judged q19
-      // shape (their other arms join hash keys: bucket/fusion)
-      "q143_hybrid_rrf", "q145_ann_recall",
+      // shape (their other arms join hash keys: bucket/fusion);
+      // q164's lexical arm is a posting HASH join (that's its point —
+      // RetrievalFusionSpec pins it), only its dense channel keeps
+      // the q19 fan
+      "q143_hybrid_rrf", "q145_ann_recall", "q164_hybrid_postings",
       // q152/q154/q155 join the encoded corpus (on-the-fly, residual,
       // or stored codes) to the BOUNDED broadcast probe/LUT frame on
       // array_contains(probed, cell) — a non-equi predicate by design
