@@ -639,6 +639,158 @@ object Media {
     }
   }
 
+  // --------------------- perceptual hashing fixtures + dHash (X140)
+
+  /** Grid the perceptual-hash machinery samples: 8 block columns ×
+   *  9 block rows → 7 horizontal comparisons × 9 rows = 63 bits, so
+   *  the hash never touches the sign bit and both engines sum the
+   *  bit terms in plain non-negative BIGINT arithmetic. */
+  val DhashCols = 8
+  val DhashRows = 9
+
+  /** Deterministic block value of the dHash fixture imagery: the
+   *  grayscale of block (bx, by) in content family `fam`. A
+   *  piecewise-constant 8×9 block pattern is the fixture shape that
+   *  makes perceptual-hash semantics JUDGEABLE: any re-encode or
+   *  resize (dims ≥ 8×9) preserves the block structure, so the dHash
+   *  of the decoded pixels is derivable by the oracle from (fam,
+   *  edit) alone — no image codec in DuckDB required — while the
+   *  Spark side must still run the REAL decode to reach the pixels.
+   *  `edit` perturbs exactly one interior block (the "slightly
+   *  edited near-duplicate"), moving ≤ 2 of the 63 gradient bits. */
+  def dhashBlockVal(fam: Long, bx: Int, by: Int, edit: Boolean): Int = {
+    val v = ((fam * 2654435761L + bx * 31L + by * 17L) % 256L).toInt
+    if (edit && bx == 4 && by == 4) (v + 128) % 256 else v
+  }
+
+  /** Render one fixture image: real PNG bytes whose pixel (x, y)
+   *  carries gray [[dhashBlockVal]](fam, x·8 div W, y·9 div H) on all
+   *  three channels — so integer luma (299r + 587g + 114b) / 1000
+   *  recovers the block value EXACTLY after the lossless PNG
+   *  round-trip. */
+  def encodeBlockPng(writer: javax.imageio.ImageWriter, fam: Long,
+      width: Int, height: Int, edit: Boolean): Array[Byte] = {
+    require(width >= DhashCols && height >= DhashRows,
+      s"fixture dims must cover the ${DhashCols}x$DhashRows grid, " +
+        s"got ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var y = 0
+    while (y < height) {
+      val by = y * DhashRows / height
+      var x = 0
+      while (x < width) {
+        val v = dhashBlockVal(fam, x * DhashCols / width, by, edit).toByte
+        val o = (y * width + x) * 3
+        raster(o) = v; raster(o + 1) = v; raster(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    writeImage(writer, img)
+  }
+
+  /** The near-duplicate-bearing image corpus the perceptual-dedup row
+   *  judges: every %20 doc contributes a base image (dims keyed by
+   *  the doc so the corpus is heterogeneous), every %40==0 doc a
+   *  RESIZED re-encode twin (+10⁶ — same content family, different
+   *  dims: hamming 0 by block preservation), every %40==20 doc an
+   *  EDITED twin (+2·10⁶ — one block perturbed: hamming ≤ 2). */
+  def dhashPngsFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col("doc_id")).filter(col("doc_id") % 20 === 0)
+    val variants = base
+      .select(col("doc_id").as("id"), col("doc_id").as("fam"),
+        lit(0).as("dw"), lit(0).as("dh"), lit(false).as("edit"))
+      .unionAll(base.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000L).as("id"), col("doc_id").as("fam"),
+          lit(6).as("dw"), lit(4).as("dh"), lit(false).as("edit")))
+      .unionAll(base.filter(col("doc_id") % 40 === 20)
+        .select((col("doc_id") + 2000000L).as("id"), col("doc_id").as("fam"),
+          lit(0).as("dw"), lit(0).as("dh"), lit(true).as("edit")))
+      .as[(Long, Long, Int, Int, Boolean)]
+    variants.mapPartitions { it =>
+      codecWarm
+      val writer = pngWriter()
+      it.map { case (id, fam, dw, dh, edit) =>
+        val w = 16 + (fam % 17).toInt + dw
+        val h = 18 + (fam % 13).toInt + dh
+        MediaRecord(id, encodeBlockPng(writer, fam, w, h, edit), "image/png")
+      }
+    }
+  }
+
+  /** 63-bit perceptual dHash over REAL decoded pixels (X140 — the
+   *  difference-hash of Krawetz's dHash construction, at the 8×9
+   *  sign-free grid): decode ([[readImage]]), integer luma, sample
+   *  one pixel per grid cell (x = ⌈gx·W/8⌉ — the first pixel OF block
+   *  gx for any W ≥ 8, so block content, not interpolation, decides
+   *  the hash), set bit gy·7+gx iff luma(gx+1, gy) > luma(gx, gy).
+   *  One zero-shuffle mapPartitions pass, decoder opened per
+   *  partition (the [[extractFeatures]] batch shape); undecodable
+   *  payloads yield no row. Output (doc_id, dh). */
+  def dhash63(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      codecWarm
+      records.flatMap { r =>
+        readImage(r.bytes).flatMap { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (w < DhashCols || h < DhashRows) None
+          else {
+            val g = Array.ofDim[Int](DhashRows, DhashCols)
+            var gy = 0
+            while (gy < DhashRows) {
+              val sy = (gy * h + DhashRows - 1) / DhashRows
+              var gx = 0
+              while (gx < DhashCols) {
+                val sx = (gx * w + DhashCols - 1) / DhashCols
+                val rgb = img.getRGB(sx, sy)
+                g(gy)(gx) = (((rgb >> 16) & 0xFF) * 299 +
+                  ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+                gx += 1
+              }
+              gy += 1
+            }
+            var hash = 0L
+            gy = 0
+            while (gy < DhashRows) {
+              var gx = 0
+              while (gx < DhashCols - 1) {
+                if (g(gy)(gx + 1) > g(gy)(gx))
+                  hash |= 1L << (gy * (DhashCols - 1) + gx)
+                gx += 1
+              }
+              gy += 1
+            }
+            Some((r.doc_id, hash))
+          }
+        }.iterator
+      }
+    }.toDF("doc_id", "dh")
+  }
+
+  /** The oracle's closed form of the fixture dHash: a 63-term
+   *  bit sum over [[dhashBlockVal]] replayed in SQL from (fam, edit)
+   *  alone — dims drop out because block sampling is exact at any
+   *  size, which is precisely the resize-invariance the row judges. */
+  def dhash63FixtureSql(famExpr: String, editExpr: String): String = {
+    def v(bx: Int, by: Int): String = {
+      val base = s"(($famExpr * 2654435761 + ${bx * 31 + by * 17}) % 256)"
+      if (bx == 4 && by == 4)
+        s"(CASE WHEN $editExpr THEN ($base + 128) % 256 ELSE $base END)"
+      else base
+    }
+    val terms = for (gy <- 0 until DhashRows; gx <- 0 until DhashCols - 1)
+      yield s"(CASE WHEN ${v(gx + 1, gy)} > ${v(gx, gy)} THEN " +
+        s"${1L << (gy * (DhashCols - 1) + gx)} ELSE 0 END)"
+    terms.mkString("(", " + ", ")")
+  }
+
   /** DuckDB mirror of the stub frame sampler's (doc_id, frame_idx,
    *  n_bytes) view. */
   def sampleFramesSql(table: String, everyN: Int): String =

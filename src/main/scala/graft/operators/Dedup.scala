@@ -1023,6 +1023,20 @@ object Dedup {
         graft.functions.HashExpressions.simhashBits(col(textCol), bits).as("sh32")),
       Seq.empty, maxHamming, bits)
 
+  /** Hamming near-dup pairs over an ARBITRARY precomputed fingerprint
+   *  column (round-13): the multi-index pigeonhole posting join,
+   *  decoupled from the text-simhash front end so non-text
+   *  fingerprints — the perceptual image dHash (X140), audio
+   *  chromaprints — search through the SAME judged machinery.
+   *  `hashes` carries (idCol, hashCol: BIGINT of `bits` significant
+   *  bits); output (id_a, id_b, hamming), lossless at the threshold
+   *  exactly as [[simhashPairsMultiIndex]] (same candidate engine). */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, bits: Int): DataFrame =
+    pigeonholePairs(
+      hashes.select(col(idCol).as("id"), col(hashCol).as("sh32")),
+      Seq.empty, maxHamming, bits)
+
   /** WIDTH-ADAPTIVE multi-index SimHash pairs (r7, removes X36's sf10
    *  skip): [[simhashPairsMultiIndex]] with the simhash width derived
    *  from the corpus size ([[adaptiveSimhashBits]]) so segment
