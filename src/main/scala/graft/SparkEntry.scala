@@ -2689,6 +2689,49 @@ object SparkEntry {
         .withColumn("probe", lit(2L))
       p1.unionAll(p2).orderBy("probe", "q_id", "rank")
     }),
+    // STREAMING embedding ingest → served PQ index (X141, round-13,
+    // closes VERDICT r12 item 5): q157's append lifecycle driven by a
+    // real two-micro-batch stream through Streams.pqIngest — each
+    // batch encodes against the FROZEN stored codebooks and lands as
+    // its own code segment, probed from inside the drain after each
+    // batch (segment isolation judged exactly as q157: probe 1 must
+    // NOT see batch 2). The oracle is q157's sequential batch-append
+    // replay verbatim — drained stream ≡ sequential appends is the
+    // judged property; redelivery idempotence is spec-pinned
+    // (StreamPqSpec).
+    "q168_stream_pq_append" -> ((s, dir) => {
+      val fp = tableFingerprint(dir, "embeddings.parquet")
+      val emb = Sources.table(s, dir, "embeddings")
+      val out = graft.streaming.Streams.scratchDir("graft_q168_")
+      val ix = s"$out/pqix"
+      Similarity.materializePqIndex(
+        emb.filter(col("vec_id") % 4 =!= 3), ix, 8, 4, 8, 2, 64, fp)
+      val b1 = emb.filter(col("vec_id") % 8 === 3)
+      val b2 = emb.filter(col("vec_id") % 8 === 7)
+      writeSingleParquet(b1, s"$out/stream", "b1.parquet", 1600000000000L)
+      writeSingleParquet(b2, s"$out/stream", "b2.parquet", 1600000060000L)
+      val stream = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/stream")
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val q = graft.streaming.Streams.pqIngest(stream, ix, Some(fp)) {
+          batchId =>
+            Similarity.ivfPqTopKIndexed(s, ix, qs, 5, 2, Some(fp))
+              .withColumn("probe", lit(batchId + 1L))
+              .write.mode("overwrite").parquet(s"$out/probes/batch=$batchId")
+        }
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val probeDirs = Option(new java.io.File(s"$out/probes").listFiles())
+        .map(_.filter(_.isDirectory).map(_.toString).sorted.toSeq)
+        .getOrElse(Seq.empty)
+      require(probeDirs.size >= 2,
+        s"q168: expected a 2-batch drain, got dirs=$probeDirs; recentProgress=" +
+          q.recentProgress.map(_.json).mkString("[", ",", "]"))
+      s.read.parquet(probeDirs: _*).orderBy("probe", "q_id", "rank")
+    }),
     // JL random-projection prefilter (X132): r=8 Rademacher planes
     // (the sign-LSH md5 constants), projected shortlist of 20, exact
     // re-rank, recall@5 vs the q19 brute ground truth — the
@@ -3844,6 +3887,17 @@ object SparkEntry {
     "q158_rp_recall" ->
       (s"SELECT * FROM (${Similarity.rpRecallAtKSql(
           "embeddings", 8, 5, 8, 64, 20)}) ORDER BY q_id"),
+    // the q157 sequential-append replay IS the streaming row's
+    // oracle: drained stream ≡ sequential batch appends
+    "q168_stream_pq_append" -> {
+      def block(tag: Int, corpusFilter: String) =
+        s"SELECT CAST($tag AS BIGINT) AS probe, q_id, n_id, rank, adc " +
+          s"FROM (${Similarity.ivfPqAppendSql("embeddings",
+            "vec_id % 4 <> 3", corpusFilter, "vec_id < 10",
+            5, 8, 4, 8, 2, 64, 2)})"
+      block(1, "vec_id % 8 <> 7") + " UNION ALL " +
+        block(2, "TRUE") + " ORDER BY probe, q_id, rank"
+    },
     "q159_ivfpq_compact" -> {
       def block(tag: Int) =
         s"SELECT CAST($tag AS BIGINT) AS probe, q_id, n_id, rank, adc " +

@@ -653,6 +653,28 @@ object Streams {
         seqLen, eosId)(sink)
     }
 
+  /** Streaming EMBEDDING ingest into a served IVF-PQ index (X141,
+   *  round-13): [[graft.operators.Similarity.appendToPqIndex]] as a
+   *  foreachBatch stream — the continuous vector-ingest path an ANN
+   *  service runs beside its query traffic. Each micro-batch encodes
+   *  against the index's FROZEN stored codebooks (O(|batch|), no
+   *  retrain, no corpus rescan) and lands as code segment
+   *  `s<batchId>`: per-segment `mode=overwrite` makes an
+   *  at-least-once redelivery replace its own contribution
+   *  (idempotent — spec-pinned), and a batch whose segment was
+   *  already COMPACTED into a base is a no-op by the folded-name rule
+   *  q159 judges. Probes between batches see every batch fully or
+   *  not at all (the segmented-store listing contract). `afterBatch`
+   *  runs once the segment is live — the judged row probes there. */
+  def pqIngest(stream: DataFrame, ixDir: String,
+      expectFingerprint: Option[String] = None)(
+      afterBatch: Long => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.Similarity.appendToPqIndex(ixDir, batch,
+        s"s$batchId", expectFingerprint)
+      afterBatch(batchId)
+    }
+
   /** The OPEN WINDOW of a drained [[packIngest]] state as a
    *  [[graft.operators.Bpe.packIdSequences]]-shaped row (empty frame
    *  when the stream ended exactly on a window boundary): the batch

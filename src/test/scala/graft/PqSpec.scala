@@ -425,4 +425,57 @@ class PqSpec extends SparkTestBase {
     // nothing left to fold
     assert(!Similarity.compactPqIndex(spark, dir))
   }
+
+  test("pqIngest (X141): drained stream ≡ sequential appends; full redelivery replaces, never duplicates") {
+    import org.apache.spark.sql.functions.col
+    val vs = corpus(60, 48)
+    val df = corpusDF(vs)
+    val out = graft.streaming.Streams.scratchDir("graft_pqingest_spec_")
+    val ix = s"$out/pqix"
+    Similarity.materializePqIndex(df.filter(col("vec_id") % 4 =!= 3),
+      ix, 4, 4, 4, 2, dim, "fpS")
+    val b1 = df.filter(col("vec_id") % 8 === 3)
+    val b2 = df.filter(col("vec_id") % 8 === 7)
+    b1.coalesce(1).write.parquet(s"$out/stream/b1")
+    b2.coalesce(1).write.parquet(s"$out/stream/b2")
+    // order the two files' mtimes so the file source batches b1 first
+    val fs = new java.io.File(s"$out/stream")
+    def partOf(sub: String) = new java.io.File(fs, sub).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    partOf("b1").setLastModified(1600000000000L)
+    partOf("b2").setLastModified(1600000060000L)
+    val q = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    def probe() = Similarity
+      .ivfPqTopKIndexed(spark, ix, q, 4, 2, Some("fpS"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    def drain(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$out/stream/*/")
+      val sq = graft.streaming.Streams.pqIngest(stream, ix, Some("fpS")) {
+          _ => ()
+        }
+        .option("checkpointLocation", s"$out/$ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    drain("ckpt1")
+    val got = probe()
+    // drained stream ≡ the sequential appendToPqIndex replay
+    val train = vs.keys.filter(_ % 4 != 3).toSet
+    assert(got === refAppendProbe(vs, train, vs.keySet,
+      Seq(0L, 1L, 2L), 4, 4, 4, 4, 2, 2))
+    val segs = graft.operators.Layout.zLiveSegments(s"$ix/codes").sorted
+    // a FRESH checkpoint replays every batch: segments named by
+    // batchId overwrite themselves, so the index must be unchanged —
+    // the at-least-once contract of the ingest
+    drain("ckpt2")
+    assert(probe() === got, "redelivered drain must be content identity")
+    assert(graft.operators.Layout.zLiveSegments(s"$ix/codes").sorted === segs,
+      "redelivered drain must not add segments")
+  }
 }
