@@ -461,6 +461,230 @@ object Bpe {
         (col("__dec") === col("__norm")).as("roundtrip_exact"))
   }
 
+  // ------------------------------- byte-level BPE + fallback (X142)
+
+  /** Byte value b ↔ the single char U+0100+b — the GPT-2 move
+   *  (byte-to-unicode table) under this engine's machinery: rendering
+   *  every byte as ONE printable char lets the ENTIRE existing merge
+   *  stack (driver-indexed train, the fixed-size encode kernel, the
+   *  unrolled SQL chains) run at byte level untouched, because their
+   *  unit of segmentation is the char. The 0x100 offset keeps the
+   *  alphabet clear of [[Sep]] (U+001F), of real control chars the
+   *  `.` char-split regex would break on, and makes ids exact:
+   *  codepoint − 256 IS the byte. */
+  private def mappedChar(b: Int): String =
+    new String(Character.toChars(0x100 + b))
+
+  /** hex-pair → mapped char, the 256-entry literal both engines
+   *  derive independently (the oracle builds it from `range(0,256)`). */
+  private val byteMapLit = typedLit(
+    (0 until 256).map(b => f"$b%02x" -> mappedChar(b)).toMap)
+
+  /** Byte-level PRETOKENIZER: `[ \t\n]*[^ \t\n]+ | [ \t\n]+` — every
+   *  maximal run of (leading whitespace + a word) or pure whitespace.
+   *  The alternation PARTITIONS the text (concatenation of matches ≡
+   *  input, so nothing is lost before the byte mapping — the property
+   *  the round-trip certificate rests on), attaching leading
+   *  whitespace to its word exactly as GPT-2's pretokenizer does —
+   *  but with an EXPLICIT char class: Java's `\s` and RE2's disagree
+   *  on U+000B, and a lookahead form (GPT-2's actual regex) doesn't
+   *  exist in RE2 at all. Merges never span pretoken boundaries
+   *  (bounding the train state by the distinct-pretoken vocabulary,
+   *  the same scale posture as the [a-z0-9] form). */
+  private def bytePretokens(c: Column): Column =
+    regexp_extract_all(c, lit("[ \t\n]*[^ \t\n]+|[ \t\n]+"), lit(0))
+
+  /** One pretoken → its UTF-8 bytes as mapped chars: `hex()` is the
+   *  byte accessor both engines share (verified: identical hex of
+   *  multibyte text), split into pairs, looked up in the literal
+   *  byte map. */
+  private def byteMapped(t: Column): Column =
+    array_join(transform(
+      regexp_extract_all(lower(hex(t)), lit(".."), lit(0)),
+      u => element_at(byteMapLit, u)), "")
+
+  /** A document's byte-level token array — the [[wordTokens]] of the
+   *  byte alphabet. */
+  private[graft] def byteTokens(c: Column): Column =
+    transform(bytePretokens(c), byteMapped(_))
+
+  /** Train byte-level merges: [[train]]'s exact loop (same pair
+   *  statistic, argmax tie-break, and replace rewrite — mapped chars
+   *  in U+0100–U+01FF sort identically in Java chars and UTF-8
+   *  bytes) over the byte-token vocabulary. */
+  def trainBytes(docs: DataFrame, textCol: String, numMerges: Int,
+      driverFoldMaxWords: Long = 4000000L): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val words = docs
+      .select(explode(byteTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(charsJoined(col("w")).as("s"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (words.count() <= driverFoldMaxWords)
+        trainLocalIndexed(words.collect().map(r => (r.getString(0), r.getLong(1))),
+          numMerges)
+      else trainDistributed(words, numMerges)
+    } finally { words.unpersist(); () }
+  }
+
+  /** Byte-level inverse vocabulary: ids 0–255 ARE the bytes (their
+   *  mapped chars); 256+ the min-step merge symbols ([[vocabIds]] —
+   *  the same keying, byte ids can never collide with 255+step). */
+  def decodeVocabBytes(merges: Seq[(String, String)]): Map[Int, String] =
+    vocabIds(merges).map { case (sym, id) => id -> sym } ++
+      (0 until 256).map(b => b -> mappedChar(b))
+
+  /** Byte-level encode + DECODE with BYTE FALLBACK + lossless
+   *  certificate (X142) — the SentencePiece `byte_fallback` /
+   *  GPT-2-byte-alphabet property q161 cannot give: the [a-z0-9]
+   *  round trip certifies honestly but is lossy on anything outside
+   *  its alphabet, and boundary-fusion artifacts decode to UNK. Here
+   *  EVERY input byte has a base id, and a fused artifact symbol
+   *  (the one out-of-vocabulary case the fold can produce)
+   *  DECOMPOSES to its byte ids instead of an UNK — so decode is
+   *  total and the round trip is byte-exact on ANY input, the
+   *  property production tokenizers guarantee. `n_fallback` counts
+   *  decomposed symbols (the paper-world "byte fallback rate").
+   *
+   *  Output (idCol, n_ids, n_fallback, n_bytes, roundtrip_exact);
+   *  the certificate compares in the injective mapped-char domain
+   *  (≡ byte equality, no unmap pass needed). ONE zero-shuffle
+   *  projection — encode kernel, literal-map lookups, concat —
+   *  q126's 100 TB posture. */
+  def byteRoundTrip(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vids = typedLit(vocabIds(merges))
+    val i2s = typedLit(decodeVocabBytes(merges))
+    def byteId(ch: Column): Column = (ascii(ch) - lit(256)).cast("int")
+    val syms = flatten(transform(
+      encodeTokens(byteTokens(col(textCol)), merges), symbols(_)))
+    val idsNested = transform(syms, s =>
+      when(length(s) === 1, array(byteId(s)))
+        .when(element_at(vids, s).isNotNull,
+          array(element_at(vids, s).cast("int")))
+        .otherwise(transform(
+          regexp_extract_all(s, lit("."), lit(0)), byteId(_))))
+    docs
+      .select(col(idCol), syms.as("__syms"), flatten(idsNested).as("__ids"),
+        array_join(byteTokens(col(textCol)), "").as("__orig"))
+      .select(col(idCol),
+        size(col("__ids")).cast("long").as("n_ids"),
+        size(filter(col("__syms"), s =>
+          length(s) > 1 && element_at(vids, s).isNull))
+          .cast("long").as("n_fallback"),
+        length(col("__orig")).cast("long").as("n_bytes"),
+        (array_join(transform(col("__ids"), i => element_at(i2s, i)), "")
+          === col("__orig")).as("roundtrip_exact"))
+  }
+
+  /** The byte-level twin of [[trainCtes]]: same unrolled argmax +
+   *  replace chain, s0 built from the byte-token vocabulary. Exposes
+   *  `__bmap` (hex-pair → mapped char) and `__btoks` (id, wpos, s)
+   *  to downstream CTEs. */
+  private def byteTrainCtes(table: String, textExpr: String,
+      numMerges: Int): String = {
+    def pairs(src: String, k: Int) =
+      s"""p$k AS MATERIALIZED (
+         |  SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt, unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS z
+         |    FROM (SELECT string_split(s, $SepSql) AS arr, cnt FROM $src)
+         |    WHERE len(arr) >= 2)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r FROM p$k ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+    def step(k: Int) =
+      s"""${pairs(s"s${k - 1}", k)},
+         |s$k AS MATERIALIZED (SELECT COALESCE(replace(s, b.l || $SepSql || b.r, b.l || b.r), s) AS s, cnt
+         |        FROM s${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin
+    (s"""__bmap AS (SELECT lpad(lower(hex(i)), 2, '0') AS u,
+        |    chr(CAST(256 + i AS INTEGER)) AS mc FROM range(0, 256) t(i)),
+        |__pre AS (SELECT id, wpos, tok FROM (
+        |  SELECT $idCol_id AS id, generate_subscripts(toks, 1) - 1 AS wpos,
+        |         unnest(toks) AS tok
+        |  FROM (SELECT $idCol_id,
+        |          regexp_extract_all($textExpr,
+        |            '[ \\t\\n]*[^ \\t\\n]+|[ \\t\\n]+') AS toks
+        |        FROM $table))),
+        |__units AS (SELECT id, wpos, ui, u FROM (
+        |  SELECT id, wpos, generate_subscripts(us, 1) AS ui, unnest(us) AS u
+        |  FROM (SELECT id, wpos,
+        |          regexp_extract_all(lower(hex(tok)), '..') AS us
+        |        FROM __pre))),
+        |__btoks AS MATERIALIZED (SELECT id, wpos,
+        |    string_agg(mc, $SepSql ORDER BY ui) AS s
+        |  FROM __units JOIN __bmap USING (u) GROUP BY id, wpos),
+        |s0 AS MATERIALIZED (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS cnt FROM __btoks
+        |  GROUP BY 1)""".stripMargin +:
+      (1 to numMerges).map(step)).mkString(",\n")
+  }
+
+  // byteTrainCtes needs the caller's id column name inside __pre;
+  // threaded via this placeholder to keep the chain text one block
+  private val idCol_id = "__byte_id"
+
+  /** DuckDB twin of [[trainBytes]] + [[byteRoundTrip]]: re-trains the
+   *  byte-level merges, replays the per-pretoken encode fold, derives
+   *  ids with the SAME byte fallback (an out-of-vocabulary multi-char
+   *  symbol decomposes to `ord(char) − 256` byte ids), decodes every
+   *  id through the inverse vocabulary, and certifies the
+   *  concatenation against the document's own mapped byte stream. */
+  def byteRoundTripSql(table: String, textExpr: String, idCol: String,
+      numMerges: Int): String = {
+    val src = s"(SELECT $idCol AS $idCol_id, $textExpr AS __t FROM $table)"
+    val encChain = (1 to numMerges).map(k =>
+      s"""i$k AS MATERIALIZED (SELECT id, wpos,
+         |    COALESCE(replace(s, b.l || $SepSql || b.r, b.l || b.r), s) AS s
+         |  FROM i${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin)
+      .mkString(",\n")
+    val steps = (1 to numMerges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, l, r FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${byteTrainCtes(src, "__t", numMerges)},
+       |i0 AS MATERIALIZED (SELECT id, wpos, s FROM __btoks),
+       |$encChain,
+       |__vocab AS (SELECT sym, 255 + min(step) AS vid
+       |  FROM (SELECT step, l || r AS sym FROM ($steps)) GROUP BY 1),
+       |__flat AS (SELECT id, wpos, generate_subscripts(syms, 1) AS si,
+       |    unnest(syms) AS sym
+       |  FROM (SELECT id, wpos, string_split(s, $SepSql) AS syms
+       |        FROM i$numMerges)),
+       |__sids AS (SELECT f.id, f.wpos, f.si,
+       |    CASE WHEN length(f.sym) = 1 THEN [ord(f.sym) - 256]
+       |         WHEN v.vid IS NOT NULL THEN [v.vid]
+       |         ELSE list_transform(regexp_extract_all(f.sym, '.'),
+       |                c -> ord(c) - 256) END AS ids,
+       |    (length(f.sym) > 1 AND v.vid IS NULL) AS fb
+       |  FROM __flat f LEFT JOIN __vocab v ON f.sym = v.sym),
+       |__ids AS (SELECT id, wpos, si, generate_subscripts(ids, 1) AS ii,
+       |    unnest(ids) AS tid FROM __sids),
+       |__dec AS (SELECT i.id,
+       |    CAST(count(*) AS BIGINT) AS n_ids,
+       |    string_agg(CASE WHEN i.tid < 256 THEN chr(CAST(256 + i.tid AS INTEGER))
+       |                    ELSE v2.sym END, ''
+       |               ORDER BY i.wpos, i.si, i.ii) AS decoded
+       |  FROM __ids i LEFT JOIN __vocab v2 ON i.tid = v2.vid
+       |  GROUP BY i.id),
+       |__fbc AS (SELECT id,
+       |    CAST(sum(CASE WHEN fb THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback
+       |  FROM __sids GROUP BY id),
+       |__orig AS (SELECT id,
+       |    string_agg(mc, '' ORDER BY wpos, ui) AS orig
+       |  FROM __units JOIN __bmap USING (u) GROUP BY id),
+       |__all AS (SELECT $idCol_id AS id,
+       |    CAST(octet_length(encode(__t)) AS BIGINT) AS n_bytes
+       |  FROM $src)
+       |SELECT a.id AS $idCol,
+       |  COALESCE(d.n_ids, 0) AS n_ids,
+       |  COALESCE(f.n_fallback, 0) AS n_fallback,
+       |  a.n_bytes,
+       |  COALESCE(d.decoded, '') = COALESCE(o.orig, '') AS roundtrip_exact
+       |FROM __all a
+       |LEFT JOIN __dec d ON a.id = d.id
+       |LEFT JOIN __fbc f ON a.id = f.id
+       |LEFT JOIN __orig o ON a.id = o.id""".stripMargin
+  }
+
   // --------------------------------------- tokenizer at rest (X136)
 
   /** Materialize a trained tokenizer AT REST — the `tokenizer.json`
