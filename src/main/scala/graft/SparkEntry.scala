@@ -2788,6 +2788,24 @@ object SparkEntry {
     "q161_bpe_decode" -> ((s, dir) =>
       graft.operators.Bpe.decodeRoundTrip(documents(s, dir),
         "text", "doc_id", bpeMerges(s, dir, 16)).orderBy("doc_id")),
+    // WHOLE-DOC bin packing, best-fit-decreasing (X143, round-13,
+    // closes VERDICT r12 item 6): the Krell et al. 2021 padding-
+    // minimizing packer beside q134's fixed-window form — q134
+    // concatenates (docs split across windows, fill ≈ 1, attention
+    // masked by spans); this packer keeps every doc chunk WHOLE in
+    // its window, packed best-fit-decreasing on the bounded size
+    // HISTOGRAM (first-fit needs corpus-sized bin order; best-fit
+    // lives on the O(L) remainder histogram with the same
+    // approximation class). Same slice/tokenizer/window as q134 so
+    // the fill numbers compare. The oracle replays the whole fold as
+    // an unrolled 63-step class-transition chain.
+    "q170_pack_bfd" -> ((s, dir) =>
+      graft.operators.Bpe.packBfdHistogram(
+          graft.operators.Bpe.encodeIds(
+            documents(s, dir).filter(col("doc_id") % 20 === 0),
+            "text", "doc_id", bpeMerges(s, dir, 16)),
+          "doc_id", 64)
+        .orderBy("n_tokens")),
     // BYTE-LEVEL BPE + byte fallback (X142, round-13, closes VERDICT
     // r12 missing #3): the GPT-2 byte alphabet under the existing
     // merge machinery — every UTF-8 byte renders as one mapped char
@@ -3944,6 +3962,10 @@ object SparkEntry {
     "q161_bpe_decode" ->
       (s"SELECT * FROM (${graft.operators.Bpe.decodeRoundTripSql(
           "documents", "text", "doc_id", 16)}) ORDER BY doc_id"),
+    "q170_pack_bfd" ->
+      (s"SELECT * FROM (${graft.operators.Bpe.packBfdHistogramSql(
+          "documents", "text", "doc_id", 16, "doc_id % 20 = 0", 64)}) " +
+        "ORDER BY n_tokens"),
     "q169_bpe_byte_roundtrip" -> {
       val t1 = s"(CASE WHEN doc_id % 3 = 0 THEN text || '$byteDirty1' " +
         "ELSE text END)"

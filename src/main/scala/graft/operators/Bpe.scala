@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /**
  * Learned byte-pair-encoding tokenizer — train + apply (X97, round-10
@@ -1087,6 +1088,149 @@ object Bpe {
        |  arg_max(token_id, gpos) AS last_id,
        |  CAST(sum((gpos % $seqLen + 1) * token_id) AS BIGINT) AS ids_hash
        |FROM __stream GROUP BY 1""".stripMargin
+
+  // ----------------------- whole-document bin packing (X143, BFD)
+
+  /** Core histogram transition of [[packBfdHistogram]] — one size
+   *  class `s` with `c` items against the open-bin remainder
+   *  histogram `h` (rem → #bins). Best-fit places each item into the
+   *  SMALLEST remainder ≥ s; on a histogram that is a closed form:
+   *  ascending eligible remainders, each bin absorbs ⌊r/s⌋ items
+   *  before dropping below s (after one placement the bin's new
+   *  remainder is the strictly-smallest eligible, so best-fit stays
+   *  on it), leftover items open fresh bins at ⌊L/s⌋ per bin. The
+   *  per-item loop this replaces is O(n·log bins) SEQUENTIAL state —
+   *  this form is O(L) per class, O(L²) total, independent of corpus
+   *  size. Returns the new histogram. */
+  private[graft] def bfdStep(h: Map[Long, Long], seqLen: Int, s: Long,
+      c0: Long): Map[Long, Long] = {
+    var c = c0
+    val out = scala.collection.mutable.Map[Long, Long]()
+    def add(rem: Long, nb: Long): Unit =
+      if (nb > 0) out(rem) = out.getOrElse(rem, 0L) + nb
+    h.filter(_._1 < s).foreach { case (r, nb) => add(r, nb) }
+    for ((r, nb) <- h.filter(_._1 >= s).toSeq.sortBy(_._1)) {
+      val a = r / s
+      val placed = math.min(math.max(c, 0L), nb * a)
+      c -= placed
+      add(r % s, placed / a)
+      if (placed % a > 0) add(r - (placed % a) * s, 1L)
+      add(r, nb - placed / a - (if (placed % a > 0) 1L else 0L))
+    }
+    if (c > 0) {
+      val kStar = seqLen / s
+      add(seqLen % s, c / kStar)
+      if (c % kStar > 0) add(seqLen - (c % kStar) * s, 1L)
+    }
+    out.toMap
+  }
+
+  /** WHOLE-DOCUMENT bin packing, best-fit-decreasing on the size
+   *  histogram (X143) — the padding-minimizing packer of Krell et
+   *  al. 2021 beside q134's fixed-window form: q134 CONCATENATES
+   *  (documents split across window boundaries, fill ≈ 1 by
+   *  construction, attention masked via the span index); this packer
+   *  keeps every document chunk WHOLE inside its window — no split,
+   *  no truncation — and minimizes the padding that whole-doc
+   *  placement costs. Docs longer than the window first split into
+   *  ⌊np1/L⌋ exactly-full windows + one remainder item (Krell's
+   *  max-length split), then items pack best-fit-decreasing.
+   *
+   *  DECREASING + BEST-fit (not first-fit): processing size classes
+   *  in descending order makes the whole packing a fold over the
+   *  bounded remainder HISTOGRAM (Krell's observation that sequence-
+   *  length packing lives on the histogram, never the corpus) —
+   *  first-fit needs bin ORDER, state linear in bin count, which is
+   *  corpus-sized at 100 TB; best-fit needs only the O(L) remainder
+   *  histogram, with the same 11/9·OPT+6/9 guarantee class (Johnson
+   *  1973; Dósa 2007). The distributed work is ONE map-side-combined
+   *  doc-count aggregate and ONE ≤L-row class histogram; the fold is
+   *  O(L²) driver arithmetic.
+   *
+   *  Output: the packed-bin FILL histogram (n_tokens = L − rem,
+   *  n_bins), the artifact Krell et al. optimize and report —
+   *  Σ n_tokens·n_bins ≡ token volume + one EOS per doc (spec-pinned
+   *  conservation). Built eagerly (≤ L+1 rows). */
+  def packBfdHistogram(ids: DataFrame, idCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen >= 2, s"seqLen must be >= 2, got $seqLen")
+    val spark = ids.sparkSession
+    val L = seqLen.toLong
+    // one action: per-remainder-class item counts + full-chunk total
+    val rows = ids.groupBy(col(idCol)).agg((count(lit(1)) + 1L).as("np1"))
+      .groupBy((col("np1") % L).as("s"))
+      .agg(count(lit(1)).as("c"), sum(expr(s"np1 div $L")).as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fullBins = rows.map(_._3).sum
+    val items = rows.filter(_._1 > 0).map(t => t._1 -> t._2).toMap
+    var h: Map[Long, Long] =
+      if (fullBins > 0) Map(0L -> fullBins) else Map.empty
+    for (s <- (seqLen - 1) to 1 by -1)
+      h = bfdStep(h, seqLen, s.toLong, items.getOrElse(s.toLong, 0L))
+    val out = h.toSeq.map { case (rem, nb) => (L - rem, nb) }
+      .sortBy(_._1)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1).map(t => Row(t._1, t._2)),
+      StructType(Seq(StructField("n_tokens", LongType, nullable = false),
+        StructField("n_bins", LongType, nullable = false))))
+  }
+
+  /** DuckDB twin of [[train]] + [[encodeIds]] + [[packBfdHistogram]]:
+   *  re-trains, re-derives per-doc id counts, then replays the
+   *  best-fit-decreasing histogram fold as an UNROLLED chain of
+   *  L−1 class transitions (the trainSql discipline — no recursion),
+   *  each a window-cumsum capacity match over the ≤L-row remainder
+   *  histogram. */
+  def packBfdHistogramSql(table: String, textExpr: String, idCol: String,
+      numMerges: Int, filterSql: String, seqLen: Int): String = {
+    val L = seqLen
+    def step(k: Int): String = {
+      val s = L - k // class size for step k (s = L-1 .. 1)
+      s"""bfe$k AS (SELECT rem, nb, rem // $s AS a,
+         |    coalesce(sum(nb * (rem // $s)) OVER (ORDER BY rem
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM bfh${k - 1} WHERE rem >= $s),
+         |bfc$k AS (SELECT coalesce((SELECT c FROM __items WHERE s = $s), 0)
+         |  AS c),
+         |bfp$k AS MATERIALIZED (SELECT rem, nb, a,
+         |    least(greatest((SELECT c FROM bfc$k) - cum, 0), nb * a) AS placed
+         |  FROM bfe$k),
+         |bfl$k AS (SELECT (SELECT c FROM bfc$k)
+         |    - coalesce((SELECT sum(placed) FROM bfp$k), 0) AS lc),
+         |bfh$k AS MATERIALIZED (
+         |  SELECT rem, CAST(sum(nb) AS BIGINT) AS nb FROM (
+         |    SELECT rem, nb FROM bfh${k - 1} WHERE rem < $s
+         |    UNION ALL SELECT rem % $s, placed // a FROM bfp$k
+         |      WHERE placed // a > 0
+         |    UNION ALL SELECT rem - (placed % a) * $s, 1 FROM bfp$k
+         |      WHERE placed % a > 0
+         |    UNION ALL SELECT rem,
+         |        nb - placed // a - (CASE WHEN placed % a > 0
+         |          THEN 1 ELSE 0 END) FROM bfp$k
+         |      WHERE nb - placed // a - (CASE WHEN placed % a > 0
+         |          THEN 1 ELSE 0 END) > 0
+         |    UNION ALL SELECT $L % $s, lc // (${L / s}) FROM bfl$k
+         |      WHERE lc // (${L / s}) > 0
+         |    UNION ALL SELECT $L - (lc % (${L / s})) * $s, 1 FROM bfl$k
+         |      WHERE lc % (${L / s}) > 0
+         |  ) GROUP BY rem)""".stripMargin
+    }
+    val chain = (1 until L).map(step).mkString(",\n")
+    s"""WITH __ids AS (SELECT * FROM (
+       |  ${encodeIdsSql(table, textExpr, idCol, numMerges, filterSql)})),
+       |__np AS (SELECT $idCol, CAST(count(*) + 1 AS BIGINT) AS np1
+       |  FROM __ids GROUP BY 1),
+       |__cls AS (SELECT np1 % $L AS s, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(np1 // $L) AS BIGINT) AS f
+       |  FROM __np GROUP BY 1),
+       |__items AS (SELECT s, c FROM __cls WHERE s > 0),
+       |bfh0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS rem,
+       |    CAST(coalesce(sum(f), 0) AS BIGINT) AS nb
+       |  FROM __cls HAVING coalesce(sum(f), 0) > 0),
+       |$chain
+       |SELECT CAST($L - rem AS BIGINT) AS n_tokens, nb AS n_bins
+       |FROM bfh${L - 1}""".stripMargin
+  }
 
   // ------------------------------------------- tokenizer evaluation
 
