@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
  *    occupancy/recall trade-off. Planes are md5-derived constants —
  *    identical on every executor, no RNG, no driver state.
  */
-object Similarity {
+object Similarity extends SimilarityPq {
 
   /** Deterministic ±1 hyperplane weight for (plane p, dim d):
    *  the low bit of md5("pl<p>:<d>") — reproducible in any engine. */
@@ -43,37 +43,6 @@ object Similarity {
     (0 until nPlanes).map(p => (0 until dim).map(d => planeWeight(p, d)))
 
   // --------------------------------------------------------- primitives
-
-  /** Dot product — custom codegen'd expression (see
-   *  [[graft.functions.VectorExpressions]]): ascending-index
-   *  accumulation, bit-identical to the previous HOF fold and to the
-   *  oracle's list_reduce, but inside whole-stage codegen instead of
-   *  interpreted CodegenFallback. */
-  private def dotExpr(a: String, b: String): Column =
-    graft.functions.VectorExpressions.dot(col(a), col(b))
-
-  private def normExpr(a: String): Column =
-    sqrt(graft.functions.VectorExpressions.dot(col(a), col(a)))
-
-  private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0, list_transform(range(1, length($a) + 1), " +
-      s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
-
-  private def normSql(a: String): String =
-    s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, length($a) + 1), " +
-      s"i -> $a[i] * $a[i])), (acc, x) -> acc + x))"
-
-  private val toDoubleSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
-
-  /** (vec_id, label, v, nrm) projection with doubles + precomputed norm. */
-  private def prepared(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", normExpr("v"))
-
-  private def preparedSql(table: String): String =
-    s"SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM " +
-      s"(SELECT vec_id, label, $toDoubleSql AS v FROM $table)"
 
   // -------------------------------------------------------- brute top-k
 
@@ -95,16 +64,6 @@ object Similarity {
         (dotExpr("qv", "v") / (col("qn") * col("nrm"))).as("sim"))
     topKPerQuery(scored, k)
   }
-
-  /** (q_id, n_id, sim) → the k best per q_id with rank — the
-   *  aggregation twin of `row_number() OVER (PARTITION BY q_id ORDER
-   *  BY sim DESC, n_id) <= k` (n_id unique ⇒ identical rows). */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("q_id"))
-      .agg(graft.functions.TopKAggregate.simTopK(col("sim"), col("n_id"), k).as("tk"))
-      .select(col("q_id"), posexplode(col("tk")))
-      .select(col("q_id"), col("col.n_id").as("n_id"), col("col.sim").as("sim"),
-        (col("pos") + 1).cast("long").as("rank"))
 
   def knnBruteSql(table: String, nQueries: Int, k: Int): String =
     s"""WITH e AS (${preparedSql(table)}),
@@ -1250,212 +1209,6 @@ object Similarity {
        |  FROM scored
        |) WHERE rank <= $k""".stripMargin
 
-  // ------------------------------------------------------ k-means train
-
-  /** Deterministic Lloyd's k-means over the embedding column — the
-   *  codebook-training step [[ivfTopK]]'s docs point at. Every source
-   *  of nondeterminism is removed so the result is a pure function of
-   *  the data (and DuckDB-oracle verifiable):
-   *   - init: centroids = vectors with `vec_id < k` (no RNG);
-   *   - assignment: argmin squared-L2 via `-2·v·c + |c|²` (the `|v|²`
-   *     term is constant per row), ties → lower c_id;
-   *   - update: per-dimension mean over FIXED-POINT long sums — each
-   *     value quantizes to `floor(x·2³⁰ + ½)` (a bigint; exact and
-   *     identical in both engines), the quantized values sum exactly
-   *     (decimal(38,0) partials here, HUGEINT in DuckDB — integral
-   *     inputs, so none of the double→decimal tie-rounding that made
-   *     a direct decimal sum diverge 1 ulp), and the mean divides
-   *     back in double with one fixed expression shape both sides.
-   *     Order-free AND bit-deterministic, with bounded per-group
-   *     state: map-side partial sums replace the earlier
-   *     `sort_array(collect_list(...))` sequential fold, which
-   *     buffered ~|corpus|/k values per (cell,dim) group — unbounded
-   *     aggregation state at 100 TB;
-   *   - empty cells keep their previous centroid.
-   *
-   *  Scale posture: centroids live on the DRIVER between iterations
-   *  (k×dim doubles — Spark MLlib's KMeans keeps them there too) and
-   *  enter each assignment as LITERAL arrays in a narrow projection,
-   *  so the corpus NEVER shuffles for assignment (an earlier
-   *  formulation crossJoined a centroid frame and ranked with a
-   *  window — a corpus-wide exchange+sort per iteration for what is
-   *  per-row math). The only shuffle per iteration is the (cell, dim)
-   *  mean aggregation: k×dim rows after map-side partials. Iterations
-   *  are a driver loop over small plans, so lineage stays flat.
-   *  Returns (c_id, cv: array<double>). */
-  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    trainedCentroids(emb, k, iters).toDF("c_id", "cv")
-  }
-
-  private def trainedCentroids(emb: DataFrame, k: Int,
-      iters: Int): Seq[(Long, Seq[Double])] = {
-    val e = prepared(emb).select(col("vec_id"), col("v"))
-    lloydIterate(e, initCentroids(e, k), iters, assignByLiterals)
-  }
-
-  /** Lloyd init: the k lowest vec_ids (no RNG — the q43 contract). */
-  private def initCentroids(e: DataFrame, k: Long): Seq[(Long, Seq[Double])] =
-    e.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
-      .sortBy(_._1)
-
-  /** The shared Lloyd iteration chain — ONE implementation for both
-   *  assignment strategies (literal projection for small k, broadcast
-   *  loop for large k), so a change to the update rule (quantization
-   *  constant, empty-cell carry-over) can never diverge the two
-   *  k-means paths from each other or from the q43 oracle. */
-  private def lloydIterate(e: DataFrame, init: Seq[(Long, Seq[Double])],
-      iters: Int,
-      assign: (DataFrame, Seq[(Long, Seq[Double])]) => DataFrame): Seq[(Long, Seq[Double])] = {
-    var cents = init
-    for (_ <- 0 until iters) {
-      val means = cellDimMeans(assign(e, cents).select(col("cell"), col("v")))
-        .collect()
-      val byCell: Map[Long, Seq[Double]] = means.groupBy(_.getLong(0)).map {
-        case (cid, rows) => cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-      }
-      // empty cells keep their previous centroid
-      cents = cents.map { case (cid, cv) => (cid, byCell.getOrElse(cid, cv)) }
-    }
-    cents
-  }
-
-  /** Per-(cell, dimension) fixed-point mean — the Lloyd update step.
-   *  Map-side partial sums of `floor(x·2³⁰ + ½)` quantized bigints
-   *  (exact in decimal(38,0) — no per-group value buffering, unlike a
-   *  `collect_list` fold, so aggregation state stays O(1) per group
-   *  at any corpus size); the divide back to double uses one fixed
-   *  expression shape mirrored verbatim in the DuckDB oracle.
-   *  `private[graft]` so PlanAuditSpec can pin the no-collect_list,
-   *  hash-aggregate plan. */
-  private[graft] def cellDimMeans(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cell"), posexplode(col("v")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(((expr("cast(sum(cast(cast(floor(col * 1073741824.0D + 0.5D)" +
-        " as bigint) as decimal(38,0))) as double)") /
-        count(lit(1)).cast("double")) / lit(1073741824.0)).as("m"))
-
-  /** Ascending-index fold — the driver-side twin of the codegen'd
-   *  DotProduct accumulation order (bit-identical: IEEE addition is
-   *  deterministic for a fixed order). */
-  private def dotLocal(a: Seq[Double], b: Seq[Double]): Double = {
-    var acc = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += a(i) * b(i); i += 1 }
-    acc
-  }
-
-  /** Narrow nearest-centroid assignment over a LITERAL codebook —
-   *  the codegen'd [[graft.functions.PqArgmin]] loop (score =
-   *  −2·⟨v,c⟩ + ‖c‖², ascending-index dot fold, ties to the lower
-   *  c_id): one compact generated method at ANY codebook size, where
-   *  the unrolled least(struct) tree this replaces fell out of
-   *  whole-stage codegen past ks ≈ 100 and went interpreted.
-   *  Zero shuffle. */
-  private def assignByLiterals(e: DataFrame,
-      cents: Seq[(Long, Seq[Double])]): DataFrame =
-    e.withColumn("cell",
-      graft.functions.VectorExpressions.pqArgmin(col("v"), 0, cents))
-
-  /** Trained-codebook summary query: per-cell member count and
-   *  centroid norm after `iters` Lloyd iterations (scalar outputs —
-   *  engine-comparable without array hashing). */
-  def kmeansSummary(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val e = prepared(emb).select(col("vec_id"), col("v"))
-    val cents = trainedCentroids(emb, k, iters)
-    val sizes = assignByLiterals(e, cents)
-      .groupBy(col("cell")).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    cents.map { case (cid, cv) =>
-      (cid, sizes.getOrElse(cid, 0L), math.sqrt(dotLocal(cv, cv)))
-    }.toDF("c_id", "n_members", "cnorm")
-  }
-
-  def kmeansSummarySql(table: String, k: Int, iters: Int): String =
-    s"""WITH ${lloydChainSql(table, k, iters)},
-       |sizes AS (SELECT c_id, count(*) AS n FROM afin GROUP BY c_id)
-       |SELECT c.c_id AS c_id, COALESCE(s.n, 0) AS n_members,
-       |       sqrt(${dotSql("c.cv", "c.cv")}) AS cnorm
-       |FROM c$iters c LEFT JOIN sizes s ON c.c_id = s.c_id""".stripMargin
-
-  /** The shared Lloyd-loop CTE chain (init, every assignment + fixed-
-   *  point mean update with empty-cell inheritance, final assignment
-   *  `afin`) — ONE SQL builder behind [[kmeansSummarySql]] and
-   *  [[kmeansAssignSql]], mirroring [[lloydIterate]] being the one
-   *  Scala path: an update-rule change can never drift the two
-   *  judged k-means rows apart. */
-  private def lloydChainSql(table: String, k: Int, iters: Int): String =
-    lloydChainSqlOn(s"SELECT vec_id, v FROM (${preparedSql(table)})",
-      k, iters, "")
-
-  /** [[lloydChainSql]] generalized to an arbitrary (vec_id, v) base
-   *  query and a CTE-name prefix, so several independent chains can
-   *  coexist in ONE oracle statement — the product-quantization twins
-   *  run one chain per subspace (prefix `s<j>_`) plus a coarse chain,
-   *  all over slices of the same base projection. Prefix "" keeps the
-   *  historical q43/q148 chain semantics unchanged (the assignment
-   *  subquery now aliases the prefixed base CTE as `e`, so every
-   *  inner reference reads identically at any prefix). */
-  private def lloydChainSqlOn(baseSql: String, k: Int, iters: Int,
-      p: String): String = {
-    def assignSql(cents: String, out: String): String =
-      s"""$out AS (SELECT vec_id, v, c_id FROM (
-         |  SELECT e.vec_id, e.v, c.c_id,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      (${dotSql("e.v", "c.cv")}) * -2.0 + c.cn2 ASC, c.c_id) AS r
-         |  FROM ${p}e e CROSS JOIN
-         |    (SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2 FROM $cents) c
-         |) WHERE r = 1)""".stripMargin
-    val iterCtes = (0 until iters).map { i =>
-      s"""${assignSql(s"${p}c$i", s"${p}a$i")},
-         |${p}m$i AS (SELECT c_id, pos,
-         |          (CAST(sum(CAST(floor(x * 1073741824.0 + 0.5) AS BIGINT))
-         |                AS DOUBLE)
-         |           / CAST(count(*) AS DOUBLE)) / 1073741824.0 AS m
-         |        FROM (SELECT c_id, generate_subscripts(v, 1) AS pos,
-         |                unnest(v) AS x FROM ${p}a$i)
-         |        GROUP BY c_id, pos),
-         |${p}c${i + 1} AS (SELECT c.c_id, COALESCE(mm.cv, c.cv) AS cv
-         |        FROM ${p}c$i c LEFT JOIN (SELECT c_id, list(m ORDER BY pos) AS cv
-         |                              FROM ${p}m$i GROUP BY c_id) mm
-         |          ON c.c_id = mm.c_id)""".stripMargin
-    }.mkString(",\n")
-    s"""${p}e AS ($baseSql),
-       |${p}c0 AS (SELECT vec_id AS c_id, v AS cv FROM ${p}e WHERE vec_id < $k),
-       |$iterCtes,
-       |${assignSql(s"${p}c$iters", s"${p}afin")}""".stripMargin
-  }
-
-  /** Per-vector cluster assignment under the SAME trained codebook
-   *  q43 judges — the clustered-corpus artifact SemDeDup-style dedup
-   *  (Abbas et al. 2023) and cluster-balanced sampling (Tirumala et
-   *  al. 2023) actually consume: one cell id per vector, judged as
-   *  its own row so the assignment path (not only q43's summary)
-   *  rides CORRECTNESS and the sweep. ONE code path by construction:
-   *  training is [[trainedCentroids]] (the shared [[lloydIterate]]),
-   *  assignment is [[assignByLiterals]] — no second Lloyd loop to
-   *  drift. Plan: the iters driver loop (k×dim literal centroids,
-   *  the codebook pattern) + ONE final narrow zero-shuffle
-   *  projection. Output (vec_id, cell). */
-  def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val e = prepared(emb).select(col("vec_id"), col("v"))
-    assignByLiterals(e, trainedCentroids(emb, k, iters))
-      .select(col("vec_id"), col("cell"))
-  }
-
-  /** DuckDB oracle twin of [[kmeansAssign]] — the same shared Lloyd
-   *  chain, final assignment projected per vector. */
-  def kmeansAssignSql(table: String, k: Int, iters: Int): String =
-    s"""WITH ${lloydChainSql(table, k, iters)}
-       |SELECT vec_id, CAST(c_id AS BIGINT) AS cell FROM afin""".stripMargin
-
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup view: the single closest pair within
@@ -2240,772 +1993,6 @@ object Similarity {
        |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
        |  FROM scored
        |) WHERE rank <= $k""".stripMargin
-
-  // ------------------------------------------- product quantization
-
-  /** 1-based subspace slice: subspace `j` of `m` over `dim` covers
-   *  positions [j·d+1, (j+1)·d], d = dim/m (`m` must divide `dim` —
-   *  the standard PQ layout, Jégou et al. 2011 §III). */
-  private def subSliceExpr(j: Int, m: Int, dim: Int): Column = {
-    val d = dim / m
-    expr(s"slice(v, ${j * d + 1}, $d)")
-  }
-
-  /** Per-subspace PQ codebooks: subspace `j`'s codebook is k-means
-   *  over the corpus' j-th vector slices under the SAME deterministic
-   *  Lloyd contract q43/q148 judge (k-lowest-vec_id init, fixed-point
-   *  quantized order-free means, lower-c_id ties, empty cells
-   *  inherit) — [[lloydIterate]] is the one training loop in this
-   *  module, so a PQ codebook can never drift from the judged
-   *  k-means rows. Driver-side list of m codebooks, each ks entries
-   *  of d doubles: m·ks·d values — trivially literal-embeddable. */
-  private[graft] def pqCodebooks(emb: DataFrame, m: Int, ks: Int,
-      iters: Int, dim: Int): Seq[Seq[(Long, Seq[Double])]] = {
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    (0 until m).map { j =>
-      val e = prepared(emb)
-        .select(col("vec_id"), subSliceExpr(j, m, dim).as("v"))
-      lloydIterate(e, initCentroids(e, ks), iters, assignByLiterals)
-    }
-  }
-
-  /** Product-quantization encode (X124): each vector compresses to m
-   *  small codes — the corpus representation IVF-PQ search and
-   *  SemDeDup-at-scale actually store (64 float32 dims → 4 bytes at
-   *  m=4, ks≤256: a 64× reduction). Output long-format
-   *  (vec_id, sub, code) — schema-stable in both engines at any m.
-   *
-   *  Shape at 100 TB: training is the driver-side codebook fold over
-   *  m small Lloyd chains (on a real deployment, over a bounded
-   *  sample); ENCODE — the part that touches every row — is ONE
-   *  narrow zero-shuffle projection whose m argmins are codegen'd
-   *  [[graft.functions.PqArgmin]] loops over reference-held
-   *  codebooks (compact generated code at ANY ks — the unrolled
-   *  literal tree fell back to interpreted eval at ks = 256), then a
-   *  width-m posexplode. No join, no shuffle, no per-row state. */
-  def pqEncode(emb: DataFrame, m: Int, ks: Int, iters: Int,
-      dim: Int): DataFrame = {
-    val books = pqCodebooks(emb, m, ks, iters, dim)
-    val e = prepared(emb).select(col("vec_id"), col("v"))
-    val d = dim / m
-    val codeCols = (0 until m).map(j =>
-      graft.functions.VectorExpressions.pqArgmin(col("v"), j * d, books(j)))
-    e.select(col("vec_id"), posexplode(array(codeCols: _*)))
-      .select(col("vec_id"), col("pos").cast("long").as("sub"),
-        col("col").as("code"))
-  }
-
-  /** DuckDB oracle twin of [[pqEncode]] — m independent Lloyd CTE
-   *  chains over the slices (the SAME [[lloydChainSqlOn]] builder as
-   *  q43's oracle), final assignments unioned into long format. */
-  def pqEncodeSql(table: String, m: Int, ks: Int, iters: Int,
-      dim: Int): String = {
-    val sel = (0 until m).map(j =>
-      s"SELECT vec_id, CAST($j AS BIGINT) AS sub, " +
-        s"CAST(c_id AS BIGINT) AS code FROM s${j}_afin")
-      .mkString("\nUNION ALL\n")
-    s"WITH ${pqChainsSql(table, m, ks, iters, dim)}\n$sel"
-  }
-
-  /** The shared PQ oracle preamble: the double-cast base projection
-   *  `gb` plus one prefixed Lloyd chain per subspace (`s<j>_…`). */
-  private def pqChainsSql(table: String, m: Int, ks: Int, iters: Int,
-      dim: Int): String = {
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val d = dim / m
-    val chains = (0 until m).map { j =>
-      lloydChainSqlOn(
-        s"SELECT vec_id, v[${j * d + 1}:${(j + 1) * d}] AS v FROM gb",
-        ks, iters, s"s${j}_")
-    }.mkString(",\n")
-    s"""gb AS (SELECT vec_id, $toDoubleSql AS v FROM $table),
-       |$chains""".stripMargin
-  }
-
-  /** The least(struct) argmin extended with the quantized
-   *  reconstruction error of each candidate centroid — err =
-   *  ⟨v−c, v−c⟩ folded ascending (bit-identical to the oracle's
-   *  list_reduce), quantized ⌊err·2³⁰+½⌋ exact-integer. The third
-   *  field never participates in the comparison (c_id is unique), so
-   *  the CHOSEN code is exactly [[graft.functions.PqArgmin]]'s —
-   *  same score formula, same strict-< lower-c_id ties. The unrolled
-   *  tree stays acceptable HERE because the distortion report runs
-   *  at tuning-size codebooks (the judged ks = 8), not the ks = 256
-   *  production encode [[graft.functions.PqArgmin]] exists for. */
-  private def codeErrExpr(vExpr: Column,
-      cents: Seq[(Long, Seq[Double])]): Column = {
-    val scored = cents.map { case (cid, cv) =>
-      val cvArr = array(cv.map(lit): _*)
-      val w = zip_with(vExpr, cvArr, (a, b) => a - b)
-      struct(
-        (graft.functions.VectorExpressions.dot(vExpr, cvArr) * lit(-2.0)
-          + lit(dotLocal(cv, cv))).as("score"),
-        lit(cid).as("c_id"),
-        floor(graft.functions.VectorExpressions.dot(w, w)
-          * lit(1073741824.0) + lit(0.5)).cast("long").as("errq"))
-    }
-    least(scored: _*)
-  }
-
-  /** PQ distortion report (X125): per-subspace vector count and the
-   *  exact-integer sum of quantized reconstruction errors — the
-   *  metric a PQ deployment tunes (m, ks) by before committing a
-   *  100 TB re-encode. Quantizing each row's ‖v_j − c‖² to
-   *  ⌊err·2³⁰+½⌋ BEFORE summing makes the total order-free exact
-   *  BIGINT arithmetic (the gramMatrix rule) — partitioning-
-   *  independent and engine-identical, where a double Σ would hash
-   *  differently under every shuffle schedule. One zero-shuffle
-   *  encode projection + one m-row map-side-combined aggregate.
-   *  Headroom: unit-normalized corpus ⇒ err ≤ 4 per subspace ⇒
-   *  row terms ≤ 2³², safe to ~2³⁰ rows per sub. Output
-   *  (sub, n_vecs, errq). */
-  def pqDistortion(emb: DataFrame, m: Int, ks: Int, iters: Int,
-      dim: Int): DataFrame = {
-    val books = pqCodebooks(emb, m, ks, iters, dim)
-    val e = prepared(emb).select(col("vec_id"), col("v"))
-    val errCols = (0 until m).map(j =>
-      codeErrExpr(subSliceExpr(j, m, dim), books(j)).getField("errq"))
-    e.select(posexplode(array(errCols: _*)))
-      .groupBy(col("pos"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("col")).as("errq"))
-      .select(col("pos").cast("long").as("sub"), col("n_vecs"),
-        col("errq"))
-  }
-
-  /** DuckDB oracle twin of [[pqDistortion]]: each subspace's final
-   *  assignment joined back to its codebook, the error folded over
-   *  the explicit difference list in the same ascending order. */
-  def pqDistortionSql(table: String, m: Int, ks: Int, iters: Int,
-      dim: Int): String = {
-    val perSub = (0 until m).map { j =>
-      s"""SELECT CAST($j AS BIGINT) AS sub,
-         |  CAST(floor((${dotSql("w", "w")}) * 1073741824.0 + 0.5)
-         |    AS BIGINT) AS eq
-         |FROM (SELECT list_transform(range(1, length(a.v) + 1),
-         |        i -> a.v[i] - c.cv[i]) AS w
-         |      FROM s${j}_afin a JOIN s${j}_c$iters c
-         |        ON a.c_id = c.c_id)""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH ${pqChainsSql(table, m, ks, iters, dim)}
-       |SELECT sub, CAST(count(*) AS BIGINT) AS n_vecs,
-       |       CAST(sum(eq) AS BIGINT) AS errq
-       |FROM ($perSub) GROUP BY sub""".stripMargin
-  }
-
-  /** IVF-PQ top-k search with asymmetric-distance scoring (X126) —
-   *  the architecture a 100 TB ANN deployment actually runs (Jégou
-   *  et al. 2011; the FAISS IVFPQ shape): a coarse k-means quantizer
-   *  partitions the corpus into kc cells; each vector is stored as
-   *  its cell id + m PQ codes; a query probes only its `nprobe`
-   *  nearest cells and scores candidates WITHOUT touching any float
-   *  vector — adc(q, x) = Σ_j lut_q[j][code_j(x)], the per-query
-   *  lookup table of quantized subspace inner products
-   *  ⌊⟨q_j, c⟩·2³⁰+½⌋. Integer LUT entries make the m-way sum exact
-   *  and order-free, so the ranking (adc DESC, ties to lower n_id)
-   *  is deterministic and engine-identical — recall is reproducible,
-   *  not seed- or fold-order-dependent. Inner-product flavor: the
-   *  corpus is unit-normalized, so IP ≈ cosine up to the neighbor's
-   *  reconstruction norm (approximate BY DESIGN; nprobe and (m, ks)
-   *  are the recall knobs — q145's recall row is the measurement
-   *  pattern).
-   *
-   *  Shape at 100 TB: training + LUTs are driver-side folds over
-   *  bounded collections (kc + m·ks centroids, nQueries query rows);
-   *  the corpus pass is ONE zero-shuffle projection emitting
-   *  (cell, code_0..code_{m−1}) — at rest this is the 64×-compressed
-   *  table [[pqEncode]] materializes — then a BROADCAST join against
-   *  the nQueries-row probe/LUT frame whose predicate
-   *  `array_contains(probed, cell)` prunes to the probed cells, a
-   *  width-m integer add chain, and the bounded SimTopK heap (k rows
-   *  per query per map task on the exchange). No shuffle touches
-   *  corpus-sized data. Output (q_id, n_id, rank, adc). */
-  def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int, kc: Int,
-      m: Int, ks: Int, iters: Int, dim: Int, nprobe: Int): DataFrame = {
-    require(nQueries >= 1 && k >= 1 && nprobe >= 1,
-      s"nQueries/k/nprobe must be >= 1, got $nQueries/$k/$nprobe")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val e = prepared(emb).select(col("vec_id"), col("v"))
-    val coarse = lloydIterate(e, initCentroids(e, kc), iters,
-      assignByLiterals)
-    val books = pqCodebooks(emb, m, ks, iters, dim)
-    val d = dim / m
-    // internal keying is the centroid's RANK (ascending-c_id
-    // position), not its id: ADC lookups become POSITIONAL array
-    // indexing — element_at on a literal array is O(1), where a map
-    // LUT pays Spark's linear MapData key scan per element (measured
-    // to erase the ADC advantage at ks = 64). rank↔id is a bijection
-    // over one codebook, so every derived score is identical; ids
-    // never surface (the judged output is (q_id, n_id, rank, adc)).
-    val codeCols = (0 until m).map(j =>
-      graft.functions.VectorExpressions.pqArgminRank(col("v"), j * d,
-        books(j)).as(s"code$j"))
-    val enc = e.select(col("vec_id")
-      +: graft.functions.VectorExpressions.pqArgminRank(col("v"), 0, coarse)
-        .as("cell") +: codeCols: _*)
-    val coarseSorted = coarse.sortBy(_._1)
-    val qRows = e.filter(col("vec_id") < nQueries).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1).toSeq
-      .map { case (qid, qv) =>
-        val probed = coarseSorted.zipWithIndex
-          .map { case ((cid, cv), rank) =>
-            ((dotLocal(qv, cv) * -2.0 + dotLocal(cv, cv), cid), rank) }
-          .sortBy(_._1).take(nprobe).map(_._2.toLong)
-        val lut: Seq[Seq[Long]] = (0 until m).map { j =>
-          val qj = qv.slice(j * d, (j + 1) * d)
-          books(j).sortBy(_._1).map { case (_, cv) =>
-            math.floor(dotLocal(qj, cv) * 1073741824.0 + 0.5).toLong }
-        }
-        (qid, probed, lut)
-      }.toDF("q_id", "probed", "lut")
-    val scored = enc.join(broadcast(qRows),
-        array_contains(col("probed"), col("cell"))
-          && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        (0 until m).map(j =>
-            element_at(element_at(col("lut"), j + 1),
-              (col(s"code$j") + 1).cast("int")))
-          .reduce(_ + _).cast("double").as("sim"))
-    topKPerQuery(scored, k)
-      .select(col("q_id"), col("n_id"), col("rank"),
-        col("sim").cast("long").as("adc"))
-  }
-
-  // --------------------------------------- materialized IVF-PQ index
-
-  /** Materialize the IVF-PQ index ONCE per corpus: the at-rest form
-   *  a 100 TB deployment actually serves from — `codes/` holds ONE
-   *  row per vector (cell rank + m code ranks, a handful of small
-   *  ints instead of dim floats: the scan that touches every row at
-   *  query time reads ~m bytes, the 64× compression PQ exists for),
-   *  range-clustered by cell so parquet row-group min/max prune the
-   *  un-probed cells (the q131 zone-map effect on the IVF key).
-   *  `codes/` is SEGMENTED (the build lands as segment `base`): new
-   *  corpus batches append as sibling segments encoded with the
-   *  frozen stored codebooks ([[appendToPqIndex]]), probes list
-   *  segments at plan time — the lifecycle contract the LSH/ANN
-   *  stores established. `books/` and `meta/` hold the codebooks and parameters as
-   *  parquet (doubles round-trip EXACTLY — no text serialization in
-   *  the determinism path). Repeated query batches then probe the
-   *  written table and never rescan or re-encode the corpus — the
-   *  q114 "materialize once per corpus fingerprint" pattern. */
-  def materializePqIndex(emb: DataFrame, dir: String, kc: Int, m: Int,
-      ks: Int, iters: Int, dim: Int, fingerprint: String): Unit = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val d = dim / m
-    val e = prepared(emb).select(col("vec_id"), col("v"))
-    val coarse = lloydIterate(e, initCentroids(e, kc), iters,
-      assignByLiterals)
-    val books = pqCodebooks(emb, m, ks, iters, dim)
-    val codeCols = (0 until m).map(j =>
-      graft.functions.VectorExpressions.pqArgminRank(col("v"), j * d,
-        books(j)).as(s"code$j"))
-    e.select(col("vec_id")
-        +: graft.functions.VectorExpressions.pqArgminRank(col("v"), 0,
-          coarse).as("cell") +: codeCols: _*)
-      .repartitionByRange(col("cell"), col("vec_id"))
-      .sortWithinPartitions("cell", "vec_id")
-      .write.mode("overwrite").parquet(s"$dir/codes/base")
-    val bookRows = coarse.sortBy(_._1).zipWithIndex.map {
-      case ((cid, cv), r) => (-1, r, cid, cv)
-    } ++ books.zipWithIndex.flatMap { case (b, j) =>
-      b.sortBy(_._1).zipWithIndex.map { case ((cid, cv), r) =>
-        (j, r, cid, cv) }
-    }
-    bookRows.toDF("sub", "rank", "c_id", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
-    Seq((kc, m, ks, iters, dim, fingerprint))
-      .toDF("kc", "m", "ks", "iters", "dim", "fingerprint")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-  }
-
-  /** Stored codebooks of a [[materializePqIndex]] dir, (c_id, cv)
-   *  keyed, in ascending-c_id order (== the stored rank order —
-   *  rank IS the centroid's position in ascending c_id). Key −1 is
-   *  the coarse book; 0..m−1 the subspace books. Feeding these back
-   *  through [[graft.functions.VectorExpressions.pqArgminRank]]
-   *  reproduces the build-time encode bit-for-bit, which is what
-   *  makes the index APPENDABLE: frozen codebooks are the contract
-   *  (FAISS `add` after `train` — new vectors are encoded, never
-   *  re-trained). */
-  private def readPqBooksById(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Map[Int, Seq[(Long, Seq[Double])]] =
-    spark.read.parquet(s"$dir/books").collect()
-      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("rank"),
-        r.getAs[Long]("c_id"),
-        r.getAs[scala.collection.Seq[Double]]("cv").toSeq))
-      .groupBy(_._1).map { case (sub, rs) =>
-        sub -> rs.sortBy(_._2).map(t => (t._3, t._4)).toSeq }
-
-  /** Append a vector batch to a materialized IVF-PQ index (X131) —
-   *  the maintenance operation a served 100 TB index lives by: the
-   *  corpus grows continuously, but codebooks are FROZEN at train
-   *  time (the FAISS train-once/add-forever contract; re-training
-   *  would re-key every stored code), so an append is ONE narrow
-   *  zero-shuffle encode of the batch through the STORED books —
-   *  the corpus is never rescanned, cost is O(|batch|). The batch
-   *  lands as its own segment dir under `codes/` (the X56/X93
-   *  segmented-store listing contract: probes list segments at plan
-   *  time, so a probe frame built before an append never half-sees
-   *  it); `mode=overwrite` per segment makes a redelivered batch
-   *  replace its own contribution (idempotent under foreachBatch
-   *  at-least-once). Segment-count growth is bounded by the same
-   *  maintenance the other stores run (X114's z-compaction applies —
-   *  codes are disjoint rows by the append contract).
-   *  `expectFingerprint` pins the index LINEAGE: appending to an
-   *  index built from a different corpus version is refused. */
-  def appendToPqIndex(dir: String, batch: DataFrame, segment: String,
-      expectFingerprint: Option[String] = None): Unit = {
-    val spark = batch.sparkSession
-    val meta = spark.read.parquet(s"$dir/meta").collect().head
-    val (m, dim) = (meta.getAs[Int]("m"), meta.getAs[Int]("dim"))
-    expectFingerprint.foreach { fp =>
-      val got = meta.getAs[String]("fingerprint")
-      require(got == fp,
-        s"PQ index at $dir was built from corpus $got, expected $fp")
-    }
-    if (Layout.foldedNames(s"$dir/codes").contains(segment)) {
-      // a compaction physically folded this segment name into a base
-      // after the original append: the redelivered batch's rows live
-      // inside the fold, so re-creating the segment would double-
-      // count every one of them (the X56 redelivery rule)
-      return
-    }
-    val d = dim / m
-    val books = readPqBooksById(spark, dir)
-    val e = prepared(batch).select(col("vec_id"), col("v"))
-    val codeCols = (0 until m).map(j =>
-      graft.functions.VectorExpressions.pqArgminRank(col("v"), j * d,
-        books(j)).as(s"code$j"))
-    e.select(col("vec_id")
-        +: graft.functions.VectorExpressions.pqArgminRank(col("v"), 0,
-          books(-1)).as("cell") +: codeCols: _*)
-      .sortWithinPartitions("cell", "vec_id")
-      .write.mode("overwrite").parquet(s"$dir/codes/$segment")
-  }
-
-  /** Compact an appendable PQ index's code segments (X133) — the
-   *  maintenance pass that keeps [[appendToPqIndex]]'s per-batch
-   *  segments from degrading probes at 100 TB: every appended
-   *  segment spans the full cell domain (batches arrive in id order,
-   *  not cell order), so the probed-cell pushdown stops skipping as
-   *  segments accumulate. Folding live segments into ONE
-   *  cell-range-clustered base restores the row-group min/max prune
-   *  the `base` segment was written with. Content IDENTITY (codes
-   *  are disjoint rows by the append contract; only layout changes)
-   *  under [[Layout.compactSegmentsWith]]'s one-copy crash contract:
-   *  input-set-tagged CAS install, `_folded` manifest inside the
-   *  base (atomic with the data), install-then-GC, redelivered
-   *  appends of folded names no-ops. Plain range clustering, not
-   *  z-order — IVF probes filter on the ONE cell key. */
-  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, numFiles: Int = 8, maxSegments: Int = 1): Boolean =
-    Layout.compactSegmentsWith(spark, s"$dir/codes", "cbase",
-        maxSegments) { df =>
-      df.repartitionByRange(numFiles, col("cell"), col("vec_id"))
-        .sortWithinPartitions("cell", "vec_id")
-    }
-
-  /** IVF-PQ search against a [[materializePqIndex]] directory: the
-   *  query batch's probe lists and rank-positional ADC LUTs derive
-   *  from the STORED codebooks (build/probe mismatch impossible —
-   *  same guarantee as [[annTopKIndexed]]'s meta), and the corpus
-   *  pass scans ONLY the compressed code table — a broadcast
-   *  non-equi join pruned to the probed cells, O(1) array lookups,
-   *  the bounded SimTopK heap. Output (q_id, n_id, rank, adc).
-   *  `expectFingerprint` rejects an index built from a different
-   *  corpus version. */
-  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
-      dir: String, queries: DataFrame, k: Int, nprobe: Int,
-      expectFingerprint: Option[String] = None): DataFrame = {
-    import spark.implicits._
-    val meta = spark.read.parquet(s"$dir/meta").collect().head
-    val (kc, m, dim) = (meta.getAs[Int]("kc"), meta.getAs[Int]("m"),
-      meta.getAs[Int]("dim"))
-    expectFingerprint.foreach { fp =>
-      val got = meta.getAs[String]("fingerprint")
-      require(got == fp,
-        s"PQ index at $dir was built from corpus $got, expected $fp")
-    }
-    val d = dim / m
-    val byId = readPqBooksById(spark, dir)
-    def ranked(sub: Int): Seq[Seq[Double]] = byId(sub).map(_._2)
-    val coarse = ranked(-1)
-    val books = (0 until m).map(ranked)
-    val qRows = queries
-      .select(col("q_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("qv"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1).toSeq
-      .map { case (qid, qv) =>
-        val probed = coarse.zipWithIndex
-          .map { case (cv, rank) =>
-            (dotLocal(qv, cv) * -2.0 + dotLocal(cv, cv), rank) }
-          .sortBy(identity).take(nprobe).map(_._2.toLong)
-        val lut: Seq[Seq[Long]] = (0 until m).map { j =>
-          val qj = qv.slice(j * d, (j + 1) * d)
-          books(j).map(cv =>
-            math.floor(dotLocal(qj, cv) * 1073741824.0 + 0.5).toLong)
-        }
-        (qid, probed, lut)
-      }.toDF("q_id", "probed", "lut")
-    val scored = spark.read
-      .parquet(Layout.zLiveSegments(s"$dir/codes"): _*)
-      .join(broadcast(qRows),
-        array_contains(col("probed"), col("cell"))
-          && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        (0 until m).map(j =>
-            element_at(element_at(col("lut"), j + 1),
-              (col(s"code$j") + 1).cast("int")))
-          .reduce(_ + _).cast("double").as("sim"))
-    topKPerQuery(scored, k)
-      .select(col("q_id"), col("n_id"), col("rank"),
-        col("sim").cast("long").as("adc"))
-  }
-
-  /** SQL twin of one [[ivfPqTopKIndexed]] batch: the oracle has no
-   *  stored index — it re-derives codebooks, codes, probes and LUTs
-   *  from the corpus ([[ivfPqTopKSql]]'s chains) with the query set
-   *  selected by `qFilter` instead of a vec_id bound. */
-  def ivfPqTopKIndexedSql(table: String, qFilter: String, k: Int,
-      kc: Int, m: Int, ks: Int, iters: Int, dim: Int,
-      nprobe: Int): String =
-    ivfPqTopKSqlWhere(table, qFilter, k, kc, m, ks, iters, dim, nprobe)
-
-  /** DuckDB oracle twin of one [[ivfPqTopKIndexed]] probe against an
-   *  index built on `trainFilter` rows and grown by [[appendToPqIndex]]
-   *  until the visible corpus is `corpusFilter` (X131): codebooks
-   *  train ONLY on the build slice (the frozen-codebook contract —
-   *  appended vectors are encoded by those books, never re-trained),
-   *  every `corpusFilter` row is encoded/assigned against the FROZEN
-   *  final centroids, and the ADC scoring is [[ivfPqTopKSql]]'s. A
-   *  row outside `corpusFilter` (a not-yet-appended segment) is
-   *  invisible — which is exactly what the judged row asserts by
-   *  probing between appends. */
-  def ivfPqAppendSql(table: String, trainFilter: String,
-      corpusFilter: String, qFilter: String, k: Int, kc: Int, m: Int,
-      ks: Int, iters: Int, dim: Int, nprobe: Int): String = {
-    val d = dim / m
-    // assignment of EVERY visible corpus row against a FROZEN
-    // centroid CTE (the chains' own afin only covers training rows)
-    def assignAll(cents: String, vExpr: String, out: String): String =
-      s"""$out AS (SELECT vec_id, c_id FROM (
-         |  SELECT g.vec_id, c.c_id,
-         |    row_number() OVER (PARTITION BY g.vec_id ORDER BY
-         |      (${dotSql(vExpr, "c.cv")}) * -2.0 + c.cn2 ASC, c.c_id) AS r
-         |  FROM gc g CROSS JOIN
-         |    (SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2 FROM $cents) c
-         |) WHERE r = 1)""".stripMargin
-    val chains = (0 until m).map { j =>
-      lloydChainSqlOn(
-        s"SELECT vec_id, v[${j * d + 1}:${(j + 1) * d}] AS v FROM gbt",
-        ks, iters, s"s${j}_")
-    }.mkString(",\n")
-    val encCtes = (0 until m).map { j =>
-      assignAll(s"s${j}_c$iters", s"g.v[${j * d + 1}:${(j + 1) * d}]",
-        s"enc$j")
-    }.mkString(",\n")
-    val encSel = (0 until m).map(j =>
-      s"SELECT vec_id, $j AS sub, c_id AS code FROM enc$j")
-      .mkString("\nUNION ALL\n")
-    val qvSubs = (0 until m).map(j =>
-      s"v[${j * d + 1}:${(j + 1) * d}] AS qv$j").mkString(", ")
-    val lutSel = (0 until m).map(j =>
-      s"""SELECT q_id, $j AS sub, c.c_id AS code,
-         |  CAST(floor((${dotSql(s"qv$j", "c.cv")}) * 1073741824.0 + 0.5)
-         |    AS BIGINT) AS w
-         |FROM q CROSS JOIN s${j}_c$iters c""".stripMargin)
-      .mkString("\nUNION ALL\n")
-    s"""WITH gb AS (SELECT vec_id, $toDoubleSql AS v FROM $table),
-       |gbt AS (SELECT vec_id, v FROM gb WHERE $trainFilter),
-       |gc AS (SELECT vec_id, v FROM gb WHERE $corpusFilter),
-       |$chains,
-       |${lloydChainSqlOn("SELECT vec_id, v FROM gbt", kc, iters, "cg_")},
-       |$encCtes,
-       |${assignAll(s"cg_c$iters", "g.v", "cellsr")},
-       |q AS (SELECT vec_id AS q_id, v AS qv, $qvSubs FROM gb
-       |      WHERE $qFilter),
-       |qc AS (SELECT q_id, c_id AS cell FROM (
-       |  SELECT q.q_id, c.c_id, row_number() OVER (PARTITION BY q.q_id
-       |    ORDER BY (${dotSql("q.qv", "c.cv")}) * -2.0 + c.cn2 ASC,
-       |      c.c_id) AS r
-       |  FROM q CROSS JOIN (SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2
-       |                     FROM cg_c$iters) c
-       |) WHERE r <= $nprobe),
-       |lut AS ($lutSel),
-       |enc AS ($encSel),
-       |cells AS (SELECT vec_id, c_id AS cell FROM cellsr),
-       |scored AS (
-       |  SELECT l.q_id, e.vec_id AS n_id, CAST(sum(l.w) AS BIGINT) AS adc
-       |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
-       |  JOIN cells ce ON ce.vec_id = e.vec_id
-       |  JOIN qc ON qc.q_id = l.q_id AND qc.cell = ce.cell
-       |  WHERE e.vec_id <> l.q_id
-       |  GROUP BY l.q_id, e.vec_id)
-       |SELECT q_id, n_id, rank, adc FROM (
-       |  SELECT q_id, n_id, adc, CAST(row_number() OVER
-       |    (PARTITION BY q_id ORDER BY adc DESC, n_id) AS BIGINT) AS rank
-       |  FROM scored
-       |) WHERE rank <= $k""".stripMargin
-  }
-
-  /** DuckDB oracle twin of [[ivfPqTopK]] — the full chain replayed:
-   *  coarse + m subspace Lloyd chains ([[lloydChainSqlOn]]), the
-   *  probe ranking, the quantized LUT as a (q_id, sub, code, w)
-   *  relation, ADC as an exact BIGINT group-sum, row_number rank. */
-  def ivfPqTopKSql(table: String, nQueries: Int, k: Int, kc: Int,
-      m: Int, ks: Int, iters: Int, dim: Int, nprobe: Int): String =
-    ivfPqTopKSqlWhere(table, s"vec_id < $nQueries", k, kc, m, ks,
-      iters, dim, nprobe)
-
-  private def ivfPqTopKSqlWhere(table: String, qFilter: String, k: Int,
-      kc: Int, m: Int, ks: Int, iters: Int, dim: Int,
-      nprobe: Int): String = {
-    val d = dim / m
-    val qvSubs = (0 until m).map(j =>
-      s"v[${j * d + 1}:${(j + 1) * d}] AS qv$j").mkString(", ")
-    val lutSel = (0 until m).map(j =>
-      s"""SELECT q_id, $j AS sub, c.c_id AS code,
-         |  CAST(floor((${dotSql(s"qv$j", "c.cv")}) * 1073741824.0 + 0.5)
-         |    AS BIGINT) AS w
-         |FROM q CROSS JOIN s${j}_c$iters c""".stripMargin)
-      .mkString("\nUNION ALL\n")
-    val encSel = (0 until m).map(j =>
-      s"SELECT vec_id, $j AS sub, c_id AS code FROM s${j}_afin")
-      .mkString("\nUNION ALL\n")
-    s"""WITH ${pqChainsSql(table, m, ks, iters, dim)},
-       |${lloydChainSqlOn("SELECT vec_id, v FROM gb", kc, iters, "cg_")},
-       |q AS (SELECT vec_id AS q_id, v AS qv, $qvSubs FROM gb
-       |      WHERE $qFilter),
-       |qc AS (SELECT q_id, c_id AS cell FROM (
-       |  SELECT q.q_id, c.c_id, row_number() OVER (PARTITION BY q.q_id
-       |    ORDER BY (${dotSql("q.qv", "c.cv")}) * -2.0 + c.cn2 ASC,
-       |      c.c_id) AS r
-       |  FROM q CROSS JOIN (SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2
-       |                     FROM cg_c$iters) c
-       |) WHERE r <= $nprobe),
-       |lut AS ($lutSel),
-       |enc AS ($encSel),
-       |cells AS (SELECT vec_id, c_id AS cell FROM cg_afin),
-       |scored AS (
-       |  SELECT l.q_id, e.vec_id AS n_id, CAST(sum(l.w) AS BIGINT) AS adc
-       |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
-       |  JOIN cells ce ON ce.vec_id = e.vec_id
-       |  JOIN qc ON qc.q_id = l.q_id AND qc.cell = ce.cell
-       |  WHERE e.vec_id <> l.q_id
-       |  GROUP BY l.q_id, e.vec_id)
-       |SELECT q_id, n_id, rank, adc FROM (
-       |  SELECT q_id, n_id, adc, CAST(row_number() OVER
-       |    (PARTITION BY q_id ORDER BY adc DESC, n_id) AS BIGINT) AS rank
-       |  FROM scored
-       |) WHERE rank <= $k""".stripMargin
-  }
-
-  /** IVF-PQ search with exact re-rank (X127) — the full production
-   *  retrieval stack: [[ivfPqTopK]]'s integer-ADC pass generates
-   *  k·`rerank` candidates per query from the compressed codes, then
-   *  ONLY those candidates are re-scored in full-precision cosine
-   *  (the [[sq8TopK]] second stage verbatim). At 100 TB the scan that
-   *  touches every row reads m bytes per vector; float vectors are
-   *  fetched for ≤ k·rerank·nQueries rows total — a broadcast id
-   *  join (a filter, no row multiplication). `rerank` and `nprobe`
-   *  are the recall knobs; the candidate cut is deterministic
-   *  (integer ADC, ties to lower id), so recall is reproducible. */
-  def ivfPqRerank(emb: DataFrame, nQueries: Int, k: Int, kc: Int,
-      m: Int, ks: Int, iters: Int, dim: Int, nprobe: Int,
-      rerank: Int = 4): DataFrame = {
-    val cand = ivfPqTopK(emb, nQueries, k * rerank, kc, m, ks, iters,
-        dim, nprobe)
-      .select(col("q_id"), col("n_id"))
-    val e = prepared(emb)
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid2"), col("v").as("qv"),
-        col("nrm").as("qn"))
-    val scored = e.join(broadcast(cand), e("vec_id") === cand("n_id"))
-      .join(broadcast(q), col("q_id") === col("qid2"))
-      .select(col("q_id"), col("n_id"),
-        (dotExpr("qv", "v") / (col("qn") * col("nrm"))).as("sim"))
-    topKPerQuery(scored, k)
-  }
-
-  /** DuckDB oracle twin of [[ivfPqRerank]] — the ADC statement
-   *  nested as the candidate relation, the exact cosine re-rank and
-   *  row_number cut replayed (the sq8TopKSql second stage). */
-  def ivfPqRerankSql(table: String, nQueries: Int, k: Int, kc: Int,
-      m: Int, ks: Int, iters: Int, dim: Int, nprobe: Int,
-      rerank: Int = 4): String =
-    s"""WITH cand AS (SELECT q_id, n_id FROM (
-       |  ${ivfPqTopKSql(table, nQueries, k * rerank, kc, m, ks, iters,
-            dim, nprobe)})),
-       |e AS (${preparedSql(table)}),
-       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
-       |      WHERE vec_id < $nQueries),
-       |scored AS (SELECT cand.q_id, cand.n_id,
-       |             ${dotSql("qv", "v")} / (qn * nrm) AS sim
-       |           FROM cand JOIN e ON e.vec_id = cand.n_id
-       |                JOIN q ON q.q_id = cand.q_id)
-       |SELECT * FROM (
-       |  SELECT q_id, n_id, sim, CAST(row_number() OVER
-       |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
-       |  FROM scored
-       |) WHERE rank <= $k""".stripMargin
-
-  /** Literal rank→centroid lookup: a when-chain over the bounded
-   *  coarse codebook (kc arrays in the projection — the codebook
-   *  pattern, never a join), keyed by the `cell` RANK column
-   *  [[graft.functions.VectorExpressions.pqArgminRank]] emits. */
-  private def centLookupExpr(cents: Seq[(Long, Seq[Double])]): Column = {
-    val arrs = cents.sortBy(_._1).map(_._2).zipWithIndex
-      .map { case (cv, r) => (r.toLong, array(cv.map(lit): _*)) }
-    arrs.tail.foldLeft(
-        when(col("cell") === lit(arrs.head._1), arrs.head._2)) {
-      case (acc, (r, arr)) => acc.when(col("cell") === lit(r), arr)
-    }
-  }
-
-  /** Residual IVF-PQ top-k (X128) — the EXACT architecture of Jégou
-   *  et al. 2011 §IV (the FAISS IVFADC default): PQ codebooks are
-   *  trained on and encode the RESIDUAL r = v − c_cell rather than
-   *  the raw vector, so the m codes spend their budget on the
-   *  within-cell displacement (much lower variance than the vector
-   *  itself — the accuracy step that makes byte-sized codes usable).
-   *  Scoring splits exactly: ⟨q, c_cell + recon(r)⟩ = ⟨q, c_cell⟩ +
-   *  Σ_j ⟨q_j, r_code_j⟩ — a per-query kc-entry cell table plus the
-   *  m×ks residual LUT (both quantized ⌊·2³⁰+½⌋, so the (m+1)-way
-   *  sum is exact order-free integer arithmetic and the ranking is
-   *  engine-identical). Shape as [[ivfPqTopK]]: driver-side bounded
-   *  folds, ONE zero-shuffle corpus encode (the residual is a
-   *  when-chain centroid lookup + zip_with subtraction inside the
-   *  same projection), broadcast probe/LUT join, bounded SimTopK.
-   *  Output (q_id, n_id, rank, adc). */
-  def ivfPqResTopK(emb: DataFrame, nQueries: Int, k: Int, kc: Int,
-      m: Int, ks: Int, iters: Int, dim: Int, nprobe: Int): DataFrame = {
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    require(nQueries >= 1 && k >= 1 && nprobe >= 1,
-      s"nQueries/k/nprobe must be >= 1, got $nQueries/$k/$nprobe")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val d = dim / m
-    val e = prepared(emb).select(col("vec_id"), col("v"))
-    val coarse = lloydIterate(e, initCentroids(e, kc), iters,
-      assignByLiterals)
-    val res = e
-      .withColumn("cell",
-        graft.functions.VectorExpressions.pqArgminRank(col("v"), 0, coarse))
-      .withColumn("r", zip_with(col("v"), centLookupExpr(coarse),
-        (a, b) => a - b))
-    val books = (0 until m).map { j =>
-      val ej = res.select(col("vec_id"),
-        expr(s"slice(r, ${j * d + 1}, $d)").as("v"))
-      lloydIterate(ej, initCentroids(ej, ks), iters, assignByLiterals)
-    }
-    // rank-positional internal keying + O(1) array LUTs, as in
-    // [[ivfPqTopK]] — ids never surface in the judged output
-    val codeCols = (0 until m).map(j =>
-      graft.functions.VectorExpressions.pqArgminRank(col("r"), j * d,
-        books(j)).as(s"code$j"))
-    val enc = res.select(col("vec_id") +: col("cell") +: codeCols: _*)
-    val coarseSorted = coarse.sortBy(_._1)
-    val qRows = e.filter(col("vec_id") < nQueries).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1).toSeq
-      .map { case (qid, qv) =>
-        val probed = coarseSorted.zipWithIndex
-          .map { case ((cid, cv), rank) =>
-            ((dotLocal(qv, cv) * -2.0 + dotLocal(cv, cv), cid), rank) }
-          .sortBy(_._1).take(nprobe).map(_._2.toLong)
-        val wc: Seq[Long] = coarseSorted.map { case (_, cv) =>
-          math.floor(dotLocal(qv, cv) * 1073741824.0 + 0.5).toLong }
-        val lutr: Seq[Seq[Long]] = (0 until m).map { j =>
-          val qj = qv.slice(j * d, (j + 1) * d)
-          books(j).sortBy(_._1).map { case (_, cv) =>
-            math.floor(dotLocal(qj, cv) * 1073741824.0 + 0.5).toLong }
-        }
-        (qid, probed, wc, lutr)
-      }.toDF("q_id", "probed", "wc", "lutr")
-    val scored = enc.join(broadcast(qRows),
-        array_contains(col("probed"), col("cell"))
-          && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        ((0 until m).map(j =>
-            element_at(element_at(col("lutr"), j + 1),
-              (col(s"code$j") + 1).cast("int")))
-          .reduce(_ + _)
-          + element_at(col("wc"), (col("cell") + 1).cast("int")))
-          .cast("double").as("sim"))
-    topKPerQuery(scored, k)
-      .select(col("q_id"), col("n_id"), col("rank"),
-        col("sim").cast("long").as("adc"))
-  }
-
-  /** DuckDB oracle twin of [[ivfPqResTopK]] — coarse chain, the
-   *  residual relation `gr`, m residual-slice chains, the cell table
-   *  and residual LUT as relations, ADC as one exact BIGINT group-sum
-   *  over the (m+1)-branch union. */
-  def ivfPqResTopKSql(table: String, nQueries: Int, k: Int, kc: Int,
-      m: Int, ks: Int, iters: Int, dim: Int, nprobe: Int): String = {
-    val d = dim / m
-    val chains = (0 until m).map { j =>
-      lloydChainSqlOn(
-        s"SELECT vec_id, v[${j * d + 1}:${(j + 1) * d}] AS v FROM gr",
-        ks, iters, s"r${j}_")
-    }.mkString(",\n")
-    val qvSubs = (0 until m).map(j =>
-      s"v[${j * d + 1}:${(j + 1) * d}] AS qv$j").mkString(", ")
-    val lutSel = (0 until m).map(j =>
-      s"""SELECT q_id, $j AS sub, c.c_id AS code,
-         |  CAST(floor((${dotSql(s"qv$j", "c.cv")}) * 1073741824.0 + 0.5)
-         |    AS BIGINT) AS w
-         |FROM q CROSS JOIN r${j}_c$iters c""".stripMargin)
-      .mkString("\nUNION ALL\n")
-    val encSel = (0 until m).map(j =>
-      s"SELECT vec_id, $j AS sub, c_id AS code FROM r${j}_afin")
-      .mkString("\nUNION ALL\n")
-    s"""WITH gb AS (SELECT vec_id, $toDoubleSql AS v FROM $table),
-       |${lloydChainSqlOn("SELECT vec_id, v FROM gb", kc, iters, "cg_")},
-       |gr AS (SELECT a.vec_id, a.c_id AS cell,
-       |         list_transform(range(1, length(a.v) + 1),
-       |           i -> a.v[i] - c.cv[i]) AS v
-       |       FROM cg_afin a JOIN cg_c$iters c ON a.c_id = c.c_id),
-       |$chains,
-       |q AS (SELECT vec_id AS q_id, v AS qv, $qvSubs FROM gb
-       |      WHERE vec_id < $nQueries),
-       |qc AS (SELECT q_id, c_id AS cell FROM (
-       |  SELECT q.q_id, c.c_id, row_number() OVER (PARTITION BY q.q_id
-       |    ORDER BY (${dotSql("q.qv", "c.cv")}) * -2.0 + c.cn2 ASC,
-       |      c.c_id) AS r
-       |  FROM q CROSS JOIN (SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2
-       |                     FROM cg_c$iters) c
-       |) WHERE r <= $nprobe),
-       |wc AS (SELECT q_id, c.c_id AS cell,
-       |         CAST(floor((${dotSql("qv", "c.cv")}) * 1073741824.0 + 0.5)
-       |           AS BIGINT) AS w
-       |       FROM q CROSS JOIN cg_c$iters c),
-       |lutr AS ($lutSel),
-       |enc AS ($encSel),
-       |cells AS (SELECT vec_id, cell FROM gr),
-       |terms AS (
-       |  SELECT l.q_id, e.vec_id AS n_id, l.w
-       |  FROM enc e JOIN lutr l ON e.sub = l.sub AND e.code = l.code
-       |  UNION ALL
-       |  SELECT w.q_id, ce.vec_id AS n_id, w.w
-       |  FROM cells ce JOIN wc w ON w.cell = ce.cell),
-       |scored AS (
-       |  SELECT t.q_id, t.n_id, CAST(sum(t.w) AS BIGINT) AS adc
-       |  FROM terms t
-       |  JOIN cells c2 ON c2.vec_id = t.n_id
-       |  JOIN qc ON qc.q_id = t.q_id AND qc.cell = c2.cell
-       |  WHERE t.n_id <> t.q_id
-       |  GROUP BY t.q_id, t.n_id)
-       |SELECT q_id, n_id, rank, adc FROM (
-       |  SELECT q_id, n_id, adc, CAST(row_number() OVER
-       |    (PARTITION BY q_id ORDER BY adc DESC, n_id) AS BIGINT) AS rank
-       |  FROM scored
-       |) WHERE rank <= $k""".stripMargin
-  }
 
   // ------------------------------------------------ gram / covariance
 

@@ -115,9 +115,10 @@ class PlanAuditSpec extends SparkTestBase {
     val boundedBroadcastOk = Set("q19_knn_brute", "q31_ivf_topk", "q90_sq8_ann",
       "q130_lm_bigram_backoff", "q131_zorder_zonemaps", "q132_zorder_prune",
       "q133_curation_pipeline",
-      // q135/q137 attach the same 1-row corpus-total frame as q130;
-      // q140 the same 1-row min-max frame as q131
+      // q135/q137/q165 attach the same 1-row corpus-total frame as
+      // q130; q140 the same 1-row min-max frame as q131
       "q135_lm_trigram_backoff", "q137_curation_pipeline_n3",
+      "q165_curation_pipeline_n5",
       "q140_zorder3_zonemaps",
       // q143's lexical channel and q145's exact arm fan the BOUNDED
       // broadcast query set across one corpus scan — the judged q19
