@@ -127,6 +127,16 @@ object SparkEntry {
       s"${corpusFingerprint(dir)}|$numMerges",
       _ => graft.operators.Bpe.train(documents(s, dir), "text", numMerges))
 
+  /** q169's byte-level merge list, trained once per corpus
+   *  fingerprint (the bpeMerges discipline — the fixture corpus is a
+   *  pure function of the documents table, so the fingerprint is the
+   *  right key; repeated bench runs pay the train exactly once). */
+  private def byteMerges(s: SparkSession, dir: String, numMerges: Int,
+      corpus: => DataFrame): Seq[(String, String)] =
+    bpeMergeCache.computeIfAbsent(
+      s"${corpusFingerprint(dir)}|byte|$numMerges",
+      _ => graft.operators.Bpe.trainBytes(corpus, "text", numMerges))
+
   private def sharedLshPairs(s: SparkSession, dir: String): DataFrame =
     // bump _vN on ANY minhash/shingle algorithm change — parameters
     // alone can't invalidate a stale file if the kernel itself moved
@@ -2824,7 +2834,7 @@ object SparkEntry {
       val t2 = when(col("doc_id") % 5 === 0,
         concat(lit(byteDirty2), t1)).otherwise(t1)
       val corpus = documents(s, dir).select(col("doc_id"), t2.as("text"))
-      val merges = graft.operators.Bpe.trainBytes(corpus, "text", 16)
+      val merges = byteMerges(s, dir, 16, corpus)
       graft.operators.Bpe.byteRoundTrip(corpus, "text", "doc_id", merges)
         .orderBy("doc_id")
     }),

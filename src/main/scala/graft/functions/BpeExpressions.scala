@@ -206,6 +206,28 @@ object BpeOps {
     }
     new GenericArrayData(out.asInstanceOf[Array[Any]])
   }
+
+  /** Byte-level alphabet render (see [[BpeMapBytes]]): every UTF-8
+   *  byte of every element becomes the 2-byte encoding of U+0100+b. */
+  def mapBytes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val b = arr.getUTF8String(i).getBytes
+      val o = new Array[Byte](b.length * 2)
+      var j = 0
+      while (j < b.length) {
+        val v = b(j) & 0xFF
+        o(j * 2) = (0xC4 + (v >> 6)).toByte
+        o(j * 2 + 1) = (0x80 | (v & 0x3F)).toByte
+        j += 1
+      }
+      out(i) = UTF8String.fromBytes(o)
+      i += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
 }
 
 /** `BpeEncodeTokens(array<string>) → array<string>` — each input token
@@ -234,8 +256,38 @@ case class BpeEncodeTokens(child: Expression, codec: BpeOps.BpeCodec)
     copy(child = newChild)
 }
 
+/** `BpeMapBytes(array<string>) → array<string>` — each element's
+ *  UTF-8 BYTES rendered as mapped chars (byte b → U+0100+b), the
+ *  byte-level alphabet of [[graft.operators.Bpe.trainBytes]]. One
+ *  tight loop per document replacing the hex → regexp-pair-split →
+ *  256-entry-literal-map-lookup chain, whose per-BYTE linear map
+ *  scans measured as the byte-level rows' dominant cost. U+0100–
+ *  U+01FF encode as exactly two UTF-8 bytes (0xC4+(b>>6),
+ *  0x80|(b&0x3F)), so the output buffer is sized 2× input, no
+ *  re-encoding pass. */
+case class BpeMapBytes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    BpeOps.mapBytes(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeOps.mapBytes($c);")
+  override protected def withNewChildInternal(newChild: Expression): BpeMapBytes =
+    copy(child = newChild)
+}
+
 object BpeExpressions {
   def encodeTokens(c: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncodeTokens(ColumnBridge.expression(c),
       new BpeOps.BpeCodec(merges)))
+
+  def mapBytes(c: Column): Column =
+    ColumnBridge.column(BpeMapBytes(ColumnBridge.expression(c)))
 }

@@ -476,11 +476,6 @@ object Bpe {
   private def mappedChar(b: Int): String =
     new String(Character.toChars(0x100 + b))
 
-  /** hex-pair → mapped char, the 256-entry literal both engines
-   *  derive independently (the oracle builds it from `range(0,256)`). */
-  private val byteMapLit = typedLit(
-    (0 until 256).map(b => f"$b%02x" -> mappedChar(b)).toMap)
-
   /** Byte-level PRETOKENIZER: `[ \t\n]*[^ \t\n]+ | [ \t\n]+` — every
    *  maximal run of (leading whitespace + a word) or pure whitespace.
    *  The alternation PARTITIONS the text (concatenation of matches ≡
@@ -495,19 +490,16 @@ object Bpe {
   private def bytePretokens(c: Column): Column =
     regexp_extract_all(c, lit("[ \t\n]*[^ \t\n]+|[ \t\n]+"), lit(0))
 
-  /** One pretoken → its UTF-8 bytes as mapped chars: `hex()` is the
-   *  byte accessor both engines share (verified: identical hex of
-   *  multibyte text), split into pairs, looked up in the literal
-   *  byte map. */
-  private def byteMapped(t: Column): Column =
-    array_join(transform(
-      regexp_extract_all(lower(hex(t)), lit(".."), lit(0)),
-      u => element_at(byteMapLit, u)), "")
-
   /** A document's byte-level token array — the [[wordTokens]] of the
-   *  byte alphabet. */
+   *  byte alphabet. One codegen kernel pass
+   *  ([[graft.functions.BpeExpressions.mapBytes]]) renders every
+   *  pretoken's UTF-8 bytes as mapped chars; the hex → pair-split →
+   *  literal-map formulation it replaces paid a 256-entry linear map
+   *  scan PER BYTE (measured dominant in the first q169 bench). The
+   *  oracle keeps the hex form — DuckDB's map lookups are hash-based
+   *  and the oracle only runs at sf0.01. */
   private[graft] def byteTokens(c: Column): Column =
-    transform(bytePretokens(c), byteMapped(_))
+    graft.functions.BpeExpressions.mapBytes(bytePretokens(c))
 
   /** Train byte-level merges: [[train]]'s exact loop (same pair
    *  statistic, argmax tie-break, and replace rewrite — mapped chars
