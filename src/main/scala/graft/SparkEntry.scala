@@ -168,8 +168,62 @@ object SparkEntry {
    *  materialized once per corpus fingerprint: the query's subject is
    *  decode → dHash → Hamming search, not PNG encoding. */
   private def sharedDhashPngCorpus(s: SparkSession, dir: String): DataFrame =
-    sharedTable(s, dir, "dhash_pngs_v1") {
+    sharedTable(s, dir, "dhash_pngs_v2") {
       Media.dhashPngsFromDocuments(documents(s, dir)).toDF()
+    }
+
+  /** The ingest-screen image batches q173 drains — re-encode twins
+   *  and one-block edits of corpus families (dropped against the
+   *  index), novel families (admitted), an in-batch twin pair
+   *  (keep-first), and batch-2 copies of batch-1 admissions (dropped
+   *  via the APPENDED fingerprints — the evolution under test) —
+   *  materialized once per corpus fingerprint with their batch tag:
+   *  per-run cost is the single-file stream copy, not thousands of
+   *  PNG encodes. */
+  private def sharedScreenPngCorpus(s: SparkSession, dir: String): DataFrame =
+    sharedTable(s, dir, "screen_pngs_v2") {
+      import s.implicits._
+      val docs = documents(s, dir).select(col("doc_id"))
+      def v(ids: DataFrame, off: Long, famOff: Long, alt: Boolean,
+          edit: Boolean, grp: String): DataFrame =
+        Media.blockPngsFor(ids
+          .select((col("doc_id") + off).as("id"),
+            (col("doc_id") + famOff).as("fam"),
+            lit(alt).as("alt"), lit(edit).as("edit"))
+          .as[(Long, Long, Boolean, Boolean)])
+          .toDF().withColumn("grp", lit(grp))
+      v(docs.filter(col("doc_id") % 40 === 0), 1000000L, 0L,
+          alt = true, edit = false, "b1")
+        .unionByName(v(docs.filter(col("doc_id") % 40 === 20), 2000000L, 0L,
+          alt = false, edit = true, "b1"))
+        .unionByName(v(docs.filter(col("doc_id") % 20 === 10), 3000000L,
+          500000L, alt = false, edit = false, "b1"))
+        .unionByName(v(docs.filter(col("doc_id") % 40 === 10), 4000000L,
+          500000L, alt = true, edit = false, "b1"))
+        .unionByName(v(docs.filter(col("doc_id") % 20 === 10), 5000000L,
+          500000L, alt = true, edit = false, "b2"))
+        .unionByName(v(docs.filter(col("doc_id") % 40 === 30), 6000000L,
+          1500000L, alt = false, edit = false, "b2"))
+    }
+
+  /** The near-duplicate-bearing animated-GIF corpus q172 dedups by
+   *  frame fingerprint (base clips + re-encoded twins at different
+   *  dims + one-frame edits), materialized once per corpus
+   *  fingerprint: the query's subject is demux → per-frame decode →
+   *  dHash → containment join, not GIF encoding. */
+  private def sharedVideoGifCorpus(s: SparkSession, dir: String): DataFrame =
+    sharedTable(s, dir, "video_gifs_v2") {
+      Media.videoGifsFromDocuments(documents(s, dir)).toDF()
+    }
+
+  /** The near-duplicate-bearing WAV corpus q171 perceptually dedups
+   *  (base clips + re-rendered twins at different rate/length + one-
+   *  segment splices), materialized once per corpus fingerprint: the
+   *  query's subject is decode → fingerprint → Hamming search, not
+   *  WAV encoding. */
+  private def sharedAhashWavCorpus(s: SparkSession, dir: String): DataFrame =
+    sharedTable(s, dir, "ahash_wavs_v2") {
+      Media.ahashWavsFromDocuments(documents(s, dir)).toDF()
     }
 
   /** The synthesized AVI/MJPEG corpus q80 demuxes — same
@@ -2329,6 +2383,127 @@ object SparkEntry {
           "doc_id", "dh", 2, 63)
         .orderBy("id_a", "id_b")
     }),
+    // Perceptual AUDIO dedup (X144, round-13 — q167's twin for the
+    // audio cell of the dedup × multimodal matrix): REAL RIFF/PCM
+    // decode (the direct chunk walk, not the JDK SPI path — see
+    // wavMeta's thread-scaling note) → 63-bit 1-D difference hash
+    // over 64 sample windows → the same judged multi-index Hamming
+    // pigeonhole (Dedup.hammingPairs). The fixture injects
+    // re-rendered twins (different sample rate AND length — hamming 0
+    // by segment preservation, THE property that makes it a
+    // perceptual fingerprint) and one-segment splices (hamming ≤ 2);
+    // the oracle re-derives every fingerprint from the segment
+    // arithmetic — no audio codec in DuckDB, which is exactly why the
+    // fixture is piecewise-constant — and runs the UNFILTERED
+    // all-pairs form, so a dropped pigeonhole candidate or any
+    // decode/windowing drift hash-fails the row.
+    "q171_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.hammingPairs(
+          Media.ahash63(sharedAhashWavCorpus(s, dir)
+            .as[graft.multimodal.MediaRecord]),
+          "doc_id", "ah", 2, 63)
+        .orderBy("id_a", "id_b")
+    }),
+    // Perceptual VIDEO dedup (X145, round-13 — the last cell of the
+    // dedup × multimodal matrix): REAL animated-GIF demux + per-frame
+    // pixel decode (ImageReader.read(i), the q48/q62 container path
+    // carried down to pixels) → 63-bit dHash per frame (the q167 grid
+    // kernel, factored) → frame-fingerprint containment join
+    // (Dedup.frameMatchPairs: share > 2/3 of the smaller clip's
+    // distinct frame hashes). The fixture injects re-encoded twins at
+    // different dims (every frame matches) and one-frame edits (all
+    // but one); the oracle re-derives every frame hash from the
+    // quantized block arithmetic — the GIF fixture is palette-indexed
+    // 64-gray imagery precisely so the codec round-trip is lossless —
+    // and replays the identical integer containment rule.
+    "q172_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.frameMatchPairs(
+          Media.frameDhash63(sharedVideoGifCorpus(s, dir)
+            .as[graft.multimodal.MediaRecord]),
+          "doc_id", "dh", 2, 3)
+        .orderBy("id_a", "id_b")
+    }),
+    // Streaming PERCEPTUAL ingest screen (X146, round-13 — the
+    // streaming × multimodal cell): two REAL micro-batches of PNG
+    // payloads screen against a materialized Hamming-fingerprint
+    // index of the corpus images (the X140 dHash under the generic
+    // folded-segment store), survivors' FINGERPRINTS join the index
+    // (8 bytes/row of state — admitted payloads are never
+    // re-decoded), and a batch-2 copy of a batch-1 admission is
+    // dropped via the appended segment (the evolution under test).
+    // The oracle replays the sequential arrival-order semantics from
+    // the block arithmetic — the q124 NOT-EXISTS chain with hamming
+    // in place of cosine.
+    "q173_image_ingest_screen" -> ((s, dir) => {
+      import s.implicits._
+      val out = graft.streaming.Streams.scratchDir("graft_q173_")
+      val fp = corpusFingerprint(dir)
+      Dedup.materializeHammingIndex(
+        Media.dhash63(sharedDhashPngCorpus(s, dir)
+          .filter(col("doc_id") < 1000000L)
+          .as[graft.multimodal.MediaRecord]),
+        "doc_id", "dh", s"$out/index", 63, 2, fp)
+      val batches = sharedScreenPngCorpus(s, dir)
+      writeSingleParquet(batches.filter(col("grp") === "b1").drop("grp"),
+        s"$out/stream", "b1.parquet", 1600000000000L)
+      writeSingleParquet(batches.filter(col("grp") === "b2").drop("grp"),
+        s"$out/stream", "b2.parquet", 1600000060000L)
+      val stream = s.readStream.schema(batches.drop("grp").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/stream")
+      val q = graft.streaming.Streams.screenIngestPerceptual(
+          stream, s"$out/index", "doc_id",
+          df => Media.dhash63(df.as[graft.multimodal.MediaRecord])
+            .select(col("doc_id"), col("dh").as("h")),
+          expectFingerprint = Some(fp)) { (survivors, batchId) =>
+          survivors.select(lit(batchId).as("batch"), col("doc_id"))
+            .write.mode("overwrite").parquet(s"$out/data/b$batchId")
+        }
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batchDirs = Option(new java.io.File(s"$out/data").listFiles())
+        .map(_.filter(_.isDirectory).map(_.toString).sorted.toSeq)
+        .getOrElse(Seq.empty)
+      require(batchDirs.size >= 2,
+        s"q173: expected a 2-batch drain, got dirs=$batchDirs")
+      s.read.parquet(batchDirs: _*).orderBy("batch", "doc_id")
+    }),
+    // Streaming POSTINGS-INDEX maintenance (X147, round-13): two real
+    // micro-batches of documents ingest into the appendable postings
+    // index — per-batch postings segments plus df/global DELTAS (the
+    // Lexicon decomposed into associative sums, the X113 incremental
+    // discipline applied to the IR lexicon) — and the judged row
+    // serves BM25 top-k FROM the drained index with no corpus text
+    // anywhere in the plan. The oracle scores the same queries over
+    // the visible union corpus with the fully-data-derived q82 SQL,
+    // so the judged property is drained-index ≡ batch-built index ≡
+    // inline kernel scoring, to the bit (batch-boundary independence
+    // of every lexicon statistic).
+    "q174_stream_postings" -> ((s, dir) => {
+      val out = graft.streaming.Streams.scratchDir("graft_q174_")
+      val fp = corpusFingerprint(dir)
+      graft.operators.Retrieval.initPostingsIndexDir(s"$out/index", fp)
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val b1 = docs.filter(col("doc_id") % 20 === 0)
+      val b2 = docs.filter(col("doc_id") % 20 === 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      writeSingleParquet(b1, s"$out/stream", "b1.parquet", 1600000000000L)
+      writeSingleParquet(b2, s"$out/stream", "b2.parquet", 1600000060000L)
+      val stream = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$out/stream")
+      val q = graft.streaming.Streams
+        .postingsIngest(stream, s"$out/index", "text", "doc_id")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Retrieval.bm25TopKFromIndex(s, s"$out/index",
+          bm25Queries, 5, expectFingerprint = Some(fp))
+        .orderBy("q_id", "rank")
+    }),
     // Cross-document repeated-SPAN removal (X91, the Lee et al. 2021
     // exact-substring-dedup shape): every %7==0 doc gains the same
     // 14-word license sentence — boilerplate INSIDE otherwise-unique
@@ -3760,6 +3935,99 @@ object SparkEntry {
          |         CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
          |  FROM __h a JOIN __h b ON a.id < b.id
          |) WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin
+    },
+    "q171_audio_dedup" -> {
+      val h = Media.ahash63FixtureSql("fam", "edit")
+      s"""WITH __v AS (
+         |  SELECT doc_id AS id, doc_id AS fam, FALSE AS edit
+         |  FROM documents WHERE doc_id % 20 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id, FALSE
+         |  FROM documents WHERE doc_id % 40 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, doc_id, TRUE
+         |  FROM documents WHERE doc_id % 40 = 20),
+         |__h AS (SELECT id, CAST($h AS BIGINT) AS ah FROM __v)
+         |SELECT * FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) AS hamming
+         |  FROM __h a JOIN __h b ON a.id < b.id
+         |) WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin
+    },
+    "q172_video_dedup" -> {
+      val h = Media.videoFrameDhashSql("fam", "f", "ef")
+      s"""WITH __v AS (
+         |  SELECT doc_id AS id, doc_id AS fam, -1 AS ef
+         |  FROM documents WHERE doc_id % 20 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id, -1
+         |  FROM documents WHERE doc_id % 40 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, doc_id, 1
+         |  FROM documents WHERE doc_id % 40 = 20),
+         |__f AS (
+         |  SELECT id, CAST($h AS BIGINT) AS fh
+         |  FROM (SELECT id, fam, ef, unnest(range(0, 3 + fam % 3)) AS f
+         |        FROM __v)),
+         |__d AS (SELECT DISTINCT id, fh FROM __f),
+         |__c AS (SELECT id, COUNT(*) AS nf FROM __d GROUP BY id)
+         |SELECT id_a, id_b, n_common FROM (
+         |    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+         |    FROM __d a JOIN __d b ON a.fh = b.fh AND a.id < b.id
+         |    GROUP BY 1, 2) p
+         |  JOIN __c ca ON ca.id = p.id_a
+         |  JOIN __c cb ON cb.id = p.id_b
+         |WHERE n_common * 3 >= least(ca.nf, cb.nf) * 2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "q173_image_ingest_screen" -> {
+      val h = Media.dhash63FixtureSql("fam", "edit")
+      s"""WITH __v AS (
+         |  SELECT doc_id AS id, doc_id AS fam, FALSE AS edit,
+         |         'corpus' AS grp
+         |  FROM documents WHERE doc_id % 20 = 0
+         |  UNION ALL SELECT doc_id + 1000000, doc_id, FALSE, 'b1'
+         |  FROM documents WHERE doc_id % 40 = 0
+         |  UNION ALL SELECT doc_id + 2000000, doc_id, TRUE, 'b1'
+         |  FROM documents WHERE doc_id % 40 = 20
+         |  UNION ALL SELECT doc_id + 3000000, doc_id + 500000, FALSE, 'b1'
+         |  FROM documents WHERE doc_id % 20 = 10
+         |  UNION ALL SELECT doc_id + 4000000, doc_id + 500000, FALSE, 'b1'
+         |  FROM documents WHERE doc_id % 40 = 10
+         |  UNION ALL SELECT doc_id + 5000000, doc_id + 500000, FALSE, 'b2'
+         |  FROM documents WHERE doc_id % 20 = 10
+         |  UNION ALL SELECT doc_id + 6000000, doc_id + 1500000, FALSE, 'b2'
+         |  FROM documents WHERE doc_id % 40 = 30),
+         |__h AS (SELECT id, grp, CAST($h AS BIGINT) AS h FROM __v),
+         |pairs AS (SELECT DISTINCT a.id AS ia, b.id AS ib, b.grp AS gb
+         |  FROM __h a JOIN __h b ON a.id <> b.id
+         |    AND bit_count(xor(a.h, b.h)) <= 2
+         |  WHERE a.grp <> 'corpus'),
+         |surv1 AS (SELECT id FROM __h s WHERE grp = 'b1'
+         |  AND NOT EXISTS (SELECT 1 FROM pairs p
+         |                  WHERE p.ia = s.id AND p.gb = 'corpus')
+         |  AND NOT EXISTS (SELECT 1 FROM pairs p
+         |                  WHERE p.ia = s.id AND p.gb = 'b1'
+         |                    AND p.ib < s.id)),
+         |surv2 AS (SELECT id FROM __h s WHERE grp = 'b2'
+         |  AND NOT EXISTS (SELECT 1 FROM pairs p
+         |                  WHERE p.ia = s.id AND p.gb = 'corpus')
+         |  AND NOT EXISTS (SELECT 1 FROM pairs p JOIN surv1 v
+         |                    ON p.ib = v.id WHERE p.ia = s.id)
+         |  AND NOT EXISTS (SELECT 1 FROM pairs p
+         |                  WHERE p.ia = s.id AND p.gb = 'b2'
+         |                    AND p.ib < s.id))
+         |SELECT CAST(0 AS BIGINT) AS batch, id AS doc_id FROM surv1
+         |UNION ALL SELECT 1, id FROM surv2
+         |ORDER BY batch, doc_id""".stripMargin
+    },
+    "q174_stream_postings" -> {
+      val visible = "(SELECT doc_id, text FROM documents " +
+        "WHERE doc_id % 20 = 0 UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+        "WHERE doc_id % 20 = 10)"
+      s"${Retrieval.bm25TopKSql(visible, "text", "doc_id", bm25Queries, 5)} " +
+        "ORDER BY q_id, rank"
     },
     "q165_curation_pipeline_n5" -> {
       val corpus = "(SELECT doc_id, text FROM documents UNION ALL " +

@@ -659,8 +659,17 @@ object Media {
    *  `edit` perturbs exactly one interior block (the "slightly
    *  edited near-duplicate"), moving ≤ 2 of the 63 gradient bits. */
   def dhashBlockVal(fam: Long, bx: Int, by: Int, edit: Boolean): Int = {
-    val v = ((fam * 2654435761L + bx * 31L + by * 17L) % 256L).toInt
-    if (edit && bx == 4 && by == 4) (v + 128) % 256 else v
+    // squared-LCG cell mix: a PLAIN linear hash has constant
+    // neighbor differences (v(bx+1) − v(bx) ≡ 31), which makes every
+    // family's gradient bits wrap-structured and families collide
+    // within hamming ≤ 2 — the squaring is the nonlinearity that
+    // decorrelates neighbor comparisons. Intermediates stay < 2⁶³ for
+    // any realistic fam (u ≤ ~10⁹ ⇒ u·2654435761 ≤ ~3.4·10¹⁸), so
+    // DuckDB BIGINT replays it without overflow.
+    val u = fam * 13L + bx * 131L + by * 31L + 7L
+    val a = (u * 2654435761L) % 1048573L
+    val v = ((a * a) % 251L).toInt
+    if (edit && bx == 4 && by == 4) (v + 128) % 251 else v
   }
 
   /** Render one fixture image: real PNG bytes whose pixel (x, y)
@@ -702,22 +711,33 @@ object Media {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col("doc_id")).filter(col("doc_id") % 20 === 0)
-    val variants = base
+    blockPngsFor(base
       .select(col("doc_id").as("id"), col("doc_id").as("fam"),
-        lit(0).as("dw"), lit(0).as("dh"), lit(false).as("edit"))
+        lit(false).as("alt"), lit(false).as("edit"))
       .unionAll(base.filter(col("doc_id") % 40 === 0)
         .select((col("doc_id") + 1000000L).as("id"), col("doc_id").as("fam"),
-          lit(6).as("dw"), lit(4).as("dh"), lit(false).as("edit")))
+          lit(true).as("alt"), lit(false).as("edit")))
       .unionAll(base.filter(col("doc_id") % 40 === 20)
         .select((col("doc_id") + 2000000L).as("id"), col("doc_id").as("fam"),
-          lit(0).as("dw"), lit(0).as("dh"), lit(true).as("edit")))
-      .as[(Long, Long, Int, Int, Boolean)]
+          lit(false).as("alt"), lit(true).as("edit")))
+      .as[(Long, Long, Boolean, Boolean)])
+  }
+
+  /** Render block-fixture PNGs for an EXPLICIT variant set (id, fam,
+   *  alt, edit) — the generator under [[dhashPngsFromDocuments]],
+   *  factored so other rows (the X146 ingest-screen batches) can
+   *  build their own twin/novel mixes. `alt` re-renders the same
+   *  content family at different dims (the re-encode twin). */
+  def blockPngsFor(
+      variants: Dataset[(Long, Long, Boolean, Boolean)]): Dataset[MediaRecord] = {
+    val spark = variants.sparkSession
+    import spark.implicits._
     variants.mapPartitions { it =>
       codecWarm
       val writer = pngWriter()
-      it.map { case (id, fam, dw, dh, edit) =>
-        val w = 16 + (fam % 17).toInt + dw
-        val h = 18 + (fam % 13).toInt + dh
+      it.map { case (id, fam, alt, edit) =>
+        val w = 16 + (fam % 17).toInt + (if (alt) 6 else 0)
+        val h = 18 + (fam % 13).toInt + (if (alt) 4 else 0)
         MediaRecord(id, encodeBlockPng(writer, fam, w, h, edit), "image/png")
       }
     }
@@ -738,38 +758,8 @@ object Media {
     media.mapPartitions { records =>
       codecWarm
       records.flatMap { r =>
-        readImage(r.bytes).flatMap { img =>
-          val (w, h) = (img.getWidth, img.getHeight)
-          if (w < DhashCols || h < DhashRows) None
-          else {
-            val g = Array.ofDim[Int](DhashRows, DhashCols)
-            var gy = 0
-            while (gy < DhashRows) {
-              val sy = (gy * h + DhashRows - 1) / DhashRows
-              var gx = 0
-              while (gx < DhashCols) {
-                val sx = (gx * w + DhashCols - 1) / DhashCols
-                val rgb = img.getRGB(sx, sy)
-                g(gy)(gx) = (((rgb >> 16) & 0xFF) * 299 +
-                  ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
-                gx += 1
-              }
-              gy += 1
-            }
-            var hash = 0L
-            gy = 0
-            while (gy < DhashRows) {
-              var gx = 0
-              while (gx < DhashCols - 1) {
-                if (g(gy)(gx + 1) > g(gy)(gx))
-                  hash |= 1L << (gy * (DhashCols - 1) + gx)
-                gx += 1
-              }
-              gy += 1
-            }
-            Some((r.doc_id, hash))
-          }
-        }.iterator
+        readImage(r.bytes).flatMap(dhash63OfImage)
+          .map(h => (r.doc_id, h)).iterator
       }
     }.toDF("doc_id", "dh")
   }
@@ -780,14 +770,393 @@ object Media {
    *  size, which is precisely the resize-invariance the row judges. */
   def dhash63FixtureSql(famExpr: String, editExpr: String): String = {
     def v(bx: Int, by: Int): String = {
-      val base = s"(($famExpr * 2654435761 + ${bx * 31 + by * 17}) % 256)"
+      val a = s"((($famExpr * 13 + ${bx * 131 + by * 31 + 7}) " +
+        "* 2654435761) % 1048573)"
+      val base = s"(($a * $a) % 251)"
       if (bx == 4 && by == 4)
-        s"(CASE WHEN $editExpr THEN ($base + 128) % 256 ELSE $base END)"
+        s"(CASE WHEN $editExpr THEN ($base + 128) % 251 ELSE $base END)"
       else base
     }
     val terms = for (gy <- 0 until DhashRows; gx <- 0 until DhashCols - 1)
       yield s"(CASE WHEN ${v(gx + 1, gy)} > ${v(gx, gy)} THEN " +
         s"${1L << (gy * (DhashCols - 1) + gx)} ELSE 0 END)"
+    terms.mkString("(", " + ", ")")
+  }
+
+  // ------------------ per-frame video fingerprint + fixtures (X145)
+
+  /** Deterministic block value of the VIDEO fixture imagery: the
+   *  grayscale of block (bx, by) in frame `f` of content family
+   *  `fam`, QUANTIZED to 64 levels (multiples of 4) so every frame
+   *  holds ≤ 64 distinct colors and the JDK GIF writer's palette
+   *  round-trips the pixels exactly — the lossless-codec property the
+   *  [[dhashBlockVal]] PNG fixture gets for free. `edit` perturbs one
+   *  interior block of ONE frame (the "re-titled frame" of a video
+   *  near-duplicate). */
+  def videoBlockVal(fam: Long, f: Int, bx: Int, by: Int,
+      edit: Boolean): Int = {
+    // the [[dhashBlockVal]] squared-LCG mix (see its collision note)
+    // at 61 quantized levels, with the frame folded into the family
+    val u = (fam * 31L + f) * 13L + bx * 131L + by * 31L + 7L
+    val a = (u * 2654435761L) % 1048573L
+    val q0 = ((a * a) % 61L).toInt
+    val q = if (edit && bx == 4 && by == 4) (q0 + 32) % 61 else q0
+    q * 4
+  }
+
+  /** Render one fixture video: a REAL animated GIF ([[encodeGif]]'s
+   *  writer path) whose frame f carries the [[videoBlockVal]] block
+   *  pattern — block structure at any dims ≥ the 8×9 grid, exactly
+   *  like [[encodeBlockPng]], but multi-frame. `editFrame` ≥ 0 marks
+   *  that one frame's perturbed variant. */
+  def encodeBlockGif(fam: Long, width: Int, height: Int, nFrames: Int,
+      editFrame: Int): Array[Byte] = {
+    require(width >= DhashCols && height >= DhashRows,
+      s"fixture dims must cover the ${DhashCols}x$DhashRows grid, " +
+        s"got ${width}x$height")
+    // hand the writer an explicitly INDEXED image (64 gray entries,
+    // value i·4): the GIF encoder copies the palette verbatim instead
+    // of running its own quantizer — losslessness by construction,
+    // not by hoping the octree doesn't reduce
+    val grays = Array.tabulate[Byte](64)(i => (i * 4).toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 64, grays, grays, grays)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          val by = y * DhashRows / height
+          var x = 0
+          while (x < width) {
+            val v = videoBlockVal(fam, f, x * DhashCols / width, by,
+              f == editFrame)
+            raster.setSample(x, y, 0, v / 4)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** The near-duplicate-bearing video corpus the frame-fingerprint
+   *  dedup row judges: every %20 doc a base clip (3–5 frames, dims
+   *  keyed by the doc), every %40==0 doc a RE-ENCODED twin (+10⁶ —
+   *  same frames at different dims: every frame fingerprint matches),
+   *  every %40==20 doc an EDITED twin (+2·10⁶ — one frame perturbed:
+   *  all but one match). */
+  def videoGifsFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col("doc_id")).filter(col("doc_id") % 20 === 0)
+    val variants = base
+      .select(col("doc_id").as("id"), col("doc_id").as("fam"),
+        lit(false).as("alt"), lit(-1).as("editFrame"))
+      .unionAll(base.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000L).as("id"), col("doc_id").as("fam"),
+          lit(true).as("alt"), lit(-1).as("editFrame")))
+      .unionAll(base.filter(col("doc_id") % 40 === 20)
+        .select((col("doc_id") + 2000000L).as("id"), col("doc_id").as("fam"),
+          lit(false).as("alt"), lit(1).as("editFrame")))
+      .as[(Long, Long, Boolean, Int)]
+    variants.mapPartitions { it =>
+      codecWarm
+      it.map { case (id, fam, alt, editFrame) =>
+        val w = (if (alt) 24 else 16) + (fam % 17).toInt
+        val h = (if (alt) 13 else 18) + (fam % 13).toInt
+        MediaRecord(id,
+          encodeBlockGif(fam, w, h, 3 + (fam % 3).toInt, editFrame),
+          "image/gif")
+      }
+    }
+  }
+
+  /** Per-frame 63-bit dHash with REAL container demux + pixel decode
+   *  (X145): every frame of a multi-frame image container decodes
+   *  through `ImageReader.read(i)` and hashes through the
+   *  [[dhash63]] grid kernel. One zero-shuffle mapPartitions pass,
+   *  reader opened per record, decoder registry warmed per partition;
+   *  unclaimed payloads or sub-grid frames yield no rows. Output
+   *  (doc_id, frame_idx, dh). */
+  def frameDhash63(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      codecWarm
+      records.flatMap { r =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(r.bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Iterator.empty }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n).flatMap { i =>
+              val img = reader.read(i)
+              dhash63OfImage(img).map(h => (r.doc_id, i, h))
+            }.iterator
+          } catch { case _: Exception => Iterator.empty }
+          finally { reader.dispose(); iis.close() }
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "dh")
+  }
+
+  /** The [[dhash63]] grid kernel over one decoded image — factored so
+   *  the single-image and per-frame paths hash identically. */
+  def dhash63OfImage(img: java.awt.image.BufferedImage): Option[Long] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w < DhashCols || h < DhashRows) None
+    else {
+      val g = Array.ofDim[Int](DhashRows, DhashCols)
+      var gy = 0
+      while (gy < DhashRows) {
+        val sy = (gy * h + DhashRows - 1) / DhashRows
+        var gx = 0
+        while (gx < DhashCols) {
+          val sx = (gx * w + DhashCols - 1) / DhashCols
+          val rgb = img.getRGB(sx, sy)
+          g(gy)(gx) = (((rgb >> 16) & 0xFF) * 299 +
+            ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      gy = 0
+      while (gy < DhashRows) {
+        var gx = 0
+        while (gx < DhashCols - 1) {
+          if (g(gy)(gx + 1) > g(gy)(gx))
+            hash |= 1L << (gy * (DhashCols - 1) + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** The oracle's closed form of the fixture VIDEO frame hash: the
+   *  [[dhash63FixtureSql]] bit sum over [[videoBlockVal]], replayed
+   *  from (fam, frame, editFrame) alone — dims drop out by block
+   *  sampling, the quantization is part of the formula. */
+  def videoFrameDhashSql(famExpr: String, frameExpr: String,
+      editFrameExpr: String): String = {
+    def v(bx: Int, by: Int): String = {
+      val a = s"(((($famExpr * 31 + $frameExpr) * 13 + " +
+        s"${bx * 131 + by * 31 + 7}) * 2654435761) % 1048573)"
+      val base = s"(($a * $a) % 61)"
+      if (bx == 4 && by == 4)
+        s"(CASE WHEN $frameExpr = $editFrameExpr THEN ($base + 32) % 61 " +
+          s"ELSE $base END)"
+      else base
+    }
+    // the ·4 rescale is order-preserving, so comparisons run on the
+    // 64-level pre-image
+    val terms = for (gy <- 0 until DhashRows; gx <- 0 until DhashCols - 1)
+      yield s"(CASE WHEN ${v(gx + 1, gy)} > ${v(gx, gy)} THEN " +
+        s"${1L << (gy * (DhashCols - 1) + gx)} ELSE 0 END)"
+    terms.mkString("(", " + ", ")")
+  }
+
+  // ------------------ perceptual audio fingerprint + fixtures (X144)
+
+  /** Window count of the audio difference hash: 64 sample windows →
+   *  63 successor comparisons — the 1-D twin of the
+   *  [[DhashCols]]×[[DhashRows]] image grid, sign-free in a BIGINT
+   *  for the same reason (both engines sum bit terms in plain
+   *  non-negative arithmetic). */
+  val AhashSegs = 64
+
+  /** Deterministic per-segment PCM level of the audio fixture: the
+   *  s16 sample value of segment `seg` in content family `fam`.
+   *  Piecewise-constant segments are the 1-D twin of the dHash block
+   *  fixture: any re-render of the same content at a different sample
+   *  rate or clip length (≥ [[AhashSegs]] frames) preserves the
+   *  segment structure, so the fingerprint of the DECODED samples is
+   *  derivable by the oracle from (fam, edit) alone — no audio codec
+   *  in DuckDB — while the Spark side must run the real RIFF/PCM
+   *  decode to reach them. `edit` perturbs exactly one interior
+   *  segment (a dropped-in splice), moving ≤ 2 of the 63 comparison
+   *  bits. The −30000 centering makes the payload honest signed
+   *  audio; it cancels out of every comparison, so the oracle's
+   *  closed form runs on the non-negative pre-image. */
+  def ahashSegVal(fam: Long, seg: Int, edit: Boolean): Int = {
+    // the [[dhashBlockVal]] squared-LCG mix in 1-D (see its collision
+    // note: a linear segment hash has constant successor differences,
+    // wrap-structured comparison bits, and cross-family collisions)
+    val u = fam * 13L + seg * 131L + 7L
+    val a = (u * 2654435761L) % 1048573L
+    val w = ((a * a) % 59999L).toInt
+    val v = if (edit && seg == 32) (w + 30000) % 59999 else w
+    v - 30000
+  }
+
+  /** Render one fixture clip: a REAL mono 16-bit PCM WAV (written
+   *  with the JDK's own encoder, like [[encodeWav]]) whose frame i
+   *  carries sample [[ahashSegVal]](fam, i·64 div N, edit) — the RIFF
+   *  data-chunk round trip recovers each segment level exactly. */
+  def encodeSegWav(fam: Long, sampleRate: Int, nFrames: Int,
+      edit: Boolean): Array[Byte] = {
+    require(nFrames >= AhashSegs,
+      s"fixture clips must cover the $AhashSegs-window grid, got $nFrames")
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = ahashSegVal(fam, (i.toLong * AhashSegs / nFrames).toInt, edit)
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The near-duplicate-bearing audio corpus the perceptual-dedup row
+   *  judges — the WAV twin of [[dhashPngsFromDocuments]]: every %20
+   *  doc contributes a base clip (rate and length keyed by the doc so
+   *  the corpus is heterogeneous), every %40==0 doc a RE-RENDERED
+   *  twin (+10⁶ — same content family at a different sample rate AND
+   *  length: hamming 0 by segment preservation, the re-encode/
+   *  resample case), every %40==20 doc a SPLICED twin (+2·10⁶ — one
+   *  segment perturbed: hamming ≤ 2). */
+  def ahashWavsFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col("doc_id")).filter(col("doc_id") % 20 === 0)
+    val variants = base
+      .select(col("doc_id").as("id"), col("doc_id").as("fam"),
+        lit(false).as("alt"), lit(false).as("edit"))
+      .unionAll(base.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000L).as("id"), col("doc_id").as("fam"),
+          lit(true).as("alt"), lit(false).as("edit")))
+      .unionAll(base.filter(col("doc_id") % 40 === 20)
+        .select((col("doc_id") + 2000000L).as("id"), col("doc_id").as("fam"),
+          lit(false).as("alt"), lit(true).as("edit")))
+      .as[(Long, Long, Boolean, Boolean)]
+    variants.mapPartitions { it =>
+      codecWarm
+      it.map { case (id, fam, alt, edit) =>
+        val rate = if (alt) 16000 + (fam % 3).toInt * 8000
+                   else 8000 + (fam % 4).toInt * 4000
+        val n = if (alt) 320 + (fam % 89).toInt else 192 + (fam % 97).toInt
+        MediaRecord(id, encodeSegWav(fam, rate, n, edit), "audio/wav")
+      }
+    }
+  }
+
+  /** Sample payload of a plain mono 16-bit PCM WAV: [[wavMeta]]'s
+   *  RIFF chunk walk carried through to the data chunk's samples
+   *  (little-endian s16). None for any other shape — the fingerprint
+   *  only defines itself over samples it can decode exactly. */
+  def wavPcm16(bytes: Array[Byte]): Option[Array[Short]] = {
+    if (bytes.length < 12) return None
+    def fcc(p: Int) = new String(bytes, p, 4, "US-ASCII")
+    def u32(p: Int): Long =
+      (bytes(p) & 0xFFL) | ((bytes(p + 1) & 0xFFL) << 8) |
+        ((bytes(p + 2) & 0xFFL) << 16) | ((bytes(p + 3) & 0xFFL) << 24)
+    def u16(p: Int): Int = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8)
+    if (fcc(0) != "RIFF" || fcc(8) != "WAVE") return None
+    val end = math.min(bytes.length.toLong, 8L + u32(4))
+    var p = 12L
+    var pcm16Mono = false
+    var dataOff = -1L; var dataLen = -1L
+    while (p + 8 <= end) {
+      val id = fcc(p.toInt); val sz = u32(p.toInt + 4)
+      if (id == "fmt " && sz >= 16 && p + 24 <= bytes.length)
+        pcm16Mono = u16(p.toInt + 8) == 1 && u16(p.toInt + 10) == 1 &&
+          u16(p.toInt + 22) == 16
+      else if (id == "data") {
+        dataOff = p + 8
+        dataLen = math.min(sz, bytes.length - (p + 8))
+      }
+      p += 8 + sz + (sz & 1)
+    }
+    if (!pcm16Mono || dataOff < 0 || dataLen < 0) return None
+    val n = (dataLen / 2).toInt
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val o = (dataOff + i * 2).toInt
+      out(i) = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** 63-bit perceptual audio fingerprint over REAL decoded PCM (X144
+   *  — the 1-D difference hash, [[dhash63]]'s audio twin): RIFF parse
+   *  → s16 samples → one sample per window (index ⌈w·N/64⌉, the first
+   *  frame OF window w, so segment content — not interpolation —
+   *  decides the hash for any N ≥ 64) → bit w iff s(w+1) > s(w). One
+   *  zero-shuffle mapPartitions pass; undecodable or short payloads
+   *  yield no row. Output (doc_id, ah). */
+  def ahash63(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.flatMap { r =>
+        wavPcm16(r.bytes).flatMap { pcm =>
+          val n = pcm.length
+          if (n < AhashSegs) None
+          else {
+            val w = new Array[Int](AhashSegs)
+            var g = 0
+            while (g < AhashSegs) {
+              w(g) = pcm(((g.toLong * n + AhashSegs - 1) / AhashSegs).toInt)
+              g += 1
+            }
+            var hash = 0L
+            g = 0
+            while (g < AhashSegs - 1) {
+              if (w(g + 1) > w(g)) hash |= 1L << g
+              g += 1
+            }
+            Some((r.doc_id, hash))
+          }
+        }.iterator
+      }
+    }.toDF("doc_id", "ah")
+  }
+
+  /** The oracle's closed form of the fixture audio fingerprint: a
+   *  63-term bit sum over [[ahashSegVal]] replayed in SQL from (fam,
+   *  edit) alone — rate and length drop out because window sampling
+   *  is exact at any N ≥ 64, which is precisely the re-render
+   *  invariance the row judges. Comparisons run on the non-negative
+   *  pre-image (the −30000 centering cancels). */
+  def ahash63FixtureSql(famExpr: String, editExpr: String): String = {
+    def v(seg: Int): String = {
+      val a = s"((($famExpr * 13 + ${seg * 131 + 7}) * 2654435761) " +
+        "% 1048573)"
+      val base = s"(($a * $a) % 59999)"
+      if (seg == 32)
+        s"(CASE WHEN $editExpr THEN ($base + 30000) % 59999 ELSE $base END)"
+      else base
+    }
+    val terms = for (g <- 0 until AhashSegs - 1)
+      yield s"(CASE WHEN ${v(g + 1)} > ${v(g)} THEN ${1L << g} ELSE 0 END)"
     terms.mkString("(", " + ", ")")
   }
 

@@ -1037,6 +1037,149 @@ object Dedup {
       hashes.select(col(idCol).as("id"), col(hashCol).as("sh32")),
       Seq.empty, maxHamming, bits)
 
+  /** VIDEO near-dup pairs by frame-fingerprint containment (X145,
+   *  round-13): two clips are near-duplicates when they share more
+   *  than `num`/`den` of the smaller clip's DISTINCT per-frame
+   *  fingerprints — the set-containment rule video dedup runs once
+   *  frames are hashed (a re-encode matches every frame; a re-titled/
+   *  spliced copy all but the edited ones). `frames` carries (idCol,
+   *  hashCol); candidates come from an equi-join ON THE FINGERPRINT —
+   *  a posting-list join exactly like the pigeonhole's (cost Σ over
+   *  fingerprint buckets of bucket², never corpus²), then one
+   *  map-side-combinable count per surviving pair. All-integer
+   *  (cnt·den ≥ min(F_a,F_b)·num), so the oracle replays it exactly.
+   *  Output (id_a, id_b, n_common). */
+  def frameMatchPairs(frames: DataFrame, idCol: String, hashCol: String,
+      num: Int, den: Int): DataFrame = {
+    val fp = frames.select(col(idCol).as("id"), col(hashCol).as("fh"))
+      .distinct()
+    val counts = fp.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+    fp.select(col("id").as("id_a"), col("fh"))
+      .join(fp.select(col("id").as("id_b"), col("fh")), Seq("fh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(counts.select(col("id").as("id_a"), col("nf").as("nf_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("nf").as("nf_b")), "id_b")
+      .filter(col("n_common") * den >= least(col("nf_a"), col("nf_b")) * num)
+      .select(col("id_a"), col("id_b"), col("n_common"))
+  }
+
+  // --------------- evolving Hamming-fingerprint index (X146, r13)
+
+  /** Meta sidecar of a materialized Hamming-fingerprint index (the
+   *  perceptual-media twin of [[LshIndexMeta]]): width, threshold,
+   *  and corpus fingerprint travel WITH the data, so a probe with
+   *  mismatched parameters or against a stale corpus fails loudly. */
+  final case class HammingIndexMeta(bits: Int, maxHamming: Int,
+      fingerprint: String)
+
+  private val HammingMetaFile = "hamming_index_meta.json"
+
+  def writeHammingIndexMeta(dir: String, m: HammingIndexMeta): Unit =
+    graft.core.StoreFs.replaceFileAtomic(s"$dir/$HammingMetaFile",
+      s"""{"bits":${m.bits},"maxHamming":${m.maxHamming},""" +
+        s""""fingerprint":"${m.fingerprint}"}""")
+
+  def readHammingIndexMeta(dir: String): Option[HammingIndexMeta] =
+    graft.core.StoreFs.readPointerFile(s"$dir/$HammingMetaFile").flatMap { s =>
+      def num(key: String) =
+        s""""$key":(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+      def str(key: String) =
+        s""""$key":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+      for (b <- num("bits"); mh <- num("maxHamming"); fp <- str("fingerprint"))
+        yield HammingIndexMeta(b.toInt, mh.toInt, fp)
+    }
+
+  /** Materialize a Hamming-fingerprint index: the corpus fingerprints
+   *  land as segment `base` of the generic folded-segment store (the
+   *  [[graft.operators.Layout.compactSegmentsWith]] contract — the
+   *  same store discipline as the LSH/ANN/PQ indexes), meta installs
+   *  atomically last. `hashes` carries (idCol, hashCol). */
+  def materializeHammingIndex(hashes: DataFrame, idCol: String,
+      hashCol: String, dir: String, bits: Int, maxHamming: Int,
+      fingerprint: String): Unit = {
+    hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .write.mode("overwrite").parquet(s"$dir/data/base")
+    writeHammingIndexMeta(dir, HammingIndexMeta(bits, maxHamming, fingerprint))
+  }
+
+  /** Live (id, h) rows of a materialized Hamming index — a fresh
+   *  segment listing per call, so appends landed since the last probe
+   *  are visible (the evolving-index contract). */
+  def hammingIndexHashes(spark: org.apache.spark.sql.SparkSession,
+      dir: String, expectFingerprint: Option[String] = None): DataFrame = {
+    val meta = readHammingIndexMeta(dir).getOrElse(
+      throw new IllegalStateException(
+        s"hammingIndexHashes: no $HammingMetaFile in $dir"))
+    expectFingerprint.foreach { fp =>
+      require(meta.fingerprint == fp,
+        s"Hamming index at $dir was built for corpus '${meta.fingerprint}' " +
+          s"but this probe expects '$fp' — refusing a stale/foreign index")
+    }
+    spark.read.parquet(
+      graft.operators.Layout.zLiveSegments(s"$dir/data"): _*)
+  }
+
+  /** Append admitted fingerprints under segment `segment`:
+   *  overwrite-per-segment (an at-least-once retry replaces its own
+   *  contribution) and a no-op when a compaction already folded this
+   *  segment name into a base (re-writing would double-count — the
+   *  [[graft.operators.Layout.foldedNames]] rule). */
+  def appendToHammingIndex(dir: String, admitted: DataFrame, idCol: String,
+      hashCol: String, segment: String): Unit = {
+    if (graft.operators.Layout.foldedNames(s"$dir/data").contains(segment))
+      return
+    admitted.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .write.mode("overwrite").parquet(s"$dir/data/$segment")
+  }
+
+  /** Fold accumulated per-batch segments into one base when more than
+   *  `maxSegments` piled up — the generic crash-safe segment
+   *  compaction, content identity. */
+  def compactHammingIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxSegments: Int = 64): Boolean =
+    graft.operators.Layout.compactSegmentsWith(
+      spark, s"$dir/data", "base", maxSegments)(identity)
+
+  /** BIPARTITE Hamming pairs — new fingerprints probed against an
+   *  index, the [[hammingPairs]] pigeonhole with the two sides kept
+   *  apart (the [[minhashLshPairsAgainstIndex]] shape): any pair
+   *  within hamming ≤ maxHamming agrees exactly on one of the
+   *  maxHamming+1 segments, so candidates come from a posting join of
+   *  the batch's segment keys against the index's — cost
+   *  O(|batch| · bucket), never |batch|·|index|. `newHashes` carries
+   *  (idCol, hashCol); `index` carries (id, h). Output (new_id,
+   *  old_id, hamming), lossless at the threshold. */
+  def hammingPairsAgainstIndex(newHashes: DataFrame, idCol: String,
+      hashCol: String, index: DataFrame, maxHamming: Int,
+      bits: Int): DataFrame = {
+    val nSeg = maxHamming + 1
+    val base = bits / nSeg
+    val widths = (0 until nSeg).map(j => if (j < bits % nSeg) base + 1 else base)
+    val shifts = widths.scanLeft(0)(_ + _).init
+    def posts(df: DataFrame, id: String, h: String, outId: String,
+        outH: String): DataFrame = {
+      val segCols = (0 until nSeg).map(j =>
+        expr(s"shiftright($h, ${shifts(j)}) & ${(1L << widths(j)) - 1}"))
+      df.select(col(id).as(outId), col(h).as(outH),
+          posexplode(array(segCols: _*)))
+        .withColumnRenamed("pos", "seg").withColumnRenamed("col", "sv")
+    }
+    // same-id matches are excluded: an at-least-once redelivery probes
+    // an index that already holds the batch's own survivors, and must
+    // admit the identical set (the idempotency contract every evolving
+    // screen here shares)
+    posts(newHashes, idCol, hashCol, "new_id", "h_new")
+      .join(posts(index, "id", "h", "old_id", "h_old"), Seq("seg", "sv"))
+      .filter(col("new_id") =!= col("old_id"))
+      .select(col("new_id"), col("old_id"), col("h_new"), col("h_old"))
+      .distinct()
+      .select(col("new_id"), col("old_id"),
+        expr("bit_count(h_new ^ h_old)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** WIDTH-ADAPTIVE multi-index SimHash pairs (r7, removes X36's sf10
    *  skip): [[simhashPairsMultiIndex]] with the simhash width derived
    *  from the corpus size ([[adaptiveSimhashBits]]) so segment

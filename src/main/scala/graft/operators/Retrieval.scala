@@ -212,17 +212,36 @@ object Retrieval {
       lex: Lexicon, queries: Seq[(Long, String)], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     requireValidQueries(queries)
-    val spark = docs.sparkSession
-    import spark.implicits._
     val terms = queries.flatMap(q => queryTerms(q._2)).distinct.sorted
     val g = lex.globals.select(col("n"), col("tot")).collect()(0)
-    val (n, tot) = (g.getLong(0), g.getLong(1))
-    val avgdl = tot.toDouble / n.toDouble
     val dfMap = lex.termDf.filter(col("t").isin(terms: _*))
       .select(col("t"), col("df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val posts = docs.select(col(idCol).as("doc_id"),
+        HashExpressions.tokenFrequencies(col(textCol)).as("tfs"))
+      .select(col("doc_id"),
+        expr("aggregate(tfs, 0L, (acc, x) -> acc + x.n)").cast("double").as("dl"),
+        explode(col("tfs")).as("e"))
+      .select(col("doc_id"), col("dl"), col("e.t").as("t"),
+        col("e.n").cast("double").as("tf"))
+    scorePostingsRows(posts, queries, k, k1, b, g.getLong(0), g.getLong(1),
+      t => dfMap.getOrElse(t, 0L))
+  }
+
+  /** The posting-join score+rank tail shared by the inline
+   *  ([[bm25TopKPostings]]) and index-backed ([[bm25TopKFromIndex]])
+   *  batch forms: broadcast query-term join, slot-pivoted ordered fold
+   *  (bit-identical to the kernel form — the [[bm25TopKPostings]]
+   *  argument), grid quantization, bounded top-k heap. `posts`
+   *  carries (doc_id, dl DOUBLE, t, tf DOUBLE). */
+  private def scorePostingsRows(posts: DataFrame,
+      queries: Seq[(Long, String)], k: Int, k1: Double, b: Double,
+      n: Long, tot: Long, dfOf: String => Long): DataFrame = {
+    val spark = posts.sparkSession
+    import spark.implicits._
+    val avgdl = tot.toDouble / n.toDouble
     def idf(t: String): Double = {
-      val df = dfMap.getOrElse(t, 0L)
+      val df = dfOf(t)
       math.log((n - df + 0.5) / (df + 0.5) + 1.0)
     }
     // tidx = the term's position in ITS query's sorted term list: the
@@ -233,13 +252,6 @@ object Retrieval {
       queryTerms(q).zipWithIndex.map { case (t, i) => (t, qid, i, idf(t)) }
     }.toDF("t", "q_id", "tidx", "idf")
     val maxTerms = queries.map(q => queryTerms(q._2).length).max
-    val posts = docs.select(col(idCol).as("doc_id"),
-        HashExpressions.tokenFrequencies(col(textCol)).as("tfs"))
-      .select(col("doc_id"),
-        expr("aggregate(tfs, 0L, (acc, x) -> acc + x.n)").cast("double").as("dl"),
-        explode(col("tfs")).as("e"))
-      .select(col("doc_id"), col("dl"), col("e.t").as("t"),
-        col("e.n").cast("double").as("tf"))
     val k1p1 = k1 + 1.0
     val oneMinusB = 1.0 - b
     val contrib = posts.join(broadcast(qt), "t")
@@ -269,6 +281,116 @@ object Retrieval {
       .select(col("q_id"), posexplode(col("tk")))
       .select(col("q_id"), col("col.n_id").as("doc_id"),
         col("col.sim").as("score"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  // --------------- streaming postings-index maintenance (X147, r13)
+
+  private val PostingsMetaFile = "postings_index_meta.json"
+
+  /** Init an empty appendable postings index: three segment stores
+   *  (posts = (doc_id, dl, t, tf) rows, terms = (t, df) deltas,
+   *  globals = (n, tot) deltas — the [[Lexicon]] decomposed into
+   *  ASSOCIATIVE pieces so per-batch folds are sums, the X113
+   *  incremental-state discipline applied to the IR lexicon) plus a
+   *  fingerprint meta, atomically installed. */
+  def initPostingsIndexDir(dir: String, fingerprint: String): Unit =
+    graft.core.StoreFs.replaceFileAtomic(s"$dir/$PostingsMetaFile",
+      s"""{"fingerprint":"$fingerprint"}""")
+
+  def readPostingsIndexFingerprint(dir: String): Option[String] =
+    graft.core.StoreFs.readPointerFile(s"$dir/$PostingsMetaFile").flatMap(
+      s => """"fingerprint":"([^"]*)"""".r.findFirstMatchIn(s)
+        .map(_.group(1)))
+
+  /** Append one batch of documents under segment name `segment`: ONE
+   *  fused token-frequency pass over the batch text (pinned — it
+   *  feeds all three stores), postings rows + df deltas + global
+   *  deltas land as overwrite-per-segment parquet, so an
+   *  at-least-once redelivery replaces its own contribution, and a
+   *  segment a compaction already folded re-appends as a no-op (the
+   *  posts store is checked — it is compacted FIRST, so its folded
+   *  set is always the widest). Per-batch cost is O(|batch| tokens):
+   *  the indexed corpus is never rescanned. */
+  def appendToPostingsIndex(dir: String, batch: DataFrame,
+      textCol: String, idCol: String, segment: String): Unit = {
+    if (graft.operators.Layout.foldedNames(s"$dir/posts").contains(segment))
+      return
+    val tfs = batch.select(col(idCol).as("doc_id"),
+        HashExpressions.tokenFrequencies(col(textCol)).as("tfs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      tfs.select(col("doc_id"),
+          expr("aggregate(tfs, 0L, (acc, x) -> acc + x.n)").as("dl"),
+          explode(col("tfs")).as("e"))
+        .select(col("doc_id"), col("dl"), col("e.t").as("t"),
+          col("e.n").as("tf"))
+        .write.mode("overwrite").parquet(s"$dir/posts/$segment")
+      tfs.select(explode(col("tfs")).as("e"))
+        .select(col("e.t").as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$dir/terms/$segment")
+      tfs.agg(count(lit(1)).as("n"),
+          coalesce(sum(expr("aggregate(tfs, 0L, (acc, x) -> acc + x.n)")),
+            lit(0L)).as("tot"))
+        .write.mode("overwrite").parquet(s"$dir/globals/$segment")
+    } finally tfs.unpersist()
+  }
+
+  /** Fold accumulated per-batch segments when more than `maxSegments`
+   *  piled up — the generic crash-safe segment compaction, with the
+   *  store-appropriate fold: postings rows are disjoint (identity),
+   *  df and global deltas are associative sums. Posts compact first
+   *  (the [[appendToPostingsIndex]] no-op rule reads their folded
+   *  set). */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxSegments: Int = 64): Boolean = {
+    val a = graft.operators.Layout.compactSegmentsWith(
+      spark, s"$dir/posts", "base", maxSegments)(identity)
+    val b = graft.operators.Layout.compactSegmentsWith(
+      spark, s"$dir/terms", "base", maxSegments)(
+      df => df.groupBy(col("t")).agg(sum(col("df")).as("df")))
+    val c = graft.operators.Layout.compactSegmentsWith(
+      spark, s"$dir/globals", "base", maxSegments)(
+      df => df.agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("tot")), lit(0L)).as("tot")))
+    a || b || c
+  }
+
+  /** BM25 top-k served FROM the index — no corpus text anywhere in
+   *  the plan: globals fold to (N, Σdl) (segment-count rows), the df
+   *  lookup folds only the query-vocabulary rows of the terms store
+   *  (predicate pushed into the scan), and scoring joins the posts
+   *  store against the broadcast query-term frame — the
+   *  [[bm25TopKPostings]] tail verbatim, so the result is
+   *  bit-identical to the batch form over the same logical corpus
+   *  (the judged q174 property). */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: Seq[(Long, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      expectFingerprint: Option[String] = None): DataFrame = {
+    requireValidQueries(queries)
+    expectFingerprint.foreach { fp =>
+      val got = readPostingsIndexFingerprint(dir)
+      require(got.contains(fp),
+        s"postings index at $dir was built for corpus '${got.orNull}' " +
+          s"but this probe expects '$fp' — refusing a stale/foreign index")
+    }
+    val terms = queries.flatMap(q => queryTerms(q._2)).distinct.sorted
+    val g = spark.read
+      .parquet(graft.operators.Layout.zLiveSegments(s"$dir/globals"): _*)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("tot")), lit(0L)).as("tot")).collect()(0)
+    val dfMap = spark.read
+      .parquet(graft.operators.Layout.zLiveSegments(s"$dir/terms"): _*)
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("t")).agg(sum(col("df")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val posts = spark.read
+      .parquet(graft.operators.Layout.zLiveSegments(s"$dir/posts"): _*)
+      .select(col("doc_id"), col("dl").cast("double").as("dl"), col("t"),
+        col("tf").cast("double").as("tf"))
+    scorePostingsRows(posts, queries, k, k1, b, g.getLong(0), g.getLong(1),
+      t => dfMap.getOrElse(t, 0L))
   }
 
   /** Oracle for the LEXICON-DERIVED batch workload (q86): `nQueries`
