@@ -2504,6 +2504,17 @@ object SparkEntry {
           bm25Queries, 5, expectFingerprint = Some(fp))
         .orderBy("q_id", "rank")
     }),
+    // DoReMi-style domain reweighting (X148, round-13): the
+    // multiplicative-weights mixture update over the corpus's source
+    // domains, with the judged unigram LM as the reference model and
+    // the hedge exponential quantized to integer 2^bucket scaling
+    // (λ = 1000 micro ≈ the measured cross-source excess spread, so
+    // buckets genuinely differentiate). The oracle replays scoring
+    // AND the full integer fold from the same parquet.
+    "q175_domain_reweight" -> ((s, dir) =>
+      graft.operators.Curation.domainReweight(documents(s, dir),
+          "doc_id", "text", "source", 1000L, 6)
+        .orderBy("domain")),
     // Cross-document repeated-SPAN removal (X91, the Lee et al. 2021
     // exact-substring-dedup shape): every %7==0 doc gains the same
     // 14-word license sentence — boilerplate INSIDE otherwise-unique
@@ -4029,6 +4040,10 @@ object SparkEntry {
       s"${Retrieval.bm25TopKSql(visible, "text", "doc_id", bm25Queries, 5)} " +
         "ORDER BY q_id, rank"
     },
+    "q175_domain_reweight" ->
+      (s"SELECT * FROM (${graft.operators.Curation.domainReweightSql(
+          "documents", "doc_id", "text", "source", 1000L, 6)}) " +
+        "ORDER BY domain"),
     "q165_curation_pipeline_n5" -> {
       val corpus = "(SELECT doc_id, text FROM documents UNION ALL " +
         "SELECT doc_id + 1000000 AS doc_id, text FROM documents " +

@@ -719,4 +719,84 @@ object Curation {
        |    $idCol, dsir_micro
        |  FROM __scored) WHERE rank <= $topN""".stripMargin
   }
+
+  // --------------- DoReMi-style domain reweighting (X148, r13)
+
+  /** Multiplicative-weights domain reweighting — the DoReMi update
+   *  (Xie et al. 2023: upweight domains with EXCESS LOSS under a
+   *  reference model) quantized to stay integer-exact: every document
+   *  scores under the judged unigram reference (X54's mean-logfreq
+   *  micro-units), per-domain and corpus averages fold as BIGINT
+   *  floor-division, a domain's excess loss is how much RARER its
+   *  vocabulary is than the corpus norm (base − avg, floored at 0 —
+   *  low mean-logfreq = rare tokens = high reference loss), the
+   *  excess quantizes to ≤ `maxBucket` λ-sized buckets, and each
+   *  domain's natural-distribution prior (its doc count — DoReMi
+   *  initializes at the observed mixture) scales by 2^bucket: the
+   *  Freund–Schapire hedge update with quantized losses. exp(η·ℓ)
+   *  would be the textbook form; a float exponential hash-diverges
+   *  between libms, and the base-2 quantized form keeps the judged
+   *  row exact on both engines while preserving the update's
+   *  geometry. Weights normalize to parts-per-million by integer
+   *  division.
+   *
+   *  Distributed shape: ONE token-linear scoring pass (the q94
+   *  kernel, no persisted token frame), then aggregations whose
+   *  state is |domains| rows; the one-row baseline and total join
+   *  back as broadcasts. Output (domain, n_docs, avg_micro,
+   *  excess_micro, bucket, weight_ppm). */
+  def domainReweight(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, lambdaMicro: Long, maxBucket: Int): DataFrame = {
+    val scored = graft.operators.Quality
+      .unigramSurprisal(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(domainCol).as("domain")), idCol)
+    val base = scored.agg(
+      expr("sum(mean_logfreq_micro) div count(*)").as("base_micro"))
+    val perDomain = scored.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(mean_logfreq_micro) div count(*)").as("avg_micro"))
+    val w = perDomain.crossJoin(broadcast(base))
+      .select(col("domain"), col("n_docs"), col("avg_micro"),
+        greatest(col("base_micro") - col("avg_micro"), lit(0L))
+          .as("excess_micro"))
+      .withColumn("bucket",
+        least(expr(s"excess_micro div $lambdaMicro"), lit(maxBucket.toLong)))
+      .withColumn("w",
+        expr("n_docs * shiftleft(cast(1 as bigint), cast(bucket as int))"))
+    val tot = w.agg(sum(col("w")).as("tot"))
+    w.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"), col("avg_micro"),
+        col("excess_micro"), col("bucket"),
+        expr("(w * 1000000) div tot").as("weight_ppm"))
+  }
+
+  /** DuckDB oracle twin of [[domainReweight]]: the q94 oracle scoring
+   *  composed with the identical integer fold — floor division,
+   *  bucket clamp, bit-shift hedge scale, ppm normalization. */
+  def domainReweightSql(table: String, idCol: String, textExpr: String,
+      domainCol: String, lambdaMicro: Long, maxBucket: Int): String =
+    s"""WITH __scored AS (
+       |  SELECT s.$idCol, s.mean_logfreq_micro, d.$domainCol AS domain
+       |  FROM (${graft.operators.Quality.unigramSurprisalSql(
+            table, idCol, textExpr)}) s
+       |  JOIN $table d USING ($idCol)),
+       |__base AS (SELECT CAST(sum(mean_logfreq_micro) // count(*)
+       |    AS BIGINT) AS base_micro FROM __scored),
+       |__dom AS (
+       |  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(mean_logfreq_micro) // count(*) AS BIGINT) AS avg_micro
+       |  FROM __scored GROUP BY domain),
+       |__w AS (
+       |  SELECT domain, n_docs, avg_micro,
+       |    CAST(greatest(base_micro - avg_micro, 0) AS BIGINT)
+       |      AS excess_micro,
+       |    CAST(least(greatest(base_micro - avg_micro, 0) // $lambdaMicro,
+       |      $maxBucket) AS BIGINT) AS bucket
+       |  FROM __dom, __base),
+       |__ww AS (SELECT *, n_docs * (CAST(1 AS BIGINT) << bucket) AS w
+       |  FROM __w)
+       |SELECT domain, n_docs, avg_micro, excess_micro, bucket,
+       |  CAST(w * 1000000 // (SELECT sum(w) FROM __ww) AS BIGINT)
+       |    AS weight_ppm
+       |FROM __ww""".stripMargin
 }

@@ -110,6 +110,41 @@ class PerceptualScreenSpec extends SparkTestBase {
     assert(after === before)
   }
 
+  test("the screen is fingerprint-generic: WAV audio screens through the same machinery") {
+    // corpus fams 0..3 as audio fingerprints; batch: a re-rendered
+    // twin of fam 2 (dropped) and a novel clip (admitted)
+    def wavs(variants: Seq[(Long, Long, Boolean, Boolean)]): DataFrame =
+      variants.toDF("id", "fam", "alt", "edit").as[(Long, Long, Boolean, Boolean)]
+        .map { case (id, fam, alt, edit) =>
+          MediaRecord(id, Media.encodeSegWav(fam,
+            if (alt) 16000 else 8000, if (alt) 400 else 200, edit),
+            "audio/wav")
+        }.toDF()
+    val ixDir = Streams.scratchDir("graft_percep_aix_")
+    Dedup.materializeHammingIndex(
+      Media.ahash63(wavs((0L until 4L).map(f => (f, f, false, false)))
+        .as[MediaRecord]),
+      "doc_id", "ah", ixDir, 63, 2, "fp-audio")
+    val streamDir = Streams.scratchDir("graft_percep_ain_")
+    Streams.writeSinglePartFile(
+      wavs(Seq((100L, 2L, true, false), (101L, 900L, false, false))),
+      streamDir, "b0.parquet", 1600000000000L)
+    val schema = spark.read.parquet(s"$streamDir/b0.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val byBatch = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val q = Streams.screenIngestPerceptual(stream, ixDir, "doc_id",
+        df => Media.ahash63(df.as[MediaRecord])
+          .select(col("doc_id"), col("ah").as("h")),
+        expectFingerprint = Some("fp-audio")) { (df, bid) =>
+      val ids = df.select("doc_id").collect().map(_.getLong(0)).toSet
+      byBatch.synchronized { byBatch(bid) = ids }
+    }.option("checkpointLocation", Streams.scratchDir("graft_percep_ackpt_"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(byBatch.toMap === Map(0L -> Set(101L)))
+  }
+
   test("bipartite pigeonhole probe ≡ brute force at the threshold") {
     val rnd = new scala.util.Random(7)
     val batch = (0L until 60L).map(i =>
