@@ -168,7 +168,7 @@ object SparkEntry {
    *  materialized once per corpus fingerprint: the query's subject is
    *  decode → dHash → Hamming search, not PNG encoding. */
   private def sharedDhashPngCorpus(s: SparkSession, dir: String): DataFrame =
-    sharedTable(s, dir, "dhash_pngs_v2") {
+    sharedTable(s, dir, "dhash_pngs_v4") {
       Media.dhashPngsFromDocuments(documents(s, dir)).toDF()
     }
 
@@ -181,7 +181,7 @@ object SparkEntry {
    *  per-run cost is the single-file stream copy, not thousands of
    *  PNG encodes. */
   private def sharedScreenPngCorpus(s: SparkSession, dir: String): DataFrame =
-    sharedTable(s, dir, "screen_pngs_v2") {
+    sharedTable(s, dir, "screen_pngs_v4") {
       import s.implicits._
       val docs = documents(s, dir).select(col("doc_id"))
       def v(ids: DataFrame, off: Long, famOff: Long, alt: Boolean,
@@ -212,7 +212,7 @@ object SparkEntry {
    *  fingerprint: the query's subject is demux → per-frame decode →
    *  dHash → containment join, not GIF encoding. */
   private def sharedVideoGifCorpus(s: SparkSession, dir: String): DataFrame =
-    sharedTable(s, dir, "video_gifs_v2") {
+    sharedTable(s, dir, "video_gifs_v4") {
       Media.videoGifsFromDocuments(documents(s, dir)).toDF()
     }
 
@@ -222,7 +222,7 @@ object SparkEntry {
    *  query's subject is decode → fingerprint → Hamming search, not
    *  WAV encoding. */
   private def sharedAhashWavCorpus(s: SparkSession, dir: String): DataFrame =
-    sharedTable(s, dir, "ahash_wavs_v2") {
+    sharedTable(s, dir, "ahash_wavs_v4") {
       Media.ahashWavsFromDocuments(documents(s, dir)).toDF()
     }
 

@@ -658,17 +658,30 @@ object Media {
    *  Spark side must still run the REAL decode to reach the pixels.
    *  `edit` perturbs exactly one interior block (the "slightly
    *  edited near-duplicate"), moving ≤ 2 of the 63 gradient bits. */
+  /** The fixture cell hash is the repo's judged cross-engine h60
+   *  (md5-derived — [[graft.functions.Hashing]]'s exact contract, in
+   *  plain JVM form for the executor-side encoders). Every ALGEBRAIC
+   *  mix tried here leaked structure into the small output modulus:
+   *  an additive-LCG pre-mix collided whole families at constant
+   *  offsets (Δfam·403·C ≡ 0 mod 2²⁰−3 ⇒ ghost twins at Δfam=3740),
+   *  and a multiply-then-square form factorized mod 251 whenever the
+   *  big-prime reduction didn't bite (mirror families with
+   *  multipliers ≡ ±m mod 251 hashed IDENTICALLY — both caught by
+   *  sf0.1 row counts). md5 has no such congruence structure, and
+   *  both engines already replay it bit-exactly everywhere else. */
+  private[multimodal] def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** SQL twin of one fixture-cell h60 over a '||'-built key. */
+  private def h60FixSql(keySql: String): String =
+    s"CAST('0x' || substr(md5($keySql), 1, 15) AS BIGINT)"
+
   def dhashBlockVal(fam: Long, bx: Int, by: Int, edit: Boolean): Int = {
-    // squared-LCG cell mix: a PLAIN linear hash has constant
-    // neighbor differences (v(bx+1) − v(bx) ≡ 31), which makes every
-    // family's gradient bits wrap-structured and families collide
-    // within hamming ≤ 2 — the squaring is the nonlinearity that
-    // decorrelates neighbor comparisons. Intermediates stay < 2⁶³ for
-    // any realistic fam (u ≤ ~10⁹ ⇒ u·2654435761 ≤ ~3.4·10¹⁸), so
-    // DuckDB BIGINT replays it without overflow.
-    val u = fam * 13L + bx * 131L + by * 31L + 7L
-    val a = (u * 2654435761L) % 1048573L
-    val v = ((a * a) % 251L).toInt
+    val v = (h60(s"d:$fam:$bx:$by") % 251L).toInt
     if (edit && bx == 4 && by == 4) (v + 128) % 251 else v
   }
 
@@ -682,16 +695,20 @@ object Media {
     require(width >= DhashCols && height >= DhashRows,
       s"fixture dims must cover the ${DhashCols}x$DhashRows grid, " +
         s"got ${width}x$height")
+    // grid precomputed once per image: the cell hash is md5-backed,
+    // so per-PIXEL evaluation would pay 72× the digests for nothing
+    val grid = Array.tabulate(DhashRows, DhashCols)((by, bx) =>
+      dhashBlockVal(fam, bx, by, edit).toByte)
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     val raster = img.getRaster.getDataBuffer
       .asInstanceOf[java.awt.image.DataBufferByte].getData
     var y = 0
     while (y < height) {
-      val by = y * DhashRows / height
+      val row = grid(y * DhashRows / height)
       var x = 0
       while (x < width) {
-        val v = dhashBlockVal(fam, x * DhashCols / width, by, edit).toByte
+        val v = row(x * DhashCols / width)
         val o = (y * width + x) * 3
         raster(o) = v; raster(o + 1) = v; raster(o + 2) = v
         x += 1
@@ -770,9 +787,8 @@ object Media {
    *  size, which is precisely the resize-invariance the row judges. */
   def dhash63FixtureSql(famExpr: String, editExpr: String): String = {
     def v(bx: Int, by: Int): String = {
-      val a = s"((($famExpr * 13 + ${bx * 131 + by * 31 + 7}) " +
-        "* 2654435761) % 1048573)"
-      val base = s"(($a * $a) % 251)"
+      val base =
+        s"(${h60FixSql(s"'d:' || $famExpr || ':$bx:$by'")} % 251)"
       if (bx == 4 && by == 4)
         s"(CASE WHEN $editExpr THEN ($base + 128) % 251 ELSE $base END)"
       else base
@@ -795,11 +811,9 @@ object Media {
    *  near-duplicate). */
   def videoBlockVal(fam: Long, f: Int, bx: Int, by: Int,
       edit: Boolean): Int = {
-    // the [[dhashBlockVal]] squared-LCG mix (see its collision note)
-    // at 61 quantized levels, with the frame folded into the family
-    val u = (fam * 31L + f) * 13L + bx * 131L + by * 31L + 7L
-    val a = (u * 2654435761L) % 1048573L
-    val q0 = ((a * a) % 61L).toInt
+    // the [[dhashBlockVal]] h60 cell hash (see its structure note) at
+    // 61 quantized levels, with the frame in the key
+    val q0 = (h60(s"v:$fam:$f:$bx:$by") % 61L).toInt
     val q = if (edit && bx == 4 && by == 4) (q0 + 32) % 61 else q0
     q * 4
   }
@@ -828,17 +842,18 @@ object Media {
       writer.prepareWriteSequence(null)
       var f = 0
       while (f < nFrames) {
+        // per-frame grid precomputed once (md5-backed cell hash)
+        val grid = Array.tabulate(DhashRows, DhashCols)((by, bx) =>
+          videoBlockVal(fam, f, bx, by, f == editFrame) / 4)
         val img = new java.awt.image.BufferedImage(width, height,
           java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
         val raster = img.getRaster
         var y = 0
         while (y < height) {
-          val by = y * DhashRows / height
+          val row = grid(y * DhashRows / height)
           var x = 0
           while (x < width) {
-            val v = videoBlockVal(fam, f, x * DhashCols / width, by,
-              f == editFrame)
-            raster.setSample(x, y, 0, v / 4)
+            raster.setSample(x, y, 0, row(x * DhashCols / width))
             x += 1
           }
           y += 1
@@ -958,9 +973,8 @@ object Media {
   def videoFrameDhashSql(famExpr: String, frameExpr: String,
       editFrameExpr: String): String = {
     def v(bx: Int, by: Int): String = {
-      val a = s"(((($famExpr * 31 + $frameExpr) * 13 + " +
-        s"${bx * 131 + by * 31 + 7}) * 2654435761) % 1048573)"
-      val base = s"(($a * $a) % 61)"
+      val base = s"(${h60FixSql(
+          s"'v:' || $famExpr || ':' || $frameExpr || ':$bx:$by'")} % 61)"
       if (bx == 4 && by == 4)
         s"(CASE WHEN $frameExpr = $editFrameExpr THEN ($base + 32) % 61 " +
           s"ELSE $base END)"
@@ -997,12 +1011,9 @@ object Media {
    *  audio; it cancels out of every comparison, so the oracle's
    *  closed form runs on the non-negative pre-image. */
   def ahashSegVal(fam: Long, seg: Int, edit: Boolean): Int = {
-    // the [[dhashBlockVal]] squared-LCG mix in 1-D (see its collision
-    // note: a linear segment hash has constant successor differences,
-    // wrap-structured comparison bits, and cross-family collisions)
-    val u = fam * 13L + seg * 131L + 7L
-    val a = (u * 2654435761L) % 1048573L
-    val w = ((a * a) % 59999L).toInt
+    // the [[dhashBlockVal]] h60 cell hash (see its structure note)
+    // in 1-D, centered to honest signed PCM
+    val w = (h60(s"a:$fam:$seg") % 59999L).toInt
     val v = if (edit && seg == 32) (w + 30000) % 59999 else w
     v - 30000
   }
@@ -1015,10 +1026,12 @@ object Media {
       edit: Boolean): Array[Byte] = {
     require(nFrames >= AhashSegs,
       s"fixture clips must cover the $AhashSegs-window grid, got $nFrames")
+    // segment levels precomputed once per clip (md5-backed hash)
+    val segs = Array.tabulate(AhashSegs)(s => ahashSegVal(fam, s, edit))
     val pcm = new Array[Byte](nFrames * 2)
     var i = 0
     while (i < nFrames) {
-      val v = ahashSegVal(fam, (i.toLong * AhashSegs / nFrames).toInt, edit)
+      val v = segs((i.toLong * AhashSegs / nFrames).toInt)
       pcm(i * 2) = (v & 0xff).toByte
       pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
       i += 1
@@ -1148,9 +1161,7 @@ object Media {
    *  pre-image (the −30000 centering cancels). */
   def ahash63FixtureSql(famExpr: String, editExpr: String): String = {
     def v(seg: Int): String = {
-      val a = s"((($famExpr * 13 + ${seg * 131 + 7}) * 2654435761) " +
-        "% 1048573)"
-      val base = s"(($a * $a) % 59999)"
+      val base = s"(${h60FixSql(s"'a:' || $famExpr || ':$seg'")} % 59999)"
       if (seg == 32)
         s"(CASE WHEN $editExpr THEN ($base + 30000) % 59999 ELSE $base END)"
       else base

@@ -1117,8 +1117,11 @@ object Dedup {
         s"Hamming index at $dir was built for corpus '${meta.fingerprint}' " +
           s"but this probe expects '$fp' — refusing a stale/foreign index")
     }
-    spark.read.parquet(
-      graft.operators.Layout.zLiveSegments(s"$dir/data"): _*)
+    val segs = graft.operators.Layout.zLiveSegments(s"$dir/data")
+    require(segs.nonEmpty,
+      s"Hamming index at $dir has no data segments — it was never " +
+        "materialized (or the path is wrong)")
+    spark.read.parquet(segs: _*)
   }
 
   /** Append admitted fingerprints under segment `segment`:

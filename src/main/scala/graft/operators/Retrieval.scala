@@ -376,10 +376,16 @@ object Retrieval {
           s"but this probe expects '$fp' — refusing a stale/foreign index")
     }
     val terms = queries.flatMap(q => queryTerms(q._2)).distinct.sorted
-    val g = spark.read
-      .parquet(graft.operators.Layout.zLiveSegments(s"$dir/globals"): _*)
+    val gSegs = graft.operators.Layout.zLiveSegments(s"$dir/globals")
+    require(gSegs.nonEmpty,
+      s"postings index at $dir has no globals segments — nothing was " +
+        "ever appended (or the path is wrong)")
+    val g = spark.read.parquet(gSegs: _*)
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("tot")), lit(0L)).as("tot")).collect()(0)
+    require(g.getLong(0) > 0L,
+      s"postings index at $dir indexes zero documents — BM25 stats " +
+        "(avgdl, idf) are undefined on an empty corpus")
     val dfMap = spark.read
       .parquet(graft.operators.Layout.zLiveSegments(s"$dir/terms"): _*)
       .filter(col("t").isin(terms: _*))
