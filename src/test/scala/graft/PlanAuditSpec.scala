@@ -141,7 +141,11 @@ class PlanAuditSpec extends SparkTestBase {
       "q157_ivfpq_append", "q158_rp_recall", "q159_ivfpq_compact",
       // q160 scores through the q130 LM kernel, inheriting its 1-row
       // corpus-total broadcast frame
-      "q160_ccnet_buckets")
+      "q160_ccnet_buckets",
+      // q175 attaches two 1-row frames (the corpus-average baseline
+      // and the weight normalizer) via crossJoin(broadcast(...)) —
+      // the q130/q131 single-row constant-lookup shape
+      "q175_domain_reweight")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = executed(name).toString
       assert(!plan.contains("CartesianProduct"), s"$name planned a cartesian join")
