@@ -82,11 +82,16 @@ object BpeOps {
           if (n > mx) mx = n; i += 1 }
         mx }
 
+    // hashCode is cached and equals short-circuits on reference
+    // identity: the per-task memo below keys a WeakHashMap on the
+    // codec, and an O(|merges|) hash per encodeTokens CALL would tax
+    // every row at 32k-merge scale
+    private val hc: Int = merges.hashCode()
     override def equals(o: Any): Boolean = o match {
-      case c: BpeCodec => c.merges == merges
+      case c: BpeCodec => (c eq this) || c.merges == merges
       case _ => false
     }
-    override def hashCode(): Int = merges.hashCode()
+    override def hashCode(): Int = hc
   }
 
   /** Encode ONE token: returns its symbols joined by [[Sep]] — byte-
@@ -186,20 +191,39 @@ object BpeOps {
     s
   }
 
+  /** Per-THREAD encode memo, keyed by codec (round-13 optimization:
+   *  the memo was per-call, so every document re-encoded its stop
+   *  words — Zipfian corpora repeat most of their token mass across
+   *  rows, and [[encodeWord]]'s candidate enumeration is ~100x a hash
+   *  lookup). A ThreadLocal needs no synchronization on local[n]'s
+   *  task threads; the WeakHashMap drops a codec's memo when its
+   *  query's expressions are collected; the size cap bounds worst-case
+   *  heap at ~a few MB per (thread, codec) on adversarial vocabularies
+   *  while leaving real word distributions fully memoized. encodeWord
+   *  is pure, so a memo hit is value-identical by construction. */
+  private val MemoCap = 1 << 16
+  private val memoTL: ThreadLocal[java.util.WeakHashMap[BpeCodec, java.util.HashMap[String, UTF8String]]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.WeakHashMap[BpeCodec, java.util.HashMap[String, UTF8String]]())
+
   /** Encode every token of `arr` (each element a `[a-z0-9]+` run);
-   *  repeated tokens within one document encode once via a per-call
-   *  memo. */
+   *  repeated tokens encode once via the per-thread memo. */
   def encodeTokens(arr: ArrayData, codec: BpeCodec): ArrayData = {
     val n = arr.numElements()
     val out = new Array[UTF8String](n)
-    val memo = new java.util.HashMap[String, UTF8String]()
+    val memos = memoTL.get()
+    var memo = memos.get(codec)
+    if (memo == null) {
+      memo = new java.util.HashMap[String, UTF8String]()
+      memos.put(codec, memo)
+    }
     var i = 0
     while (i < n) {
       val w = arr.getUTF8String(i).toString
       var enc = memo.get(w)
       if (enc == null) {
         enc = UTF8String.fromString(encodeWord(w, codec))
-        memo.put(w, enc)
+        if (memo.size < MemoCap) memo.put(w, enc)
       }
       out(i) = enc
       i += 1

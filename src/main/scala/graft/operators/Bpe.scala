@@ -439,10 +439,24 @@ object Bpe {
    *  encode kernel, two literal-map lookups (merge-list-sized,
    *  broadcast as literals), string concat and compare; nothing
    *  leaves the scan stage, same 100 TB posture as q126. */
+  /** Decode map rendered as a DENSE ARRAY indexed by token id
+   *  (round-13 optimization): `element_at` on a MAP literal is a
+   *  LINEAR scan of the key array per lookup — O(|vocab|) per token
+   *  id, paid for every id of every document — while `element_at` on
+   *  an array literal is one bounds-checked load. Ids are small
+   *  non-negative ints (≤ 256 + |merges|) by construction, so the
+   *  array is vocabulary-sized; absent ids hold null, exactly the
+   *  map's miss semantics (callers' coalesce/array_join treatment is
+   *  unchanged). Lookup is `element_at(arr, id + 1)` (1-based). */
+  private def denseDecode(vocab: Map[Int, String]): Seq[String] = {
+    val maxId = vocab.keys.max
+    (0 to maxId).map(i => vocab.get(i).orNull)
+  }
+
   def decodeRoundTrip(docs: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val vids = typedLit(vocabIds(merges))
-    val inv = typedLit(decodeVocab(merges))
+    val inv = typedLit(denseDecode(decodeVocab(merges)))
     val idArr = transform(
       flatten(transform(encodeTokens(wordTokens(col(textCol)), merges),
         symbols(_))),
@@ -455,7 +469,7 @@ object Bpe {
         size(col("__ids")).cast("long").as("n_ids"),
         size(filter(col("__ids"), _ === lit(UnkId))).cast("long").as("n_unk"),
         array_join(transform(col("__ids"),
-          i => coalesce(element_at(inv, i), lit(UnkSym))), "").as("__dec"),
+          i => coalesce(element_at(inv, i + 1), lit(UnkSym))), "").as("__dec"),
         col("__norm"))
       .select(col(idCol), col("n_ids"), col("n_unk"),
         length(col("__dec")).cast("long").as("decoded_len"),
@@ -548,7 +562,10 @@ object Bpe {
   def byteRoundTrip(docs: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val vids = typedLit(vocabIds(merges))
-    val i2s = typedLit(decodeVocabBytes(merges))
+    // dense-array decode table (see [[denseDecode]]): the map form
+    // linear-scanned 256 + |merges| keys PER DECODED ID — per corpus
+    // byte under a 16-merge vocabulary
+    val i2s = typedLit(denseDecode(decodeVocabBytes(merges)))
     def byteId(ch: Column): Column = (ascii(ch) - lit(256)).cast("int")
     val syms = flatten(transform(
       encodeTokens(byteTokens(col(textCol)), merges), symbols(_)))
@@ -567,7 +584,7 @@ object Bpe {
           length(s) > 1 && element_at(vids, s).isNull))
           .cast("long").as("n_fallback"),
         length(col("__orig")).cast("long").as("n_bytes"),
-        (array_join(transform(col("__ids"), i => element_at(i2s, i)), "")
+        (array_join(transform(col("__ids"), i => element_at(i2s, i + 1)), "")
           === col("__orig")).as("roundtrip_exact"))
   }
 
