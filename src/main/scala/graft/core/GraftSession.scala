@@ -49,6 +49,19 @@ object GraftSession {
       // tracks data.
       .config("spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "1min"))
+      // NOTE (round-13, measured and REJECTED): a scan-parallelism
+      // floor (spark.sql.files.minPartitionNum = cores +
+      // openCostInBytes 64 KB) was tried to unserialize one-split
+      // small-table scans (q86's posting stage ran 1 task / 7.6 s).
+      // Single-query probes improved, but the FULL sf0.1 surface
+      // regressed 190.9 -> 229.0 s: every tiny parquet read — state
+      // segments, fixtures, shared-index sidecars, dozens per
+      // streaming fold — fanned into up-to-32 scheduled tasks, and
+      // the added scheduling overhead swamped the unlocked
+      // parallelism (even a pure projection, q87, doubled; q86 itself
+      // read 11.3 s isolated vs 8.1 before). Defaults stand; at
+      // 100 TB splits are ≫ cores and the floor would be a no-op
+      // anyway, so there is nothing to parameterize for production.
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()

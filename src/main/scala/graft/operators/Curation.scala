@@ -555,8 +555,17 @@ object Curation {
           .select(col("m.__s"), col("m.__id")).head()
         (row.getLong(0), row.getLong(1))
       }
-      val (c1s, c1i) = cut(ns / 3)
-      val (c2s, c2i) = cut(2 * ns / 3)
+      // the two cut jobs are independent bounded TakeOrdereds over the
+      // persisted sample — overlap them (round-13, the guide's
+      // overlap-independent-jobs rule; same result by construction)
+      val cutF = { r: Long =>
+        scala.concurrent.Future(cut(r))(
+          scala.concurrent.ExecutionContext.global) }
+      val (f1, f2) = (cutF(ns / 3), cutF(2 * ns / 3))
+      val (c1s, c1i) = scala.concurrent.Await.result(f1,
+        scala.concurrent.duration.Duration.Inf)
+      val (c2s, c2i) = scala.concurrent.Await.result(f2,
+        scala.concurrent.duration.Duration.Inf)
       def le(s: Long, i: Long): Column =
         col("__s") < lit(s) || (col("__s") === lit(s) && col("__id") <= lit(i))
       val report = scored.select(col("__s"),
