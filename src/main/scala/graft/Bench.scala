@@ -299,7 +299,6 @@ object Bench {
     val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"isolated_runs":$isolatedRuns,"queries":$qs,"queries_min":$mins,"queries_runs":$runsJson,"queries_isolated":$isoJson,"isolated_only":$isoOnlyJson,"failed":${failed.mkString("[", ",", "]")},"skipped":$skippedJson,"sf":"$sfDir"}"""
-    println(line)
     // the driver's BENCH_r{N}.json tail truncates (r5 lost q1/q10-q24
     // for the judge) — ALSO persist the complete per-query map to a
     // file in the repo so every round's numbers stay parseable.
@@ -315,6 +314,28 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     }
+    // The PRINTED line is a COMPACT summary (round-14 measurement-bug
+    // fix, documented in OPTIMIZATION_r14.md): at 175 queries the full
+    // line (medians + mins + 3 raw runs each) is ~21.6 KB, which the
+    // driver's bounded tail/parser has failed to hold for two rounds
+    // running (PERF per_query empty) — so the stdout line carries the
+    // contract fields (metric/value/unit/queries/sf) with per-query
+    // MEDIANS at millisecond precision plus failed/skipped/isolated,
+    // ~5 KB, and the full-precision maps (queries_min, queries_runs)
+    // live in the bench_full.json artifact above. Same methodology,
+    // same timed subject, same query set — only the printed summary
+    // shrank. Printed AFTER spark.stop() so no concurrent executor
+    // stderr can interleave with the line in a combined capture.
+    def ms3(d: Double): String =
+      if (d < 0) "-1.0"
+      else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsCompact = results.map { case (k, med, _) =>
+      "\"" + k + "\":" + ms3(med) }.mkString("{", ",", "}")
+    val isoCompact = isolated.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","runs":$runs,"queries":$qsCompact,"queries_isolated":$isoCompact,"isolated_only":$isoOnlyJson,"failed":${failed.mkString("[", ",", "]")},"skipped":$skippedJson,"sf":"$sfDir"}"""
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }

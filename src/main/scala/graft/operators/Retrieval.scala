@@ -217,7 +217,28 @@ object Retrieval {
     val dfMap = lex.termDf.filter(col("t").isin(terms: _*))
       .select(col("t"), col("df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val posts = docs.select(col(idCol).as("doc_id"),
+    // Fan a sub-core-count corpus scan out to the session's
+    // parallelism BEFORE the per-doc tokenize + explode (round-14,
+    // VERDICT r13 item 5): at bench scale the whole documents table
+    // packs into ONE ~0.6 MB split, so the posting build —
+    // tokenization, explode, broadcast join, partial agg — ran as a
+    // single task (ProbeJobs: 1 task / 7.6 s of task time). A
+    // round-robin exchange of just (id, text) costs ~the table's own
+    // bytes; the global minPartitionNum floor was measured and
+    // REJECTED (GraftSession.scala) because it fanned every tiny
+    // state/fixture read — this touches ONLY this operator's corpus
+    // scan. At production scale the scan already has ≥ cores splits
+    // and the exchange never fires. Result-identical: each
+    // (q, doc, tidx) score slot has exactly one contribution and the
+    // top-k heap's (sim DESC, n_id ASC) order is total, so
+    // partitioning cannot move any value (q86 sat in the r13
+    // partition-sensitivity oracle set, verified at sf0.1).
+    val narrow = docs.select(col(idCol), col(textCol))
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val fanned =
+      if (narrow.rdd.getNumPartitions >= cores) narrow
+      else narrow.repartition(cores)
+    val posts = fanned.select(col(idCol).as("doc_id"),
         HashExpressions.tokenFrequencies(col(textCol)).as("tfs"))
       .select(col("doc_id"),
         expr("aggregate(tfs, 0L, (acc, x) -> acc + x.n)").cast("double").as("dl"),

@@ -30,11 +30,29 @@ private[operators] trait SimilarityPq extends SimilarityKmeans {
   private[graft] def pqCodebooks(emb: DataFrame, m: Int, ks: Int,
       iters: Int, dim: Int): Seq[Seq[(Long, Seq[Double])]] = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
-    (0 until m).map { j =>
-      val e = prepared(emb)
-        .select(col("vec_id"), subSliceExpr(j, m, dim).as("v"))
-      lloydIterate(e, initCentroids(e, ks), iters, assignByLiterals)
-    }
+    // The m subspace chains are INDEPENDENT Lloyd folds (round-13
+    // optimization, re-landed in round 14 after the end-of-round
+    // snapshot silently reverted it): run them from a small driver
+    // thread pool so one chain's tasks back-fill executor slots while
+    // another's collect sits on the driver — the guide's
+    // overlap-independent-jobs rule. Each chain's own iterations stay
+    // sequential (iteration k+1 needs k's centroids); results are
+    // positionally deterministic (futures are awaited in subspace
+    // order, and each chain's result is independent of the others'
+    // scheduling).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(m, 8)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val chains = (0 until m).map { j => Future {
+        val e = prepared(emb)
+          .select(col("vec_id"), subSliceExpr(j, m, dim).as("v"))
+        lloydIterate(e, initCentroids(e, ks), iters, assignByLiterals)
+      } }
+      chains.map(f =>
+        Await.result(f, scala.concurrent.duration.Duration.Inf))
+    } finally { pool.shutdown(); () }
   }
 
   /** Product-quantization encode (X124): each vector compresses to m

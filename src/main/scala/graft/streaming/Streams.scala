@@ -566,9 +566,25 @@ object Streams {
       val countSegs = foldStateSegs(countDir, batchId)
       val batchTables = graft.operators.Lm.gramTables(
         trainNew, textCol, lmOrder)
+      // the state segments are consumed only by the n branches of the
+      // SINGLE pin job below — n parallel pruned scans of vocab-sized
+      // parquet inside one job beat a separate eager checkpoint job
+      // (round-13: was localCheckpoint(true), one more driver
+      // round-trip per fold)
       val stateGrams = countSegs.headOption.map(_ =>
-        spark.read.parquet(countSegs: _*).localCheckpoint(true))
-      val model = (1 to lmOrder).map { k =>
+        spark.read.parquet(countSegs: _*))
+      // ONE pinned model table for ALL orders (round-13 optimization,
+      // re-landed in round 14 after the end-of-round snapshot silently
+      // reverted it): the per-order eager localCheckpoints each paid a
+      // full job — n + 1 sequential driver round-trips per fold,
+      // measured pure overhead at micro-batch size (q166's n = 5 fold
+      // spent its wall in job count, not compute). The per-order
+      // union+sum plans are UNCHANGED; they are packed array-keyed
+      // (exactly the state segments' layout), materialized in one
+      // eager localCheckpoint, and each order's table is a FILTER of
+      // the pin — same rows, same types, still materialized-once (the
+      // ProbeCurate residency rule this block exists for).
+      val modelPacked = (1 to lmOrder).map { k =>
         (stateGrams match {
           case None => batchTables(k - 1)
           case Some(sg) =>
@@ -578,7 +594,13 @@ object Streams {
                 col("g").getItem(i).as(s"g$i")) :+ col("c").as(s"c$k"): _*)
               .unionByName(batchTables(k - 1))
               .groupBy(keys: _*).agg(sum(col(s"c$k")).as(s"c$k"))
-        }).localCheckpoint(eager = true)
+        }).select(array((0 until k).map(i => col(s"g$i")): _*).as("g"),
+          lit(k).as("o"), col(s"c$k").as("c"))
+      }.reduce(_.unionByName(_)).localCheckpoint(eager = true)
+      val model = (1 to lmOrder).map { k =>
+        modelPacked.filter(col("o") === k)
+          .select((0 until k).map(i =>
+            col("g").getItem(i).as(s"g$i")) :+ col("c").as(s"c$k"): _*)
       }
       val lm = graft.operators.Lm.scoreWithTables(
         gated.select(col(idCol), col(textCol)), idCol, textCol,
