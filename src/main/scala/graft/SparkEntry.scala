@@ -460,7 +460,10 @@ object SparkEntry {
   private def sharedPqIndexDir(s: SparkSession, dir: String): String = {
     val fp = tableFingerprint(dir, "embeddings.parquet")
     val path = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_shared_pqix_v2_$fp")
+      // v3: the index meta moved from a 1-row parquet to meta.json
+      // (round-14) — a persisted v2 artifact is unreadable to this
+      // engine version, so the cache key must change with the format
+      s"${System.getProperty("java.io.tmpdir")}/graft_shared_pqix_v3_$fp")
     this.synchronized {
       if (!new java.io.File(path, "_DONE").exists()) {
         val tmp = new java.io.File(path.getParent,
@@ -2108,12 +2111,23 @@ object SparkEntry {
       val li = Sources.table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
       val out = graft.streaming.Streams.scratchDir("graft_q139_")
-      graft.operators.Layout.zOrderBy(li, "l_orderkey", "l_partkey",
-          16, 128)
-        .write.mode("overwrite").parquet(s"$out/z")
-      li.repartitionByRange(128, col("l_orderkey"))
-        .sortWithinPartitions("l_orderkey")
-        .write.mode("overwrite").parquet(s"$out/linear")
+      // the two layout writes and the min/max pass are three
+      // INDEPENDENT jobs over different outputs (round-14, guide
+      // §2.6 overlap-independent-jobs); the probes then run one per
+      // written layout, also independent of each other. Same writes,
+      // same probes, same result — only the driver stops serializing
+      // five round-trips.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val zF = Future {
+        graft.operators.Layout.zOrderBy(li, "l_orderkey", "l_partkey",
+            16, 128)
+          .write.mode("overwrite").parquet(s"$out/z") }
+      val linF = Future {
+        li.repartitionByRange(128, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+          .write.mode("overwrite").parquet(s"$out/linear") }
       val mm = li.agg(min("l_orderkey"), max("l_orderkey"),
         min("l_partkey"), max("l_partkey"), count(lit(1))).head()
       val (lo1, hi1) = (mm.getLong(0), mm.getLong(1))
@@ -2121,11 +2135,14 @@ object SparkEntry {
       val total = mm.getLong(4)
       val lo2 = mn2 + (mx2 - mn2) * 45 / 100
       val hi2 = mn2 + (mx2 - mn2) * 55 / 100
+      Await.result(zF, Duration.Inf); Await.result(linF, Duration.Inf)
       Seq("linear" -> s"$out/linear", "z" -> s"$out/z").map {
-        case (tag, p) =>
-          val (scanned, matched) = graft.operators.Layout.probeScanRows(
-            s, p, "l_orderkey", lo1, hi1, "l_partkey", lo2, hi2)
-          (tag, matched, scanned * 2 <= total)
+        case (tag, p) => (tag, Future {
+          graft.operators.Layout.probeScanRows(
+            s, p, "l_orderkey", lo1, hi1, "l_partkey", lo2, hi2) })
+      }.map { case (tag, f) =>
+        val (scanned, matched) = Await.result(f, Duration.Inf)
+        (tag, matched, scanned * 2 <= total)
       }.toDF("layout", "rows_matched", "scanned_lt_half")
         .orderBy("layout")
     }),
@@ -2149,10 +2166,20 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_partkey"))
       val out = graft.streaming.Streams.scratchDir("graft_q141_")
       val seg = pmod(hash(col("l_orderkey"), col("l_partkey")), lit(4))
-      (0 until 4).foreach(i => li.filter(seg === i)
-        .write.mode("overwrite").parquet(s"$out/append-$i"))
+      // the four segment appends are independent writes to disjoint
+      // dirs and the min/max pass touches none of them — overlap all
+      // five (round-14, guide §2.6); the probe → compact → probe
+      // chain below stays strictly sequential (the compaction DELETES
+      // the segments the first probe reads).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val appendFs = (0 until 4).map(i => Future {
+        li.filter(seg === i)
+          .write.mode("overwrite").parquet(s"$out/append-$i") })
       val mm = li.agg(min("l_orderkey"), max("l_orderkey"),
         min("l_partkey"), max("l_partkey"), count(lit(1))).head()
+      appendFs.foreach(Await.result(_, Duration.Inf))
       val (lo1, hi1) = (mm.getLong(0), mm.getLong(1))
       val (mn2, mx2) = (mm.getLong(2), mm.getLong(3))
       val total = mm.getLong(4)
@@ -3165,15 +3192,37 @@ object SparkEntry {
     val base = Sources.table(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"))
-    graft.streaming.Streams.seedCdcState(base, s"$out/state", "o_orderkey")
-    if (withHistory)
-      graft.streaming.Streams.seedScd2History(
-        base, s"$out/hist", "o_orderkey")
+    // the seed(s) and the two stream-input files are four INDEPENDENT
+    // write jobs over different directories (round-14, guide §2.6):
+    // run them from a bounded pool so the seed's shuffle tail
+    // back-fills with the input-file writes instead of serializing
+    // four driver round-trips. Results unchanged — the stream starts
+    // only after every write is awaited.
     val log = ordersChangeLog(s, dir)
     val b1 = log.filter(col("seq") % 10 === 1)
     val b2 = log.filter(col("seq") % 10 === 2)
-    writeSingleParquet(b1, s"$out/stream", "b1.parquet", 1600000000000L)
-    writeSingleParquet(b2, s"$out/stream", "b2.parquet", 1600000060000L)
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+        (r: Runnable) => {
+          val t = new Thread(r, "cdc-drain-setup"); t.setDaemon(true); t })
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      try {
+        val fs = Seq(
+          Future { graft.streaming.Streams.seedCdcState(
+            base, s"$out/state", "o_orderkey") },
+          Future { if (withHistory)
+            graft.streaming.Streams.seedScd2History(
+              base, s"$out/hist", "o_orderkey") },
+          Future { writeSingleParquet(
+            b1, s"$out/stream", "b1.parquet", 1600000000000L) },
+          Future { writeSingleParquet(
+            b2, s"$out/stream", "b2.parquet", 1600000060000L) })
+        fs.foreach(f =>
+          Await.result(f, scala.concurrent.duration.Duration.Inf))
+      } finally { pool.shutdown(); () }
+    }
     val stream = s.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$out/stream")
     val writer =

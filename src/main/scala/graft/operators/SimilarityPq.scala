@@ -271,29 +271,46 @@ private[operators] trait SimilarityPq extends SimilarityKmeans {
    *  corpus batches append as sibling segments encoded with the
    *  frozen stored codebooks ([[appendToPqIndex]]), probes list
    *  segments at plan time — the lifecycle contract the LSH/ANN
-   *  stores established. `books/` and `meta/` hold the codebooks and parameters as
-   *  parquet (doubles round-trip EXACTLY — no text serialization in
-   *  the determinism path). Repeated query batches then probe the
+   *  stores established. `books/` holds the codebooks as parquet
+   *  (doubles round-trip EXACTLY — no text serialization in the
+   *  determinism path); the integer parameters + fingerprint live in
+   *  a `meta.json` sidecar (driver I/O — a 1-row parquet cost one
+   *  Spark job to write and one per read). Repeated query batches then probe the
    *  written table and never rescan or re-encode the corpus — the
    *  q114 "materialize once per corpus fingerprint" pattern. */
   def materializePqIndex(emb: DataFrame, dir: String, kc: Int, m: Int,
       ks: Int, iters: Int, dim: Int, fingerprint: String): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val d = dim / m
     val e = prepared(emb).select(col("vec_id"), col("v"))
-    val coarse = lloydIterate(e, initCentroids(e, kc), iters,
-      assignByLiterals)
+    // the coarse quantizer is the (m+1)-th independent Lloyd chain
+    // (round-14): train it concurrently with the m subspace books —
+    // same overlap-independent-jobs rule pqCodebooks applies inside
+    val coarseF = Future {
+      lloydIterate(e, initCentroids(e, kc), iters, assignByLiterals) }
     val books = pqCodebooks(emb, m, ks, iters, dim)
+    val coarse = Await.result(coarseF, Duration.Inf)
     val codeCols = (0 until m).map(j =>
       graft.functions.VectorExpressions.pqArgminRank(col("v"), j * d,
         books(j)).as(s"code$j"))
-    e.select(col("vec_id")
-        +: graft.functions.VectorExpressions.pqArgminRank(col("v"), 0,
-          coarse).as("cell") +: codeCols: _*)
-      .repartitionByRange(col("cell"), col("vec_id"))
-      .sortWithinPartitions("cell", "vec_id")
-      .write.mode("overwrite").parquet(s"$dir/codes/base")
+    // codes and books land in different dirs off driver-held
+    // codebooks — overlap the two writes; the meta that marks the
+    // index readable is still written LAST (and is a driver-side
+    // JSON of five ints + the fingerprint — the 1-row parquet cost a
+    // write job here and a read job per probe/append; the DOUBLES
+    // stay in books/ parquet, text never touches the determinism
+    // path)
+    val codesF = Future {
+      e.select(col("vec_id")
+          +: graft.functions.VectorExpressions.pqArgminRank(col("v"), 0,
+            coarse).as("cell") +: codeCols: _*)
+        .repartitionByRange(col("cell"), col("vec_id"))
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite").parquet(s"$dir/codes/base") }
     val bookRows = coarse.sortBy(_._1).zipWithIndex.map {
       case ((cid, cv), r) => (-1, r, cid, cv)
     } ++ books.zipWithIndex.flatMap { case (b, j) =>
@@ -302,9 +319,25 @@ private[operators] trait SimilarityPq extends SimilarityKmeans {
     }
     bookRows.toDF("sub", "rank", "c_id", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
-    Seq((kc, m, ks, iters, dim, fingerprint))
-      .toDF("kc", "m", "ks", "iters", "dim", "fingerprint")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    Await.result(codesF, Duration.Inf)
+    graft.core.StoreFs.writeUTF8(s"$dir/meta.json",
+      s"""{"kc":$kc,"m":$m,"ks":$ks,"iters":$iters,"dim":$dim,""" +
+        s""""fingerprint":"$fingerprint"}""")
+  }
+
+  private[graft] case class PqMeta(kc: Int, m: Int, ks: Int,
+    iters: Int, dim: Int, fingerprint: String)
+
+  private def readPqMeta(dir: String): PqMeta = {
+    val json = graft.core.StoreFs.readUTF8(s"$dir/meta.json")
+    def num(k: String): Int =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt)
+        .getOrElse(sys.error(s"pq meta missing $k: $json"))
+    val fp = """"fingerprint":"([^"]*)"""".r.findFirstMatchIn(json)
+      .map(_.group(1))
+      .getOrElse(sys.error(s"pq meta missing fingerprint: $json"))
+    PqMeta(num("kc"), num("m"), num("ks"), num("iters"), num("dim"), fp)
   }
 
   /** Stored codebooks of a [[materializePqIndex]] dir, (c_id, cv)
@@ -345,12 +378,12 @@ private[operators] trait SimilarityPq extends SimilarityKmeans {
   def appendToPqIndex(dir: String, batch: DataFrame, segment: String,
       expectFingerprint: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val meta = spark.read.parquet(s"$dir/meta").collect().head
-    val (m, dim) = (meta.getAs[Int]("m"), meta.getAs[Int]("dim"))
+    val meta = readPqMeta(dir)
+    val (m, dim) = (meta.m, meta.dim)
     expectFingerprint.foreach { fp =>
-      val got = meta.getAs[String]("fingerprint")
-      require(got == fp,
-        s"PQ index at $dir was built from corpus $got, expected $fp")
+      require(meta.fingerprint == fp,
+        s"PQ index at $dir was built from corpus ${meta.fingerprint}, " +
+          s"expected $fp")
     }
     if (Layout.foldedNames(s"$dir/codes").contains(segment)) {
       // a compaction physically folded this segment name into a base
@@ -407,13 +440,12 @@ private[operators] trait SimilarityPq extends SimilarityKmeans {
       dir: String, queries: DataFrame, k: Int, nprobe: Int,
       expectFingerprint: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$dir/meta").collect().head
-    val (kc, m, dim) = (meta.getAs[Int]("kc"), meta.getAs[Int]("m"),
-      meta.getAs[Int]("dim"))
+    val meta = readPqMeta(dir)
+    val (kc, m, dim) = (meta.kc, meta.m, meta.dim)
     expectFingerprint.foreach { fp =>
-      val got = meta.getAs[String]("fingerprint")
-      require(got == fp,
-        s"PQ index at $dir was built from corpus $got, expected $fp")
+      require(meta.fingerprint == fp,
+        s"PQ index at $dir was built from corpus ${meta.fingerprint}, " +
+          s"expected $fp")
     }
     val d = dim / m
     val byId = readPqBooksById(spark, dir)

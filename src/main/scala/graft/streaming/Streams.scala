@@ -695,17 +695,21 @@ object Streams {
     val names = graft.core.StoreFs.listDirNames(stateDir)
     val prev = names.flatMap(parseSegId).filter(_ < batchId)
       .sorted.lastOption
-    val (carry, seqBase) = prev match {
+    // the segment meta is a 2-long driver-side JSON (round-14): it was
+    // a 1-row parquet written by its own Spark job and read back by
+    // ANOTHER job per fold, and the carry row count cost a THIRD job
+    // (carry.count()) — three driver round-trips per fold for two
+    // longs. Same values, same crash ordering (carry data lands before
+    // the meta that references it); the carry DATA stays parquet.
+    val (carry, seqBase, nCarry) = prev match {
       case Some(k) =>
-        val meta = spark.read.parquet(s"$stateDir/b$k/meta")
-          .collect().head.getAs[Long]("seq_base")
-        (spark.read.parquet(s"$stateDir/b$k/carry"), meta)
+        val (sb, nc) = readPackMeta(s"$stateDir/b$k")
+        (spark.read.parquet(s"$stateDir/b$k/carry"), sb, nc)
       case None =>
         (spark.emptyDataFrame
           .select(lit(0L).as("lpos"), lit(0).as("token_id"))
-          .filter(lit(false)), 0L)
+          .filter(lit(false)), 0L, 0L)
     }
-    val nCarry = carry.count()
     val ids = graft.operators.Bpe.encodeIds(
       batch.select(col(idCol), col(textCol)), textCol, idCol, merges)
     // the SAME EOS-joined global stream the batch artifact folds,
@@ -728,12 +732,19 @@ object Streams {
           max(struct(col("gpos"), col("token_id")))
             .getField("token_id").as("last_id"),
           expr(s"sum((gpos % $seqLen + 1) * token_id)").as("ids_hash"))
+      // sink output and carry state land in DIFFERENT dirs off the
+      // same persisted frame — overlap them (round-14, guide §2.6);
+      // the meta that references the carry is still written LAST
+      val carryF = scala.concurrent.Future {
+        full.filter(col("gpos") >= cut)
+          .select((col("gpos") - lit(cut)).as("lpos"), col("token_id"))
+          .write.mode("overwrite").parquet(s"$stateDir/b$batchId/carry")
+      }(scala.concurrent.ExecutionContext.global)
       sink(completed, batchId)
-      full.filter(col("gpos") >= cut)
-        .select((col("gpos") - lit(cut)).as("lpos"), col("token_id"))
-        .write.mode("overwrite").parquet(s"$stateDir/b$batchId/carry")
-      spark.range(1).select(lit(seqBase + nWindows).as("seq_base"))
-        .write.mode("overwrite").parquet(s"$stateDir/b$batchId/meta")
+      scala.concurrent.Await.result(carryF,
+        scala.concurrent.duration.Duration.Inf)
+      writePackMeta(s"$stateDir/b$batchId", seqBase + nWindows,
+        total - cut)
       // dead state GC: only the newest pre-batch segment is ever read
       // again (redelivery concerns at most the latest uncommitted id)
       names.foreach { n =>
@@ -776,6 +787,23 @@ object Streams {
       afterBatch(batchId)
     }
 
+  /** Pack-state segment meta: `(seq_base, n_carry)` as a tiny JSON
+   *  text file — driver I/O, zero Spark jobs (see [[packFoldBatch]]'s
+   *  meta note). */
+  private def writePackMeta(segDir: String, seqBase: Long,
+      nCarry: Long): Unit =
+    graft.core.StoreFs.writeUTF8(s"$segDir/meta.json",
+      s"""{"seq_base":$seqBase,"n_carry":$nCarry}""")
+
+  private def readPackMeta(segDir: String): (Long, Long) = {
+    val json = graft.core.StoreFs.readUTF8(s"$segDir/meta.json")
+    def num(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toLong)
+        .getOrElse(sys.error(s"pack meta missing $k: $json"))
+    (num("seq_base"), num("n_carry"))
+  }
+
   /** The OPEN WINDOW of a drained [[packIngest]] state as a
    *  [[graft.operators.Bpe.packIdSequences]]-shaped row (empty frame
    *  when the stream ended exactly on a window boundary): the batch
@@ -789,8 +817,7 @@ object Streams {
     last match {
       case None => emptyPackFrame(spark)
       case Some(k) =>
-        val seqBase = spark.read.parquet(s"$stateDir/b$k/meta")
-          .collect().head.getAs[Long]("seq_base")
+        val (seqBase, _) = readPackMeta(s"$stateDir/b$k")
         spark.read.parquet(s"$stateDir/b$k/carry")
           .groupBy(lit(seqBase).as("seq"))
           .agg(count(lit(1)).as("n_tokens"),
@@ -908,6 +935,22 @@ object Streams {
     // fuse the touched-bucket listing with the max-seq high-water
     // into ONE tiny aggregation job (≤ nBuckets result rows)
     val pinned = batch.localCheckpoint(true)
+    // Journal the RAW batch CONCURRENTLY with the probe→fold→counts
+    // chain (round-14, guide §2.6 overlap-independent-jobs): the
+    // journal depends only on the pinned batch, never on the fold, and
+    // both sides read the same checkpoint blocks. Keyed by batchId so
+    // a redelivery still overwrites its own entry; the crash window
+    // (journal present, version uncommitted) is unchanged — the
+    // version's _SUCCESS marker is still written LAST, after the
+    // journal is awaited.
+    val journalPool = java.util.concurrent.Executors.newFixedThreadPool(1,
+      (r: Runnable) => { // daemon: a failed fold must not pin the JVM
+        val t = new Thread(r, "cdc-journal"); t.setDaemon(true); t })
+    val journalF = scala.concurrent.Future {
+      pinned.select(
+          col(key) +: col(seqCol) +: col(opCol) +: payload.map(col): _*)
+        .write.mode("overwrite").parquet(s"$stateDir/changes/b$batchId")
+    }(scala.concurrent.ExecutionContext.fromExecutor(journalPool))
     val probe = pinned
       .groupBy(cdcBucket(col(key), m.nBuckets).as("__bucket"))
       .agg(max(col(seqCol).cast("long")).as("__mx")).collect()
@@ -955,10 +998,11 @@ object Streams {
       .write.partitionBy("__bucket").mode("overwrite")
       .parquet(s"$stateDir/v$batchId/data")
     writeSchemaDirIfEmpty(expired, s"$stateDir/v$batchId")
-    // journal the RAW batch — the change-data-feed (keyed by batchId
-    // ⇒ a redelivery overwrites its own entry, never duplicates)
-    batchChanges.write.mode("overwrite")
-      .parquet(s"$stateDir/changes/b$batchId")
+    // the journal write was launched before the probe; it must be
+    // complete (and its failure surfaced) before the version commits
+    try scala.concurrent.Await.result(journalF,
+      scala.concurrent.duration.Duration.Inf)
+    finally { journalPool.shutdown(); () }
     val newCounts = countsOfWrittenBuckets(spark, s"$stateDir/v$batchId/data")
     writeCdcManifest(s"$stateDir/v$batchId", nOut, newMaxSeq,
       (if (splitting) Map.empty[Int, Long]
@@ -998,7 +1042,16 @@ object Streams {
     import org.apache.spark.sql.functions.{col, lit}
     val seeded = base.withColumn("__seq", lit(Long.MinValue))
       .withColumn("__op", lit("u"))
+    // repartition ON the bucket column before the partitioned write
+    // (round-14): a single-split base table otherwise seeds from ONE
+    // task that opens all nBuckets writers sequentially (measured
+    // 1 task / 1.5 s at bench scale), and a many-split base would
+    // write up to splits × nBuckets small files. One exchange keyed
+    // exactly like the layout gives ≤ nBuckets parallel writers and
+    // exactly one file per bucket — same rows, same bucketing (state
+    // reads fold with max_by, order-free inside a bucket).
     seeded.withColumn("__bucket", cdcBucket(col(key), nBuckets))
+      .repartition(col("__bucket"))
       .write.partitionBy("__bucket").parquet(s"$stateDir/v-1/data")
     writeSchemaDirIfEmpty(seeded, s"$stateDir/v-1")
     writeCdcManifest(s"$stateDir/v-1", nBuckets, Long.MinValue,
