@@ -35,6 +35,26 @@ object SparkEntry {
   private def documents(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "documents")
 
+  /** Fan a sub-core-count input out to the session's parallelism
+   *  before a HEAVY per-row kernel (round-14, VERDICT r13 item 5
+   *  generalized from q86): at bench scale the base tables pack into
+   *  one or two parquet splits, so zero-shuffle kernels — span dedup,
+   *  Gopher rules, BPE round trips, codec decodes — serialize their
+   *  whole per-row cost on 1-2 tasks (and AQE's map stages inherit
+   *  the same width). One round-robin exchange of the narrow input
+   *  unlocks the cores. Applied PER CALL SITE at the measured heavy
+   *  kernels only — the global minPartitionNum floor was measured and
+   *  REJECTED (GraftSession.scala: it fanned every tiny state/fixture
+   *  read); and a no-op whenever the scan already has ≥ cores
+   *  partitions, so a production-scale input never pays the exchange.
+   *  Result-safe: every fanned row's math is the repo's exact-integer
+   *  / quantized-grid arithmetic (partition-order-free by design;
+   *  re-verified against the oracle at sf0.01 AND sf0.1). */
+  private def fanWide(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
+
   /** q121/q122 fixture: every 7th doc gets a MIXED-CASE, doubled-space
    *  license tail — lowered window keys catch it; the lossless span
    *  machinery must hand back the original bytes untouched.
@@ -64,7 +84,9 @@ object SparkEntry {
         "cast(cast(x as double) * (case when i = cast(vec_id % 64 as int) " +
         "then 2.0D else 1.0D end) as float))").as("embedding"),
       col("label"))
-    base.unionByName(bumped)
+    // heavy exact-pair kernels consume this frame (q91/q97/q115)
+    // — fan the two-split union to the session cores (see fanWide)
+    fanWide(base.unionByName(bumped))
   }
 
   /** DuckDB mirror of [[twinnedEmbeddings]]: doubling is exact in
@@ -985,7 +1007,8 @@ object SparkEntry {
       val spark = s
       import spark.implicits._
       Media.extractFeatures(
-          Media.resize(sharedPngCorpus(s, dir).as[graft.multimodal.MediaRecord], 16, 12))
+          Media.resize(fanWide(sharedPngCorpus(s, dir))
+            .as[graft.multimodal.MediaRecord], 16, 12))
         .toDF().select(col("doc_id"), col("width"), col("height"))
         .orderBy("doc_id")
     }),
@@ -2571,7 +2594,7 @@ object SparkEntry {
         .orderBy("doc_id", "s_char")
     }),
     "q122_span_cut_lossless" -> ((s, dir) => {
-      val dirty = spanOffsetsFixture(s, dir)
+      val dirty = fanWide(spanOffsetsFixture(s, dir))
       Dedup.cutCharSpans(dirty, "text", "doc_id",
           Dedup.repeatedSpanOffsets(dirty, "text", "doc_id", 8))
         .orderBy("doc_id")
@@ -2692,7 +2715,7 @@ object SparkEntry {
     // buckets, bounded global top-N heap. The oracle re-derives the
     // bucket model and replays the scoring sum.
     "q142_dsir_select" -> ((s, dir) =>
-      Curation.dsirSelect(documents(s, dir), "doc_id", "text",
+      Curation.dsirSelect(fanWide(documents(s, dir)), "doc_id", "text",
           col("lang") === "en", 8192, 100)
         .orderBy("rank")),
     // Hybrid lexical+dense retrieval with reciprocal-rank fusion
@@ -2746,7 +2769,7 @@ object SparkEntry {
       val t5 = when(col("doc_id") % 17 === 0,
         concat(t4, lit(gopherFixNumerics))).otherwise(t4)
       Quality.gopherRules(
-          documents(s, dir).select(col("doc_id"), t5.as("text")),
+          fanWide(documents(s, dir).select(col("doc_id"), t5.as("text"))),
           "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -3046,7 +3069,8 @@ object SparkEntry {
         concat(col("text"), lit(byteDirty1))).otherwise(col("text"))
       val t2 = when(col("doc_id") % 5 === 0,
         concat(lit(byteDirty2), t1)).otherwise(t1)
-      val corpus = documents(s, dir).select(col("doc_id"), t2.as("text"))
+      val corpus = fanWide(
+        documents(s, dir).select(col("doc_id"), t2.as("text")))
       val merges = byteMerges(s, dir, 16, corpus)
       graft.operators.Bpe.byteRoundTrip(corpus, "text", "doc_id", merges)
         .orderBy("doc_id")

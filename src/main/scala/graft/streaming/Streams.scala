@@ -200,9 +200,15 @@ object Streams {
         corpusDup.union(selfDup).distinct(), Seq(idCol), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        sink(survivors, batchId)
+        // sink and index append are independent consumers of the SAME
+        // pinned survivor frame writing to disjoint locations —
+        // overlap them (round-14, guide §2.6)
+        val sinkF = scala.concurrent.Future { sink(survivors, batchId) }(
+          scala.concurrent.ExecutionContext.global)
         graft.operators.Dedup.appendToLshIndex(
           indexDir, survivors, textCol, idCol, s"b$batchId")
+        scala.concurrent.Await.result(sinkF,
+          scala.concurrent.duration.Duration.Inf)
       } finally survivors.unpersist()
       graft.operators.Dedup.compactLshIndex(
         spark, indexDir, compactAfterSegments)
@@ -262,9 +268,14 @@ object Streams {
         corpusDup.union(selfDup).distinct(), Seq("vec_id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        sink(survivors, batchId)
+        // same overlap as the LSH screen: sink ∥ index append off one
+        // pinned survivor frame (round-14, guide §2.6)
+        val sinkF = scala.concurrent.Future { sink(survivors, batchId) }(
+          scala.concurrent.ExecutionContext.global)
         graft.operators.Similarity.appendToAnnIndex(
           indexDir, survivors, s"b$batchId")
+        scala.concurrent.Await.result(sinkF,
+          scala.concurrent.duration.Duration.Inf)
       } finally survivors.unpersist()
       graft.operators.Similarity.compactAnnIndex(
         spark, indexDir, compactAfterSegments)
@@ -317,10 +328,16 @@ object Streams {
           corpusDup.union(selfDup).distinct(), Seq(idCol), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          sink(batch.join(survivors.select(col(idCol)), Seq(idCol),
-            "left_semi"), batchId)
+          // same overlap as the LSH screen: sink ∥ index append off
+          // one pinned survivor frame (round-14, guide §2.6)
+          val sinkF = scala.concurrent.Future {
+            sink(batch.join(survivors.select(col(idCol)), Seq(idCol),
+              "left_semi"), batchId) }(
+            scala.concurrent.ExecutionContext.global)
           graft.operators.Dedup.appendToHammingIndex(
             indexDir, survivors, idCol, "h", s"b$batchId")
+          scala.concurrent.Await.result(sinkF,
+            scala.concurrent.duration.Duration.Inf)
         } finally survivors.unpersist()
       } finally hashes.unpersist()
       graft.operators.Dedup.compactHammingIndex(
@@ -524,6 +541,15 @@ object Streams {
     val stateKeyed = survivorSegs.headOption.map(_ =>
       spark.read.parquet(survivorSegs: _*)
         .select(col("__h"), col(idCol).as("__sid")))
+    // NOT fanned (round-14 negative result, kept for the record): the
+    // single-split micro-batch does leave the n gram-explode map
+    // stages at 1 task each, but those stages materialize
+    // CONCURRENTLY inside the pin job, and a measured A/B of a
+    // guarded batch.repartition(cores) here read q136 6.94→8.86,
+    // q138 7.19→8.81, q166 9.60→10.80 s against a −14% control drift
+    // — the extra exchange plus 32-partition granularity on the tiny
+    // gated/persisted frames costs more than the widened map stages
+    // save. See OPTIMIZATION_r14.md.
     val withH = batch.select(col(idCol), col(textCol))
       .withColumn("__h", md5(col(textCol)))
     val keepFirst = withH.groupBy(col("__h"))
@@ -710,8 +736,14 @@ object Streams {
           .select(lit(0L).as("lpos"), lit(0).as("token_id"))
           .filter(lit(false)), 0L, 0L)
     }
+    // fan a single-split micro-batch before the per-doc BPE encode
+    // (round-14, same guarded pattern as curateFoldBatch)
+    val cores = spark.sparkContext.defaultParallelism
+    val batchW =
+      if (batch.rdd.getNumPartitions >= cores) batch
+      else batch.repartition(cores)
     val ids = graft.operators.Bpe.encodeIds(
-      batch.select(col(idCol), col(textCol)), textCol, idCol, merges)
+      batchW.select(col(idCol), col(textCol)), textCol, idCol, merges)
     // the SAME EOS-joined global stream the batch artifact folds,
     // shifted past the open window's tokens
     val full = carry
