@@ -84,9 +84,7 @@ object SparkEntry {
         "cast(cast(x as double) * (case when i = cast(vec_id % 64 as int) " +
         "then 2.0D else 1.0D end) as float))").as("embedding"),
       col("label"))
-    // heavy exact-pair kernels consume this frame (q91/q97/q115)
-    // — fan the two-split union to the session cores (see fanWide)
-    fanWide(base.unionByName(bumped))
+    base.unionByName(bumped)
   }
 
   /** DuckDB mirror of [[twinnedEmbeddings]]: doubling is exact in
@@ -1662,7 +1660,8 @@ object SparkEntry {
     // is the UNPRUNED all-pairs SQL, so a single lost pair is a
     // missing row, not a matching hash.
     "q91_cosine_pairs" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(twinnedEmbeddings(s, dir), 64, 0.999, 5)
+      Similarity.cosineNearDupPairs(fanWide(twinnedEmbeddings(s, dir)),
+        64, 0.999, 5)
         .orderBy("id_a", "id_b")),
     // SemDeDup survivor set (X69): the APPLY step over the same
     // twinned corpus — every vector with a smaller-id ≥ 0.999 cosine
