@@ -134,6 +134,33 @@ object Lm {
     (1 to n).map(k => gramCounts(t, k))
   }
 
+  /** ALL orders' gram counts in ONE tokenize+explode+agg, packed
+   *  array-keyed — (g: array<string>, o: int, c: long), exactly the
+   *  streaming fold's state-table layout. Value-identical per order
+   *  to [[gramCounts]] re-keyed as arrays: for every k ≤ n the
+   *  emitted grams are the adjacent k-grams of each doc (the inner
+   *  `sequence` enumerates start positions 1..len−k+1; docs shorter
+   *  than k contribute nothing, the `size ≥ k` filter), and grouping
+   *  by (g, o) equals grouping by the k elements since o fixes the
+   *  length. Built FOR the streaming curation fold, where the result
+   *  is immediately pinned (localCheckpoint) or written: the n
+   *  per-order [[gramTables]] trees each re-tokenize the corpus and
+   *  pay their own aggregation exchange — right for the BATCH scorer
+   *  whose differently-filtered references dedupe via ReuseExchange,
+   *  pure overhead under a single-reference pin (round 14, guide §2:
+   *  n tokenize passes + n exchanges → 1 + 1). */
+  private[graft] def packedGramCounts(train: DataFrame, textCol: String,
+      n: Int): DataFrame = {
+    val t = train.select(toks(col(textCol)).as("__t"))
+    val grams = flatten(transform(
+      filter(sequence(lit(1), lit(n)), k => size(col("__t")) >= k),
+      k => transform(sequence(lit(1), size(col("__t")) - k + lit(1)),
+        i => struct(slice(col("__t"), i, k).as("g"), k.as("o")))))
+    t.select(explode(grams).as("__gz"))
+      .select(col("__gz.g").as("g"), col("__gz.o").as("o"))
+      .groupBy(col("g"), col("o")).agg(count(lit(1)).as("c"))
+  }
+
   /** Scoring core shared by every backoff entry point: score `docs`'
    *  n-gram instances against PRE-BUILT model tables (unpruned —
    *  minCount prunes the numerators here, so summed/merged tables

@@ -590,39 +590,33 @@ object Streams {
       // model folds are shared across differently-filtered references
       // and must be materialized once.
       val countSegs = foldStateSegs(countDir, batchId)
-      val batchTables = graft.operators.Lm.gramTables(
-        trainNew, textCol, lmOrder)
-      // the state segments are consumed only by the n branches of the
-      // SINGLE pin job below — n parallel pruned scans of vocab-sized
+      // the state segments are consumed only by the union branch of
+      // the SINGLE pin job below — pruned scans of vocab-sized
       // parquet inside one job beat a separate eager checkpoint job
       // (round-13: was localCheckpoint(true), one more driver
       // round-trip per fold)
       val stateGrams = countSegs.headOption.map(_ =>
         spark.read.parquet(countSegs: _*))
-      // ONE pinned model table for ALL orders (round-13 optimization,
-      // re-landed in round 14 after the end-of-round snapshot silently
-      // reverted it): the per-order eager localCheckpoints each paid a
-      // full job — n + 1 sequential driver round-trips per fold,
-      // measured pure overhead at micro-batch size (q166's n = 5 fold
-      // spent its wall in job count, not compute). The per-order
-      // union+sum plans are UNCHANGED; they are packed array-keyed
-      // (exactly the state segments' layout), materialized in one
-      // eager localCheckpoint, and each order's table is a FILTER of
-      // the pin — same rows, same types, still materialized-once (the
-      // ProbeCurate residency rule this block exists for).
-      val modelPacked = (1 to lmOrder).map { k =>
-        (stateGrams match {
-          case None => batchTables(k - 1)
-          case Some(sg) =>
-            val keys = (0 until k).map(i => col(s"g$i"))
-            sg.filter(col("o") === k)
-              .select((0 until k).map(i =>
-                col("g").getItem(i).as(s"g$i")) :+ col("c").as(s"c$k"): _*)
-              .unionByName(batchTables(k - 1))
-              .groupBy(keys: _*).agg(sum(col(s"c$k")).as(s"c$k"))
-        }).select(array((0 until k).map(i => col(s"g$i")): _*).as("g"),
-          lit(k).as("o"), col(s"c$k").as("c"))
-      }.reduce(_.unionByName(_)).localCheckpoint(eager = true)
+      // ONE pinned model table for ALL orders (round-13, re-landed in
+      // round 14), built by ONE tokenize+explode+agg for ALL orders
+      // (round-14, guide §2/§4): the per-order gramTables trees each
+      // re-tokenized the batch and paid their own aggregation
+      // exchange — n Generate passes + n exchanges where one
+      // packedGramCounts pass suffices, since the pin is a SINGLE
+      // reference (the batch scorer's ReuseExchange rationale does
+      // not apply here). Per-order counts are value-identical
+      // (packedGramCounts doc); state counts sum in array-keyed,
+      // exactly the segments' layout. Each order's table stays a
+      // FILTER of the pin — same rows, same types, materialized once
+      // (the ProbeCurate residency rule this block exists for).
+      val packedBatch = graft.operators.Lm.packedGramCounts(
+        trainNew, textCol, lmOrder)
+      val modelPacked = (stateGrams match {
+        case None => packedBatch
+        case Some(sg) => sg.select(col("g"), col("o"), col("c"))
+          .unionByName(packedBatch)
+          .groupBy(col("g"), col("o")).agg(sum(col("c")).as("c"))
+      }).localCheckpoint(eager = true)
       val model = (1 to lmOrder).map { k =>
         modelPacked.filter(col("o") === k)
           .select((0 until k).map(i =>
@@ -640,24 +634,32 @@ object Streams {
             % lit(shards.toLong)).as("shard"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // the sink materializes the survivors persist; the two state
+        // writes then consume the pinned frame into DISJOINT per-batch
+        // dirs — overlap them (round-14, guide §2.6). Both are
+        // overwrite-idempotent and the streaming engine commits the
+        // batch only after the fold returns, so crash ordering is
+        // unchanged: a retry overwrites both, and batch N+1 never
+        // starts before both landed.
         sink(survivors.select(col(idCol), col("quality"),
           col(countAlias), col("mean_score_micro"), col("shard")), batchId)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
         // admit-time state: text for the curated corpus, __h for the
         // dedup index — the hash is computed once, HERE, never again
-        survivors.select(col(idCol), col(textCol), col("__h"))
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/survivors/b$batchId")
-        // lazy tables, folded into ONE array-keyed frame and written
-        // once — each order's agg re-reads the persisted survivor
-        // frame inside the single write job
-        val survTables = graft.operators.Lm.gramTables(
+        val survF = scala.concurrent.Future {
+          survivors.select(col(idCol), col(textCol), col("__h"))
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/survivors/b$batchId")
+        }
+        // ONE tokenize+explode+agg for ALL orders' survivor counts
+        // (round-14 — was n per-order gramTables trees under one
+        // write; value-identical, see packedGramCounts)
+        graft.operators.Lm.packedGramCounts(
           survivors.select(col(idCol), col(textCol)), textCol, lmOrder)
-        (1 to lmOrder).map { k =>
-          survTables(k - 1).select(
-            array((0 until k).map(i => col(s"g$i")): _*).as("g"),
-            lit(k).as("o"), col(s"c$k").as("c"))
-        }.reduce(_.unionByName(_))
           .write.mode("overwrite").parquet(s"$countDir/b$batchId")
+        scala.concurrent.Await.result(survF,
+          scala.concurrent.duration.Duration.Inf)
       } finally survivors.unpersist()
     } finally { gated.unpersist(); () }
   }
