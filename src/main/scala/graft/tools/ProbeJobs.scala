@@ -25,7 +25,8 @@ object ProbeJobs {
         tasks.addAndGet(s.stageInfo.numTasks)
         taskMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
         val ms = s.stageInfo.taskMetrics.executorRunTime
-        if (ms > 500 && sys.env.contains("PROBE_STAGES"))
+        val thresh = sys.env.getOrElse("PROBE_STAGES_MS", "500").toLong
+        if (ms > thresh && sys.env.contains("PROBE_STAGES"))
           System.err.println(f"  [stage ${s.stageInfo.stageId}%d] " +
             f"tasks=${s.stageInfo.numTasks}%d taskTime=${ms / 1000.0}%.1fs " +
             s"name=${s.stageInfo.name.take(60)}")
