@@ -1024,6 +1024,8 @@ object SparkEntry {
     // VARIANT payload math (Spark 4 shredded-JSON path): exact-key,
     // case-sensitive access — the documented fast alternative to the
     // faithful map/kernel modes (X27, now oracle-verified)
+    // NOT fanned (measured): the per-event variant decode is too
+    // light — the focused A/B read 0.85 unfanned vs 0.98 fanned
     "q59_variant_payload" -> ((s, dir) =>
       MathCompiler.applyToVariant(
           Sources.variantPayload(events(s, dir), "props"),
@@ -1039,8 +1041,12 @@ object SparkEntry {
     "q60_msgpack_roundtrip" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val chunks = events(s, dir)
-        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      // fanning moves the per-partition grouped(100) chunk boundaries,
+      // but every event encodes/decodes independently inside its
+      // chunk, so the decoded multiset — and the sorted output — is
+      // unchanged
+      val chunks = fanWide(events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("value")))
         .as[(Long, Long, Long, Double)]
         .mapPartitions(_.grouped(100).map(_.flatMap { case (id, ts, u, v) =>
           // events() serves micros; the fluent-bit wire carries full
@@ -1071,7 +1077,8 @@ object SparkEntry {
         .orderBy("doc_id")),
     // sliding token-window chunking: width 16, stride 8 (1->N explode)
     "q58_chunk_tokens" -> ((s, dir) =>
-      Curation.chunkByTokens(documents(s, dir), "text", "doc_id", 16, 8)
+      Curation.chunkByTokens(fanWide(documents(s, dir)), "text", "doc_id",
+          16, 8)
         .orderBy("doc_id", "chunk_idx")),
     // skew-proof aggregation: lang is a deliberately hot grouping key
     // (a handful of values over the whole corpus); the two-phase
@@ -1719,7 +1726,8 @@ object SparkEntry {
           lit(" subscribe now for daily updates curated by our award winning editorial team")))
         .otherwise(col("text"))
       Dedup.repeatedWindowShare(
-          documents(s, dir).select(d, dirty.as("text")), "doc_id", "text", 8)
+          fanWide(documents(s, dir).select(d, dirty.as("text"))),
+          "doc_id", "text", 8)
         .orderBy("doc_id")
     }),
     // WARC web-archive ingestion (X68), end-to-end like q60's msgpack
@@ -1820,8 +1828,8 @@ object SparkEntry {
     // trained weights; the plan is identical). One narrow codegen
     // pass over the fused tokenFrequencies kernel, no shuffle.
     "q102_classifier_score" -> ((s, dir) =>
-      Quality.hashedClassifierScore(documents(s, dir), "doc_id", "text",
-          4096, "w7")
+      Quality.hashedClassifierScore(fanWide(documents(s, dir)),
+          "doc_id", "text", 4096, "w7")
         .orderBy("doc_id")),
     // SCD2 history build (X75): the q89 change log (base folded in as
     // seq-0 inserts) versioned into validity intervals — one row per
